@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Every query in the library takes `(SparkSession, sfDir)` and resolves
+  * tables through here, so filters/projections stay declarative and reach
+  * the parquet scan (predicate pushdown + column pruning).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf) and floor
+    * to microseconds — exactly what DuckDB does when it reads the same
+    * file, so oracle comparisons line up.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+/** SparkSession factory for tests / local tools. The driver-facing mains
+  * (Verify, Bench) build their own sessions per the driver contract.
+  */
+object Sessions {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

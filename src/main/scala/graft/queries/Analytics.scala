@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Declarative analytics over the TPC-H-ish tables (TESTDATA.md).
+  *
+  * Design notes (100 TB scale):
+  *  - every query is pure DataFrame API → Catalyst does predicate pushdown,
+  *    column pruning and partial aggregation; `.explain` shows PushedFilters
+  *    and WholeStageCodegen spans for each of these.
+  *  - dimension tables (region/nation/supplier) are `broadcast()`-hinted so
+  *    the fact-side join is a map-side hash join (no shuffle of lineitem).
+  *  - money arithmetic is done in DECIMAL (exact, associative — safe under
+  *    any aggregation order / partitioning) and cast to DOUBLE only at the
+  *    end, so results are bit-identical regardless of the physical plan.
+  */
+object Analytics {
+
+  /** Exact decimal view of a money/quantity column (see scaladoc above). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy grouped aggregation with partial agg.
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumDec($"l_quantity").as("sum_qty"),
+          sumDec($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", $"sum_qty" / $"count_order")
+        .withColumn("avg_price", $"sum_base_price" / $"count_order")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Global sort + limit → Spark plans TakeOrderedAndProject (top-k per
+    // partition, merge on driver): no full sort, no full shuffle.
+    "q_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+
+    // TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+    // customer is small relative to lineitem → broadcast; orders⋈lineitem
+    // is the one genuine shuffle.
+    "q3_join_topk" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = t.orders.filter($"o_orderdate" < cutoff)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val l = t.lineitem.filter($"l_shipdate" > cutoff)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape: star join through 4 broadcast dims, one fact shuffle.
+    "q5_nation_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders.select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(t.supplier.select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"n_name")
+    },
+
+    // Left-semi / left-anti joins (EXISTS / NOT EXISTS).
+    "q_semi_anti" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val purchasers = t.events
+        .filter($"event_type" === "purchase" && $"value" > 180).select($"user_id")
+      val erroring = t.events
+        .filter($"event_type" === "error" && $"value" > 180).select($"user_id")
+      val c = t.customer
+      c.join(purchasers, $"c_custkey" === $"user_id", "left_semi")
+        .join(erroring, $"c_custkey" === $"user_id", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // Window functions: rank within partition + running sum, deterministic
+    // ordering via unique (ts, event_id).
+    "q_window" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_value",
+          sum(dec($"value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"rn", $"event_id", $"running_value")
+        .orderBy($"user_id", $"rn")
+    },
+
+    // Set operations: union / intersect / except.
+    "q_setops" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def typed(et: String) = t.events
+        .filter($"event_type" === et && $"value" > 150).select($"user_id").distinct()
+      val buyers   = typed("purchase")
+      val clickers = typed("click")
+      val signups  = typed("signup")
+      buyers.intersect(clickers).except(signups)
+        .union(buyers.except(clickers).except(signups))
+        .distinct()
+        .orderBy($"user_id")
+    },
+
+    // Scalar function surface: string / date / math / conditional.
+    "q_scalar_fns" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select(
+          $"o_orderkey",
+          upper(substring($"o_orderpriority", 1, 1)).as("prio_code"),
+          year($"o_orderdate").as("o_year"),
+          month($"o_orderdate").as("o_month"),
+          (dec($"o_totalprice") * lit("1.10").cast("decimal(3,2)"))
+            .cast("double").as("taxed"),
+          when($"o_orderstatus" === "F", "done")
+            .when($"o_orderstatus" === "O", "open")
+            .otherwise("partial").as("status_word"),
+          length($"o_orderpriority").as("prio_len"),
+          concat_ws("-", $"o_orderstatus", $"o_orderpriority").as("tag"))
+        .orderBy($"o_orderkey")
+    },
+
+    // Rollup (hierarchical grouping sets).
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumDec($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    // Distinct aggregates.
+    "q_distinct_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Time-bucketed aggregation (batch analog of the streaming window op).
+    "q_events_hourly" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumDec($"value").as("total_value"))
+        .orderBy($"hour", $"event_type")
+    },
+
+    // JSON extraction from the events.props column.
+    "q_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180)
+        |  AND c_custkey NOT IN (SELECT user_id FROM events WHERE event_type = 'error' AND value > 180)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window" ->
+      """SELECT user_id, rn, event_id, running_value FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q_setops" ->
+      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150),
+        |     clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 150),
+        |     signups AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 150)
+        |SELECT DISTINCT user_id FROM (
+        |  (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers)
+        |  EXCEPT SELECT user_id FROM signups
+        |  UNION
+        |  ((SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)
+        |   EXCEPT SELECT user_id FROM signups))
+        |ORDER BY user_id""".stripMargin,
+
+    "q_scalar_fns" ->
+      """SELECT o_orderkey,
+        |  UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_code,
+        |  YEAR(o_orderdate) AS o_year,
+        |  MONTH(o_orderdate) AS o_month,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE) AS taxed,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'done'
+        |       WHEN o_orderstatus = 'O' THEN 'open'
+        |       ELSE 'partial' END AS status_word,
+        |  LENGTH(o_orderpriority) AS prio_len,
+        |  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
