@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.KV
+
+/** E1 whole-file text source + E7 "key value" line sink
+  * (ref: mr/worker.go:194-206 read; mr/worker.go:115 write).
+  *
+  * One record per whole file, filename (basename) = key, contents = value —
+  * the record shape the reference feeds to Map. `wholetext` keeps the read
+  * distributed (one task per file) instead of collecting on the driver.
+  */
+object TextCorpus {
+
+  def read(spark: SparkSession, dir: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    val nonEmpty = spark.read.format("binaryFile").load(dir)
+      .select(
+        element_at(split($"path", "/"), -1).as("file"),
+        decode($"content", "UTF-8").as("contents"))
+      .as[(String, String)]
+    // Spark's file sources produce no rows for zero-length files, but the
+    // reference calls Map on them too (mr/worker.go:54-60). File listing
+    // is driver-side metadata in Spark regardless; recover empty files
+    // from it and union them in as ("name", "") records.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empties = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getLen == 0)
+      .map(st => (st.getPath.getName, ""))
+      .toSeq
+    if (empties.isEmpty) nonEmpty
+    else nonEmpty.union(spark.createDataset(empties))
+  }
+
+  /** Emit `"<key> <value>"` lines (Go `%v %v`, main/mrsequential.go:81). */
+  def writeLines(ds: Dataset[KV], out: String): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(kv => s"${kv.key} ${kv.value}").write.mode("overwrite").text(out)
+  }
+
+  /** Format as lines without writing — used by golden-diff tests. */
+  def formatLines(ds: Dataset[KV]): Dataset[String] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(kv => s"${kv.key} ${kv.value}")
+  }
+}
