@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table (TESTDATA.md). The reference's data plane is
+  * whole-document strings (ref: mr/worker.go:20-23, mrapps/wc.go:21-34);
+  * these are the operations a 100 TB curation pipeline runs on that shape.
+  *
+  * Scale design: every query is a single narrow projection over the
+  * parquet scan — no shuffle at all except the final presentation
+  * `orderBy` (which at scale would be dropped or replaced by a write
+  * partitioned on a key). All expressions are builtin `functions._` →
+  * whole-stage codegen; nothing leaves the JVM, no UDFs.
+  *
+  * Determinism/portability notes (the DuckDB oracle must hash-match):
+  *  - token hashing goes through md5 hex prefixes (portable across
+  *    engines) rather than engine-native hash functions.
+  *  - all ratio arithmetic is done in DOUBLE with explicit rounding; IEEE
+  *    +,-,*,/ are exactly specified so both engines produce identical
+  *    bits given identical inputs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  private def wsTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Portable 32-bit token hash: first 8 hex digits of md5 as a long. */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-voting
+    * language-ID heuristic. Deterministic, shared with the oracle SQL.
+    */
+  private val stop = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "des"))
+
+  private def scoreIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Crude BPE-ish pre-tokenizer pattern (GPT-2 style classes, no
+    * lookahead so it is portable Java-regex ∩ RE2).
+    */
+  private val BpeIsh = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens vs BPE-ish subword-precursor
+    // tokens, plus chars-per-token (the usual tokens~chars/4 sanity
+    // metric for LLM data budgeting).
+    "tx_token_count" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(
+          $"doc_id",
+          size(wsTokens($"text")).as("n_ws"),
+          regexp_count($"text", lit(BpeIsh)).as("n_tok"),
+          length($"text").as("len"))
+        .select($"doc_id", $"n_ws", $"n_tok",
+          round($"len".cast("double") / $"n_tok", 4).as("cpt"))
+        .orderBy($"doc_id")
+    },
+
+    // Language identification: stopword-voting heuristic. Ties break
+    // alphabetically (de < en < es < fr) — deterministic.
+    "tx_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      val toks = wsTokens(lower($"text"))
+      Tables(s, dir).documents
+        .select(
+          $"doc_id",
+          scoreIn(toks, stop("de")).as("s_de"),
+          scoreIn(toks, stop("en")).as("s_en"),
+          scoreIn(toks, stop("es")).as("s_es"),
+          scoreIn(toks, stop("fr")).as("s_fr"))
+        .withColumn("best", greatest($"s_de", $"s_en", $"s_es", $"s_fr"))
+        .withColumn("pred_lang",
+          when($"s_de" === $"best", "de")
+            .when($"s_en" === $"best", "en")
+            .when($"s_es" === $"best", "es")
+            .otherwise("fr"))
+        .drop("best")
+        .orderBy($"doc_id")
+    },
+
+    // Quality scoring: length / stopword / alphabetic-character ratios
+    // composed into a bounded [0,1] score.
+    "tx_quality" -> { (s, dir) =>
+      import s.implicits._
+      val toks = wsTokens($"text")
+      Tables(s, dir).documents
+        .select(
+          $"doc_id",
+          length($"text").as("n_chars"),
+          size(toks).as("n_tok"),
+          aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b).as("tok_chars"),
+          scoreIn(toks, stop("en")).as("n_stop"))
+        .select(
+          $"doc_id", $"n_chars", $"n_tok",
+          round($"tok_chars".cast("double") / $"n_tok", 4).as("mean_tok_len"),
+          round($"n_stop".cast("double") / $"n_tok", 4).as("stop_ratio"),
+          round(
+            least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
+              + least(lit(1.0), $"n_stop".cast("double") * 10.0 / $"n_tok") * 0.5,
+            4).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // Document fingerprinting: md5 of whitespace-normalized text + a
+    // 31-bit polynomial rolling hash over token hashes (ref analogue:
+    // the reference fingerprints documents only by filename,
+    // mr/worker.go:54-60; this is the content-addressed upgrade).
+    "tx_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+      val toks = wsTokens($"text")
+      Tables(s, dir).documents
+        .select(
+          $"doc_id",
+          md5(norm).as("fp_md5"),
+          aggregate(
+            transform(toks, t => tokHash(t)),
+            lit(0L),
+            (acc, h) => (acc * 1000003L + h) % 2147483647L).as("fp_roll"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  private def stopList(lang: String): String =
+    stop(lang).map(w => s"'$w'").mkString("(", ",", ")")
+
+  def oracle: Map[String, String] = Map(
+    "tx_token_count" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws,
+         |  len(regexp_extract_all(text, '$BpeIsh')) AS n_tok,
+         |  round(CAST(length(text) AS DOUBLE)
+         |        / len(regexp_extract_all(text, '$BpeIsh')), 4) AS cpt
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> t IN ${stopList("de")})) AS s_de,
+         |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS s_en,
+         |    len(list_filter(toks, t -> t IN ${stopList("es")})) AS s_es,
+         |    len(list_filter(toks, t -> t IN ${stopList("fr")})) AS s_fr
+         |  FROM t)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr,
+         |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, len(toks) AS n_tok,
+         |    list_sum(list_transform(toks, t -> length(t))) AS tok_chars,
+         |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tok,
+         |  round(CAST(tok_chars AS DOUBLE) / n_tok, 4) AS mean_tok_len,
+         |  round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+         |  round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
+         |        + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / n_tok) * 0.5, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
