@@ -20,12 +20,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
       graft.queries.MrQueries.queries ++
-      graft.queries.TextAnalysis.queries
+      graft.queries.TextAnalysis.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++
       graft.queries.MrQueries.oracle ++
-      graft.queries.TextAnalysis.oracle
+      graft.queries.TextAnalysis.oracle ++
+      graft.queries.Dedup.oracle ++
+      graft.queries.Similarity.oracle
 }

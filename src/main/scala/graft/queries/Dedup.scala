@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+  * near-dup — the standard near-duplicate stack for 100 TB corpora.
+  *
+  * Scale design:
+  *  - every pairwise operator generates candidate pairs through an
+  *    inverted index join (shingle → docs / band-bucket → docs / LSH
+  *    bucket → vectors), never a cross join. The shuffle key is the
+  *    shingle/band hash, so work distributes across executors.
+  *  - stop-shingles (document frequency > MaxDf) are dropped before
+  *    pair generation — the classic skew guard: one hot shingle would
+  *    otherwise produce O(df²) candidate pairs on a single reducer.
+  *  - all hashes go through md5 hex prefixes (portable: the DuckDB
+  *    oracle reproduces the exact values); at production scale you'd
+  *    swap in xxhash64 with one-line changes — the dataflow is the
+  *    same.
+  *
+  * Reference lineage: the reference's data plane is (filename, contents)
+  * documents with per-document distinct tokens (indexer map,
+  * mrapps/indexer.go:21-25); these operators extend that surface with the
+  * content-similarity layer the reference lacks.
+  */
+object Dedup {
+
+  /** Stop-shingle guard: shingles occurring in more than this many docs
+    * are excluded from the shingle sets (and thus candidate generation).
+    */
+  private val MaxDf = 100
+
+  private def wsTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Distinct word 3-gram shingles of a document. */
+  private def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Portable 48-bit hash of (seed, value): md5 hex prefix as long. */
+  private def seedHash(seed: Column, v: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit("|"), v)), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Portable 32-bit token hash (same as TextAnalysis). */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** (doc_id, shingle) pairs after the stop-shingle df filter, plus the
+    * per-doc filtered set size — shared front end of the pairwise text
+    * dedup queries.
+    */
+  private def shingleIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    // The test tables are single-row-group parquet files → a 1-partition
+    // scan; spread the hash-heavy tokenize/shingle work across cores.
+    // (At production scale the input arrives as many files/partitions and
+    // this repartition would be dropped.)
+    val docSh = Tables(s, dir).documents
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(shingles(wsTokens($"text"))).as("sh"))
+    // df ≤ MaxDf filter: broadcast-join the (tiny) hot-shingle list away.
+    val hot = docSh.groupBy($"sh").count().filter($"count" > MaxDf).select($"sh")
+    val kept = docSh.join(broadcast(hot), Seq("sh"), "left_anti")
+      .select($"doc_id", $"sh")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    (kept, sizes)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content hash, keep the smallest doc_id.
+    // At scale: a single shuffle on a 128-bit hash — no skew (hash keys
+    // are unique per distinct text), no full-text shuffle (only the
+    // hash + id move).
+    "dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(md5($"text").as("fp"), $"doc_id")
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keep_id")
+    },
+
+    // N-gram Jaccard near-dup: inverted-index self-join on shingles →
+    // intersection counts → Jaccard ≥ 0.8 pairs. One shuffle on the
+    // shingle, one on the (a,b) pair — never a cross join.
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      val a = kept.toDF("ia", "sh")
+      val b = kept.toDF("ib", "sh")
+      val inter = a.join(b, "sh").filter($"ia" < $"ib")
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .withColumn("jac",
+          $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jac" >= 0.8)
+        .select($"ia", $"ib", round($"jac", 6).as("jac"))
+        .orderBy($"ia", $"ib")
+    },
+
+    // MinHash + LSH near-dup: 12 minhash permutations → 4 bands × 3 rows
+    // → band-bucket join for candidates → exact-Jaccard verification at
+    // ≥ 0.5. The LSH step makes candidate generation O(near-dups), not
+    // O(docs²): at 100 TB only same-bucket vectors ever meet.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      // Codegen'd minhash: 12 hash columns per (doc, shingle) row, then 12
+      // min() aggregates in one HashAggregate (partial agg = map-side
+      // combine), rather than interpreted per-array transforms.
+      val aggs = (0 to 11).map(i => min(seedHash(lit(i), $"sh")).as(s"m$i")) :+
+        collect_set($"sh").as("shs")
+      val withMins = kept
+        .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+        .select($"doc_id", $"shs",
+          array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
+      // Candidate generation joins only (doc_id, band, key) — the shingle
+      // sets stay out of the band shuffle and are attached to the (few)
+      // surviving pairs afterwards.
+      val bands = withMins.select(
+        $"doc_id",
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            concat_ws(",",
+              element_at($"m", b * 3 + 1),
+              element_at($"m", b * 3 + 2),
+              element_at($"m", b * 3 + 3)).as("key")))).as("bk"))
+        .select($"doc_id", $"bk.band", $"bk.key")
+      val sets = withMins.select($"doc_id", $"shs")
+      val cand = bands.toDF("ia", "band", "key")
+        .join(bands.toDF("ib", "band", "key"), Seq("band", "key"))
+        .filter($"ia" < $"ib")
+        .select($"ia", $"ib")
+        .dropDuplicates("ia", "ib")
+        .join(sets.toDF("ia", "sha"), "ia")
+        .join(sets.toDF("ib", "shb"), "ib")
+      cand
+        .withColumn("inter", size(array_intersect($"sha", $"shb")))
+        .withColumn("jac", $"inter".cast("double")
+          / (size($"sha") + size($"shb") - $"inter"))
+        .filter($"jac" >= 0.5)
+        .select($"ia", $"ib", round($"jac", 6).as("jac"))
+        .orderBy($"ia", $"ib")
+    },
+
+    // SimHash near-dup: 32-bit tf-weighted simhash per doc; candidates
+    // share one of 4 bytes (guarantees recall for hamming ≤ 3 — one of
+    // the 4 bands must be untouched); verify bit_count(xor) ≤ 3.
+    "dedup_simhash" -> { (s, dir) =>
+      import s.implicits._
+      // One codegen'd pass: explode token hashes, then 32 conditional sums
+      // in a single HashAggregate (partial + final — map-side combine on
+      // doc_id), instead of 32 interpreted passes over each token array.
+      val toks = wsTokens($"text")
+      val perTok = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(toks).as("t"))
+        .select($"doc_id", tokHash($"t").as("h"))
+      val sums = (0 to 31).map(b =>
+        sum(when(shiftright($"h", b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
+      val bitSums = perTok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      val sim = (0 to 31).map(b =>
+        when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+      val docs = bitSums.select($"doc_id", sim.as("sim"))
+      val bands = docs.select($"doc_id", $"sim",
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("band"),
+            pmod(shiftright($"sim", 8 * i), lit(256)).as("key"))): _*)).as("bk"))
+        .select($"doc_id", $"sim", $"bk.band", $"bk.key")
+      bands.toDF("ia", "sima", "band", "key")
+        .join(bands.toDF("ib", "simb", "band", "key"), Seq("band", "key"))
+        .filter($"ia" < $"ib")
+        .dropDuplicates("ia", "ib")
+        .withColumn("hamming", bit_count($"sima".bitwiseXOR($"simb")))
+        .filter($"hamming" <= 3)
+        .select($"ia", $"ib", $"hamming")
+        .orderBy($"ia", $"ib")
+    },
+
+    // Embedding-cosine near-dup: blocked by the precomputed cluster
+    // label (IVF-style coarse quantization, nprobe=1), pairs within a
+    // block with cosine ≥ 0.4. At scale the block is the shuffle key;
+    // a cross join never happens. Norms are computed once per vector
+    // BEFORE the pair join (not per pair).
+    "dedup_emb_cos" -> { (s, dir) =>
+      import s.implicits._
+      val dot = (x: Column, y: Column) => aggregate(
+        transform(sequence(lit(1), size(x)),
+          i => element_at(x, i).cast("double") * element_at(y, i).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val v = Tables(s, dir).embeddings
+        .select($"vec_id", $"label", $"embedding",
+          dot($"embedding", $"embedding").as("norm2"))
+      v.toDF("ia", "label", "ea", "na")
+        .join(v.toDF("ib", "label", "eb", "nb"), "label")
+        .filter($"ia" < $"ib")
+        .withColumn("cos", dot($"ea", $"eb") / sqrt($"na" * $"nb"))
+        .filter($"cos" >= 0.4)
+        .select($"ia", $"ib", round($"cos", 6).as("cos"))
+        .orderBy($"ia", $"ib")
+    }
+  )
+
+  /** Shared oracle CTE: tokenized docs → df-filtered distinct shingle
+    * sets (mirrors [[shingleIndex]] exactly).
+    */
+  private val ShingleCte =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    ELSE [] END) AS shs
+       |  FROM t),
+       |ex0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+       |hot AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) > $MaxDf),
+       |ex AS (SELECT doc_id, sh FROM ex0 WHERE sh NOT IN (SELECT sh FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$ShingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ia, ib,
+         |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jac
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = ia
+         |JOIN sizes sb ON sb.doc_id = ib
+         |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+         |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$ShingleCte,
+         |sets AS (SELECT doc_id, list(sh) AS shs FROM ex GROUP BY doc_id),
+         |mh AS (
+         |  SELECT doc_id, shs,
+         |    list_transform(range(0, 12), i ->
+         |      list_min(list_transform(shs, sh ->
+         |        ('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 12))::BIGINT))) AS m
+         |  FROM sets),
+         |bands AS (
+         |  SELECT doc_id, shs, b AS band,
+         |    m[3*b + 1]::VARCHAR || ',' || m[3*b + 2]::VARCHAR || ',' || m[3*b + 3]::VARCHAR AS key
+         |  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.shs AS sha, b.shs AS shb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |   AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT ia, ib, len(list_intersect(sha, shb)) AS inter,
+         |    CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+         |      / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jac
+         |  FROM cand)
+         |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.5
+         |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        |      tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, 32), b -> CASE WHEN
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(hs, h -> CASE WHEN (h // CAST(2**b AS BIGINT)) % 2 = 1
+        |                                      THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+        |          (x, y) -> x + y) > 0
+        |        THEN CAST(2**b AS BIGINT) ELSE 0::BIGINT END)),
+        |      (x, y) -> x + y) AS sim
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, sim, b AS band, (sim // CAST(2**(8*b) AS BIGINT)) % 256 AS key
+        |  FROM sh, unnest([0, 1, 2, 3]) AS u(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.sim AS sima, b.sim AS simb
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |   AND a.doc_id < b.doc_id)
+        |SELECT ia, ib, bit_count(xor(sima, simb)) AS hamming
+        |FROM cand WHERE bit_count(xor(sima, simb)) <= 3
+        |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_emb_cos" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+        |      (x, y) -> x + y) AS norm2
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+        |      (x, y) -> x + y) / sqrt(a.norm2 * b.norm2) AS cos
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT ia, ib, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
+        |ORDER BY ia, ib""".stripMargin
+  )
+}
