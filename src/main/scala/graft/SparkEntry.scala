@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.MrQueries.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Dedup.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.KvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.MrQueries.oracle ++
       graft.queries.TextAnalysis.oracle ++
       graft.queries.Dedup.oracle ++
-      graft.queries.Similarity.oracle
+      graft.queries.Similarity.oracle ++
+      graft.queries.KvQueries.oracle
 }

@@ -1,0 +1,69 @@
+package graft.kv
+
+import graft.SparkSpec
+
+/** Differential test of the distributed replay against an in-memory
+  * sequential oracle implementing the reference's per-key step function
+  * (models/kv.go:40-54: Get returns state, Put replaces, Append
+  * concatenates, initial state ""), with exactly-once dedup by
+  * (clientId, clientSeq) (kvraft/test_test.go:85-96). Mirrors the
+  * reference's GenericTest randomized-workload strategy
+  * (kvraft/test_test.go:154-295) in batch form.
+  */
+class KvOpsSpec extends SparkSpec {
+
+  /** The sequential spec: fold ops in seq order, dedup first. */
+  private def oracle(ops: Seq[KvOp]): (Map[String, (String, Long)], Seq[KvRead]) = {
+    var state = Map.empty[String, String].withDefaultValue("")
+    var applied = Map.empty[String, Long].withDefaultValue(0L)
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val reads = Seq.newBuilder[KvRead]
+    ops.sortBy(_.seq).foreach { o =>
+      if (seen.add((o.clientId, o.clientSeq))) {
+        o.op match {
+          case "get"    => reads += KvRead(o.seq, o.key, state(o.key))
+          case "put"    => state += o.key -> o.value; applied += o.key -> (applied(o.key) + 1)
+          case "append" => state += o.key -> (state(o.key) + o.value); applied += o.key -> (applied(o.key) + 1)
+        }
+      }
+    }
+    val keys = ops.map(_.key).distinct
+    (keys.map(k => k -> (state(k), applied(k))).toMap, reads.result())
+  }
+
+  private val rnd = new scala.util.Random(7)
+  private val opsPool = Seq("get", "put", "append")
+  private val keyPool = Seq("a", "b", "c")
+
+  test("distributed replay matches the sequential models/kv.go fold") {
+    (1 to 8).foreach { _ =>
+      val base = (0 until 60).map { i =>
+        val op = opsPool(rnd.nextInt(3))
+        KvOp(i.toLong, rnd.nextInt(4).toLong, i.toLong, op, keyPool(rnd.nextInt(3)),
+          if (op == "get") "" else rnd.alphanumeric.take(3).mkString)
+      }
+      // duplicate deliveries of every 5th op, arriving later (K4)
+      val ops = base ++ base.filter(_.seq % 5 == 0).map(o => o.copy(seq = o.seq + 1000))
+      import spark.implicits._
+      val ds = spark.createDataset(ops).repartition(4)
+      val (expState, expReads) = oracle(ops)
+
+      val gotState = KvOps.replay(ds).collect()
+        .map(s => s.key -> (s.value, s.n_applied)).toMap
+      assert(gotState == expState)
+
+      val gotReads = KvOps.reads(ds).collect().sortBy(_.seq).toSeq
+      assert(gotReads == expReads.sortBy(_.seq))
+    }
+  }
+
+  test("dedup drops re-deliveries: an append applies exactly once") {
+    import spark.implicits._
+    val ops = Seq(
+      KvOp(1, 1, 1, "append", "k", "A"),
+      KvOp(2, 1, 1, "append", "k", "A"), // same (clientId, clientSeq)
+      KvOp(3, 1, 2, "append", "k", "B"))
+    val st = KvOps.replay(spark.createDataset(ops)).collect().head
+    assert(st.value == "AB" && st.n_applied == 2)
+  }
+}
