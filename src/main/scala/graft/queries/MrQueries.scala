@@ -68,6 +68,23 @@ object MrQueries {
         .orderBy($"key")
     },
 
+    // E3 shuffle-routing parity: the reference's exact FNV-1a bucket
+    // assignment (ihash(key) % NReduce, mr/worker.go:29-33, NReduce=10
+    // per main/mrmaster.go:23) as a native codegen'd Catalyst expression,
+    // over the ASCII word population of the corpus. The oracle re-derives
+    // FNV-1a byte-by-byte in pure SQL.
+    "e3_fnv_bucket" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Fnv1a32.fnv1a32
+      Tables(s, dir).documents
+        .select(explode(split($"text", NonLetter)).as("word"))
+        .filter(length($"word") > 0 && $"word".rlike("^[a-zA-Z]+$"))
+        .select($"word", pmod(fnv1a32($"word"), lit(10)).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_occurrences"), countDistinct($"word").as("n_words"))
+        .orderBy($"bucket")
+    },
+
     // The typed MapReduce engine itself (E2+E3+E5+E6), running the A1 app
     // closures over documents; same oracle as a1_wordcount modulo types.
     "mr_wordcount" -> { (s, dir) =>
@@ -103,6 +120,21 @@ object MrQueries {
         |  UNION ALL SELECT 'd', 'xyzzy' FROM documents)
         |SELECT key, string_agg(value, ' ' ORDER BY value) AS value
         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
+    "e3_fnv_bucket" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(text, '[^\pL]+')) AS word FROM documents),
+        |f AS (
+        |  SELECT word,
+        |    list_reduce(
+        |      list_prepend(2166136261::BIGINT,
+        |        list_transform(range(1, length(word) + 1),
+        |          i -> ascii(substr(word, i, 1))::BIGINT)),
+        |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) & 2147483647 AS fnv
+        |  FROM w WHERE word <> '' AND regexp_matches(word, '^[a-zA-Z]+$'))
+        |SELECT fnv % 10 AS bucket, count(*) AS n_occurrences,
+        |       count(DISTINCT word) AS n_words
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mr_wordcount" ->
       """SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value FROM (

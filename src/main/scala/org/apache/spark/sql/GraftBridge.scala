@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ catalyst Expression bridge. Spark 4 made the converters
+  * (`classic.ExpressionUtils`) private[sql]; custom expression libraries
+  * conventionally expose them from a file compiled into the
+  * `org.apache.spark.sql` package. No Spark internals are modified.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
