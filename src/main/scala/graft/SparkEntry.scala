@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.KvQueries.queries
+      graft.queries.KvQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.KvQueries.oracle
+      graft.queries.KvQueries.oracle ++
+      graft.queries.MultimodalQueries.oracle
 }
