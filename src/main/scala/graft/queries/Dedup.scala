@@ -45,10 +45,18 @@ object Dedup {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Portable 48-bit hash of (seed, value): md5 hex prefix as long. */
-  private def seedHash(seed: Column, v: Column): Column =
-    conv(substring(md5(concat(seed.cast("string"), lit("|"), v)), 1, 12), 16, 10)
-      .cast("long")
+  /** Portable 48-bit base hash: md5 hex prefix as long. */
+  private def hash48(v: Column): Column =
+    conv(substring(md5(v), 1, 12), 16, 10).cast("long")
+
+  /** MinHash permutation family: affine maps over the 48-bit base hash,
+    * (a_i·h + b_i) mod p with p = 2^61−1 — one md5 per shingle total,
+    * 12 multiply-mods instead of 12 digests (the standard construction;
+    * overflow-safe: a_i ≤ 25, h < 2^48 → product < 2^53).
+    */
+  private val MinhashP = (1L << 61) - 1
+  private def permA(i: Int): Long = 2L * i + 3L
+  private def permB(i: Int): Long = 1000003L * i + 12345L
 
   /** Portable 32-bit token hash (same as TextAnalysis). */
   private def tokHash(c: Column): Column =
@@ -69,8 +77,13 @@ object Dedup {
       .select($"doc_id", explode(shingles(wsTokens($"text"))).as("sh"))
     // df ≤ MaxDf filter: broadcast-join the (tiny) hot-shingle list away.
     val hot = docSh.groupBy($"sh").count().filter($"count" > MaxDf).select($"sh")
+    // The filtered index feeds 2-3 downstream consumers (pair join sides
+    // + per-doc sizes); persist to avoid re-running the tokenize+hash
+    // front end per consumer. (At production scale: a staged write of the
+    // shingle index, reused across the dedup family.)
     val kept = docSh.join(broadcast(hot), Seq("sh"), "left_anti")
       .select($"doc_id", $"sh")
+      .persist()
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     (kept, sizes)
   }
@@ -119,7 +132,8 @@ object Dedup {
       // Codegen'd minhash: 12 hash columns per (doc, shingle) row, then 12
       // min() aggregates in one HashAggregate (partial agg = map-side
       // combine), rather than interpreted per-array transforms.
-      val aggs = (0 to 11).map(i => min(seedHash(lit(i), $"sh")).as(s"m$i")) :+
+      val aggs = (0 to 11).map(i =>
+        min((hash48($"sh") * permA(i) + permB(i)) % MinhashP).as(s"m$i")) :+
         collect_set($"sh").as("shs")
       val withMins = kept
         .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
@@ -256,7 +270,8 @@ object Dedup {
          |  SELECT doc_id, shs,
          |    list_transform(range(0, 12), i ->
          |      list_min(list_transform(shs, sh ->
-         |        ('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 12))::BIGINT))) AS m
+         |        (('0x' || substr(md5(sh), 1, 12))::BIGINT * (2*i + 3)
+         |         + (1000003*i + 12345)) % 2305843009213693951))) AS m
          |  FROM sets),
          |bands AS (
          |  SELECT doc_id, shs, b AS band,
