@@ -133,15 +133,13 @@ object Dedup {
       // min() aggregates in one HashAggregate (partial agg = map-side
       // combine), rather than interpreted per-array transforms.
       val aggs = (0 to 11).map(i =>
-        min((hash48($"sh") * permA(i) + permB(i)) % MinhashP).as(s"m$i")) :+
-        collect_set($"sh").as("shs")
+        min((hash48($"sh") * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
       val withMins = kept
         .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-        .select($"doc_id", $"shs",
+        .select($"doc_id",
           array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
-      // Candidate generation joins only (doc_id, band, key) — the shingle
-      // sets stay out of the band shuffle and are attached to the (few)
-      // surviving pairs afterwards.
+      // Candidate generation joins only (doc_id, band, key) — shingle
+      // sets never enter the band shuffle.
       val bands = withMins.select(
         $"doc_id",
         explode(transform(sequence(lit(0), lit(3)),
@@ -151,18 +149,23 @@ object Dedup {
               element_at($"m", b * 3 + 2),
               element_at($"m", b * 3 + 3)).as("key")))).as("bk"))
         .select($"doc_id", $"bk.band", $"bk.key")
-      val sets = withMins.select($"doc_id", $"shs")
       val cand = bands.toDF("ia", "band", "key")
         .join(bands.toDF("ib", "band", "key"), Seq("band", "key"))
         .filter($"ia" < $"ib")
         .select($"ia", $"ib")
         .dropDuplicates("ia", "ib")
-        .join(sets.toDF("ia", "sha"), "ia")
-        .join(sets.toDF("ib", "shb"), "ib")
-      cand
-        .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      // Exact-Jaccard verification through the same inverted-index
+      // intersection join as dedup_ngram_jaccard (a band collision
+      // implies a shared shingle, so the equi-join covers every
+      // candidate with jac > 0); no per-pair array materialization.
+      val inter = kept.toDF("ia", "sh")
+        .join(kept.toDF("ib", "sh"), "sh").filter($"ia" < $"ib")
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      cand.join(inter, Seq("ia", "ib"))
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
         .withColumn("jac", $"inter".cast("double")
-          / (size($"sha") + size($"shb") - $"inter"))
+          / ($"na" + $"nb" - $"inter"))
         .filter($"jac" >= 0.5)
         .select($"ia", $"ib", round($"jac", 6).as("jac"))
         .orderBy($"ia", $"ib")
