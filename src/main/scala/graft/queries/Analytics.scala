@@ -168,6 +168,44 @@ object Analytics {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
 
+    // Cube (all grouping-set combinations).
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderstatus", year($"o_orderdate").as("o_year"), dec($"o_totalprice").as("p"))
+        .cube($"o_orderstatus", $"o_year")
+        .agg(count(lit(1)).as("n"), sum($"p").cast("double").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_year".asc_nulls_first)
+    },
+
+    // Pivot: order counts by status × priority-class columns.
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderstatus", substring($"o_orderpriority", 1, 1).as("pc"))
+        .groupBy($"o_orderstatus")
+        .pivot("pc", Seq("1", "2", "3", "4", "5"))
+        .count()
+        .na.fill(0L)
+        .withColumnsRenamed((1 to 5).map(i => i.toString -> s"p$i").toMap)
+        .orderBy($"o_orderstatus")
+    },
+
+    // Scalar subquery: orders priced above the global average. The 1-row
+    // aggregate is a broadcast nested-loop of a single row — the
+    // standard decorrelated plan.
+    "q_scalar_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir).orders
+      val avgPrice = o.agg(
+        (sum(dec($"o_totalprice")).cast("double") / count(lit(1))).as("ap"))
+      o.select($"o_orderkey", dec($"o_totalprice").cast("double").as("price"))
+        .crossJoin(broadcast(avgPrice))
+        .filter($"price" > $"ap")
+        .select($"o_orderkey", $"price")
+        .orderBy($"o_orderkey")
+    },
+
     // Distinct aggregates.
     "q_distinct_agg" -> { (s, dir) =>
       import s.implicits._
@@ -286,6 +324,29 @@ object Analytics {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, YEAR(o_orderdate) AS o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, YEAR(o_orderdate))
+        |ORDER BY o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '1') AS p1,
+        |  COUNT(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '2') AS p2,
+        |  COUNT(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '3') AS p3,
+        |  COUNT(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '4') AS p4,
+        |  COUNT(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '5') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |   FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT l_returnflag,
