@@ -112,6 +112,20 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Global heavy hitters via the custom TopKByCount sketch
+    // (TypedImperativeAggregate): each map task ships one bounded
+    // counter map, never raw words — shuffle is O(capacity × tasks).
+    // Capacity far exceeds the distinct vocabulary here, so the sketch
+    // is exact and the plain top-k oracle pins it.
+    "tx_topk_words" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(explode(wsTokens($"text")).as("word"))
+        .agg(graft.functions.TopKSketch.topkByCount($"word", 20, 65536).as("top"))
+        .select(explode($"top").as("t"))
+        .select($"t.word", $"t.cnt")
+    },
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // 31-bit polynomial rolling hash over token hashes (ref analogue:
     // the reference fingerprints documents only by filename,
@@ -179,6 +193,12 @@ object TextAnalysis {
          |  round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
          |        + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / n_tok) * 0.5, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_topk_words" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
 
     "tx_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.OutputMode
+
+/** File-source streaming over the real test table: the streaming hourly
+  * aggregation (complete mode, no late data) must converge to exactly
+  * the batch answer — the replayability contract of the Structured
+  * Streaming formulation.
+  */
+class StreamBatchParitySpec extends SparkSpec {
+
+  test("streaming hourly windows over events.parquet equal the batch aggregation") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = graft.core.Tables(spark, dir).events
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+
+    val streamEvents = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+
+    val q = EventWindows.hourly(streamEvents, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("parity_hourly")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streaming = spark.table("parity_hourly")
+      .select($"hour", $"event_type", $"n", $"total_value")
+      .collect().map(_.toSeq).toSet
+    // batch path: same aggregation expressed without watermark
+    val batchDirect = batchEvents
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"value").as("total_value"))
+      .select($"window.start".as("hour"), $"event_type", $"n", $"total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streaming == batchDirect)
+    assert(streaming.nonEmpty)
+  }
+}
