@@ -126,6 +126,9 @@ object TextAnalysis {
         .select($"t.word", $"t.cnt")
     },
 
+    // Composed curation pipeline (see curationPipeline scaladoc).
+    "tx_curation_pipeline" -> { (s, dir) => curationPipeline(s, dir) },
+
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // 31-bit polynomial rolling hash over token hashes (ref analogue:
     // the reference fingerprints documents only by filename,
@@ -149,7 +152,50 @@ object TextAnalysis {
   private def stopList(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** End-to-end curation pipeline: exact-dedup (keep smallest doc_id per
+    * content hash) → quality gate → per-language token accounting. The
+    * composition a 100 TB pretraining-data run executes, as one plan:
+    * Catalyst fuses the projections; the only shuffles are the dedup
+    * group-by and the final per-language rollup.
+    */
+  private def curationPipeline(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val toks = wsTokens($"text")
+    val docs = graft.core.Tables(s, dir).documents
+      .select($"doc_id", $"lang", $"text", md5($"text").as("fp"))
+    val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .select($"doc_id", $"lang",
+        size(toks).as("n_tok"),
+        scoreIn(toks, stop("en")).as("n_stop"))
+      .withColumn("quality",
+        round(least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
+          + least(lit(1.0), $"n_stop".cast("double") * 10.0 / $"n_tok") * 0.5, 4))
+      .filter($"quality" >= 0.7)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tokens"))
+      .orderBy($"lang")
+  }
+
   def oracle: Map[String, String] = Map(
+    "tx_curation_pipeline" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, text, md5(text) AS fp FROM documents),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY fp),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang,
+         |    list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS toks
+         |  FROM docs d JOIN keep k ON d.fp = k.fp AND d.doc_id = k.doc_id),
+         |m AS (
+         |  SELECT doc_id, lang, len(toks) AS n_tok,
+         |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS n_stop
+         |  FROM kept),
+         |q AS (
+         |  SELECT *, round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
+         |    + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / n_tok) * 0.5, 4) AS quality
+         |  FROM m)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+         |FROM q WHERE quality >= 0.7 GROUP BY lang ORDER BY lang""".stripMargin,
     "tx_token_count" ->
       s"""SELECT doc_id,
          |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws,
