@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: sessions built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get the
+  * library's native functions registered in the SQL function registry at
+  * session build — no per-session imperative registration.
+  *
+  * This is the (c)-tier extension point of the build brief; the library
+  * needs only `injectFunction` today (no custom Rule/Strategy — every
+  * operator's semantics are expressible in existing plans, SURVEY §4.2),
+  * but this is where they would plug in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("fnv1a32"),
+      new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
+      (children: Seq[Expression]) => Fnv1a32(children.head)))
+  }
+}

@@ -125,6 +125,25 @@ object Analytics {
         .orderBy($"user_id", $"rn")
     },
 
+    // As-of join (the canonical "operator Spark lacks"), composed from
+    // existing ops per the extension preference order: tag both sides,
+    // one window pass carries the latest at-or-before signup forward —
+    // a single shuffle on user_id, no range join, no per-row subquery.
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, dir).events
+        .filter($"event_type".isin("purchase", "signup"))
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+        .withColumn("signup_id",
+          last(when($"event_type" === "signup", $"event_id"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", coalesce($"signup_id", lit(-1L)).as("signup_id"))
+        .orderBy($"event_id")
+    },
+
     // Set operations: union / intersect / except.
     "q_setops" -> { (s, dir) =>
       import s.implicits._
@@ -293,6 +312,15 @@ object Analytics {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id, COALESCE(signup_id, -1) AS signup_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS signup_id
+        |  FROM events WHERE event_type IN ('purchase', 'signup'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "q_setops" ->
       """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150),
