@@ -132,9 +132,12 @@ object Dedup {
       // Codegen'd minhash: 12 hash columns per (doc, shingle) row, then 12
       // min() aggregates in one HashAggregate (partial agg = map-side
       // combine), rather than interpreted per-array transforms.
+      // hoist the md5 base hash into a projection so it is computed once
+      // per (doc, shingle) row, not once per permutation aggregate
+      val hashed = kept.select($"doc_id", hash48($"sh").as("h"))
       val aggs = (0 to 11).map(i =>
-        min((hash48($"sh") * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
-      val withMins = kept
+        min(($"h" * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
+      val withMins = hashed
         .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
         .select($"doc_id",
           array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
