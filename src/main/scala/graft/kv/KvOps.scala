@@ -23,6 +23,18 @@ final case class KvState(key: String, value: String, n_applied: Long)
 /** One linearizable read: the state a Get observed at its log position. */
 final case class KvRead(seq: Long, key: String, observed: String)
 
+/** Compacted state of one key: live value + per-client dedup watermark —
+  * the batch analogue of the reference's snapshot (kvraft 3B log
+  * compaction: state survives, the log prefix is discarded;
+  * kvraft/test_test.go:152, 278). `clientMarks` is O(clients), not
+  * O(history), which is exactly why compaction works.
+  */
+final case class KvSnapshot(
+    key: String,
+    value: String,
+    n_applied: Long,
+    clientMarks: Map[Long, Long])
+
 /** Batch replay of the reference's declared KV semantics
   * (ref: models/kv.go:40-54 — Get returns state, Put replaces, Append
   * concatenates, initial state "") with exactly-once duplicate
@@ -105,6 +117,64 @@ object KvOps {
     sorted(ops).mapPartitions(
       foldRuns(_, (_, _) => None,
         (k, v, n) => Some(KvState(k, v, n))))
+  }
+
+  /** Compact a log prefix into per-key snapshots. Dedup watermark
+    * semantics assume the reference's clerk behavior: each client issues
+    * one op at a time with increasing clientSeq, and re-deliveries
+    * repeat an already-issued op (kvraft/client.go:30-31) — so "max
+    * clientSeq applied" suffices to recognize any retry.
+    */
+  def snapshot(ops: Dataset[KvOp]): Dataset[KvSnapshot] = {
+    import ops.sparkSession.implicits._
+    sorted(ops).mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[KvSnapshot]
+      var curKey: String = null
+      var state = ""
+      var applied = 0L
+      var marks = Map.empty[Long, Long]
+      def close(): Unit =
+        if (curKey != null) out += KvSnapshot(curKey, state, applied, marks)
+      it.foreach { o =>
+        if (o.key != curKey) { close(); curKey = o.key; state = ""; applied = 0L; marks = Map.empty }
+        if (o.clientSeq > marks.getOrElse(o.clientId, Long.MinValue)) {
+          marks += o.clientId -> o.clientSeq
+          o.op match {
+            case "put"    => state = o.value; applied += 1
+            case "append" => state = state + o.value; applied += 1
+            case _        => ()
+          }
+        }
+      }
+      close()
+      out.iterator
+    }
+  }
+
+  /** Incremental replay: apply a log suffix on top of snapshots.
+    * `replayFrom(snapshot(prefix), suffix) == replay(prefix ++ suffix)`
+    * for clerk-shaped logs (see [[snapshot]]) — the log prefix never
+    * needs to be re-read.
+    */
+  def replayFrom(snaps: Dataset[KvSnapshot], suffix: Dataset[KvOp]): Dataset[KvState] = {
+    import snaps.sparkSession.implicits._
+    snaps.groupByKey(_.key).cogroup(suffix.groupByKey(_.key)) { (key, sIt, oIt) =>
+      val snap = sIt.toSeq.headOption.getOrElse(KvSnapshot(key, "", 0L, Map.empty))
+      var state = snap.value
+      var applied = snap.n_applied
+      var marks = snap.clientMarks
+      oIt.toSeq.sortBy(_.seq).foreach { o =>
+        if (o.clientSeq > marks.getOrElse(o.clientId, Long.MinValue)) {
+          marks += o.clientId -> o.clientSeq
+          o.op match {
+            case "put"    => state = o.value; applied += 1
+            case "append" => state = state + o.value; applied += 1
+            case _        => ()
+          }
+        }
+      }
+      Iterator.single(KvState(key, state, applied))
+    }
   }
 
   /** K1: the value each Get observed at its position in the log. */

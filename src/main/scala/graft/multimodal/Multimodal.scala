@@ -99,6 +99,29 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: fit decoded dimensions into a target box preserving
+    * aspect ratio (integer arithmetic → deterministic, oracle-checkable).
+    * In production the pixel resampling would run next to the decoder in
+    * the same mapPartitions stage; the dimension math is the real part.
+    */
+  def resizeTo(feats: Dataset[MediaFeatures], boxW: Long, boxH: Long): DataFrame = {
+    import feats.sparkSession.implicits._
+    // scale = min(boxW/w, boxH/h) in exact rational form:
+    // pick the axis by cross-multiplication, then floor-scale the other.
+    val heightBinding = $"width" * boxH <= $"height" * boxW
+    feats.toDF()
+      .select($"media_id", $"width", $"height")
+      .withColumn("fit_w",
+        when(heightBinding,
+          floor($"width" * boxH / $"height").cast("long")).otherwise(boxW))
+      .withColumn("fit_h",
+        when(heightBinding, boxH)
+          .otherwise(floor($"height" * boxW / $"width").cast("long")))
+      .select($"media_id", $"width", $"height",
+        greatest($"fit_w", lit(1L)).as("out_w"),
+        greatest($"fit_h", lit(1L)).as("out_h"))
+  }
+
   /** Frame-sampling stage (video → every k-th frame index), showing a
     * 1→N typed generator over decoded metadata.
     */

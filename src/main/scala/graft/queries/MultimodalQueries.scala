@@ -21,6 +21,14 @@ object MultimodalQueries {
         .orderBy($"media_id")
     },
 
+    // resize decoded media into a 336×336 box, aspect-preserving.
+    "mm_resize" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.resizeTo(
+        Multimodal.decodeAll(Multimodal.mediaTable(s, dir)), 336L, 336L)
+        .orderBy($"media_id")
+    },
+
     // 1→N frame sampling over decoded video metadata (every 7th frame).
     "mm_frame_sample" -> { (s, dir) =>
       import s.implicits._
@@ -56,6 +64,17 @@ object MultimodalQueries {
       s"""$FeatCte
          |SELECT media_id, modality, byte_len, width, height, n_frames,
          |       feat0, feat7
+         |FROM f ORDER BY media_id""".stripMargin,
+
+    "mm_resize" ->
+      s"""$FeatCte
+         |SELECT media_id, width, height,
+         |  greatest(CASE WHEN width * 336 <= height * 336
+         |    THEN CAST(floor(CAST(width * 336 AS DOUBLE) / height) AS BIGINT)
+         |    ELSE 336 END, 1) AS out_w,
+         |  greatest(CASE WHEN width * 336 <= height * 336
+         |    THEN 336
+         |    ELSE CAST(floor(CAST(height * 336 AS DOUBLE) / width) AS BIGINT) END, 1) AS out_h
          |FROM f ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->

@@ -57,6 +57,31 @@ class KvOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot + incremental replay equals full replay (log compaction)") {
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val base = (0 until 80).map { i =>
+        val op = opsPool(rnd.nextInt(3))
+        KvOp(i.toLong, rnd.nextInt(4).toLong, i.toLong, op, keyPool(rnd.nextInt(3)),
+          if (op == "get") "" else rnd.alphanumeric.take(3).mkString)
+      }
+      // clerk-shaped retries: re-deliver every 6th op later
+      val ops = base ++ base.filter(_.seq % 6 == 0).map(o => o.copy(seq = o.seq + 500))
+      val cut = 20 + rnd.nextInt(50)
+      val (prefix, suffix) = ops.partition(_.seq < cut)
+
+      val full = KvOps.replay(spark.createDataset(ops)).collect()
+        .map(s => s.key -> ((s.value, s.n_applied))).toMap
+      val snaps = KvOps.snapshot(spark.createDataset(prefix))
+      val incr = KvOps.replayFrom(snaps, spark.createDataset(suffix)).collect()
+        .map(s => s.key -> ((s.value, s.n_applied))).toMap
+      // keys only in the prefix still exist with their snapshot state
+      val prefixOnly = full.keySet -- incr.keySet
+      val snapMap = snaps.collect().map(s => s.key -> ((s.value, s.n_applied))).toMap
+      assert(incr ++ prefixOnly.map(k => k -> snapMap(k)) == full)
+    }
+  }
+
   test("dedup drops re-deliveries: an append applies exactly once") {
     import spark.implicits._
     val ops = Seq(
