@@ -178,6 +178,48 @@ object Analytics {
         .orderBy($"o_orderkey")
     },
 
+    // Correlated EXISTS subquery, driven through the SQL text front end
+    // (Catalyst decorrelates it into a left-semi join — see PLANS.md).
+    "q_correlated_exists" -> { (s, dir) =>
+      graft.core.Sql.sql(s, dir,
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_totalprice > 300000 AND YEAR(o.o_orderdate) = 1997)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Sliding sum over a time RANGE frame (peers by value, not row
+    // position — deterministic under ties by construction).
+    "q_sliding_sum" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_timestamp($"ts"))
+        .rangeBetween(-3600L, 0L)
+      Tables(s, dir).events
+        .withColumn("hour_sum", sum(dec($"value")).over(w).cast("double"))
+        .groupBy($"user_id")
+        .agg(max($"hour_sum").as("peak_hour_sum"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+
+    // Null-handling scalar surface: NULLIF / COALESCE / null-safe
+    // comparison / null-aware aggregation.
+    "q_null_fns" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderkey",
+          nullif($"o_orderstatus", lit("P")).as("status_or_null"),
+          coalesce(nullif($"o_orderstatus", lit("P")), lit("PENDING")).as("status_filled"),
+          ($"o_orderstatus" <=> "P").as("is_p"))
+        .groupBy($"status_or_null", $"status_filled")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"status_or_null").as("n_nonnull"),
+          sum(when($"is_p", 1L).otherwise(0L)).as("n_p"))
+        .orderBy($"status_or_null".asc_nulls_first)
+    },
+
     // Rollup (hierarchical grouping sets).
     "q_rollup" -> { (s, dir) =>
       import s.implicits._
@@ -346,6 +388,35 @@ object Analytics {
         |  LENGTH(o_orderpriority) AS prio_len,
         |  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_correlated_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 300000 AND year(o.o_orderdate) = 1997)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sliding_sum" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY sec
+        |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |  FROM e)
+        |SELECT user_id, max(hour_sum) AS peak_hour_sum, count(*) AS n_events
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_null_fns" ->
+      """SELECT nullif(o_orderstatus, 'P') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+        |  count(*) AS n_rows,
+        |  count(nullif(o_orderstatus, 'P')) AS n_nonnull,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1, 2 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
