@@ -106,8 +106,50 @@ object Similarity {
         .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
         .select($"probe", $"vec_id".as("neighbor"), $"cos")
       topk(pairs, 5)
-    }
+    },
+
+    "ann_centroids" -> { (s, dir) => centroids(s, dir) },
+
+    "ann_quantize" -> { (s, dir) => quantize(s, dir) }
   )
+
+  /** IVF "training" step: per-cluster centroids. Sums run in
+    * DECIMAL(27,10) — exact and associative, so the result is identical
+    * under any partitioning/aggregation order (a double sum would not
+    * be); divided to double only at the end. Shape: posexplode →
+    * partial+final HashAggregate on (label, pos).
+    */
+  private def centroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      // float → double first: Spark's float→decimal cast rounds via the
+      // float's 7-digit shortest string; via double both engines round
+      // the same exact binary value to 10 decimals.
+      .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("mean"))
+      .filter($"pos" < 4) // report the leading components
+      .orderBy($"label", $"pos")
+  }
+
+  /** Per-vector int8 quantization: scale by 127/max|x| and round —
+    * the storage-shrink step before ANN serving.
+    */
+  private def quantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val absMax = aggregate(
+      transform($"embedding", x => abs(x.cast("double"))),
+      lit(0.0), (acc, v) => greatest(acc, v))
+    Tables(s, dir).embeddings
+      .select($"vec_id", absMax.as("max_abs"),
+        element_at($"embedding", 1).cast("double").as("x0"),
+        element_at($"embedding", 8).cast("double").as("x7"))
+      .select($"vec_id", round($"max_abs", 6).as("max_abs"),
+        round($"x0" * 127.0 / $"max_abs").cast("long").as("q0"),
+        round($"x7" * 127.0 / $"max_abs").cast("long").as("q7"))
+      .orderBy($"vec_id")
+  }
 
   /** Oracle CTE: vectors + norms (+ bucket), double arithmetic in the
     * same sequential fold order as the Spark side.
@@ -148,6 +190,28 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "ann_topk" -> oracleFor(25, "TRUE", 10),
     "ann_ivf_topk" -> oracleFor(50, "v.label = p.plabel", 5),
-    "ann_lsh_topk" -> oracleFor(50, "v.bucket = p.pbucket", 5)
+    "ann_lsh_topk" -> oracleFor(50, "v.bucket = p.pbucket", 5),
+
+    "ann_centroids" ->
+      """WITH e AS (
+        |  SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 129)) AS i) p
+        |  WHERE i <= len(embedding))
+        |SELECT label, pos,
+        |  CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mean
+        |FROM e WHERE pos < 4 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "ann_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(embedding, x -> abs(x::DOUBLE))),
+        |      (a, b) -> greatest(a, b)) AS max_abs,
+        |    embedding[1]::DOUBLE AS x0, embedding[8]::DOUBLE AS x7
+        |  FROM embeddings)
+        |SELECT vec_id, round(max_abs, 6) AS max_abs,
+        |  CAST(round(x0 * 127.0 / max_abs) AS BIGINT) AS q0,
+        |  CAST(round(x7 * 127.0 / max_abs) AS BIGINT) AS q7
+        |FROM m ORDER BY vec_id""".stripMargin
   )
 }

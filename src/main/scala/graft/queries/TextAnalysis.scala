@@ -126,6 +126,22 @@ object TextAnalysis {
         .select($"t.word", $"t.cnt")
     },
 
+    // Deterministic stratified sampling: 20 docs per language, selected
+    // by md5(doc_id) order — reproducible across runs/engines (the
+    // pipeline-sampling primitive; rand()-based sampling is not
+    // replayable).
+    "tx_sample_stratified" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      Tables(s, dir).documents
+        .select($"lang", $"doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20)
+        .select($"lang", $"doc_id")
+        .orderBy($"lang", $"doc_id")
+    },
+
     // Composed curation pipeline (see curationPipeline scaladoc).
     "tx_curation_pipeline" -> { (s, dir) => curationPipeline(s, dir) },
 
@@ -239,6 +255,14 @@ object TextAnalysis {
          |  round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
          |        + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / n_tok) * 0.5, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
     "tx_topk_words" ->
       """SELECT word, count(*) AS cnt FROM (
