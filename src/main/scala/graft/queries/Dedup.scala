@@ -174,6 +174,44 @@ object Dedup {
         .orderBy($"ia", $"ib")
     },
 
+    // Duplicate clusters: connected components over the Jaccard ≥ 0.8
+    // near-dup graph via min-label propagation — the step that turns
+    // pairwise matches into keep/drop decisions. Iterates
+    // join+aggregate rounds until a fixpoint (checked via a count of
+    // changed labels — a scalar per round, not data on the driver);
+    // rounds needed = graph diameter, tiny for dup clusters. At 100 TB
+    // each round is one shuffle on the vertex id.
+    "dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      val a = kept.toDF("ia", "sh")
+      val b = kept.toDF("ib", "sh")
+      val pairs = a.join(b, "sh").filter($"ia" < $"ib")
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.8)
+        .select($"ia", $"ib")
+      val edges = pairs.union(pairs.select($"ib", $"ia")).toDF("src", "dst").persist()
+      var labels = edges.select($"src".as("v")).distinct()
+        .select($"v", $"v".as("rep")).persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val neighborMin = edges.join(labels, $"dst" === $"v")
+          .groupBy($"src").agg(min($"rep").as("nmin"))
+        val updated = labels.join(neighborMin, $"v" === $"src", "left")
+          .select($"v", least($"rep", coalesce($"nmin", $"rep")).as("rep"))
+          .persist()
+        changed = updated.join(labels.withColumnRenamed("rep", "old"), "v")
+          .filter($"rep" =!= $"old").count()
+        labels = updated
+        rounds += 1
+      }
+      labels.toDF("doc_id", "cluster_rep")
+        .orderBy($"doc_id")
+    },
+
     // SimHash near-dup: 32-bit tf-weighted simhash per doc; candidates
     // share one of 4 bytes (guarantees recall for hamming ≤ 3 — one of
     // the 4 bands must be untouched); verify bit_count(xor) ≤ 3.
@@ -294,6 +332,31 @@ object Dedup {
          |  FROM cand)
          |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.5
          |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""$ShingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM inter
+         |  JOIN sizes sa ON sa.doc_id = ia
+         |  JOIN sizes sb ON sb.doc_id = ib
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8),
+         |edges AS (
+         |  SELECT ia AS src, ib AS dst FROM pairs
+         |  UNION ALL SELECT ib, ia FROM pairs
+         |  UNION SELECT ia, ia FROM pairs
+         |  UNION SELECT ib, ib FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT src, dst FROM edges
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         |  SELECT * FROM r)
+         |SELECT src AS doc_id, min(dst) AS cluster_rep
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (
