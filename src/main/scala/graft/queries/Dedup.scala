@@ -253,10 +253,7 @@ object Dedup {
     // BEFORE the pair join (not per pair).
     "dedup_emb_cos" -> { (s, dir) =>
       import s.implicits._
-      val dot = (x: Column, y: Column) => aggregate(
-        transform(sequence(lit(1), size(x)),
-          i => element_at(x, i).cast("double") * element_at(y, i).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = (x: Column, y: Column) => graft.functions.FloatDot.floatDot(x, y)
       val v = Tables(s, dir).embeddings
         .select($"vec_id", $"label", $"embedding",
           dot($"embedding", $"embedding").as("norm2"))

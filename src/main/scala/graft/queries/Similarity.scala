@@ -31,11 +31,11 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** dot(x, y) as a sequential left fold in double. */
-  private def dot(x: Column, y: Column): Column = aggregate(
-    transform(sequence(lit(1), size(x)),
-      i => element_at(x, i).cast("double") * element_at(y, i).cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  /** dot(x, y): native codegen'd left fold in double (same summation
+    * order as the oracle's list_reduce — see [[graft.functions.FloatDot]]).
+    */
+  private def dot(x: Column, y: Column): Column =
+    graft.functions.FloatDot.floatDot(x, y)
 
   /** Sign-LSH bucket of dims 1..8: Σ 2^(i-1)·[e_i > 0]. */
   private def signBucket(e: Column): Column = aggregate(
