@@ -62,6 +62,23 @@ object KvQueries {
         .orderBy($"shard")
     },
 
+    // K6: config-consulting routing — each delivered op resolves its
+    // shard through the broadcast ShardConfig (the scripted final
+    // config), exactly how shardkv clerks route
+    // (shardkv/client.go:72-93); output is ops per replica group.
+    "kv_shard_routing" -> { (s, dir) =>
+      import s.implicits._
+      val cfg = Sharding.scriptedHistory.last
+      val cfgDf = cfg.shards.zipWithIndex
+        .map { case (gid, shard) => (shard, gid) }.toDF("shard", "gid")
+      KvOps.opLog(s, dir).toDF()
+        .select((ascii(substring($"key", 1, 1)) % Sharding.NShards).as("shard"))
+        .join(broadcast(cfgDf), "shard")
+        .groupBy($"gid")
+        .agg(count(lit(1)).as("n_ops"), countDistinct($"shard").as("n_shards"))
+        .orderBy($"gid")
+    },
+
     // K7-K10: the scripted Join/Join/Leave/Move config evolution; output
     // pins the deterministic greedy rebalance assignment.
     "shard_rebalance" -> { (s, _) =>
@@ -113,6 +130,17 @@ object KvQueries {
          |SELECT ascii(substring(key, 1, 1)) % ${Sharding.NShards} AS shard,
          |       count(*) AS n_ops, count(DISTINCT key) AS n_keys
          |FROM ops GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "kv_shard_routing" ->
+      s"""$OpsCte,
+         |cfg(shard, gid) AS (VALUES
+         |  (0, 1), (1, 1), (2, 4), (3, 1), (4, 1),
+         |  (5, 3), (6, 5), (7, 3), (8, 3), (9, 5)),
+         |routed AS (
+         |  SELECT ascii(substring(key, 1, 1)) % ${Sharding.NShards} AS shard FROM ops)
+         |SELECT gid, count(*) AS n_ops, count(DISTINCT r.shard) AS n_shards
+         |FROM routed r JOIN cfg ON r.shard = cfg.shard
+         |GROUP BY gid ORDER BY gid""".stripMargin,
 
     // Pinned by hand-tracing the documented deterministic greedy
     // algorithm through the scripted history (see Sharding.scaladoc).

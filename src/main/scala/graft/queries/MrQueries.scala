@@ -85,6 +85,8 @@ object MrQueries {
         .orderBy($"bucket")
     },
 
+    "mr_inverted_index" -> { (s, dir) => mrInvertedIndex(s, dir) },
+
     // The typed MapReduce engine itself (E2+E3+E5+E6), running the A1 app
     // closures over documents; same oracle as a1_wordcount modulo types.
     "mr_wordcount" -> { (s, dir) =>
@@ -97,6 +99,20 @@ object MrQueries {
         .orderBy($"key")
     }
   )
+
+  /** A2 through the typed engine — a second arbitrary-closure app in the
+    * gate (map dedups per doc, reduce formats "<n> <docs-sorted>"; ref:
+    * mrapps/indexer.go:20-39 with doc ids as the doc names).
+    */
+  private def mrInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val input = Tables(s, dir).documents
+      .select($"doc_id".cast("string"), $"text")
+      .as[(String, String)]
+    MapReduce.run(input, Apps.InvertedIndex.map, Apps.InvertedIndex.reduce)
+      .toDF("key", "value")
+      .orderBy($"key")
+  }
 
   def oracle: Map[String, String] = Map(
     "a1_wordcount" ->
@@ -120,6 +136,15 @@ object MrQueries {
         |  UNION ALL SELECT 'd', 'xyzzy' FROM documents)
         |SELECT key, string_agg(value, ' ' ORDER BY value) AS value
         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
+    "mr_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '[^\pL]+')) AS word
+        |  FROM documents)
+        |SELECT word AS key,
+        |  CAST(COUNT(*) AS VARCHAR) || ' ' ||
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS value
+        |FROM tok WHERE word <> '' GROUP BY word ORDER BY key""".stripMargin,
 
     "e3_fnv_bucket" ->
       """WITH w AS (
