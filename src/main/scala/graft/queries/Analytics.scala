@@ -204,6 +204,48 @@ object Analytics {
         .orderBy($"user_id")
     },
 
+    // Extended string-function surface.
+    "q_string_fns" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).customer
+        .select($"c_custkey",
+          lpad($"c_name", 25, "*").as("padded"),
+          reverse($"c_name").as("rev"),
+          translate($"c_name", "#", "-").as("trans"),
+          instr($"c_name", "0").as("pos0"),
+          substring($"c_name", -3, 3).as("last3"),
+          ltrim(rtrim(concat(lit("  "), $"c_name", lit("  ")))).as("trimmed"),
+          repeat(substring($"c_name", 1, 2), 2).as("rep2"))
+        .orderBy($"c_custkey")
+    },
+
+    // Extended date/time-function surface.
+    "q_date_fns" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderkey",
+          date_trunc("month", $"o_orderdate").cast("date").cast("string").as("month_start"),
+          last_day($"o_orderdate").cast("string").as("month_end"),
+          add_months($"o_orderdate", 1).cast("date").cast("string").as("plus_month"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("days_since"),
+          dayofyear($"o_orderdate").as("doy"),
+          quarter($"o_orderdate").as("qtr"),
+          date_format($"o_orderdate", "yyyy-MM").as("ym"))
+        .orderBy($"o_orderkey")
+    },
+
+    // Exact interpolated percentiles per group.
+    "q_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"event_type")
+        .agg(
+          percentile($"value", lit(0.25)).as("p25"),
+          percentile($"value", lit(0.5)).as("p50"),
+          percentile($"value", lit(0.75)).as("p75"))
+        .orderBy($"event_type")
+    },
+
     // Null-handling scalar surface: NULLIF / COALESCE / null-safe
     // comparison / null-aware aggregation.
     "q_null_fns" -> { (s, dir) =>
@@ -409,6 +451,35 @@ object Analytics {
         |  FROM e)
         |SELECT user_id, max(hour_sum) AS peak_hour_sum, count(*) AS n_events
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS padded,
+        |  reverse(c_name) AS rev,
+        |  translate(c_name, '#', '-') AS trans,
+        |  instr(c_name, '0') AS pos0,
+        |  substring(c_name, length(c_name) - 2, 3) AS last3,
+        |  ltrim(rtrim('  ' || c_name || '  ')) AS trimmed,
+        |  repeat(substring(c_name, 1, 2), 2) AS rep2
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_month,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  dayofyear(o_orderdate) AS doy,
+        |  quarter(o_orderdate) AS qtr,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_null_fns" ->
       """SELECT nullif(o_orderstatus, 'P') AS status_or_null,
