@@ -234,6 +234,21 @@ object Analytics {
         .orderBy($"o_orderkey")
     },
 
+    // Grouped top-k via the custom bounded-heap aggregate (no window
+    // sort: each map task ships at most k entries per group; shuffle is
+    // O(groups × k) — see functions/GroupedTopK).
+    "q_grouped_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"user_id")
+        .agg(graft.functions.GroupedTopK
+          .groupedTopK($"value", $"event_id", 3).as("top"))
+        .select($"user_id", posexplode($"top").as(Seq("r", "t")))
+        .select($"user_id", ($"r" + 1).as("rank"), $"t.id".as("event_id"),
+          $"t.ord".as("value"))
+        .orderBy($"user_id", $"rank")
+    },
+
     // Exact interpolated percentiles per group.
     "q_percentiles" -> { (s, dir) =>
       import s.implicits._
@@ -473,6 +488,14 @@ object Analytics {
         |  quarter(o_orderdate) AS qtr,
         |  strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_grouped_topk" ->
+      """SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,
