@@ -204,6 +204,55 @@ object Analytics {
         .orderBy($"user_id")
     },
 
+    // Sessionization: split each user's event stream at >30-minute
+    // inactivity gaps (lag + running sum of session starts — one window
+    // pass, one shuffle on user_id).
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sessions = Tables(s, dir).events
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max($"n_events").as("max_session_events"))
+        .orderBy($"user_id")
+    },
+
+    // Outer-join surface: full outer of two per-user aggregates with
+    // null-filled sides.
+    "q_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val buys = t.events.filter($"event_type" === "purchase" && $"value" > 170)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_buy"))
+      val errs = t.events.filter($"event_type" === "error" && $"value" > 170)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
+      buys.toDF("u1", "n_buy")
+        .join(errs.toDF("u2", "n_err"), $"u1" === $"u2", "full_outer")
+        .select(coalesce($"u1", $"u2").as("user_id"),
+          coalesce($"n_buy", lit(0L)).as("n_buy"),
+          coalesce($"n_err", lit(0L)).as("n_err"))
+        .orderBy($"user_id")
+    },
+
+    // Fixed-width histogram binning.
+    "q_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select(floor($"value" / 20.0).cast("long").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+
     // Extended string-function surface.
     "q_string_fns" -> { (s, dir) =>
       import s.implicits._
@@ -466,6 +515,45 @@ object Analytics {
         |  FROM e)
         |SELECT user_id, max(hour_sum) AS peak_hour_sum, count(*) AS n_events
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                 - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session, ts, event_id
+        |  FROM g),
+        |sx AS (
+        |  SELECT user_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM f),
+        |per AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events
+        |  FROM sx GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH buys AS (
+        |  SELECT user_id AS u1, count(*) AS n_buy FROM events
+        |  WHERE event_type = 'purchase' AND value > 170 GROUP BY 1),
+        |errs AS (
+        |  SELECT user_id AS u2, count(*) AS n_err FROM events
+        |  WHERE event_type = 'error' AND value > 170 GROUP BY 1)
+        |SELECT COALESCE(u1, u2) AS user_id,
+        |  COALESCE(n_buy, 0) AS n_buy, COALESCE(n_err, 0) AS n_err
+        |FROM buys FULL OUTER JOIN errs ON u1 = u2
+        |ORDER BY user_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 20.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_string_fns" ->
       """SELECT c_custkey,

@@ -126,6 +126,32 @@ object TextAnalysis {
         .select($"t.word", $"t.cnt")
     },
 
+    // TF-IDF: term frequency × inverse document frequency, top-3 terms
+    // per document (docs 0-29). One tokenize pass feeds both the tf and
+    // df aggregations; df is a broadcast-sized word table.
+    "tx_tfidf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val nDocs = docs.select(countDistinct($"doc_id")).first().getLong(0)
+      val tok = docs
+        .select($"doc_id", explode(wsTokens($"text")).as("word"))
+      val tf = tok.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+        .withColumn("len", sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      val df_ = tok.select($"doc_id", $"word").distinct()
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
+      tf.join(broadcast(df_), "word")
+        .withColumn("tfidf",
+          round(($"n".cast("double") / $"len") * log(lit(nDocs).cast("double") / $"df"), 6))
+        .filter($"doc_id" < 30)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"word", $"tfidf")
+        .orderBy($"doc_id", $"rank")
+    },
+
     // Deterministic stratified sampling: 20 docs per language, selected
     // by md5(doc_id) order — reproducible across runs/engines (the
     // pipeline-sampling primitive; rand()-based sampling is not
@@ -255,6 +281,30 @@ object TextAnalysis {
          |  round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
          |        + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / n_tok) * 0.5, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS n FROM tok GROUP BY 1, 2),
+        |tl AS (
+        |  SELECT *, CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS len FROM tf),
+        |df AS (
+        |  SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |x AS (
+        |  SELECT t.doc_id, t.word,
+        |    round((CAST(t.n AS DOUBLE) / t.len)
+        |          * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tl t JOIN df ON t.word = df.word CROSS JOIN nd
+        |  WHERE t.doc_id < 30),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, word) AS rank FROM x)
+        |SELECT doc_id, rank, word, tfidf FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "tx_sample_stratified" ->
       """SELECT lang, doc_id FROM (
