@@ -159,6 +159,34 @@ object Analytics {
         .orderBy($"user_id")
     },
 
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    // duplicates preserved, unlike q_setops' set semantics).
+    "q_setops_all" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = t.events.filter($"event_type" === "click").select($"user_id")
+      val b = t.events.filter($"event_type" === "view").select($"user_id")
+      a.intersectAll(b).groupBy($"user_id").agg(count(lit(1)).as("n_inter"))
+        .join(
+          a.exceptAll(b).groupBy($"user_id").agg(count(lit(1)).as("n_except")),
+          Seq("user_id"), "full_outer")
+        .select($"user_id",
+          coalesce($"n_inter", lit(0L)).as("n_inter"),
+          coalesce($"n_except", lit(0L)).as("n_except"))
+        .orderBy($"user_id")
+    },
+
+    // Regexp surface: extract / replace / count over generated text.
+    "q_regexp" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).customer
+        .select($"c_custkey",
+          regexp_extract($"c_name", "([0-9]+)", 1).as("digits"),
+          regexp_replace($"c_name", "[0-9]", "#").as("masked"),
+          regexp_count($"c_name", lit("[0-9]")).as("n_digits"))
+        .orderBy($"c_custkey")
+    },
+
     // Scalar function surface: string / date / math / conditional.
     "q_scalar_fns" -> { (s, dir) =>
       import s.implicits._
@@ -481,6 +509,27 @@ object Analytics {
         |  ((SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)
         |   EXCEPT SELECT user_id FROM signups))
         |ORDER BY user_id""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        |i AS (SELECT user_id, count(*) AS n_inter
+        |      FROM (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b)
+        |      GROUP BY 1),
+        |e AS (SELECT user_id, count(*) AS n_except
+        |      FROM (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+        |      GROUP BY 1)
+        |SELECT COALESCE(i.user_id, e.user_id) AS user_id,
+        |  COALESCE(n_inter, 0) AS n_inter, COALESCE(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.user_id = e.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_regexp" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  len(regexp_extract_all(c_name, '[0-9]')) AS n_digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_scalar_fns" ->
       """SELECT o_orderkey,
