@@ -234,6 +234,12 @@ object Dedup {
     // SimHash near-dup: 32-bit tf-weighted simhash per doc; candidates
     // share one of 4 bytes (guarantees recall for hamming ≤ 3 — one of
     // the 4 bands must be untouched); verify bit_count(xor) ≤ 3.
+    // Skew guard (same principle as stop-shingles): band buckets larger
+    // than MaxBucket are dropped from candidate generation — on
+    // low-entropy corpora a hot byte-bucket otherwise generates O(n²)
+    // pairs on one reducer (measured 1338-doc buckets → ~900k pairs at
+    // sf0.1); a true pair loses only the bands where it collided with
+    // the crowd.
     "dedup_simhash" -> { (s, dir) =>
       import s.implicits._
       // One codegen'd pass: explode token hashes, then 32 conditional sums
@@ -250,11 +256,15 @@ object Dedup {
       val sim = (0 to 31).map(b =>
         when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
       val docs = bitSums.select($"doc_id", sim.as("sim"))
-      val bands = docs.select($"doc_id", $"sim",
+      val bands0 = docs.select($"doc_id", $"sim",
         explode(array((0 to 3).map(i =>
           struct(lit(i).as("band"),
             pmod(shiftright($"sim", 8 * i), lit(256)).as("key"))): _*)).as("bk"))
         .select($"doc_id", $"sim", $"bk.band", $"bk.key")
+      val hotBuckets = bands0.groupBy($"band", $"key").count()
+        .filter($"count" > 200).select($"band", $"key")
+      val bands = bands0.join(broadcast(hotBuckets), Seq("band", "key"), "left_anti")
+        .select($"doc_id", $"sim", $"band", $"key")
       bands.toDF("ia", "sima", "band", "key")
         .join(bands.toDF("ib", "simb", "band", "key"), Seq("band", "key"))
         .filter($"ia" < $"ib")
@@ -392,9 +402,15 @@ object Dedup {
         |        THEN CAST(2**b AS BIGINT) ELSE 0::BIGINT END)),
         |      (x, y) -> x + y) AS sim
         |  FROM t),
-        |bands AS (
+        |bands0 AS (
         |  SELECT doc_id, sim, b AS band, (sim // CAST(2**(8*b) AS BIGINT)) % 256 AS key
         |  FROM sh, unnest([0, 1, 2, 3]) AS u(b)),
+        |hot AS (
+        |  SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) > 200),
+        |bands AS (
+        |  SELECT * FROM bands0 b0
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |                    WHERE h.band = b0.band AND h.key = b0.key)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.sim AS sima, b.sim AS simb
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
