@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: replicates the sf0.1 documents table `m`× (each copy
+  * deterministically perturbed so clones are near- but not exact dups),
+  * then times the dedup family on it. Evidence for the scaling claims in
+  * NOTES.md/SCALING.md — run as:
+  *
+  *   sbt "runMain graft.ScaleProbe 10"
+  *
+  * Output: one JSON line per query with seconds and result rows.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val m = args.headOption.map(_.toInt).getOrElse(10)
+    val out = s"/tmp/graft_scale$m"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    val copies = (0 until m).map { k =>
+      base.select(
+        ($"doc_id" + lit(k * n)).as("doc_id"),
+        (if (k == 0) $"text"
+         else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
+        $"lang", $"source", $"n_chars")
+    }
+    copies.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings passthrough so Tables(out) resolves if needed
+    spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"""{"built": "$out", "docs": ${n * m}}""")
+
+    Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf")
+      .foreach { name =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, out).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query": "$name", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
+      }
+    spark.stop()
+  }
+}
