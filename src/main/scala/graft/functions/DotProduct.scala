@@ -24,6 +24,17 @@ case class FloatDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def matches(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (matches(left.dataType) && matches(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"float_dot requires two ARRAY<FLOAT> arguments, got (${left.dataType}, ${right.dataType})")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     FloatDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

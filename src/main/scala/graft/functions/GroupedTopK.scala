@@ -33,6 +33,11 @@ case class GroupedTopK(
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(ord, id)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ord.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"grouped_topk requires (DOUBLE ord, BIGINT id), got (${ord.dataType}, ${id.dataType})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -42,6 +42,11 @@ case class TopKByCount(
   require(k > 0 && capacity >= k, "need k > 0 and capacity >= k")
 
   override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_by_count requires a STRING argument, got ${child.dataType}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

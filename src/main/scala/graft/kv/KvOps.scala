@@ -44,9 +44,10 @@ final case class KvSnapshot(
   * `repartition(col("key"))` hash-partitions by key (same key → same
   * partition), `sortWithinPartitions(key, seq)` gives each partition its
   * keys as contiguous seq-ordered runs, and a single `mapPartitions`
-  * linear scan folds each run with O(1) state — no per-key
-  * `collect_list`, no driver involvement, and memory bounded by one
-  * key's live state (not its op history). This is exactly how the
+  * linear scan folds each run, streaming results out lazily — no per-key
+  * `collect_list`, no driver involvement; memory is the live state plus
+  * the exact-once dedup set of the CURRENT key only (the O(clients)
+  * watermark alternative is in [[snapshot]]). This is exactly how the
   * engine would replay a 100 TB op log on 1000 executors.
   */
 object KvOps {
@@ -77,35 +78,52 @@ object KvOps {
     base.unionAll(dups).as[KvOp]
   }
 
-  /** Partition-local fold over (key, seq)-sorted runs. Calls `onGet` for
-    * every applied Get and `onKeyEnd` when a key's run closes.
+  /** Partition-local fold over (key, seq)-sorted runs, as a lazy
+    * iterator: output rows stream out as the scan advances — nothing is
+    * buffered beyond the current key's live state and its dedup set
+    * (O(ops of one key) worst case for the exact first-delivery-wins
+    * contract; the O(clients) watermark variant lives in [[snapshot]]).
+    * Calls `onGet` for every applied Get and `onKeyEnd` when a key's run
+    * closes.
     */
   private def foldRuns[T](
       it: Iterator[KvOp],
       onGet: (KvOp, String) => Option[T],
-      onKeyEnd: (String, String, Long) => Option[T]): Iterator[T] = {
-    var curKey: String = null
-    var state: String = ""
-    var applied = 0L
-    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
-    val out = scala.collection.mutable.ArrayBuffer.empty[T]
-    def closeRun(): Unit =
-      if (curKey != null) onKeyEnd(curKey, state, applied).foreach(out += _)
-    it.foreach { o =>
-      if (o.key != curKey) {
-        closeRun()
-        curKey = o.key; state = ""; applied = 0L; seen.clear()
-      }
-      if (seen.add((o.clientId, o.clientSeq))) { // K4: first delivery wins
-        o.op match {
-          case "get"    => onGet(o, state).foreach(out += _)
-          case "put"    => state = o.value; applied += 1
-          case "append" => state = state + o.value; applied += 1 // models/kv.go:50-53
+      onKeyEnd: (String, String, Long) => Option[T]): Iterator[T] = new Iterator[T] {
+    private var curKey: String = null
+    private var state: String = ""
+    private var applied = 0L
+    private val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    private val pending = scala.collection.mutable.Queue.empty[T]
+    private var exhausted = false
+
+    private def closeRun(): Unit =
+      if (curKey != null) onKeyEnd(curKey, state, applied).foreach(pending.enqueue(_))
+
+    private def advance(): Unit = {
+      while (pending.isEmpty && !exhausted) {
+        if (!it.hasNext) {
+          closeRun()
+          exhausted = true
+        } else {
+          val o = it.next()
+          if (o.key != curKey) {
+            closeRun()
+            curKey = o.key; state = ""; applied = 0L; seen.clear()
+          }
+          if (seen.add((o.clientId, o.clientSeq))) { // K4: first delivery wins
+            o.op match {
+              case "get"    => onGet(o, state).foreach(pending.enqueue(_))
+              case "put"    => state = o.value; applied += 1
+              case "append" => state = state + o.value; applied += 1 // models/kv.go:50-53
+            }
+          }
         }
       }
     }
-    closeRun()
-    out.iterator
+
+    override def hasNext: Boolean = { advance(); pending.nonEmpty }
+    override def next(): T = { advance(); pending.dequeue() }
   }
 
   private def sorted(ops: Dataset[KvOp]): Dataset[KvOp] =

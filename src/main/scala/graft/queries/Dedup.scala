@@ -29,13 +29,12 @@ import graft.core.Tables
   */
 object Dedup {
 
+  import QueryFns.{wsTokens, tokHash, hash48}
+
   /** Stop-shingle guard: shingles occurring in more than this many docs
     * are excluded from the shingle sets (and thus candidate generation).
     */
   private val MaxDf = 100
-
-  private def wsTokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
 
   /** Distinct word 3-gram shingles of a document. */
   private def shingles(toks: Column): Column =
@@ -45,22 +44,18 @@ object Dedup {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Portable 48-bit base hash: md5 hex prefix as long. */
-  private def hash48(v: Column): Column =
-    conv(substring(md5(v), 1, 12), 16, 10).cast("long")
-
-  /** MinHash permutation family: affine maps over the 48-bit base hash,
-    * (a_i·h + b_i) mod p with p = 2^61−1 — one md5 per shingle total,
-    * 12 multiply-mods instead of 12 digests (the standard construction;
-    * overflow-safe: a_i ≤ 25, h < 2^48 → product < 2^53).
+  /** MinHash permutation family: genuine affine permutations over
+    * Z_p with p = 2^31−1 (Mersenne prime). The base 48-bit hash is first
+    * reduced mod p, then mapped by (a_i·h + b_i) mod p with large a_i so
+    * the multiplication wraps and the 12 maps have independent argmins
+    * (a non-wrapping map would be order-preserving: every "permutation"
+    * would pick the same minimum shingle and banding would degenerate to
+    * a single-minhash equality test). Overflow-safe: a_i, h < 2^31 →
+    * product < 2^62.
     */
-  private val MinhashP = (1L << 61) - 1
-  private def permA(i: Int): Long = 2L * i + 3L
-  private def permB(i: Int): Long = 1000003L * i + 12345L
-
-  /** Portable 32-bit token hash (same as TextAnalysis). */
-  private def tokHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private val MinhashP = 2147483647L // 2^31 − 1
+  private def permA(i: Int): Long = 1103515245L + 12345L * i
+  private def permB(i: Int): Long = 1000003L * i + 54321L
 
   /** Session-scoped memo of the persisted shingle index ((doc_id,
     * shingle) pairs after the stop-shingle df filter + per-doc filtered
@@ -159,7 +154,7 @@ object Dedup {
       // combine), rather than interpreted per-array transforms.
       // hoist the md5 base hash into a projection so it is computed once
       // per (doc, shingle) row, not once per permutation aggregate
-      val hashed = kept.select($"doc_id", hash48($"sh").as("h"))
+      val hashed = kept.select($"doc_id", (hash48($"sh") % MinhashP).as("h"))
       val aggs = (0 to 11).map(i =>
         min(($"h" * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
       val withMins = hashed
@@ -216,7 +211,8 @@ object Dedup {
         .select($"v", $"v".as("rep")).persist()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 20) {
+      val maxRounds = 64 // propagation needs diameter rounds; fail loudly
+      while (changed > 0 && rounds < maxRounds) {
         val neighborMin = edges.join(labels, $"dst" === $"v")
           .groupBy($"src").agg(min($"rep").as("nmin"))
         val updated = labels.join(neighborMin, $"v" === $"src", "left")
@@ -224,9 +220,13 @@ object Dedup {
           .persist()
         changed = updated.join(labels.withColumnRenamed("rep", "old"), "v")
           .filter($"rep" =!= $"old").count()
+        labels.unpersist()
         labels = updated
         rounds += 1
       }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedup_clusters did not converge in $maxRounds rounds")
       labels.toDF("doc_id", "cluster_rep")
         .orderBy($"doc_id")
     },
@@ -340,8 +340,9 @@ object Dedup {
          |  SELECT doc_id, shs,
          |    list_transform(range(0, 12), i ->
          |      list_min(list_transform(shs, sh ->
-         |        (('0x' || substr(md5(sh), 1, 12))::BIGINT * (2*i + 3)
-         |         + (1000003*i + 12345)) % 2305843009213693951))) AS m
+         |        ((('0x' || substr(md5(sh), 1, 12))::BIGINT % 2147483647)
+         |          * (1103515245 + 12345*i)
+         |         + (1000003*i + 54321)) % 2147483647))) AS m
          |  FROM sets),
          |bands AS (
          |  SELECT doc_id, shs, b AS band,

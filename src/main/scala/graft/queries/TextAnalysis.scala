@@ -25,13 +25,7 @@ import graft.core.Tables
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties dropped. */
-  private def wsTokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
-
-  /** Portable 32-bit token hash: first 8 hex digits of md5 as a long. */
-  private def tokHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  import QueryFns.{wsTokens, tokHash}
 
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
     * language-ID heuristic. Deterministic, shared with the oracle SQL.

@@ -71,14 +71,18 @@ object KvStream {
 
   /** Batch-compatible final-state view (for tests / parity with
     * [[graft.kv.KvOps.replay]]): run `updates` and keep each key's last
-    * emitted value.
+    * emitted value. Keys that only ever saw gets have no update rows but
+    * still exist with state "" in the batch replay, so they are restored
+    * via a cogroup with the full key set.
     */
   def finalStates(ops: Dataset[KvOp]): Dataset[KvState] = {
     import ops.sparkSession.implicits._
-    updates(ops).groupByKey(_.key)
-      .mapGroups { (k, it) =>
-        val upds = it.toSeq
-        KvState(k, upds.maxBy(_.appliedSeq).value, upds.size.toLong)
+    val allKeys = ops.map(_.key).distinct()
+    allKeys.groupByKey(identity)
+      .cogroup(updates(ops).groupByKey(_.key)) { (k, _, us) =>
+        val upds = us.toSeq
+        if (upds.isEmpty) Iterator.single(KvState(k, "", 0L))
+        else Iterator.single(KvState(k, upds.maxBy(_.appliedSeq).value, upds.size.toLong))
       }
   }
 }
