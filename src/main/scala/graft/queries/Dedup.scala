@@ -74,6 +74,17 @@ object Dedup {
   private val interCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop and unpersist all memoized indexes — call if the files under a
+    * cached dir are rewritten within one session (the memo assumes
+    * immutable inputs, which holds for the read-only test tables).
+    */
+  def clearCaches(): Unit = {
+    indexCache.values.foreach { case (kept, _) => kept.unpersist() }
+    interCache.values.foreach(_.unpersist())
+    indexCache.clear()
+    interCache.clear()
+  }
+
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
     * count): the one genuinely expensive join of the shingle dedup
     * family, reused by jaccard, minhash verification, and clustering.

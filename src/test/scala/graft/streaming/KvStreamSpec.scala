@@ -48,13 +48,14 @@ class KvStreamSpec extends SparkSpec {
       ops(2, 1, "append", "k1", "b"),
       ops(3, 2, "append", "k2", "z"),
       KvOp(9, 1, 2, "append", "k1", "b"), // dup of seq 2
-      ops(4, 2, "put", "k2", "w"))
+      ops(4, 2, "put", "k2", "w"),
+      ops(5, 3, "get", "k3", "")) // get-only key: state "" must still appear
     val ds = spark.createDataset(log)
     val streaming = KvStream.finalStates(ds).collect()
       .map(s => s.key -> s.value).toMap
     val batch = KvOps.replay(ds).collect().map(s => s.key -> s.value).toMap
     assert(streaming == batch)
-    assert(batch == Map("k1" -> "ab", "k2" -> "w"))
+    assert(batch == Map("k1" -> "ab", "k2" -> "w", "k3" -> ""))
   }
 
   test("watermarked hourly windows aggregate and drop late rows") {
