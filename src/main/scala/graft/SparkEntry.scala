@@ -6,9 +6,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Aggregates every query module in the library. Each module exposes
   * `queries` (name → (SparkSession, sfDir) ⇒ DataFrame) and `oracle`
-  * (name → equivalent DuckDB SQL over the same parquet tables); modules
-  * without a SQL-expressible oracle contribute queries only (the driver
-  * then records a weaker rows-only check).
+  * (name → equivalent DuckDB SQL over the same parquet tables). Every
+  * query currently has an oracle — 61 pairs, hash-exact at sf0.001,
+  * sf0.01 and sf0.1.
+  *
+  * Families (see README.md for the line-by-line coverage matrix):
+  *  - [[graft.queries.Analytics]] — TPC-H-shaped SQL surface: joins
+  *    (inner/semi/anti/full-outer/as-of), windows (row+range frames),
+  *    grouping sets, pivot, subqueries (scalar/correlated), set ops
+  *    (set+bag), percentiles, sessionization, histogram, regexp,
+  *    string/date/null function families, grouped top-k.
+  *  - [[graft.queries.MrQueries]] — the reference's MapReduce apps
+  *    (wc, indexer, filestats) declaratively AND through the typed
+  *    engine, plus FNV-1a shuffle-bucket parity.
+  *  - [[graft.queries.TextAnalysis]] — language-ID, quality, token
+  *    counting, fingerprinting, TF-IDF, heavy hitters, sampling, and the
+  *    composed curation pipeline.
+  *  - [[graft.queries.Dedup]] — exact, n-gram Jaccard, MinHash+LSH,
+  *    SimHash, embedding-cosine near-dup, duplicate clustering.
+  *  - [[graft.queries.Similarity]] — ANN (brute force, IVF, sign-LSH),
+  *    centroids, quantization.
+  *  - [[graft.queries.KvQueries]] — the declared KV surface K1–K10:
+  *    linearizable replay, reads, dedup, shard routing, rebalance.
+  *  - [[graft.queries.MultimodalQueries]] — binary-column decode,
+  *    resize, frame sampling (stub codec, real plumbing).
   */
 object SparkEntry {
 
