@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression tests: the physical properties documented in
+  * PLANS.md must survive refactors — pushdown reaching the scan,
+  * broadcast star joins, top-k without global sort, partial aggregation,
+  * and no accidental cartesian products anywhere.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q5 star join broadcasts every dimension side") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("a1_wordcount plans partial + final hash aggregation") {
+    val p = plan("a1_wordcount")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("no query plans a cartesian product") {
+    graft.SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"cartesian in $name")
+    }
+  }
+}
