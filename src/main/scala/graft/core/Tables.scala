@@ -34,22 +34,3 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
-
-/** SparkSession factory for tests / local tools. The driver-facing mains
-  * (Verify, Bench) build their own sessions per the driver contract.
-  */
-object Sessions {
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val s = SparkSession
-      .builder()
-      .master(s"local[$cores]")
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
-}

@@ -34,14 +34,14 @@ object MapReduce {
   private implicit val kvEnc: org.apache.spark.sql.Encoder[KV] = Encoders.product[KV]
   private implicit val strEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
 
-  /** Run a full MapReduce job. `numPartitions` mirrors NReduce
-    * (ref: main/mrmaster.go:23) but only tunes shuffle width here.
+  /** Run a full MapReduce job. The reference's NReduce knob
+    * (main/mrmaster.go:23) maps to `spark.sql.shuffle.partitions` —
+    * shuffle width is a session setting here, not a per-job argument.
     */
   def run(
       input: Dataset[(String, String)],
       mapF: (String, String) => IterableOnce[KV],
-      reduceF: (String, Seq[String]) => String,
-      numPartitions: Option[Int] = None): Dataset[KV] = {
+      reduceF: (String, Seq[String]) => String): Dataset[KV] = {
     val mapped = input.flatMap { case (k, v) => mapF(k, v) }
     val grouped = mapped.groupByKey(_.key)
     grouped.mapGroups { (k, it) =>
