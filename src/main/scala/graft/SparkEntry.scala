@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Aggregates every query module in the library. Each module exposes
   * `queries` (name → (SparkSession, sfDir) ⇒ DataFrame) and `oracle`
   * (name → equivalent DuckDB SQL over the same parquet tables). Every
-  * query currently has an oracle — 61 pairs, hash-exact at sf0.001,
+  * query currently has an oracle — 62 pairs, hash-exact at sf0.001,
   * sf0.01 and sf0.1.
   *
   * Families (see README.md for the line-by-line coverage matrix):

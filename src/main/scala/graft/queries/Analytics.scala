@@ -125,6 +125,26 @@ object Analytics {
         .orderBy($"user_id", $"rn")
     },
 
+    // Ranking/navigation window-function family over a deterministic
+    // (ts, event_id) order.
+    "q_window_fns" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .withColumn("drank", dense_rank().over(
+          Window.partitionBy($"user_id").orderBy($"event_type")))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("prank", round(percent_rank().over(w), 6))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .withColumn("prev_id", lag($"event_id", 1, -1L).over(w))
+        .withColumn("next_id", lead($"event_id", 1, -1L).over(w))
+        .filter($"rn" <= 5)
+        .select($"user_id", $"rn", $"event_id", $"drank", $"quartile",
+          $"prank", $"cdist", $"prev_id", $"next_id")
+        .orderBy($"user_id", $"rn")
+    },
+
     // As-of join (the canonical "operator Spark lacks"), composed from
     // existing ops per the extension preference order: tag both sides,
     // one window pass carries the latest at-or-before signup forward —
@@ -488,6 +508,21 @@ object Analytics {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q_window_fns" ->
+      """SELECT user_id, rn, event_id, drank, quartile, prank, cdist, prev_id, next_id
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER w AS rn,
+        |    dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drank,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 6) AS prank,
+        |    round(cume_dist() OVER w, 6) AS cdist,
+        |    lag(event_id, 1, -1) OVER w AS prev_id,
+        |    lead(event_id, 1, -1) OVER w AS next_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, COALESCE(signup_id, -1) AS signup_id FROM (
