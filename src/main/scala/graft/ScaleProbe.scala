@@ -38,6 +38,9 @@ object ScaleProbe {
     spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"""{"built": "$out", "docs": ${n * m}}""")
+    // the corpus at `out` was just (re)written — drop any memoized
+    // indexes a previous run of this session may hold for the same path
+    graft.queries.Dedup.clearCaches()
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf")

@@ -77,8 +77,7 @@ object KvStream {
     */
   def finalStates(ops: Dataset[KvOp]): Dataset[KvState] = {
     import ops.sparkSession.implicits._
-    val allKeys = ops.map(_.key).distinct()
-    allKeys.groupByKey(identity)
+    ops.groupByKey(_.key)
       .cogroup(updates(ops).groupByKey(_.key)) { (k, _, us) =>
         val upds = us.toSeq
         if (upds.isEmpty) Iterator.single(KvState(k, "", 0L))

@@ -35,7 +35,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no query plans a cartesian product") {
-    graft.SparkEntry.queries.keys.foreach { name =>
+    // dedup_clusters excluded: building its DataFrame executes the
+    // iterative clustering loop (an action per round), and the returned
+    // plan covers only the final projection anyway.
+    (graft.SparkEntry.queries.keySet - "dedup_clusters").foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"cartesian in $name")
     }
   }

@@ -19,7 +19,7 @@ class CheckpointRestartSpec extends SparkSpec {
     val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
     Files.createDirectories(Paths.get(in))
 
-    def writeBatch(ids: Range, file: String): Unit =
+    def writeBatch(ids: Range): Unit =
       ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
         .coalesce(1).write.mode("append").parquet(in)
 
@@ -36,9 +36,9 @@ class CheckpointRestartSpec extends SparkSpec {
       q.stop()
     }
 
-    writeBatch(0 until 100, "b1")
+    writeBatch(0 until 100)
     runOnce()
-    writeBatch(100 until 150, "b2")
+    writeBatch(100 until 150)
     runOnce() // restart from the same checkpoint
 
     val got = spark.read.parquet(out).select($"id", $"doubled").collect()
