@@ -316,6 +316,24 @@ object Analytics {
         .orderBy($"c_custkey")
     },
 
+    // Math-function surface (IEEE-exact operations only — sqrt, abs,
+    // ceil/floor, sign, fmod are bit-identical across engines; exp/ln
+    // style libm functions are not and are used only under rounding, as
+    // in tx_tfidf).
+    "q_math_fns" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select($"event_id",
+          sqrt($"value").as("root"),
+          abs($"value" - 100.0).as("dist"),
+          ceil($"value" / 7.0).as("c7"),
+          floor($"value" / 7.0).as("f7"),
+          signum($"value" - 100.0).cast("long").as("sgn"),
+          ($"value" % 7.0).as("m7"),
+          ($"value" * $"value").as("sq"))
+        .orderBy($"event_id")
+    },
+
     // Extended date/time-function surface.
     "q_date_fns" -> { (s, dir) =>
       import s.implicits._
@@ -649,6 +667,17 @@ object Analytics {
         |  ltrim(rtrim('  ' || c_name || '  ')) AS trimmed,
         |  repeat(substring(c_name, 1, 2), 2) AS rep2
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT event_id,
+        |  sqrt(value) AS root,
+        |  abs(value - 100.0) AS dist,
+        |  CAST(ceil(value / 7.0) AS BIGINT) AS c7,
+        |  CAST(floor(value / 7.0) AS BIGINT) AS f7,
+        |  CAST(sign(value - 100.0) AS BIGINT) AS sgn,
+        |  fmod(value, 7.0) AS m7,
+        |  value * value AS sq
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_date_fns" ->
       """SELECT o_orderkey,
