@@ -17,17 +17,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(graft.core.Tables.NanosAsLong, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT + file listing so the first timed query is not
     // charged for one-off session costs
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // a failing query reports -1, never its time-to-failure
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => () }
+    // a failing query reports -1, never its time-to-failure; fatal errors
+    // (OOM etc.) propagate and fail the bench loudly instead of scoring -1
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (a, b) = (time(fn), time(fn))

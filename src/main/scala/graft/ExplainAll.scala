@@ -12,6 +12,7 @@ object ExplainAll {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config(graft.core.Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

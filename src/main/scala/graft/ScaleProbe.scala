@@ -18,6 +18,7 @@ object ScaleProbe {
     val out = s"/tmp/graft_scale$m"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config(graft.core.Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

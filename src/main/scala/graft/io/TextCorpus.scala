@@ -9,8 +9,11 @@ import graft.core.KV
   * (ref: mr/worker.go:194-206 read; mr/worker.go:115 write).
   *
   * One record per whole file, filename (basename) = key, contents = value —
-  * the record shape the reference feeds to Map. `wholetext` keeps the read
-  * distributed (one task per file) instead of collecting on the driver.
+  * the record shape the reference feeds to Map. Reads via the `binaryFile`
+  * source (decoded UTF-8) rather than `text`+`wholetext`: same distributed
+  * one-task-per-file shape, chosen so zero-length files can be recovered
+  * from the same listing (below). The filename comes from the source's
+  * `path` column.
   */
 object TextCorpus {
 

@@ -188,11 +188,20 @@ object Dedup {
         .filter($"ia" < $"ib")
         .select($"ia", $"ib")
         .dropDuplicates("ia", "ib")
-      // Exact-Jaccard verification through the same inverted-index
-      // intersection join as dedup_ngram_jaccard (a band collision
-      // implies a shared shingle, so the equi-join covers every
-      // candidate with jac > 0); no per-pair array materialization.
-      cand.join(interIndex(s, dir), Seq("ia", "ib"))
+      // Exact-Jaccard verification restricted to LSH candidates: expand
+      // each candidate pair by ia's (df-filtered) shingles, equi-join on
+      // (ib, sh), count matches. Cost is O(Σ_candidate-pairs |shingles|)
+      // — proportional to what the bands admitted — NOT the full
+      // O(Σ df²) pair-intersection table (interIndex), which exists for
+      // the jaccard/clusters family that genuinely needs every
+      // shingle-sharing pair. Standalone at 100 TB, the LSH query's
+      // verification cost now tracks its own candidate count. Pairs with
+      // no shared shingle drop out of the inner join — they have jac = 0
+      // and could never pass the ≥ 0.5 gate.
+      val inter = cand.join(kept.toDF("ia", "sh"), "ia")
+        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      inter
         .join(sizes.toDF("ia", "na"), "ia")
         .join(sizes.toDF("ib", "nb"), "ib")
         .withColumn("jac", $"inter".cast("double")
@@ -219,16 +228,20 @@ object Dedup {
         .select($"ia", $"ib")
       val edges = pairs.union(pairs.select($"ib", $"ia")).toDF("src", "dst").persist()
       var labels = edges.select($"src".as("v")).distinct()
-        .select($"v", $"v".as("rep")).persist()
+        .select($"v", $"v".as("rep")).localCheckpoint()
       var changed = 1L
       var rounds = 0
       val maxRounds = 64 // propagation needs diameter rounds; fail loudly
       while (changed > 0 && rounds < maxRounds) {
         val neighborMin = edges.join(labels, $"dst" === $"v")
           .groupBy($"src").agg(min($"rep").as("nmin"))
+        // localCheckpoint (eager) truncates the logical plan each round:
+        // without it the plan nests one join deeper per iteration and
+        // analysis/optimization cost grows with the graph diameter —
+        // the classic iterative-Spark failure mode at scale.
         val updated = labels.join(neighborMin, $"v" === $"src", "left")
           .select($"v", least($"rep", coalesce($"nmin", $"rep")).as("rep"))
-          .persist()
+          .localCheckpoint()
         changed = updated.join(labels.withColumnRenamed("rep", "old"), "v")
           .filter($"rep" =!= $"old").count()
         labels.unpersist()

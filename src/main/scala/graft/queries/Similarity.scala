@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -12,8 +11,8 @@ import graft.core.Tables
   * Three tiers, same output shape (probe, rank, neighbor, cosine):
   *  - `ann_topk`        — brute-force exact baseline. The probe set is
   *    broadcast; the big side streams through one codegen'd projection,
-  *    and TakeOrdered-per-probe happens via a window over a shuffle
-  *    keyed by probe. Cost O(probes × vectors) — correct at any scale
+  *    and top-k-per-probe happens via the bounded-heap GroupedTopK
+  *    aggregate (shuffle O(probes × k)). Cost O(probes × vectors) — correct at any scale
   *    but linear in the corpus; the baseline the ANN tiers are judged
   *    against.
   *  - `ann_ivf_topk`    — IVF with the stored `label` as the coarse
@@ -54,13 +53,22 @@ object Similarity {
       signBucket($"embedding").as("bucket"))
   }
 
+  /** Per-probe top-k via the bounded-heap [[graft.functions.GroupedTopK]]
+    * aggregate, not `row_number().over(partitionBy(probe))`: the window
+    * form sorts EVERY candidate pair per probe partition, while the
+    * aggregate keeps a k-element heap with partial aggregation — each map
+    * task ships at most k pairs per probe, so at 100 TB the shuffle is
+    * O(probes × k) and nothing is fully sorted. Ordering (cos desc,
+    * neighbor asc) matches the oracle's row_number ordering exactly.
+    */
   private def topk(pairs: DataFrame, k: Int)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"probe").orderBy($"cos".desc, $"neighbor")
     pairs
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"probe", $"rank", $"neighbor", round($"cos", 6).as("cos"))
+      .groupBy($"probe")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"cos", $"neighbor", k).as("top"))
+      .select($"probe", posexplode($"top").as(Seq("pos", "t")))
+      .select($"probe", ($"pos" + 1).as("rank"), $"t.id".as("neighbor"),
+        round($"t.ord", 6).as("cos"))
       .orderBy($"probe", $"rank")
   }
 

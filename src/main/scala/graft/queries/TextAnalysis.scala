@@ -56,8 +56,11 @@ object TextAnalysis {
           size(wsTokens($"text")).as("n_ws"),
           regexp_count($"text", lit(BpeIsh)).as("n_tok"),
           length($"text").as("len"))
+        // nullif guard: an empty/whitespace-only document has n_tok = 0;
+        // double division by zero diverges across engines (Spark
+        // Infinity vs DuckDB error/NULL), so both sides agree on NULL.
         .select($"doc_id", $"n_ws", $"n_tok",
-          round($"len".cast("double") / $"n_tok", 4).as("cpt"))
+          round($"len".cast("double") / nullif($"n_tok", lit(0)), 4).as("cpt"))
         .orderBy($"doc_id")
     },
 
@@ -95,13 +98,15 @@ object TextAnalysis {
           size(toks).as("n_tok"),
           aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b).as("tok_chars"),
           scoreIn(toks, stop("en")).as("n_stop"))
+        // nullif guards: degenerate (token-free) docs produce NULL ratios
+        // on both engines instead of engine-specific NaN/Infinity.
         .select(
           $"doc_id", $"n_chars", $"n_tok",
-          round($"tok_chars".cast("double") / $"n_tok", 4).as("mean_tok_len"),
-          round($"n_stop".cast("double") / $"n_tok", 4).as("stop_ratio"),
+          round($"tok_chars".cast("double") / nullif($"n_tok", lit(0)), 4).as("mean_tok_len"),
+          round($"n_stop".cast("double") / nullif($"n_tok", lit(0)), 4).as("stop_ratio"),
           round(
             least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
-              + least(lit(1.0), $"n_stop".cast("double") * 10.0 / $"n_tok") * 0.5,
+              + least(lit(1.0), $"n_stop".cast("double") * 10.0 / nullif($"n_tok", lit(0))) * 0.5,
             4).as("quality"))
         .orderBy($"doc_id")
     },
@@ -122,11 +127,14 @@ object TextAnalysis {
 
     // TF-IDF: term frequency × inverse document frequency, top-3 terms
     // per document (docs 0-29). One tokenize pass feeds both the tf and
-    // df aggregations; df is a broadcast-sized word table.
+    // df aggregations; df is a broadcast-sized word table. The corpus
+    // size enters as a broadcast 1-row scalar subquery (crossJoin of a
+    // broadcast aggregate), not a driver-side action — the whole query
+    // is one plan, and no job runs before the caller acts on it.
     "tx_tfidf" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
-      val nDocs = docs.select(countDistinct($"doc_id")).first().getLong(0)
+      val nd = docs.agg(countDistinct($"doc_id").as("n_docs"))
       val tok = docs
         .select($"doc_id", explode(wsTokens($"text")).as("word"))
       val tf = tok.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
@@ -137,8 +145,9 @@ object TextAnalysis {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
       tf.join(broadcast(df_), "word")
+        .crossJoin(broadcast(nd))
         .withColumn("tfidf",
-          round(($"n".cast("double") / $"len") * log(lit(nDocs).cast("double") / $"df"), 6))
+          round(($"n".cast("double") / $"len") * log($"n_docs".cast("double") / $"df"), 6))
         .filter($"doc_id" < 30)
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 3)
@@ -237,7 +246,7 @@ object TextAnalysis {
          |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws,
          |  len(regexp_extract_all(text, '$BpeIsh')) AS n_tok,
          |  round(CAST(length(text) AS DOUBLE)
-         |        / len(regexp_extract_all(text, '$BpeIsh')), 4) AS cpt
+         |        / nullif(len(regexp_extract_all(text, '$BpeIsh')), 0), 4) AS cpt
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_lang_id" ->
@@ -270,10 +279,10 @@ object TextAnalysis {
          |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS n_stop
          |  FROM t)
          |SELECT doc_id, n_chars, n_tok,
-         |  round(CAST(tok_chars AS DOUBLE) / n_tok, 4) AS mean_tok_len,
-         |  round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+         |  round(CAST(tok_chars AS DOUBLE) / nullif(n_tok, 0), 4) AS mean_tok_len,
+         |  round(CAST(n_stop AS DOUBLE) / nullif(n_tok, 0), 4) AS stop_ratio,
          |  round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
-         |        + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / n_tok) * 0.5, 4) AS quality
+         |        + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / nullif(n_tok, 0)) * 0.5, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "tx_tfidf" ->

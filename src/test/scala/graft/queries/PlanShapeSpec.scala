@@ -34,6 +34,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("ann top-k plans the bounded-heap aggregate, not a window sort") {
+    Seq("ann_topk", "ann_ivf_topk", "ann_lsh_topk").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"window sort in $name: ${p.take(2000)}")
+      assert(p.contains("grouped_topk"), s"no grouped_topk in $name")
+    }
+  }
+
+  test("dedup_clusters result plan is lineage-truncated (constant size)") {
+    // localCheckpoint each round must leave the final plan a flat scan of
+    // the checkpointed labels — no nested per-round joins.
+    val p = plan("dedup_clusters")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.length < 4000, s"plan grew to ${p.length} chars — lineage not truncated")
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned

@@ -12,7 +12,6 @@ class StreamBatchParitySpec extends SparkSpec {
 
   test("streaming hourly windows over events.parquet equal the batch aggregation") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.core.Tables(spark, dir).events
     val schema = spark.read
