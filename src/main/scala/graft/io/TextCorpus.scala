@@ -17,9 +17,14 @@ import graft.core.KV
   */
 object TextCorpus {
 
-  def read(spark: SparkSession, dir: String): Dataset[(String, String)] = {
+  /** @param glob optional filename glob (e.g. "pg-*.txt") restricting the
+    *   corpus to matching files — the Spark-side analogue of the shell
+    *   glob the reference's driver receives (main/mrmaster.go:15-23).
+    */
+  def read(spark: SparkSession, dir: String, glob: Option[String] = None): Dataset[(String, String)] = {
     import spark.implicits._
-    val nonEmpty = spark.read.format("binaryFile").load(dir)
+    val reader = spark.read.format("binaryFile")
+    val nonEmpty = glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(dir)
       .select(
         element_at(split($"path", "/"), -1).as("file"),
         decode($"content", "UTF-8").as("contents"))
@@ -30,8 +35,10 @@ object TextCorpus {
     // from it and union them in as ("name", "") records.
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val globFilter = glob.map(g => new org.apache.hadoop.fs.GlobFilter(g))
     val empties = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(st => st.isFile && st.getLen == 0)
+      .filter(st => st.isFile && st.getLen == 0 &&
+        globFilter.forall(_.accept(st.getPath)))
       .map(st => (st.getPath.getName, ""))
       .toSeq
     if (empties.isEmpty) nonEmpty

@@ -62,8 +62,11 @@ object Sequential {
       files: Seq[(String, String)],
       mapF: (String, String) => IterableOnce[KV],
       reduceF: (String, Seq[String]) => String): Seq[KV] = {
+    // IndexedSeq: the run-detection loop below does random access; a
+    // List here would make the scan O(n²) on a real-sized corpus.
     val intermediate = files
       .flatMap { case (f, c) => mapF(f, c) }
+      .toIndexedSeq
       .sortBy(_.key) // global sort by key (main/mrsequential.go:59)
     // run-detection loop (main/mrsequential.go:68-78)
     val out = Seq.newBuilder[KV]
