@@ -12,8 +12,11 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4, 4]: 4 threads, maxFailures=4 — task retry is live, so
+    // FaultToleranceSpec can exercise E10 re-execution semantics
+    // (ref: mr/master.go:200-214) instead of trusting them.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
