@@ -88,8 +88,75 @@ object KvQueries {
         .map { case (gid, shard) => (shard, gid, c.num) }
         .toDF("shard", "gid", "config_num")
         .orderBy($"shard")
+    },
+
+    // K6 completion — config-EPOCH routing: the op log replayed against
+    // the full scripted config history, each op routed by the config
+    // active at its log position (epoch boundaries = quartiles of the
+    // log; config c1..c4 per epoch), the batch analogue of shardkv
+    // join/leave migration under live traffic (shardkv/test_test.go:
+    // 90-141; clerk re-route shardkv/client.go:72-93). Ops are deduped
+    // first (one logical op each, K4) and route by their ORIGINAL log
+    // position (clientSeq), so a retried delivery routes like its first.
+    // Output: applied-op counts per (config, group) — which replica
+    // group served how much traffic in each epoch.
+    // Scale: dedup is a hash-partitioned window (no global sort); the
+    // epoch threshold enters as a broadcast 1-row scalar; the 40-row
+    // config table is a broadcast join.
+    "kv_migration" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ops = KvOps.opLog(s, dir).toDF()
+      val w = Window.partitionBy($"clientId", $"clientSeq").orderBy($"seq")
+      val deduped = ops.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+      val mx = deduped.agg(max($"clientSeq").as("mx"))
+      val routed = deduped
+        .crossJoin(broadcast(mx))
+        .withColumn("epoch",
+          least(lit(3), expr("clientSeq * 4 div (mx + 1)")).cast("int"))
+        .withColumn("shard",
+          (ascii(substring($"key", 1, 1)) % Sharding.NShards).cast("int"))
+      routed.join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
+        .groupBy($"config_num", $"gid")
+        .agg(count(lit(1)).as("n_ops"),
+          countDistinct($"key").as("n_keys"),
+          countDistinct($"shard").as("n_shards"))
+        .orderBy($"config_num", $"gid")
+    },
+
+    // K6 state handoff: per-key final owner after the config evolution.
+    // The key's replayed state (the typed secondary-sort fold) survives
+    // every ownership change — what the reference's shard migration
+    // moves between groups — joined with how many distinct groups owned
+    // the key's shard across the four epochs and who owns it at the end.
+    "kv_migration_owner" -> { (s, dir) =>
+      import s.implicits._
+      val finalNum = Sharding.scriptedHistory.last.num
+      val owners = configEpochs(s)
+        .groupBy($"shard")
+        .agg(countDistinct($"gid").as("n_owners"),
+          max(when($"config_num" === finalNum, $"gid")).as("final_gid"))
+      KvOps.replay(KvOps.opLog(s, dir)).toDF()
+        .withColumn("shard",
+          (ascii(substring($"key", 1, 1)) % Sharding.NShards).cast("int"))
+        .join(broadcast(owners), "shard")
+        .select($"key", $"value", $"n_applied", $"shard", $"final_gid", $"n_owners")
+        .orderBy($"key")
     }
   )
+
+  /** The scripted config history c1..c4 flattened to (epoch, config_num,
+    * shard, gid) rows — epoch e ∈ 0..3 is when config c(e+1) is active.
+    * 40 rows: broadcast-join metadata, exactly like the clerk's cached
+    * `Config` (shardkv/client.go:68-71).
+    */
+  private def configEpochs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Sharding.scriptedHistory.drop(1).zipWithIndex.flatMap { case (c, e) =>
+      c.shards.zipWithIndex.map { case (gid, shard) => (e, c.num, shard, gid) }
+    }.toDF("epoch", "config_num", "shard", "gid")
+  }
 
   def oracle: Map[String, String] = Map(
     "kv_replay" ->
@@ -148,6 +215,65 @@ object KvQueries {
       """SELECT * FROM (VALUES
         |  (0, 1, 4), (1, 1, 4), (2, 4, 4), (3, 1, 4), (4, 1, 4),
         |  (5, 3, 4), (6, 5, 4), (7, 3, 4), (8, 3, 4), (9, 5, 4))
-        |AS t(shard, gid, config_num) ORDER BY shard""".stripMargin
+        |AS t(shard, gid, config_num) ORDER BY shard""".stripMargin,
+
+    "kv_migration" ->
+      s"""$OpsCte,
+         |mx AS (SELECT max(clientSeq) AS mx FROM a),
+         |$CfgCte,
+         |r AS (
+         |  SELECT key,
+         |    least(3, (clientSeq * 4) // ((SELECT mx FROM mx) + 1)) AS epoch,
+         |    ascii(substring(key, 1, 1)) % ${Sharding.NShards} AS shard
+         |  FROM a)
+         |SELECT cfg.config_num, cfg.gid, count(*) AS n_ops,
+         |       count(DISTINCT r.key) AS n_keys,
+         |       count(DISTINCT r.shard) AS n_shards
+         |FROM r JOIN cfg ON r.epoch = cfg.epoch AND r.shard = cfg.shard
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "kv_migration_owner" ->
+      s"""$OpsCte,
+         |lp AS (SELECT key, max(CASE WHEN op = 'put' THEN seq END) AS lps
+         |       FROM a GROUP BY key),
+         |pv AS (SELECT a.key, a.value AS putv
+         |       FROM a JOIN lp ON a.key = lp.key AND a.seq = lp.lps),
+         |ap AS (SELECT a.key, string_agg(a.value, '' ORDER BY a.seq) AS apv
+         |       FROM a JOIN lp ON a.key = lp.key
+         |       WHERE a.op = 'append' AND a.seq > COALESCE(lp.lps, -1)
+         |       GROUP BY a.key),
+         |napp AS (SELECT key, count(*) FILTER (WHERE op <> 'get') AS n_applied
+         |         FROM a GROUP BY key),
+         |$CfgCte,
+         |own AS (SELECT shard, count(DISTINCT gid) AS n_owners,
+         |               max(CASE WHEN config_num = 4 THEN gid END) AS final_gid
+         |        FROM cfg GROUP BY shard)
+         |SELECT n.key, COALESCE(pv.putv, '') || COALESCE(ap.apv, '') AS value,
+         |       n.n_applied,
+         |       ascii(substring(n.key, 1, 1)) % ${Sharding.NShards} AS shard,
+         |       own.final_gid, own.n_owners
+         |FROM napp n
+         |LEFT JOIN pv ON pv.key = n.key
+         |LEFT JOIN ap ON ap.key = n.key
+         |JOIN own ON own.shard = ascii(substring(n.key, 1, 1)) % ${Sharding.NShards}
+         |ORDER BY n.key""".stripMargin
   )
+
+  /** The scripted config history as SQL VALUES — hand-traced through the
+    * documented greedy rebalance, independently of the Scala
+    * implementation (which `ShardingSpec` pins to the same vectors):
+    * c1 = join(1,2,3): [1,1,1,1,2,2,2,3,3,3]; c2 = join(4,5):
+    * [1,1,4,4,2,2,5,3,3,5]; c3 = leave(2): [1,1,4,4,1,3,5,3,3,5];
+    * c4 = move(3→1): [1,1,4,1,1,3,5,3,3,5]. Epoch e hosts config c(e+1).
+    */
+  private val CfgCte =
+    """cfg(epoch, config_num, shard, gid) AS (VALUES
+      |  (0,1,0,1),(0,1,1,1),(0,1,2,1),(0,1,3,1),(0,1,4,2),
+      |  (0,1,5,2),(0,1,6,2),(0,1,7,3),(0,1,8,3),(0,1,9,3),
+      |  (1,2,0,1),(1,2,1,1),(1,2,2,4),(1,2,3,4),(1,2,4,2),
+      |  (1,2,5,2),(1,2,6,5),(1,2,7,3),(1,2,8,3),(1,2,9,5),
+      |  (2,3,0,1),(2,3,1,1),(2,3,2,4),(2,3,3,4),(2,3,4,1),
+      |  (2,3,5,3),(2,3,6,5),(2,3,7,3),(2,3,8,3),(2,3,9,5),
+      |  (3,4,0,1),(3,4,1,1),(3,4,2,4),(3,4,3,1),(3,4,4,1),
+      |  (3,4,5,3),(3,4,6,5),(3,4,7,3),(3,4,8,3),(3,4,9,5))""".stripMargin
 }

@@ -79,4 +79,17 @@ class ShardingSpec extends AnyFunSuite {
     assert(key2shard("") == 0)
     assert(key2shard("z9") == 122 % 10)
   }
+
+  test("scripted history matches the hand-traced greedy assignments") {
+    // Independently hand-traced through the documented algorithm; the
+    // kv_migration oracle's cfg VALUES (KvQueries.CfgCte) embeds these
+    // same vectors, so this test ties oracle and implementation to the
+    // one trace.
+    val h = scriptedHistory
+    assert(h(1).shards == Vector(1, 1, 1, 1, 2, 2, 2, 3, 3, 3))
+    assert(h(2).shards == Vector(1, 1, 4, 4, 2, 2, 5, 3, 3, 5))
+    assert(h(3).shards == Vector(1, 1, 4, 4, 1, 3, 5, 3, 3, 5))
+    assert(h(4).shards == Vector(1, 1, 4, 1, 1, 3, 5, 3, 3, 5))
+    assert(h.map(_.num) == Vector(0, 1, 2, 3, 4))
+  }
 }
