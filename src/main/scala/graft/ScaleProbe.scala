@@ -51,6 +51,12 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"query": "$name", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
       }
+    // recall-loss meter for the simhash hot-bucket cap: report what the
+    // skew guard discarded on this corpus (observed, not assumed)
+    val drops = graft.queries.Dedup.simhashDropStats(spark, out).collect()(0)
+    println(s"""{"meter": "simhash_hot_bucket_drops", "docs_affected": ${drops.getLong(0)}, """ +
+      s""""docs_invisible": ${drops.getLong(1)}, "band_rows_dropped": ${drops.getLong(2)}, """ +
+      s""""docs_total": ${drops.getLong(3)}}""")
     spark.stop()
   }
 }

@@ -259,36 +259,15 @@ object Dedup {
     // share one of 4 bytes (guarantees recall for hamming ≤ 3 — one of
     // the 4 bands must be untouched); verify bit_count(xor) ≤ 3.
     // Skew guard (same principle as stop-shingles): band buckets larger
-    // than MaxBucket are dropped from candidate generation — on
-    // low-entropy corpora a hot byte-bucket otherwise generates O(n²)
-    // pairs on one reducer (measured 1338-doc buckets → ~900k pairs at
-    // sf0.1); a true pair loses only the bands where it collided with
-    // the crowd.
+    // than greatest(MaxBucket, 4×expected occupancy) are dropped from
+    // candidate generation — on low-entropy corpora a hot byte-bucket
+    // otherwise generates O(n²) pairs on one reducer (measured 1338-doc
+    // buckets → ~900k pairs at sf0.1); a true pair loses only the bands
+    // where it collided with the crowd. The loss is METERED
+    // ([[simhashDropStats]]), not silent.
     "dedup_simhash" -> { (s, dir) =>
       import s.implicits._
-      // One codegen'd pass: explode token hashes, then 32 conditional sums
-      // in a single HashAggregate (partial + final — map-side combine on
-      // doc_id), instead of 32 interpreted passes over each token array.
-      val toks = wsTokens($"text")
-      val perTok = Tables(s, dir).documents
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", explode(toks).as("t"))
-        .select($"doc_id", tokHash($"t").as("h"))
-      val sums = (0 to 31).map(b =>
-        sum(when(shiftright($"h", b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
-      val bitSums = perTok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
-      val sim = (0 to 31).map(b =>
-        when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
-      val docs = bitSums.select($"doc_id", sim.as("sim"))
-      val bands0 = docs.select($"doc_id", $"sim",
-        explode(array((0 to 3).map(i =>
-          struct(lit(i).as("band"),
-            pmod(shiftright($"sim", 8 * i), lit(256)).as("key"))): _*)).as("bk"))
-        .select($"doc_id", $"sim", $"bk.band", $"bk.key")
-      val hotBuckets = bands0.groupBy($"band", $"key").count()
-        .filter($"count" > 200).select($"band", $"key")
-      val bands = bands0.join(broadcast(hotBuckets), Seq("band", "key"), "left_anti")
-        .select($"doc_id", $"sim", $"band", $"key")
+      val bands = simhashKeptBands(s, dir)
       bands.toDF("ia", "sima", "band", "key")
         .join(bands.toDF("ib", "simb", "band", "key"), Seq("band", "key"))
         .filter($"ia" < $"ib")
@@ -319,6 +298,89 @@ object Dedup {
         .orderBy($"ia", $"ib")
     }
   )
+
+  /** Floor of the SimHash band-bucket cap. The effective cap is
+    * `greatest(MaxBucket, 4 × n_docs / 256)` — relative to the expected
+    * uniform occupancy (n_docs/256 per band), so the guard drops only
+    * genuinely HOT buckets (≥ 4× expected) instead of degenerating into
+    * a blanket filter once corpora outgrow 256×cap docs. The ScaleProbe
+    * meter exposed exactly that failure mode: at 50k dup-dense docs an
+    * absolute 200-cap sat below the AVERAGE occupancy (195) and made
+    * 31k docs invisible to candidate generation. At the gate SFs
+    * (≤ 5k docs) the relative term is below the floor, so oracle hashes
+    * are unchanged.
+    */
+  private val MaxBucket = 200
+
+  /** SimHash band rows BEFORE the hot-bucket cap: (doc_id, sim, band,
+    * key). One codegen'd pass: explode token hashes, then 32 conditional
+    * sums in a single HashAggregate (partial + final — map-side combine
+    * on doc_id), instead of 32 interpreted passes per token array.
+    */
+  private def simhashBands0(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = wsTokens($"text")
+    val perTok = Tables(s, dir).documents
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(toks).as("t"))
+      .select($"doc_id", tokHash($"t").as("h"))
+    val sums = (0 to 31).map(b =>
+      sum(when(shiftright($"h", b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val bitSums = perTok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+    val sim = (0 to 31).map(b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    val docs = bitSums.select($"doc_id", sim.as("sim"))
+    docs.select($"doc_id", $"sim",
+      explode(array((0 to 3).map(i =>
+        struct(lit(i).as("band"),
+          pmod(shiftright($"sim", 8 * i), lit(256)).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"sim", $"bk.band", $"bk.key")
+  }
+
+  /** Hot band-buckets under the relative cap (see [[MaxBucket]]). The
+    * doc count enters as a broadcast 1-row scalar — no driver action.
+    */
+  private def simhashHotBuckets(s: SparkSession, dir: String, bands0: DataFrame): DataFrame = {
+    import s.implicits._
+    val tot = Tables(s, dir).documents
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    bands0.groupBy($"band", $"key").agg(count(lit(1)).as("bucket_n"))
+      .crossJoin(broadcast(tot))
+      .filter($"bucket_n" > greatest(lit(MaxBucket.toLong), expr("4 * n_docs div 256")))
+      .select($"band", $"key")
+  }
+
+  private def simhashKeptBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands0 = simhashBands0(s, dir)
+    val hotBuckets = simhashHotBuckets(s, dir, bands0)
+    bands0.join(broadcast(hotBuckets), Seq("band", "key"), "left_anti")
+      .select($"doc_id", $"sim", $"band", $"key")
+  }
+
+  /** METER for the simhash hot-bucket skew guard: how much recall
+    * surface the > MaxBucket cap discards on this corpus. A (doc, band)
+    * row dropped means that band can no longer witness the doc's pairs;
+    * a doc with ALL 4 bands dropped is invisible to simhash candidate
+    * generation entirely. Run this alongside dedup_simhash whenever the
+    * corpus changes (ScaleProbe prints it; DedupMeterSpec pins it on
+    * the test corpus) so the recall loss is observed, not assumed.
+    */
+  def simhashDropStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands0 = simhashBands0(s, dir)
+    val hot = simhashHotBuckets(s, dir, bands0)
+    val dropped = bands0.join(broadcast(hot), Seq("band", "key"))
+    val perDoc = bands0.select($"doc_id").distinct()
+      .join(dropped.groupBy($"doc_id").agg(count(lit(1)).as("n_dropped_bands")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_dropped_bands", lit(0L)).as("n_dropped_bands"))
+    perDoc.agg(
+      sum(when($"n_dropped_bands" > 0, 1L).otherwise(0L)).as("docs_affected"),
+      sum(when($"n_dropped_bands" === 4, 1L).otherwise(0L)).as("docs_invisible"),
+      sum($"n_dropped_bands").as("band_rows_dropped"),
+      count(lit(1)).as("docs_total"))
+  }
 
   /** Shared oracle CTE: tokenized docs → df-filtered distinct shingle
     * sets (mirrors [[shingleIndex]] exactly).
@@ -431,7 +493,9 @@ object Dedup {
         |  SELECT doc_id, sim, b AS band, (sim // CAST(2**(8*b) AS BIGINT)) % 256 AS key
         |  FROM sh, unnest([0, 1, 2, 3]) AS u(b)),
         |hot AS (
-        |  SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) > 200),
+        |  SELECT band, key FROM bands0 GROUP BY band, key
+        |  HAVING count(*) > greatest(200,
+        |    (4 * (SELECT count(*) FROM documents)) // 256)),
         |bands AS (
         |  SELECT * FROM bands0 b0
         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
