@@ -118,8 +118,105 @@ object Similarity {
 
     "ann_centroids" -> { (s, dir) => centroids(s, dir) },
 
-    "ann_quantize" -> { (s, dir) => quantize(s, dir) }
+    "ann_quantize" -> { (s, dir) => quantize(s, dir) },
+
+    // IVF with the TRAINED coarse quantizer and nprobe=2: vectors are
+    // assigned to their nearest trained centroid (full 64-dim L2,
+    // argmin with deterministic label tie-break); each probe searches
+    // the cells of its TWO nearest centroids. This is the production
+    // IVF shape — the quantizer comes from the training step
+    // (ann_centroids), not from a stored label, and multi-probe buys
+    // recall at cell-boundary probes for 2× the candidate set.
+    // Scale: centroids are a 10-row broadcast; assignment is one
+    // codegen'd zip_with fold per (vector, centroid); candidates join
+    // on the assigned cell — at 100 TB the cell id is the partition
+    // key, exactly like ann_ivf_topk.
+    "ann_ivf2_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = vecs(s, dir)
+      val va = v.join(assignments(s, dir), "vec_id")
+      // each probe's 2 nearest centroids: ord = −dist (GroupedTopK keeps
+      // the largest ords, tie → smaller id), matching the oracle's
+      // ORDER BY d, clabel
+      val pcells = centroidDists(s, dir).filter($"vec_id" < 50)
+        .groupBy($"vec_id")
+        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), 2).as("top"))
+        .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
+      val probes = v.filter($"vec_id" < 50)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+        .join(pcells, "probe")
+      val pairs = va.join(broadcast(probes),
+        $"alabel" === $"pcell" && $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      topk(pairs, 5)
+    },
+
+    // Embedding near-dup blocked by the TRAINED centroid assignment
+    // (closing the loop the label-blocked dedup_emb_cos documents): the
+    // blocking key comes from the IVF training step, so the operator is
+    // self-contained on corpora with no curated labels — the realistic
+    // 100 TB case. Same candidate discipline: pairs only within a cell.
+    "dedup_emb_cos_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val va = Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
+        .join(assignments(s, dir), "vec_id")
+      va.select($"vec_id".as("ia"), $"embedding".as("ea"), $"norm2".as("na"), $"alabel")
+        .join(va.select($"vec_id".as("ib"), $"embedding".as("eb"), $"norm2".as("nb"), $"alabel"), "alabel")
+        .filter($"ia" < $"ib")
+        .withColumn("cos", dot($"ea", $"eb") / sqrt($"na" * $"nb"))
+        .filter($"cos" >= 0.4)
+        .select($"ia", $"ib", round($"cos", 6).as("cos"))
+        .orderBy($"ia", $"ib")
+    }
   )
+
+  /** Trained centroid vectors: per-label mean over all dims (the full-
+    * width version of [[centroids]]; same exact-DECIMAL summation so the
+    * result is partition-order independent), re-assembled into an
+    * ordered array — a 10-row broadcast table.
+    */
+  private def centroidVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        c => c.getField("m")).as("cv"))
+      .select($"label".as("clabel"), $"cv")
+  }
+
+  /** Squared L2 distance of every vector to every trained centroid:
+    * one sequential zip_with fold in DOUBLE per pair (same order as the
+    * oracle's list_reduce), against the broadcast centroid table.
+    */
+  private def centroidDists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding")
+      .crossJoin(broadcast(centroidVectors(s, dir)))
+      .withColumn("d", aggregate(
+        zip_with($"embedding", $"cv",
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .select($"vec_id", $"clabel", $"d")
+  }
+
+  /** Nearest-centroid assignment (the IVF cell of each vector); ties
+    * break to the smaller label via lexicographic struct min.
+    */
+  private def assignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    centroidDists(s, dir)
+      .groupBy($"vec_id")
+      .agg(min(struct($"d", $"clabel")).as("m"))
+      .select($"vec_id", $"m.clabel".as("alabel"))
+  }
 
   /** IVF "training" step: per-cluster centroids. Sums run in
     * DECIMAL(27,10) — exact and associative, so the result is identical
@@ -195,10 +292,78 @@ object Similarity {
        |SELECT probe, rank, neighbor, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $k ORDER BY probe, rank""".stripMargin
 
+  /** Oracle CTEs for the trained quantizer (appended after [[VecCte]]):
+    * full-width centroids with the exact-DECIMAL mean, per-pair squared
+    * L2 via the same sequential double fold, argmin assignment with
+    * label tie-break.
+    */
+  private val TrainedAsgCte =
+    """cde AS (
+      |  SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 200)) AS i) p
+      |  WHERE i <= len(embedding)),
+      |cm AS (
+      |  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM cde GROUP BY label, pos),
+      |carr AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
+      |dist AS (
+      |  SELECT v.vec_id, c.clabel,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(v.embedding) + 1),
+      |        i -> (v.embedding[i]::DOUBLE - c.cv[i]) * (v.embedding[i]::DOUBLE - c.cv[i]))),
+      |      (a, b) -> a + b) AS d
+      |  FROM v, carr c),
+      |asg AS (
+      |  SELECT vec_id, clabel AS alabel FROM (
+      |    SELECT vec_id, clabel,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+      |    FROM dist) WHERE rn = 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ann_topk" -> oracleFor(25, "TRUE", 10),
     "ann_ivf_topk" -> oracleFor(50, "v.label = p.plabel", 5),
     "ann_lsh_topk" -> oracleFor(50, "v.bucket = p.pbucket", 5),
+
+    "ann_ivf2_topk" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |pcell AS (
+         |  SELECT vec_id AS probe, clabel AS pcell FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+         |    FROM dist WHERE vec_id < 50) WHERE rn <= 2),
+         |probes AS (
+         |  SELECT p.probe, p.pcell, v.embedding AS pe, v.norm2 AS pn
+         |  FROM pcell p JOIN v ON v.vec_id = p.probe),
+         |pairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN asg a ON a.vec_id = v.vec_id
+         |  JOIN probes p ON a.alabel = p.pcell AND v.vec_id <> p.probe),
+         |ranked AS (
+         |  SELECT probe, neighbor, cos,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM pairs)
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    "dedup_emb_cos_ivf" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(a.embedding) + 1),
+         |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(a.norm2 * b.norm2) AS cos
+         |  FROM v a JOIN asg sa ON sa.vec_id = a.vec_id
+         |  JOIN v b ON a.vec_id < b.vec_id
+         |  JOIN asg sb ON sb.vec_id = b.vec_id AND sb.alabel = sa.alabel)
+         |SELECT ia, ib, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
+         |ORDER BY ia, ib""".stripMargin,
 
     "ann_centroids" ->
       """WITH e AS (
