@@ -191,8 +191,65 @@ object TextAnalysis {
             lit(0L),
             (acc, h) => (acc * 1000003L + h) % 2147483647L).as("fp_roll"))
         .orderBy($"doc_id")
+    },
+
+    // Intra-document repetition scoring (the Gopher-style duplicate
+    // n-gram fraction quality signal): fraction of word 3-grams that are
+    // repeats within the same document. Pure narrow projection per doc —
+    // no shuffle, fully codegen'd.
+    "tx_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val grams = wordGrams($"text", 3)
+      Tables(s, dir).documents
+        .select($"doc_id",
+          size(grams).as("n_grams"),
+          size(array_distinct(grams)).as("n_distinct"))
+        .select($"doc_id", $"n_grams", $"n_distinct",
+          round(($"n_grams" - $"n_distinct").cast("double")
+            / nullif($"n_grams", lit(0)), 6).as("dup_ratio"))
+        .orderBy($"doc_id")
+    },
+
+    // Train/eval DECONTAMINATION: flag training documents sharing any
+    // word 4-gram with the held-out set (here: doc_id % 97 == 0, a
+    // deterministic stand-in for a benchmark suite). The classic
+    // benchmark-leak sweep every pretraining run needs. Scale shape:
+    // the eval side's distinct 8-grams are SMALL (benchmarks are tiny
+    // next to the corpus) → broadcast semi-join against the training
+    // side's exploded grams; the corpus is scanned once, nothing
+    // pairwise. At 100 TB you'd hash the grams to 64-bit before the
+    // broadcast (same plan, smaller build side).
+    "tx_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      // 4-grams here because the synthetic corpus has high n-gram
+      // entropy (8-gram overlap is empty at some SFs); a production run
+      // uses 8-13-gram windows — same plan, one constant.
+      val grams = array_distinct(wordGrams($"text", 4))
+      val g = Tables(s, dir).documents
+        .select($"doc_id", explode(grams).as("g"))
+      val evalGrams = g.filter($"doc_id" % 97 === 0).select($"g").distinct()
+      val train = g.filter($"doc_id" % 97 =!= 0)
+      val sizes = Tables(s, dir).documents
+        .filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", size(grams).as("n_grams"))
+      train.join(broadcast(evalGrams), "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared")) // grams are per-doc distinct
+        .join(sizes, "doc_id")
+        .select($"doc_id", $"n_shared", $"n_grams",
+          round($"n_shared".cast("double") / $"n_grams", 6).as("overlap_ratio"))
+        .orderBy($"doc_id")
     }
   )
+
+  /** Word n-grams of the whitespace tokens (ordered, with repeats). */
+  private def wordGrams(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
 
   private def stopList(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString("(", ",", ")")
@@ -223,6 +280,46 @@ object TextAnalysis {
   }
 
   def oracle: Map[String, String] = Map(
+    "tx_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END AS gs
+        |  FROM t)
+        |SELECT doc_id, len(gs) AS n_grams, len(list_distinct(gs)) AS n_distinct,
+        |  round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+        |    / nullif(len(gs), 0), 6) AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "tx_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+        |    THEN list_transform(range(1, len(toks) - 2),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |              toks[i+3])
+        |    ELSE [] END) AS gs
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |shared AS (
+        |  SELECT tr.doc_id, count(*) AS n_shared
+        |  FROM g tr JOIN ev ON tr.g = ev.g
+        |  WHERE tr.doc_id % 97 <> 0 GROUP BY tr.doc_id),
+        |sz AS (SELECT doc_id, len(gs) AS n_grams FROM g0 WHERE doc_id % 97 <> 0)
+        |SELECT s.doc_id, s.n_shared, z.n_grams,
+        |  round(CAST(s.n_shared AS DOUBLE) / z.n_grams, 6) AS overlap_ratio
+        |FROM shared s JOIN sz z ON z.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     "tx_curation_pipeline" ->
       s"""WITH docs AS (
          |  SELECT doc_id, lang, text, md5(text) AS fp FROM documents),
