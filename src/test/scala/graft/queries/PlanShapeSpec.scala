@@ -50,6 +50,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.length < 4000, s"plan grew to ${p.length} chars — lineage not truncated")
   }
 
+  test("ann_ivf2 assigns cells by aggregate argmin, probes via bounded heap — no window") {
+    val p = plan("ann_ivf2_topk")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("grouped_topk"), "2-nearest-cell probe should use the bounded heap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid table should broadcast")
+  }
+
+  test("kv_migration broadcasts the config table and the epoch scalar") {
+    val p = plan("kv_migration")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx_decontaminate broadcasts the eval gram set") {
+    val p = plan("tx_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("tx_repetition is a shuffle-free narrow projection") {
+    val p = plan("tx_repetition")
+    // the only exchange allowed is the final presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected shuffles in tx_repetition: ${p.take(2000)}")
+    assert(!p.contains("Join"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
