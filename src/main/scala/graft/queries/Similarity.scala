@@ -153,6 +153,47 @@ object Similarity {
       topk(pairs, 5)
     },
 
+    // Two-stage RETRIEVE → RESCORE in the int8-quantized domain: stage 1
+    // ranks every (probe, vector) pair by the cosine reconstructed from
+    // int8 codes (the cheap pass — at scale int8 dots are 4× smaller
+    // memory traffic and SIMD-friendly; here the integer dot is exact
+    // BIGINT arithmetic, portable to the oracle bit-for-bit), keeps the
+    // top-20 candidates per probe via the bounded heap, then stage 2
+    // rescores ONLY those 20 with the exact float cosine and emits the
+    // top-5. The standard serving pattern over a quantized index:
+    // full-precision vectors are touched for 20 candidates, not the
+    // whole corpus.
+    "ann_quantized_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val absMax = aggregate(
+        transform($"embedding", x => abs(x.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x))
+      val v = vecs(s, dir)
+        .withColumn("vmax", absMax)
+        .withColumn("qv", transform($"embedding",
+          x => round(x.cast("double") * 127.0 / $"vmax").cast("long")))
+      val probes = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"),
+          $"vmax".as("pmax"), $"qv".as("pq"))
+      val approx = v.join(broadcast(probes), $"vec_id" =!= $"probe")
+        .withColumn("dotq", aggregate(
+          zip_with($"pq", $"qv", (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .withColumn("approx",
+          ($"dotq".cast("double") * $"pmax" * $"vmax" / (127.0 * 127.0))
+            / sqrt($"pn" * $"norm2"))
+      val cand = approx
+        .groupBy($"probe")
+        .agg(graft.functions.GroupedTopK.groupedTopK($"approx", $"vec_id", 20).as("top"))
+        .select($"probe", explode($"top.id").as("neighbor"))
+      val pairs = cand
+        .join(v.select($"vec_id".as("neighbor"), $"embedding", $"norm2"), "neighbor")
+        .join(broadcast(probes.select($"probe", $"pe", $"pn")), "probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"neighbor", $"cos")
+      topk(pairs, 5)
+    },
+
     // Embedding near-dup blocked by the TRAINED centroid assignment
     // (closing the loop the label-blocked dedup_emb_cos documents): the
     // blocking key comes from the IVF training step, so the operator is
@@ -343,6 +384,50 @@ object Similarity {
          |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
          |  FROM v JOIN asg a ON a.vec_id = v.vec_id
          |  JOIN probes p ON a.alabel = p.pcell AND v.vec_id <> p.probe),
+         |ranked AS (
+         |  SELECT probe, neighbor, cos,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM pairs)
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    "ann_quantized_topk" ->
+      s"""$VecCte,
+         |q AS (
+         |  SELECT vec_id, embedding, norm2,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(embedding, x -> abs(x::DOUBLE))),
+         |      (a, b) -> greatest(a, b)) AS vmax
+         |  FROM v),
+         |qq AS (
+         |  SELECT vec_id, embedding, norm2, vmax,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 127.0 / vmax) AS BIGINT)) AS qv
+         |  FROM q),
+         |probes AS (
+         |  SELECT vec_id AS probe, embedding AS pe, norm2 AS pn,
+         |         vmax AS pmax, qv AS pq
+         |  FROM qq WHERE vec_id < 25),
+         |approx AS (
+         |  SELECT p.probe, t.vec_id AS neighbor, t.embedding, t.norm2,
+         |    (list_reduce(list_prepend(0::BIGINT,
+         |       list_transform(range(1, len(p.pq) + 1),
+         |         i -> p.pq[i] * t.qv[i])),
+         |       (a, b) -> a + b)::DOUBLE * p.pmax * t.vmax / (127.0 * 127.0))
+         |      / sqrt(p.pn * t.norm2) AS approx
+         |  FROM qq t JOIN probes p ON t.vec_id <> p.probe),
+         |cand AS (
+         |  SELECT probe, neighbor, embedding, norm2 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY probe ORDER BY approx DESC, neighbor) AS arn
+         |    FROM approx) WHERE arn <= 20),
+         |pairs AS (
+         |  SELECT c.probe, c.neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * c.norm2) AS cos
+         |  FROM cand c JOIN probes p ON p.probe = c.probe),
          |ranked AS (
          |  SELECT probe, neighbor, cos,
          |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
