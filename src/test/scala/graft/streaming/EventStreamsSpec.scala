@@ -86,6 +86,31 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.Session(2L, t(10, 5), t(10, 5), 1L)))
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-deliveries with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    // Spark's native streaming dedup: state for a key is retained only
+    // within the watermark window — the bounded-state alternative to
+    // KvStream's per-client high-water marks when ops carry event time.
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val deduped = in.toDS().toDF("ts", "event_id", "payload")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData((t(10, 0), 1L, "a"), (t(10, 1), 1L, "a-dup"), (t(10, 2), 2L, "b"))
+    q.processAllAvailable()
+    in.addData((t(10, 30), 1L, "a-redelivery")) // still inside the window
+    q.processAllAvailable()
+    in.addData((t(14, 0), 3L, "c")) // advances watermark, ages out state
+    q.processAllAvailable()
+
+    val ids = spark.table("dedup_wm").select($"event_id").as[Long]
+      .collect().toSeq.sorted
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("streaming sessionization agrees with batch gap-splitting on a replayed log") {
     implicit val sqlCtx = spark.sqlContext
     // deterministic multi-user log, replayed through the streaming
