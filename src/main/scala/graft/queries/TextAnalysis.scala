@@ -225,17 +225,24 @@ object TextAnalysis {
       // entropy (8-gram overlap is empty at some SFs); a production run
       // uses 8-13-gram windows — same plan, one constant.
       val grams = array_distinct(wordGrams($"text", 4))
-      val g = Tables(s, dir).documents
-        .select($"doc_id", explode(grams).as("g"))
-      val evalGrams = g.filter($"doc_id" % 97 === 0).select($"g").distinct()
-      val train = g.filter($"doc_id" % 97 =!= 0)
-      val sizes = Tables(s, dir).documents
+      // eval docs are filtered BEFORE gram construction (the held-out
+      // set is tiny — tokenize only it), and the training side is
+      // tokenized exactly ONCE: membership arrives as a broadcast left
+      // join, and one aggregation produces both the per-doc gram count
+      // and the hit count. One corpus pass, one shuffle on doc_id.
+      val evalGrams = Tables(s, dir).documents
+        .filter($"doc_id" % 97 === 0)
+        .select(explode(grams).as("g")).distinct()
+        .withColumn("hit", lit(1L))
+      Tables(s, dir).documents
         .filter($"doc_id" % 97 =!= 0)
-        .select($"doc_id", size(grams).as("n_grams"))
-      train.join(broadcast(evalGrams), "g")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(grams).as("g"))
+        .join(broadcast(evalGrams), Seq("g"), "left")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shared")) // grams are per-doc distinct
-        .join(sizes, "doc_id")
+        .agg(count(lit(1)).as("n_grams"), // grams are per-doc distinct
+          sum(coalesce($"hit", lit(0L))).as("n_shared"))
+        .filter($"n_shared" > 0)
         .select($"doc_id", $"n_shared", $"n_grams",
           round($"n_shared".cast("double") / $"n_grams", 6).as("overlap_ratio"))
         .orderBy($"doc_id")
