@@ -316,6 +316,30 @@ object Analytics {
         .orderBy($"c_custkey")
     },
 
+    // Array-function surface: per-order quantity arrays (deterministic
+    // order via linenumber sort) reduced to scalars — element access,
+    // min/max, distinct, membership, and a sequential 3-element fold.
+    // Arrays never reach the output (cross-engine stringification
+    // differs); only scalar reductions do.
+    "q_array_fns" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_orderkey")
+        .agg(transform(
+          array_sort(collect_list(struct($"l_linenumber".as("ln"), $"l_quantity".as("q")))),
+          x => x.getField("q")).as("qs"))
+        .select($"l_orderkey",
+          size($"qs").cast("long").as("n"),
+          element_at($"qs", 1).as("first_q"),
+          element_at($"qs", -1).as("last_q"),
+          array_max($"qs").as("max_q"),
+          array_min($"qs").as("min_q"),
+          size(array_distinct($"qs")).cast("long").as("n_distinct"),
+          array_contains($"qs", 50.0).cast("int").as("has50"),
+          aggregate(slice($"qs", 1, 3), lit(0.0), (a, b) => a + b).as("head3_sum"))
+        .orderBy($"l_orderkey")
+    },
+
     // Math-function surface (IEEE-exact operations only — sqrt, abs,
     // ceil/floor, sign, fmod are bit-identical across engines; exp/ln
     // style libm functions are not and are used only under rounding, as
@@ -667,6 +691,24 @@ object Analytics {
         |  ltrim(rtrim('  ' || c_name || '  ')) AS trimmed,
         |  repeat(substring(c_name, 1, 2), 2) AS rep2
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_array_fns" ->
+      """WITH a AS (
+        |  -- tie-break by quantity: the synthetic lineitem repeats
+        |  -- l_linenumber within an order (matches the Spark side's
+        |  -- (ln, q) struct sort)
+        |  SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  len(qs) AS n,
+        |  qs[1] AS first_q,
+        |  qs[-1] AS last_q,
+        |  list_max(qs) AS max_q,
+        |  list_min(qs) AS min_q,
+        |  CAST(len(list_distinct(qs)) AS BIGINT) AS n_distinct,
+        |  CAST(list_contains(qs, 50.0) AS INTEGER) AS has50,
+        |  list_reduce(list_prepend(0.0::DOUBLE, qs[1:3]), (a, b) -> a + b) AS head3_sum
+        |FROM a ORDER BY l_orderkey""".stripMargin,
 
     "q_math_fns" ->
       """SELECT event_id,
