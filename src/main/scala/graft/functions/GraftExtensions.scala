@@ -7,13 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** SparkSessionExtensions hook: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
   * `spark.sql.extensions=graft.functions.GraftExtensions`) get the
-  * library's native functions registered in the SQL function registry at
+  * library's native functions registered in the SQL function registry
+  * and the [[graft.plans.WindowTopKRewrite]] optimizer rule installed at
   * session build — no per-session imperative registration.
   *
-  * This is the (c)-tier extension point of the build brief; the library
-  * needs only `injectFunction` today (no custom Rule/Strategy — every
-  * operator's semantics are expressible in existing plans, SURVEY §4.2),
-  * but this is where they would plug in.
+  * This is the (c)-tier extension point of the build brief: functions
+  * via `injectFunction`, plan rewrites via `injectOptimizerRule`. No
+  * custom Strategy/SparkPlan — every operator's PHYSICAL semantics are
+  * expressible in existing plans (SURVEY §4.2); the rewrite only
+  * re-targets an existing logical shape onto the bounded-heap aggregate.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fnv1a32"),
       new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
       (children: Seq[Expression]) => Fnv1a32(children.head)))
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
