@@ -36,13 +36,33 @@ import graft.functions.GroupedTopK
   *  - the Project references only grouping attributes, ord, id and rn
   *    (the aggregate carries nothing else through the shuffle).
   *
+  * MEASURED trade (TopKProbe, 20M rows, local[32], k=5): the rewrite
+  * wins on DEEP groups — 100 groups × 200k rows: 0.86 s vs 1.34 s
+  * (sort O(n log n) → heap O(n log k)) — and loses on many-group
+  * shapes — 100k groups: 3.6 s vs 1.9 s; 1M groups: 3.0 s vs 1.9 s —
+  * where Spark 4's InferWindowGroupLimit already prunes the sort and
+  * shuffle to ~k rows per group per partition and the codegen'd sort
+  * beats ObjectHashAggregate's per-group heap objects. Group
+  * cardinality isn't knowable at optimization time without stats, so
+  * the rule is CONFIG-GATED, default off:
+  *
+  *   spark.conf.set("spark.graft.windowTopKRewrite.enabled", "true")
+  *
   * Registered via [[graft.functions.GraftExtensions]]
   * (`injectOptimizerRule`) or per-session with
-  * `spark.experimental.extraOptimizations`.
+  * `spark.experimental.extraOptimizations`; either way it no-ops until
+  * the flag is set.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  val EnabledKey = "spark.graft.windowTopKRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    rewritePlan(plan)
+  }
+
+  private def rewritePlan(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
           Filter(cond,
             w @ Window(

@@ -31,8 +31,20 @@ class WindowTopKRewriteSpec extends SparkSpec {
 
   private def withRule[T](body: => T): T = {
     spark.experimental.extraOptimizations = Seq(WindowTopKRewrite)
+    spark.conf.set(WindowTopKRewrite.EnabledKey, "true")
     try body
-    finally spark.experimental.extraOptimizations = Nil
+    finally {
+      spark.conf.unset(WindowTopKRewrite.EnabledKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("the rule is config-gated: installed but disabled leaves plans alone") {
+    spark.experimental.extraOptimizations = Seq(WindowTopKRewrite)
+    try {
+      val plan = windowTopK(data, 3).queryExecution.executedPlan.toString
+      assert(plan.contains("Window") && !plan.contains("grouped_topk"))
+    } finally spark.experimental.extraOptimizations = Nil
   }
 
   test("eligible pattern rewrites to grouped_topk and drops the Window") {
