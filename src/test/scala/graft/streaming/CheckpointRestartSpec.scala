@@ -45,4 +45,44 @@ class CheckpointRestartSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got == (0L until 150L).map(i => (i, i * 2)).toSeq) // each exactly once
   }
+
+  test("sessionize state and timeouts survive a checkpoint restart") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sess_ckpt").toString
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    Files.createDirectories(Paths.get(in))
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def writeBatch(rows: Seq[(Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user_id").coalesce(1).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("ts TIMESTAMP, user_id LONG")
+        .parquet(in)
+      val q = EventStreams.sessionize(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // run 1: user 1's session opens (no output yet — still open)
+    writeBatch(Seq((t(10, 0), 1L), (t(10, 20), 1L)))
+    runOnce()
+    // run 2 (fresh query from the checkpoint): the open session's state
+    // AND its armed event-time timeout must be restored — the far-future
+    // event advances the watermark past last+gap and closes it
+    writeBatch(Seq((t(14, 0), 99L)))
+    runOnce()
+    writeBatch(Seq((t(23, 0), 98L))) // flush user 99's singleton too
+    runOnce()
+
+    val sessions = spark.read.parquet(out).as[EventStreams.Session]
+      .collect().filter(_.user_id == 1L).toSeq
+    assert(sessions == Seq(EventStreams.Session(1L, t(10, 0), t(10, 20), 2L)))
+  }
 }
