@@ -42,6 +42,7 @@ object ScaleProbe {
     // the corpus at `out` was just (re)written — drop any memoized
     // indexes a previous run of this session may hold for the same path
     graft.queries.Dedup.clearCaches()
+    graft.queries.Similarity.clearCaches()
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf")

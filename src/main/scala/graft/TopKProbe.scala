@@ -25,13 +25,15 @@ object TopKProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // deterministic synthetic: g in [0, groups), score pseudo-random via
-    // a wrapping multiplicative hash. score must stay NON-NULLABLE for
-    // the rewrite's guard, so no Divide/Remainder in its lineage
-    // (Spark marks those nullable regardless of operands).
+    // deterministic synthetic: g in [0, groups), score genuinely
+    // pseudo-random via xxhash64 (a multiplicative "hash" never wraps at
+    // these magnitudes and would leave score monotone in id — a
+    // degenerate best/worst case for the two plans). score must stay
+    // NON-NULLABLE for the rewrite's guard, so no Divide/Remainder in
+    // its lineage (Spark marks those nullable regardless of operands).
     def base = spark.range(rows).select(
       ($"id" % groups).as("g"),
-      ($"id" * 2654435761L).cast("double").as("score"),
+      xxhash64($"id").cast("double").as("score"),
       $"id")
 
     def query = {

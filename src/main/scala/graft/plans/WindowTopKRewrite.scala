@@ -36,13 +36,14 @@ import graft.functions.GroupedTopK
   *  - the Project references only grouping attributes, ord, id and rn
   *    (the aggregate carries nothing else through the shuffle).
   *
-  * MEASURED trade (TopKProbe, 20M rows, local[32], k=5): the rewrite
-  * wins on DEEP groups — 100 groups × 200k rows: 0.86 s vs 1.34 s
-  * (sort O(n log n) → heap O(n log k)) — and loses on many-group
-  * shapes — 100k groups: 3.6 s vs 1.9 s; 1M groups: 3.0 s vs 1.9 s —
-  * where Spark 4's InferWindowGroupLimit already prunes the sort and
-  * shuffle to ~k rows per group per partition and the codegen'd sort
-  * beats ObjectHashAggregate's per-group heap objects. Group
+  * MEASURED trade (TopKProbe, 20M rows, local[32], k=5, xxhash64
+  * scores): the rewrite wins on DEEP groups — 100 groups × 200k rows:
+  * 0.74 s vs 1.78 s, ~2.4× (sort O(n log n) → heap O(n log k)) — and
+  * loses badly on many-group shapes — 100k groups: 13.7 s vs 1.8 s;
+  * 1M groups: 2.9 s vs 2.2 s — where Spark 4's InferWindowGroupLimit
+  * already prunes the sort and shuffle to ~k rows per group per
+  * partition and the codegen'd sort beats ObjectHashAggregate's
+  * per-group heap objects + buffer serialization. Group
   * cardinality isn't knowable at optimization time without stats, so
   * the rule is CONFIG-GATED, default off:
   *

@@ -368,7 +368,10 @@ object Dedup {
     */
   def simhashDropStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands0 = simhashBands0(s, dir)
+    // three consumers below (hot-bucket agg, dropped join, per-doc
+    // distinct) — materialize the expensive band pipeline once instead
+    // of re-running tokenize+hash per branch
+    val bands0 = simhashBands0(s, dir).localCheckpoint()
     val hot = simhashHotBuckets(s, dir, bands0)
     val dropped = bands0.join(broadcast(hot), Seq("band", "key"))
     val perDoc = bands0.select($"doc_id").distinct()

@@ -232,24 +232,45 @@ object Similarity {
       .select($"label".as("clabel"), $"cv")
   }
 
+  /** Session-scoped memo of the persisted (vector × centroid) distance
+    * table: ann_ivf2_topk consumes it on both join sides (assignments +
+    * probe cells) and dedup_emb_cos_ivf self-joins its derivation —
+    * without the memo, centroid TRAINING and the O(vectors × centroids
+    * × dims) distance fold re-run per consumer. Same staged-index
+    * pattern as [[Dedup.indexCache]]; the trained IVF index is exactly
+    * the artifact a production pipeline writes once per corpus.
+    */
+  private val distCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop and unpersist memoized distance tables (inputs rewritten). */
+  def clearCaches(): Unit = {
+    distCache.values.foreach(_.unpersist())
+    distCache.clear()
+  }
+
   /** Squared L2 distance of every vector to every trained centroid:
     * one sequential zip_with fold in DOUBLE per pair (same order as the
     * oracle's list_reduce), against the broadcast centroid table.
+    * Memoized + persisted per (session, corpus).
     */
-  private def centroidDists(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir).embeddings
-      .select($"vec_id", $"embedding")
-      .crossJoin(broadcast(centroidVectors(s, dir)))
-      .withColumn("d", aggregate(
-        zip_with($"embedding", $"cv",
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0), (acc, x) => acc + x))
-      .select($"vec_id", $"clabel", $"d")
-  }
+  private def centroidDists(s: SparkSession, dir: String): DataFrame =
+    distCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding")
+        .crossJoin(broadcast(centroidVectors(s, dir)))
+        .withColumn("d", aggregate(
+          zip_with($"embedding", $"cv",
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .select($"vec_id", $"clabel", $"d")
+        .persist()
+    })
 
   /** Nearest-centroid assignment (the IVF cell of each vector); ties
-    * break to the smaller label via lexicographic struct min.
+    * break to the smaller label via lexicographic struct min — a cheap
+    * aggregate over the memoized distance table.
     */
   private def assignments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
