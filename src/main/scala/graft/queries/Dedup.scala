@@ -278,6 +278,28 @@ object Dedup {
         .orderBy($"ia", $"ib")
     },
 
+    // Exact duplicated-PASSAGE detection (the substring-dedup modality
+    // of Lee et al.'s "Deduplicating Training Data Makes Language
+    // Models Better"): every 5-token rolling window, hashed BEFORE the
+    // shuffle (only a 16-hex fp + doc_id move), grouped; windows seen
+    // in ≥ 2 distinct documents are duplicated passages. Unlike the
+    // similarity family this is exact and never pairwise — one explode
+    // + one hash shuffle, skew-free (window texts are near-unique), so
+    // it scales like wordcount. At 100 TB the follow-up step (merging
+    // adjacent duplicated windows into maximal spans per doc) is a
+    // per-doc sort over the flagged windows — same dataflow shape.
+    "dedup_substring" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(TextAnalysis.wordGrams($"text", 5)).as("w"))
+        .select($"doc_id", substring(md5($"w"), 1, 16).as("fp"))
+        .groupBy($"fp")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"fp")
+    },
+
     // Embedding-cosine near-dup: blocked by the precomputed cluster
     // label (IVF-style coarse quantization, nprobe=1), pairs within a
     // block with cosine ≥ 0.4. At scale the block is the shuffle key;
@@ -473,6 +495,24 @@ object Dedup {
          |  SELECT * FROM r)
          |SELECT src AS doc_id, min(dst) AS cluster_rep
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(range(1, len(toks) - 3),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |              toks[i+3] || ' ' || toks[i+4])
+        |    ELSE [] END) AS w
+        |  FROM t)
+        |SELECT substr(md5(w), 1, 16) AS fp,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_occurrences
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY fp""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (

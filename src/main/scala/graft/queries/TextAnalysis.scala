@@ -249,8 +249,10 @@ object TextAnalysis {
     }
   )
 
-  /** Word n-grams of the whitespace tokens (ordered, with repeats). */
-  private def wordGrams(text: Column, n: Int): Column = {
+  /** Word n-grams of the whitespace tokens (ordered, with repeats).
+    * Shared with [[Dedup]]'s duplicated-passage detector.
+    */
+  private[queries] def wordGrams(text: Column, n: Int): Column = {
     val toks = wsTokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
