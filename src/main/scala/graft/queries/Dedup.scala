@@ -153,6 +153,24 @@ object Dedup {
         .orderBy($"ia", $"ib")
     },
 
+    // Containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 — the asymmetric
+    // companion to Jaccard that catches near-SUBSET duplicates (a short
+    // doc quoted inside a long one), which the symmetric ratio dilutes
+    // away on size-skewed pairs. Reuses the session-staged shingle
+    // intersection index; same single-join scale shape as jaccard.
+    "dedup_containment" -> { (s, dir) =>
+      import s.implicits._
+      val (_, sizes) = shingleIndex(s, dir)
+      interIndex(s, dir)
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .withColumn("containment",
+          $"inter".cast("double") / least($"na", $"nb"))
+        .filter($"containment" >= 0.9)
+        .select($"ia", $"ib", round($"containment", 6).as("containment"))
+        .orderBy($"ia", $"ib")
+    },
+
     // MinHash + LSH near-dup: 12 minhash permutations → 4 bands × 3 rows
     // → band-bucket join for candidates → exact-Jaccard verification at
     // ≥ 0.5. The LSH step makes candidate generation O(near-dups), not
@@ -442,6 +460,20 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = ia
          |JOIN sizes sb ON sb.doc_id = ib
          |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+         |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_containment" ->
+      s"""$ShingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ia, ib,
+         |  round(CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = ia
+         |JOIN sizes sb ON sb.doc_id = ib
+         |WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9
          |ORDER BY ia, ib""".stripMargin,
 
     "dedup_minhash_lsh" ->
