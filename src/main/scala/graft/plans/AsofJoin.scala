@@ -1,0 +1,263 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Native as-of join: for every left row, attach the single right row
+  * with equal join keys and the greatest `rightTime <= leftTime`
+  * (left-outer semantics — unmatched left rows keep null right columns;
+  * equal-time ties resolved by the greatest `rightTiebreak`).
+  *
+  * This is the (c)-tier Catalyst extension of the build brief — a whole
+  * logical operator Spark's built-ins cannot express without row
+  * amplification:
+  *
+  *  - the range-join formulation (`l.key = r.key AND r.ts <= l.ts` then
+  *    max-per-left-row) materializes every PAIR within a key before
+  *    aggregating — O(n·m) per key, quadratic on hot keys;
+  *  - the union-window trick ([[graft.queries.Analytics]] `q_asof_join`)
+  *    avoids amplification but only works when both sides share one
+  *    schema, carries both sides' full width through a single sort, and
+  *    cannot express cross-table tie semantics (`r.ts <= l.ts` including
+  *    same-timestamp rights).
+  *
+  * The physical operator instead merges the two sides the way
+  * sort-merge join does: EnsureRequirements co-partitions both children
+  * by the join keys (`ClusteredDistribution`) and sorts each partition
+  * by (keys, time) — then one forward pass per partition buffers exactly
+  * ONE right row (the current best match) and emits each left row
+  * joined to it. No pair blow-up, no per-key buffering, state = one row
+  * regardless of skew; at 100 TB the cost is exactly two shuffles (or
+  * zero, if both sides are already bucketed by key).
+  *
+  * Semantics mirror the reference's "latest state at or before T"
+  * reads (`/root/reference/src/kvraft/client.go:41-66` — a Get observes
+  * the most recent Put at or before it in the serial order), generalized
+  * to the standard time-series as-of join.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightTiebreak: Seq[Attribute])
+  extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs at least one equi-key on each side")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match pairwise")
+  require(leftTime.dataType == rightTime.dataType,
+    "as-of join time columns must share a type")
+
+  /** Left rows pass through 1:1; right columns become nullable (outer). */
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping [[AsofJoinPlan]] onto [[AsofJoinExec]].
+  * Injected via [[graft.functions.GraftExtensions]] at session build, or
+  * idempotently through `experimental.extraStrategies` by
+  * [[AsofJoinOps.asofJoin]] for sessions built without extensions.
+  */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: co-partitioned, co-sorted streaming merge.
+  *
+  * Required properties (EnsureRequirements materializes them as hash
+  * exchanges + in-partition sorts, or elides them when the child is
+  * already partitioned/sorted — e.g. bucketed tables):
+  *  - distribution: both children clustered by their join keys;
+  *  - ordering: (keys…, time) ascending; the right side additionally by
+  *    the tiebreak columns so "last match recorded wins" is
+  *    deterministic on equal timestamps.
+  *
+  * Per partition, one forward pass: for each left row (in key/time
+  * order) the right iterator advances past every row with smaller key,
+  * or equal key and `time <= leftTime`; the last equal-key row consumed
+  * is the current best match — a single buffered row, O(|L|+|R|) time,
+  * O(1) state. NULL keys and NULL times never match (SQL comparison
+  * semantics), matching the DuckDB oracle's correlated form.
+  */
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightTiebreak: Seq[Attribute])
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def keyTimeOrdering(
+      keys: Seq[Attribute], time: Attribute, rest: Seq[Attribute]): Seq[SortOrder] =
+    (keys :+ time) ++ rest map (a => SortOrder(a, Ascending))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    keyTimeOrdering(leftKeys, leftTime, Nil),
+    keyTimeOrdering(rightKeys, rightTime, rightTiebreak))
+
+  // left rows stream through 1:1, so left's partitioning and the
+  // required left ordering survive into the output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    keyTimeOrdering(leftKeys, leftTime, Nil)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched"    -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // separate projections per side: each reuses its own buffer, so a
+      // left-key row and a right-key row can be compared without copying
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+
+      new Iterator[InternalRow] {
+        // rHead stays valid until the next rIter.next() call; every row
+        // retained PAST a next() (the buffered match) is copied first.
+        private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var bestMatch: InternalRow = null
+        private var bestMatchKey: UnsafeRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lTimeRow = lTimeProj(lRow)
+          val lTimeNull = lTimeRow.isNullAt(0)
+
+          var advancing = rHead != null
+          while (advancing) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c < 0) {
+              rHead = if (rIter.hasNext) rIter.next() else null
+              advancing = rHead != null
+            } else if (c == 0 && !lTimeNull && {
+                val rt = rTimeProj(rHead)
+                !rt.isNullAt(0) && timeOrd.compare(rt, lTimeRow) <= 0
+              }) {
+              if (!lKey.anyNull) { // NULL keys never equi-match
+                bestMatch = rHead.copy()
+                bestMatchKey = lKey.copy()
+              }
+              rHead = if (rIter.hasNext) rIter.next() else null
+              advancing = rHead != null
+            } else if (c == 0 && {
+                val rt = rTimeProj(rHead); rt.isNullAt(0)
+              }) {
+              // NULL right time sorts first within the key group but can
+              // never satisfy rt <= lt: consume without recording
+              rHead = if (rIter.hasNext) rIter.next() else null
+              advancing = rHead != null
+            } else {
+              advancing = false
+            }
+          }
+
+          val matched = !lTimeNull && !lKey.anyNull && bestMatch != null &&
+            keyOrd.compare(bestMatchKey, lKey) == 0
+          if (matched) numMatched += 1
+          numOutputRows += 1
+          resultProj(joined(lRow, if (matched) bestMatch else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point for the native as-of join. */
+object AsofJoinOps {
+
+  /** `asofJoin(trades, quotes, Seq("sym" -> "sym"), "ts", "q_ts")` — for
+    * each left row, the latest right row with equal keys and
+    * `rightTime <= leftTime` (ties on time resolved toward the greatest
+    * `rightTiebreak`). Right columns come back nullable; callers rename
+    * columns beforehand if the two sides share names. Registers the
+    * planner strategy on the session idempotently, so it works on
+    * sessions built without [[graft.functions.GraftExtensions]].
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[(String, String)],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+
+    // self-join safety: if any exprId appears on both sides, re-alias the
+    // right side (Alias always mints fresh exprIds)
+    val lPlan = left.queryExecution.analyzed
+    val rightSafe =
+      if (lPlan.outputSet.intersect(right.queryExecution.analyzed.outputSet).isEmpty) right
+      else right.select(right.columns.map(c => right(c).as(c)).toIndexedSeq: _*)
+    val rPlan = rightSafe.queryExecution.analyzed
+
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+
+    GraftBridge.ofRows(spark, AsofJoinPlan(
+      lPlan, rPlan,
+      on.map(p => attr(lPlan, p._1, "left")),
+      on.map(p => attr(rPlan, p._2, "right")),
+      attr(lPlan, leftTimeCol, "left"),
+      attr(rPlan, rightTimeCol, "right"),
+      rightTiebreak.map(attr(rPlan, _, "right"))))
+  }
+
+  /** Idempotently add [[GraftStrategy]] to the session's planner. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategy
+}
