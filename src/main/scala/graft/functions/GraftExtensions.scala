@@ -12,10 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session build — no per-session imperative registration.
   *
   * This is the (c)-tier extension point of the build brief: functions
-  * via `injectFunction`, plan rewrites via `injectOptimizerRule`. No
-  * custom Strategy/SparkPlan — every operator's PHYSICAL semantics are
-  * expressible in existing plans (SURVEY §4.2); the rewrite only
-  * re-targets an existing logical shape onto the bounded-heap aggregate.
+  * via `injectFunction`, plan rewrites via `injectOptimizerRule`, and
+  * one whole-operator planner strategy via `injectPlannerStrategy` —
+  * [[graft.plans.GraftStrategy]] maps the native as-of join's logical
+  * node onto its streaming-merge physical operator
+  * ([[graft.plans.AsofJoinExec]]), the one operator whose physical
+  * semantics existing plans cannot express without row amplification
+  * (SURVEY §4.2's "not needed" held for everything else).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -24,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
       (children: Seq[Expression]) => Fnv1a32(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

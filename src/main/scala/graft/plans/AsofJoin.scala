@@ -153,7 +153,14 @@ case class AsofJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.length)
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // bind against nullability-ADJUSTED right attrs: unmatched left rows
+      // feed an all-null GenericInternalRow for the right side, and a
+      // projection built from the original (possibly non-nullable) attrs
+      // would codegen without null checks and emit 0/garbage instead of
+      // NULL (mirrors how SortMergeJoinExec projects from its nullable
+      // `output`, not its children's raw attributes)
+      val resultProj = UnsafeProjection.create(
+        outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
 
       new Iterator[InternalRow] {
         // rHead stays valid until the next rIter.next() call; every row

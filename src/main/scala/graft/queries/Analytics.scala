@@ -164,6 +164,29 @@ object Analytics {
         .orderBy($"event_id")
     },
 
+    // CROSS-TABLE as-of join through the native operator
+    // ([[graft.plans.AsofJoinExec]]): for each purchase, the latest click
+    // by the same user at or before the purchase (ties toward the
+    // greatest click id). The union-window trick above can't express
+    // this shape when the sides differ (here: same source, but the
+    // operator treats them as two independent relations — the general
+    // case); the native merge does it in two shuffles with O(1) state.
+    "q_asof_native" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user_id"),
+          $"ts".as("click_ts"))
+      graft.plans.AsofJoinOps.asofJoin(
+          purchases, clicks, Seq("user_id" -> "c_user_id"), "ts", "click_ts",
+          rightTiebreak = Seq("click_id"))
+        .select($"event_id", $"user_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"))
+        .orderBy($"event_id")
+    },
+
     // Set operations: union / intersect / except.
     "q_setops" -> { (s, dir) =>
       import s.implicits._
@@ -574,6 +597,15 @@ object Analytics {
         |            ROWS UNBOUNDED PRECEDING) AS signup_id
         |  FROM events WHERE event_type IN ('purchase', 'signup'))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_asof_native" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  COALESCE((SELECT c.event_id FROM events c
+        |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |              AND c.ts <= p.ts
+        |            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "q_setops" ->
       """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150),

@@ -262,10 +262,15 @@ object Dedup {
           .localCheckpoint()
         changed = updated.join(labels.withColumnRenamed("rep", "old"), "v")
           .filter($"rep" =!= $"old").count()
-        labels.unpersist()
+        // free the superseded round's checkpoint blocks explicitly:
+        // unpersist() on a localCheckpointed frame is a no-op (the blocks
+        // belong to the checkpointed RDD, not a CacheManager entry), and
+        // waiting for ContextCleaner GC pins O(rounds × |labels|) storage
+        org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
         labels = updated
         rounds += 1
       }
+      edges.unpersist(blocking = false)
       if (changed > 0)
         throw new IllegalStateException(
           s"dedup_clusters did not converge in $maxRounds rounds")

@@ -11,6 +11,29 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed LogicalPlan as a DataFrame (what every DataFrame
+    * transformation does internally via `classic.Dataset.ofRows`; needed
+    * by custom logical operators like [[graft.plans.AsofJoinPlan]]).
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the block-storage blocks behind a `localCheckpoint()`ed
+    * DataFrame. `df.unpersist()` is a no-op there — the blocks belong to
+    * the checkpointed RDD inside the plan's `LogicalRDD` leaf, not to a
+    * CacheManager entry — so iterative algorithms that checkpoint per
+    * round must free superseded rounds explicitly or pin
+    * O(rounds × |state|) storage until ContextCleaner GC.
+    */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Apply an extensions object's injected functions to a registry
     * (what session build does internally; used by tests).
     */
