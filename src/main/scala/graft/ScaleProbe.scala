@@ -35,17 +35,29 @@ object ScaleProbe {
     copies.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    // embeddings passthrough so Tables(out) resolves if needed
-    spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    // embeddings replicated m× too (each copy shifted by a tiny constant
+    // so clones are near- but not exact dups) — drives the corpus-scaled
+    // IVF quantizer past its 10-cell floor (nlistFor) and the cell meter
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val en = embBase.count()
+    (0 until m).map { k =>
+      embBase.select(
+        ($"vec_id" + lit(k * en)).as("vec_id"),
+        (if (k == 0) $"embedding"
+         else transform($"embedding", x => x + lit(k * 0.001f))).as("embedding"),
+        $"label")
+    }.reduce(_ unionAll _)
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"""{"built": "$out", "docs": ${n * m}}""")
+    println(s"""{"built": "$out", "docs": ${n * m}, "vectors": ${en * m}}""")
     // the corpus at `out` was just (re)written — drop any memoized
     // indexes a previous run of this session may hold for the same path
     graft.queries.Dedup.clearCaches()
     graft.queries.Similarity.clearCaches()
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-      "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf")
+      "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
+      "dedup_emb_cos_ivf", "ann_ivf2_topk")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
@@ -58,6 +70,13 @@ object ScaleProbe {
     println(s"""{"meter": "simhash_hot_bucket_drops", "docs_affected": ${drops.getLong(0)}, """ +
       s""""docs_invisible": ${drops.getLong(1)}, "band_rows_dropped": ${drops.getLong(2)}, """ +
       s""""docs_total": ${drops.getLong(3)}}""")
+    // IVF cell-geometry meter: observed within-cell pair count under the
+    // corpus-scaled quantizer (the all-pairs cost of dedup_emb_cos_ivf)
+    val cells = graft.queries.Similarity.embCellStats(spark, out).collect()(0)
+    println(s"""{"meter": "ivf_cells", "cells_used": ${cells.getAs[Long]("cells_used")}, """ +
+      s""""max_cell": ${cells.getAs[Long]("max_cell")}, "n_vectors": ${cells.getAs[Long]("n_vectors")}, """ +
+      s""""within_cell_pairs": ${cells.getAs[Long]("within_cell_pairs")}, """ +
+      s""""nlist_target": ${cells.getAs[Int]("nlist_target")}, "split_bits": ${cells.getAs[Int]("split_bits")}}""")
     spark.stop()
   }
 }

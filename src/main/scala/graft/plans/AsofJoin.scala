@@ -57,6 +57,15 @@ case class AsofJoinPlan(
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time columns must share a type")
+  // fail at construction, not deep inside RowOrdering at execution: the
+  // merge compares keys/times/tiebreaks, so un-orderable types (MapType)
+  // are a plan-time error with a readable message
+  for (a <- leftKeys ++ rightKeys)
+    require(RowOrdering.isOrderable(a.dataType),
+      s"as-of join key '${a.name}' has un-orderable type ${a.dataType.simpleString}")
+  for (a <- Seq(leftTime, rightTime) ++ rightTiebreak)
+    require(RowOrdering.isOrderable(a.dataType),
+      s"as-of join time/tiebreak column '${a.name}' has un-orderable type ${a.dataType.simpleString}")
 
   /** Left rows pass through 1:1; right columns become nullable (outer). */
   override def output: Seq[Attribute] =
@@ -249,9 +258,18 @@ object AsofJoinOps {
       else right.select(right.columns.map(c => right(c).as(c)).toIndexedSeq: _*)
     val rPlan = rightSafe.queryExecution.analyzed
 
+    // resolve through the session's analyzer resolver so case
+    // (in)sensitivity follows spark.sql.caseSensitive, and AMBIGUOUS
+    // names fail loudly instead of silently binding the first match
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"$side side column '$name' is ambiguous (${many.size} matches)")
+      }
 
     GraftBridge.ofRows(spark, AsofJoinPlan(
       lPlan, rPlan,
@@ -262,9 +280,18 @@ object AsofJoinOps {
       rightTiebreak.map(attr(rPlan, _, "right"))))
   }
 
-  /** Idempotently add [[GraftStrategy]] to the session's planner. */
-  def register(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(GraftStrategy))
+  /** Idempotently add [[GraftStrategy]] to the session's planner.
+    * Checks the materialized planner strategy list too, so sessions
+    * built with [[graft.functions.GraftExtensions]] (which injects the
+    * strategy via injectPlannerStrategy) don't get a duplicate; the
+    * read-modify-write on `extraStrategies` is serialized so concurrent
+    * first calls can't append twice.
+    */
+  def register(spark: SparkSession): Unit = synchronized {
+    val present = spark.experimental.extraStrategies.contains(GraftStrategy) ||
+      spark.sessionState.planner.strategies.contains(GraftStrategy)
+    if (!present)
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategy
+  }
 }

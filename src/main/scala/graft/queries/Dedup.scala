@@ -308,9 +308,9 @@ object Dedup {
     // in ≥ 2 distinct documents are duplicated passages. Unlike the
     // similarity family this is exact and never pairwise — one explode
     // + one hash shuffle, skew-free (window texts are near-unique), so
-    // it scales like wordcount. At 100 TB the follow-up step (merging
-    // adjacent duplicated windows into maximal spans per doc) is a
-    // per-doc sort over the flagged windows — same dataflow shape.
+    // it scales like wordcount. The follow-up step — merging adjacent
+    // duplicated windows into maximal spans per doc — is dedup_spans
+    // below.
     "dedup_substring" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -321,6 +321,39 @@ object Dedup {
         .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
         .filter($"n_docs" >= 2)
         .orderBy($"fp")
+    },
+
+    // Maximal duplicated SPANS: the actionable output of the substring
+    // modality (Lee et al.) — adjacent duplicated 5-token windows merged
+    // into per-doc maximal spans via gaps-and-islands (island id =
+    // pos − row_number over the doc's flagged positions). Dataflow:
+    // windows hashed pre-shuffle exactly like dedup_substring, the
+    // duplicated-fingerprint set joined back on fp (a hash-shuffle join;
+    // fp keys are near-unique so skew-free), then ONE window function
+    // partitioned by doc_id — per-doc state only, so at 100 TB the merge
+    // parallelizes across docs with no global sort.
+    "dedup_spans" -> { (s, dir) =>
+      import s.implicits._
+      val w = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          posexplode(TextAnalysis.wordGrams($"text", 5)).as(Seq("pos", "w")))
+        .select($"doc_id", $"pos", substring(md5($"w"), 1, 16).as("fp"))
+      val dupFp = w.groupBy($"fp")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"fp")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      w.join(dupFp, "fp")
+        .withColumn("grp", $"pos" - row_number().over(win))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"pos").as("p0"), max($"pos").as("p1"),
+          count(lit(1)).as("n_windows"))
+        .select($"doc_id",
+          ($"p0" + 1).cast("long").as("span_start"),
+          ($"p1" + 5).cast("long").as("span_end"),
+          $"n_windows")
+        .orderBy($"doc_id", $"span_start")
     },
 
     // Embedding-cosine near-dup: blocked by the precomputed cluster
@@ -550,6 +583,30 @@ object Dedup {
         |       count(*) AS n_occurrences
         |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY fp""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(toks) - 3)) AS pos1,
+        |    unnest(list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3] || ' ' || toks[i+4])) AS w
+        |  FROM t WHERE len(toks) >= 5),
+        |f AS (SELECT doc_id, pos1, substr(md5(w), 1, 16) AS fp FROM g),
+        |dup AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, pos1 FROM f WHERE fp IN (SELECT fp FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos1,
+        |    pos1 - row_number() OVER (PARTITION BY doc_id ORDER BY pos1) AS grp
+        |  FROM fl)
+        |SELECT doc_id, min(pos1) AS span_start, max(pos1) + 4 AS span_end,
+        |       count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (

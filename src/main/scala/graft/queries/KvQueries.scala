@@ -125,6 +125,47 @@ object KvQueries {
         .orderBy($"config_num", $"gid")
     },
 
+    // K6 re-route dynamics (the ErrWrongGroup retry loop,
+    // shardkv/client.go:102-130): the clerk caches a config and only
+    // re-queries the master AFTER a wrong-group rejection — so an op
+    // issued in epoch e carries the config of epoch e−1 (for e = 0 the
+    // cache is already current). If its shard moved between the two
+    // configs, the first attempt hits the OLD owner, is rejected with
+    // ErrWrongGroup, the clerk fetches the latest config, and the retry
+    // lands on the current owner — one extra hop per moved shard, the
+    // batch analogue of live re-routing under reconfiguration. Output
+    // per (config, serving group): ops served, ops that arrived via
+    // re-route, and wrong first-attempts the group rejected.
+    // Scale: same shape as kv_migration — window dedup, broadcast scalar
+    // epoch threshold, two 40-row broadcast config joins.
+    "kv_reroute" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ops = KvOps.opLog(s, dir).toDF()
+      val w = Window.partitionBy($"clientId", $"clientSeq").orderBy($"seq")
+      val deduped = ops.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+      val mx = deduped.agg(max($"clientSeq").as("mx"))
+      val routed = deduped
+        .crossJoin(broadcast(mx))
+        .withColumn("epoch",
+          least(lit(3), expr("clientSeq * 4 div (mx + 1)")).cast("int"))
+        .withColumn("shard",
+          (ascii(substring($"key", 1, 1)) % Sharding.NShards).cast("int"))
+        .join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
+        .join(broadcast(staleConfigEpochs(s)), Seq("epoch", "shard"))
+      val served = routed.groupBy($"config_num", $"gid")
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when($"gid" =!= $"stale_gid", 1L).otherwise(0L)).as("n_rerouted"))
+      val wrong = routed.filter($"gid" =!= $"stale_gid")
+        .groupBy($"config_num", $"stale_gid".as("gid"))
+        .agg(count(lit(1)).as("n_wrong_first"))
+      served.join(wrong, Seq("config_num", "gid"), "left")
+        .select($"config_num", $"gid", $"n_ops", $"n_rerouted",
+          coalesce($"n_wrong_first", lit(0L)).as("n_wrong_first"))
+        .orderBy($"config_num", $"gid")
+    },
+
     // K6 state handoff: per-key final owner after the config evolution.
     // The key's replayed state (the typed secondary-sort fold) survives
     // every ownership change — what the reference's shard migration
@@ -156,6 +197,20 @@ object KvQueries {
     Sharding.scriptedHistory.drop(1).zipWithIndex.flatMap { case (c, e) =>
       c.shards.zipWithIndex.map { case (gid, shard) => (e, c.num, shard, gid) }
     }.toDF("epoch", "config_num", "shard", "gid")
+  }
+
+  /** The clerk's CACHED (one-epoch-stale) shard map per epoch: epoch e's
+    * rows carry the gid from config c(e) — i.e. the previous epoch's
+    * assignment — except e = 0 where the cache is already current
+    * (shardkv/client.go:68-71: the clerk holds the last config it
+    * fetched and only refreshes after ErrWrongGroup).
+    */
+  private def staleConfigEpochs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Sharding.scriptedHistory.drop(1).zipWithIndex.flatMap { case (_, e) =>
+      val cached = Sharding.scriptedHistory(math.max(1, e))
+      cached.shards.zipWithIndex.map { case (gid, shard) => (e, shard, gid) }
+    }.toDF("epoch", "shard", "stale_gid")
   }
 
   def oracle: Map[String, String] = Map(
@@ -231,6 +286,34 @@ object KvQueries {
          |       count(DISTINCT r.shard) AS n_shards
          |FROM r JOIN cfg ON r.epoch = cfg.epoch AND r.shard = cfg.shard
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "kv_reroute" ->
+      s"""$OpsCte,
+         |mx AS (SELECT max(clientSeq) AS mx FROM a),
+         |$CfgCte,
+         |r AS (
+         |  SELECT key,
+         |    least(3, (clientSeq * 4) // ((SELECT mx FROM mx) + 1)) AS epoch,
+         |    ascii(substring(key, 1, 1)) % ${Sharding.NShards} AS shard
+         |  FROM a),
+         |rt AS (
+         |  SELECT r.epoch, cur.config_num, cur.gid, st.gid AS stale_gid
+         |  FROM r
+         |  JOIN cfg cur ON cur.epoch = r.epoch AND cur.shard = r.shard
+         |  JOIN cfg st ON st.epoch = greatest(0, r.epoch - 1) AND st.shard = r.shard),
+         |srv AS (
+         |  SELECT config_num, gid, count(*) AS n_ops,
+         |    CAST(sum(CASE WHEN gid <> stale_gid THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rerouted
+         |  FROM rt GROUP BY 1, 2),
+         |wr AS (
+         |  SELECT config_num, stale_gid AS gid, count(*) AS n_wrong_first
+         |  FROM rt WHERE gid <> stale_gid GROUP BY 1, 2)
+         |SELECT s.config_num, s.gid, s.n_ops, s.n_rerouted,
+         |       COALESCE(w.n_wrong_first, 0::BIGINT) AS n_wrong_first
+         |FROM srv s LEFT JOIN wr w
+         |  ON w.config_num = s.config_num AND w.gid = s.gid
+         |ORDER BY 1, 2""".stripMargin,
 
     "kv_migration_owner" ->
       s"""$OpsCte,

@@ -127,10 +127,10 @@ object Similarity {
     // IVF shape — the quantizer comes from the training step
     // (ann_centroids), not from a stored label, and multi-probe buys
     // recall at cell-boundary probes for 2× the candidate set.
-    // Scale: centroids are a 10-row broadcast; assignment is one
-    // codegen'd zip_with fold per (vector, centroid); candidates join
-    // on the assigned cell — at 100 TB the cell id is the partition
-    // key, exactly like ann_ivf_topk.
+    // Scale: centroids are a nlistFor(n) ∝ √n row broadcast; assignment
+    // is one codegen'd zip_with fold per (vector, centroid); candidates
+    // join on the assigned cell — at 100 TB the cell id is the
+    // partition key, exactly like ann_ivf_topk.
     "ann_ivf2_topk" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -194,6 +194,53 @@ object Similarity {
       topk(pairs, 5)
     },
 
+    // The full 100 TB SERVING plan: IVF cell restriction (nprobe=2,
+    // trained quantizer) composed with the int8 retrieve→rescore
+    // two-stage pass. ann_quantized_topk demonstrated the quantized
+    // domain on a FLAT index (every vector scanned in int8);
+    // ann_ivf2_topk demonstrated cell pruning at full precision. Here
+    // the cheap int8 ranking runs only over the probe's two cells
+    // (candidate set O(corpus/nlist) — a partition-prunable scan at
+    // scale), the bounded heap keeps 20 per probe, and full-precision
+    // vectors are touched for those 20 alone.
+    "ann_ivf_quantized" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val absMax = aggregate(
+        transform($"embedding", x => abs(x.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x))
+      val v = vecs(s, dir)
+        .withColumn("vmax", absMax)
+        .withColumn("qv", transform($"embedding",
+          x => round(x.cast("double") * 127.0 / $"vmax").cast("long")))
+      val va = v.join(assignments(s, dir), "vec_id")
+      val pcells = centroidDists(s, dir).filter($"vec_id" < 25)
+        .groupBy($"vec_id")
+        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), 2).as("top"))
+        .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
+      val probes0 = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"),
+          $"vmax".as("pmax"), $"qv".as("pq"))
+      val probesC = probes0.join(pcells, "probe")
+      val approx = va.join(broadcast(probesC),
+        $"alabel" === $"pcell" && $"vec_id" =!= $"probe")
+        .withColumn("dotq", aggregate(
+          zip_with($"pq", $"qv", (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .withColumn("approx",
+          ($"dotq".cast("double") * $"pmax" * $"vmax" / (127.0 * 127.0))
+            / sqrt($"pn" * $"norm2"))
+      val cand = approx
+        .groupBy($"probe")
+        .agg(graft.functions.GroupedTopK.groupedTopK($"approx", $"vec_id", 20).as("top"))
+        .select($"probe", explode($"top.id").as("neighbor"))
+      val pairs = cand
+        .join(v.select($"vec_id".as("neighbor"), $"embedding", $"norm2"), "neighbor")
+        .join(broadcast(probes0.select($"probe", $"pe", $"pn")), "probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"neighbor", $"cos")
+      topk(pairs, 5)
+    },
+
     // Embedding near-dup blocked by the TRAINED centroid assignment
     // (closing the loop the label-blocked dedup_emb_cos documents): the
     // blocking key comes from the IVF training step, so the operator is
@@ -214,10 +261,114 @@ object Similarity {
     }
   )
 
-  /** Trained centroid vectors: per-label mean over all dims (the full-
-    * width version of [[centroids]]; same exact-DECIMAL summation so the
-    * result is partition-order independent), re-assembled into an
-    * ordered array — a 10-row broadcast table.
+  /** Corpus-size-derived IVF cell count: `max(L, ceil(sqrt(n / 20)))`
+    * with L = 10 seed labels. Fixed-cardinality blocking is the one
+    * quadratic trap in the embedding family: with nlist frozen at L,
+    * within-cell all-pairs work grows O((n/L)²) per cell. Scaling cells
+    * ∝ √n keeps the expected cell size ∝ √n too, so total within-cell
+    * pairs grow ~O(n·√n/nlist) ≈ linearly in n per cell — bounded, and
+    * METERED by [[embCellStats]] rather than assumed. At the gate SFs
+    * (n ≤ 2000) the formula floors to L = 10, so the trained quantizer,
+    * assignments, and every oracle hash are bit-identical to the
+    * label-seeded baseline.
+    */
+  private[queries] def nlistFor(n: Long): Int =
+    math.max(10, math.ceil(math.sqrt(n / 20.0)).toInt)
+
+  /** Residual-split depth: cells = L·2^b ≥ nlistFor(n). b = 0 at gate
+    * SFs (nlist = L).
+    */
+  private[queries] def splitBitsFor(n: Long): Int = {
+    val nlist = nlistFor(n)
+    if (nlist <= 10) 0
+    else math.ceil(math.log(nlist / 10.0) / math.log(2.0)).toInt
+  }
+
+  /** Planning-time corpus size (chooses the quantizer structure — the
+    * number of residual split bits must be fixed before the plan is
+    * built). One count per (session, corpus), memoized; at production
+    * scale this is a table-statistics lookup, not a job.
+    */
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def corpusSize(s: SparkSession, dir: String): Long =
+    sizeCache.getOrElseUpdate((s, dir), Tables(s, dir).embeddings.count())
+
+  /** Seed-cell id per vector for quantizer TRAINING. b = 0: the stored
+    * label (today's gate behavior, exactly). b > 0: each label cell is
+    * split 2^b ways by the SIGNS of the vector's residual against its
+    * label mean on dims 1..b — a shallow k-d refinement that preserves
+    * locality (two near-duplicate vectors have near-equal coordinates,
+    * so they fall on the same side of each residual hyperplane except at
+    * knife-edge boundaries — the standard LSH-style recall tradeoff,
+    * observable via [[embCellStats]]). cell = label·2^b + bits, so cell
+    * ids stay disjoint across labels.
+    */
+  private def seedCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = splitBitsFor(corpusSize(s, dir))
+    if (b == 0)
+      Tables(s, dir).embeddings.select($"vec_id", $"label".as("cell"))
+    else {
+      val bits = (0 until b).map(j =>
+        when(element_at($"embedding", j + 1).cast("double") >=
+          element_at($"cv", j + 1), lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      Tables(s, dir).embeddings
+        .join(broadcast(centroidVectors(s, dir)), $"label" === $"clabel")
+        .select($"vec_id", ($"label" * lit(1 << b) + bits).as("cell"))
+    }
+  }
+
+  /** Trained coarse-quantizer centroids: the DECIMAL-exact mean of each
+    * seed cell (posexplode → partial+final HashAggregate on (cell, pos)
+    * → re-assembled array). With b = 0 this is [[centroidVectors]]
+    * verbatim; with b > 0 it is one Lloyd refinement over the
+    * residual-split seeding — nlist grows ∝ √n ([[nlistFor]]) so the
+    * broadcast stays √n-rows small (100k centroids ≈ 50 MB at n = 10¹⁰;
+    * beyond that, train on a sample and prune the centroid search with a
+    * coarse pre-quantizer — the dataflow here is unchanged).
+    */
+  private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (splitBitsFor(corpusSize(s, dir)) == 0) centroidVectors(s, dir)
+    else Tables(s, dir).embeddings
+      .join(seedCells(s, dir), "vec_id")
+      .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"cell", $"pos")
+      .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        c => c.getField("m")).as("cv"))
+      .select($"cell".as("clabel"), $"cv")
+  }
+
+  /** METER for the IVF cell geometry (pattern: Dedup.simhashDropStats):
+    * how many trained cells are in use, how big the largest is, and the
+    * total within-cell pair count — the exact all-pairs cost driver of
+    * `dedup_emb_cos_ivf` and the candidate-set size of the IVF ANN
+    * tiers. Run alongside any corpus change (ScaleProbe prints it;
+    * IvfScaleSpec pins it) so cell blowup is observed, not assumed.
+    */
+  def embCellStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = corpusSize(s, dir)
+    assignments(s, dir)
+      .groupBy($"alabel").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cells_used"),
+        max($"c").as("max_cell"),
+        sum($"c").as("n_vectors"),
+        sum(($"c" * ($"c" - 1)).cast("long") / 2).cast("long").as("within_cell_pairs"))
+      .withColumn("nlist_target", lit(nlistFor(n)))
+      .withColumn("split_bits", lit(splitBitsFor(n)))
+  }
+
+  /** Label-mean centroid vectors: per-label mean over all dims (the
+    * full-width version of [[centroids]]; same exact-DECIMAL summation so
+    * the result is partition-order independent), re-assembled into an
+    * ordered array — a 10-row broadcast table. The quantizer SEED level;
+    * [[trainedCentroids]] refines it when the corpus outgrows 10 cells.
     */
   private def centroidVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -247,19 +398,21 @@ object Similarity {
   def clearCaches(): Unit = {
     distCache.values.foreach(_.unpersist())
     distCache.clear()
+    sizeCache.clear()
   }
 
   /** Squared L2 distance of every vector to every trained centroid:
     * one sequential zip_with fold in DOUBLE per pair (same order as the
     * oracle's list_reduce), against the broadcast centroid table.
-    * Memoized + persisted per (session, corpus).
+    * Memoized + persisted per (session, corpus). Cost O(n·nlist·d) with
+    * nlist ∝ √n — the standard IVF assignment pass.
     */
   private def centroidDists(s: SparkSession, dir: String): DataFrame =
     distCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       Tables(s, dir).embeddings
         .select($"vec_id", $"embedding")
-        .crossJoin(broadcast(centroidVectors(s, dir)))
+        .crossJoin(broadcast(trainedCentroids(s, dir)))
         .withColumn("d", aggregate(
           zip_with($"embedding", $"cv",
             (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
@@ -272,7 +425,7 @@ object Similarity {
     * break to the smaller label via lexicographic struct min — a cheap
     * aggregate over the memoized distance table.
     */
-  private def assignments(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def assignments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     centroidDists(s, dir)
       .groupBy($"vec_id")
@@ -437,6 +590,59 @@ object Similarity {
          |       (a, b) -> a + b)::DOUBLE * p.pmax * t.vmax / (127.0 * 127.0))
          |      / sqrt(p.pn * t.norm2) AS approx
          |  FROM qq t JOIN probes p ON t.vec_id <> p.probe),
+         |cand AS (
+         |  SELECT probe, neighbor, embedding, norm2 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY probe ORDER BY approx DESC, neighbor) AS arn
+         |    FROM approx) WHERE arn <= 20),
+         |pairs AS (
+         |  SELECT c.probe, c.neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * c.norm2) AS cos
+         |  FROM cand c JOIN probes p ON p.probe = c.probe),
+         |ranked AS (
+         |  SELECT probe, neighbor, cos,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM pairs)
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    "ann_ivf_quantized" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |qq AS (
+         |  SELECT vec_id, embedding, norm2,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(embedding, x -> abs(x::DOUBLE))),
+         |      (a, b) -> greatest(a, b)) AS vmax,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 127.0 /
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(embedding, y -> abs(y::DOUBLE))),
+         |          (a, b) -> greatest(a, b))) AS BIGINT)) AS qv
+         |  FROM v),
+         |pcell AS (
+         |  SELECT vec_id AS probe, clabel AS pcell FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+         |    FROM dist WHERE vec_id < 25) WHERE rn <= 2),
+         |probes AS (
+         |  SELECT q.vec_id AS probe, q.embedding AS pe, q.norm2 AS pn,
+         |         q.vmax AS pmax, q.qv AS pq
+         |  FROM qq q WHERE q.vec_id < 25),
+         |approx AS (
+         |  SELECT p.probe, t.vec_id AS neighbor, t.embedding, t.norm2,
+         |    (list_reduce(list_prepend(0::BIGINT,
+         |       list_transform(range(1, len(p.pq) + 1),
+         |         i -> p.pq[i] * t.qv[i])),
+         |       (a, b) -> a + b)::DOUBLE * p.pmax * t.vmax / (127.0 * 127.0))
+         |      / sqrt(p.pn * t.norm2) AS approx
+         |  FROM qq t
+         |  JOIN asg a ON a.vec_id = t.vec_id
+         |  JOIN pcell c ON a.alabel = c.pcell
+         |  JOIN probes p ON p.probe = c.probe AND t.vec_id <> p.probe),
          |cand AS (
          |  SELECT probe, neighbor, embedding, norm2 FROM (
          |    SELECT *, row_number() OVER (

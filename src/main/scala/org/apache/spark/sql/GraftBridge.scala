@@ -26,6 +26,13 @@ object GraftBridge {
     * CacheManager entry — so iterative algorithms that checkpoint per
     * round must free superseded rounds explicitly or pin
     * O(rounds × |state|) storage until ContextCleaner GC.
+    *
+    * CONTRACT: the caller must guarantee that NO other live DataFrame /
+    * plan still references this checkpoint. A local checkpoint truncates
+    * lineage, so once its blocks are dropped they are unrecoverable —
+    * any plan sharing them fails permanently on next use (unlike a cache
+    * eviction, which recomputes). Only call on a frame you exclusively
+    * own whose round has been superseded.
     */
   def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {

@@ -107,6 +107,79 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("bucketed both sides on the key: zero Exchange (the claimed elision)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof_bucket").toString
+    try {
+      (1 to 5000).map(i => (i.toLong % 50, i.toLong, s"L$i")).toDF("k", "t", "l")
+        .write.bucketBy(8, "k").sortBy("k", "t")
+        .option("path", s"$tmp/lt").saveAsTable("graft_asof_l")
+      (1 to 2000).map(i => (i.toLong % 50, (i * 2).toLong, i.toLong)).toDF("rk", "rt", "qid")
+        .write.bucketBy(8, "rk").sortBy("rk", "rt")
+        .option("path", s"$tmp/rt").saveAsTable("graft_asof_r")
+      val lt = spark.table("graft_asof_l")
+      val rt = spark.table("graft_asof_r")
+      val got = AsofJoinOps.asofJoin(lt, rt, Seq("k" -> "rk"), "t", "rt", Seq("qid"))
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin"))
+      // ClusteredDistribution is satisfied by the bucketed scans' hash
+      // partitioning (8 buckets, same key both sides): no shuffle at all
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // and the merge still computes the right answer on bucketed input
+      val cand = lt.join(rt, $"k" === $"rk" && $"rt" <= $"t", "left")
+      val w = Window.partitionBy($"k", $"t", $"l")
+        .orderBy($"rt".desc_nulls_last, $"qid".desc_nulls_last)
+      val want = cand.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      assert(sortedRows(got) == sortedRows(want))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_asof_l")
+      spark.sql("DROP TABLE IF EXISTS graft_asof_r")
+    }
+  }
+
+  test("AQE enabled, multi-partition: re-planned run matches the oracle") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val rnd = new Random(23)
+      val trades = (0 until 500).map { i =>
+        (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(800).toLong)
+      }.toDF("trade_id", "sym", "t").repartition(9)
+      val quotes = (0 until 350).map { i =>
+        (1000L + i, rnd.nextInt(18).toLong, rnd.nextInt(800).toLong, rnd.nextInt(100))
+      }.toDF("quote_id", "q_sym", "q_t", "px").repartition(6)
+      val got = AsofJoinOps.asofJoin(
+        trades, quotes, Seq("sym" -> "q_sym"), "t", "q_t", Seq("quote_id"))
+      val cand = trades.join(quotes, $"sym" === $"q_sym" && $"q_t" <= $"t", "left")
+      val w = Window.partitionBy($"trade_id")
+        .orderBy($"q_t".desc_nulls_last, $"quote_id".desc_nulls_last)
+      val want = cand.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      assert(sortedRows(got) == sortedRows(want))
+      // after execution the adaptive plan must still be the native merge
+      assert(got.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("un-orderable key/time types fail at plan construction") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+      .select(map($"k", $"t").as("mk"), $"t")
+    val right = Seq((1L, 5L)).toDF("rk", "rt")
+      .select(map($"rk", $"rt").as("rmk"), $"rt")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinOps.asofJoin(left, right, Seq("mk" -> "rmk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("un-orderable"))
+  }
+
+  test("ambiguous column names fail loudly instead of binding first match") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 2L)).toDF("rk", "rt", "rt2")
+      .select($"rk", $"rt", $"rt2".as("rt")) // two columns named rt
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinOps.asofJoin(left, right, Seq("k" -> "rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("plan: AsofJoinExec with hash exchanges; sorted input elides none extra") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, 0L)).toDF("rk", "rt", "qid")

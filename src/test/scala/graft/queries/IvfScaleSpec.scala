@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the corpus-scaled IVF quantizer (VERDICT r03 #2: fixed 10-cell
+  * blocking is quadratic at scale — nlist must grow with the corpus and
+  * the per-cell pair count must be METERED, not assumed).
+  *
+  * Two halves:
+  *  1. gate invariance — at the gate SFs (n ≤ 2000) nlistFor floors to
+  *     the 10 seed labels, so the trained quantizer is the per-label-mean
+  *     table and every existing oracle hash is untouched;
+  *  2. scale behavior — past the floor, cells split (residual-sign
+  *     refinement + re-trained exact-DECIMAL means), the largest cell
+  *     shrinks versus label-only blocking, and exact clones still land
+  *     in the same cell (the locality contract near-dup blocking needs).
+  */
+class IvfScaleSpec extends SparkSpec {
+
+  test("nlistFor floors to 10 at gate SFs and grows ~sqrt(n) beyond") {
+    assert(Similarity.nlistFor(500) === 10)
+    assert(Similarity.nlistFor(2000) === 10) // sqrt(2000/20) = 10 exactly
+    assert(Similarity.splitBitsFor(2000) === 0)
+    assert(Similarity.nlistFor(5000) === 16)
+    assert(Similarity.splitBitsFor(5000) === 1)
+    assert(Similarity.nlistFor(20000) === 32)
+    assert(Similarity.splitBitsFor(20000) === 2)
+    // ratio to sqrt(n/20) stays within 2x (power-of-2 split granularity)
+    for (n <- Seq(50000L, 2000000L, 100000000L)) {
+      val cells = 10 * (1 << Similarity.splitBitsFor(n))
+      val target = math.sqrt(n / 20.0)
+      assert(cells >= target && cells <= 4 * target)
+    }
+  }
+
+  test("gate corpus keeps exactly the 10 label cells (oracle invariance)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val r = Similarity.embCellStats(spark, dir).collect()(0)
+    assert(r.getAs[Int]("split_bits") === 0)
+    assert(r.getAs[Int]("nlist_target") === 10)
+    assert(r.getAs[Long]("cells_used") === 10L)
+    assert(r.getAs[Long]("n_vectors") === 500L)
+  }
+
+  test("past the floor, cells split and bound within-cell pairs") {
+    import spark.implicits._
+    val n = 3000
+    val dim = 8
+    // 10 well-separated label clusters; within a cluster, coordinates
+    // cycle through 7 deterministic offsets, so i and i+700 are EXACT
+    // clones (same label, same offsets) — the locality probe below.
+    val rows = (0 until n).map { i =>
+      val label = i % 10
+      val emb = Array.tabulate(dim)(d =>
+        (label * 10.0 + ((i / 10 + d * 3) % 7) * 0.3).toFloat)
+      (i.toLong, emb, label)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfscale").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    try {
+      val r = Similarity.embCellStats(spark, dir).collect()(0)
+      info(s"cells_used=${r.getAs[Long]("cells_used")} " +
+        s"max_cell=${r.getAs[Long]("max_cell")} " +
+        s"within_cell_pairs=${r.getAs[Long]("within_cell_pairs")}")
+      assert(r.getAs[Int]("nlist_target") === 13) // ceil(sqrt(150))
+      assert(r.getAs[Int]("split_bits") === 1)
+      assert(r.getAs[Long]("n_vectors") === n.toLong) // every vector, once
+      assert(r.getAs[Long]("cells_used") > 10L)
+      // label-only blocking: 10 cells of 300 -> max_cell 300, pairs 448500
+      assert(r.getAs[Long]("max_cell") < 300L)
+      assert(r.getAs[Long]("within_cell_pairs") < 448500L)
+      // exact clones must share a cell (residual signs are identical)
+      val asg = Similarity.assignments(spark, dir)
+      val cloneSplit = asg.toDF("va", "ca")
+        .join(asg.toDF("vb", "cb"), $"vb" === $"va" + 700)
+        .filter($"ca" =!= $"cb").count()
+      assert(cloneSplit === 0L)
+    } finally {
+      Similarity.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
