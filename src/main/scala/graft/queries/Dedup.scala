@@ -74,6 +74,28 @@ object Dedup {
   private val interCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Session-scoped memo of the persisted 5-token window index
+    * (doc_id, pos, fp): the shared front end of the substring modality —
+    * dedup_substring aggregates it by fp, dedup_spans additionally joins
+    * the duplicated-fp set back against it. Without the memo each query
+    * re-runs tokenize + window + hash over the full corpus; staged once
+    * per (session, corpus), like [[indexCache]]. (A production pipeline
+    * writes this index, the most reusable artifact of passage dedup.)
+    */
+  private val windowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def windowIndex(s: SparkSession, dir: String): DataFrame =
+    windowCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          posexplode(TextAnalysis.wordGrams($"text", 5)).as(Seq("pos", "w")))
+        .select($"doc_id", $"pos", substring(md5($"w"), 1, 16).as("fp"))
+        .persist()
+    })
+
   /** Drop and unpersist all memoized indexes — call if the files under a
     * cached dir are rewritten within one session (the memo assumes
     * immutable inputs, which holds for the read-only test tables).
@@ -81,8 +103,10 @@ object Dedup {
   def clearCaches(): Unit = {
     indexCache.values.foreach { case (kept, _) => kept.unpersist() }
     interCache.values.foreach(_.unpersist())
+    windowCache.values.foreach(_.unpersist())
     indexCache.clear()
     interCache.clear()
+    windowCache.clear()
   }
 
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
@@ -313,10 +337,7 @@ object Dedup {
     // below.
     "dedup_substring" -> { (s, dir) =>
       import s.implicits._
-      Tables(s, dir).documents
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", explode(TextAnalysis.wordGrams($"text", 5)).as("w"))
-        .select($"doc_id", substring(md5($"w"), 1, 16).as("fp"))
+      windowIndex(s, dir)
         .groupBy($"fp")
         .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
         .filter($"n_docs" >= 2)
@@ -334,11 +355,7 @@ object Dedup {
     // parallelizes across docs with no global sort.
     "dedup_spans" -> { (s, dir) =>
       import s.implicits._
-      val w = Tables(s, dir).documents
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id",
-          posexplode(TextAnalysis.wordGrams($"text", 5)).as(Seq("pos", "w")))
-        .select($"doc_id", $"pos", substring(md5($"w"), 1, 16).as("fp"))
+      val w = windowIndex(s, dir)
       val dupFp = w.groupBy($"fp")
         .agg(countDistinct($"doc_id").as("nd"))
         .filter($"nd" >= 2).select($"fp")

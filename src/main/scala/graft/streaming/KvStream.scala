@@ -104,4 +104,34 @@ object EventWindows {
       .select(
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** The batch `q_events_hourly` query's EXACT streaming twin: same hour
+    * bucket (tumbling-window start ≡ `date_trunc('hour', ts)`) and the
+    * same exact-DECIMAL value sum, so a complete-mode replay converges to
+    * the oracle query's result bit-for-bit (a double sum would be
+    * aggregation-order dependent and could differ across micro-batch
+    * splits). Watermarked: in append/update mode, late rows drop — and
+    * the loss is observable through [[droppedByWatermark]], not silent.
+    */
+  def hourlyOracleTwin(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Late-data loss METER (pattern: Dedup.simhashDropStats — recall loss
+    * is measured, never assumed): rows the stateful operators discarded
+    * for arriving behind the watermark, summed over the query's retained
+    * progress history (the last ~100 micro-batches; read it after
+    * `processAllAvailable()`). A production deployment feeds the same
+    * counter to a metrics sink via StreamingQueryListener.
+    */
+  def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark).sum
 }

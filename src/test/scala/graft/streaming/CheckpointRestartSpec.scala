@@ -61,8 +61,12 @@ class CheckpointRestartSpec extends SparkSpec {
       val src = spark.readStream
         .schema("ts TIMESTAMP, user_id LONG")
         .parquet(in)
+      // PARTITIONED sink: the production layout (sessions land under
+      // user_id=N/ directories, downstream reads partition-prune) —
+      // restart must keep exactly-once within each partition directory
       val q = EventStreams.sessionize(src)
         .writeStream.format("parquet")
+        .partitionBy("user_id")
         .option("path", out)
         .option("checkpointLocation", chk)
         .outputMode(OutputMode.Append()).start()
@@ -81,6 +85,8 @@ class CheckpointRestartSpec extends SparkSpec {
     writeBatch(Seq((t(23, 0), 98L))) // flush user 99's singleton too
     runOnce()
 
+    // partition directories exist on disk (hive-style layout)
+    assert(Files.isDirectory(Paths.get(s"$out/user_id=1")))
     val sessions = spark.read.parquet(out).as[EventStreams.Session]
       .collect().filter(_.user_id == 1L).toSeq
     assert(sessions == Seq(EventStreams.Session(1L, t(10, 0), t(10, 20), 2L)))

@@ -82,8 +82,11 @@ class KvStreamSpec extends SparkSpec {
     val rows = spark.table("ev_hourly")
       .select($"hour", $"n", $"total_value").collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val dropped = EventWindows.droppedByWatermark(q)
     q.stop()
     assert(rows.contains((t(10, 0), 2L, 3.0)), s"got $rows") // late 8.0 excluded
     assert(rows.contains((t(12, 0), 1L, 4.0)), s"got $rows")
+    // the loss is METERED, not inferred from the row's absence
+    assert(dropped == 1L, s"expected exactly the one late row dropped, got $dropped")
   }
 }

@@ -45,4 +45,37 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streaming == batchDirect)
     assert(streaming.nonEmpty)
   }
+
+  test("streaming twin reproduces the q_events_hourly ORACLE query exactly") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+
+    val streamEvents = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+
+    val q = EventWindows.hourlyOracleTwin(streamEvents, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("parity_oracle_hourly")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    val dropped = EventWindows.droppedByWatermark(q)
+    q.stop()
+
+    val streaming = spark.table("parity_oracle_hourly")
+      .select($"hour", $"event_type", $"n", $"total_value")
+      .collect().map(_.toSeq).toSet
+    // the gate query itself is the oracle: same hour bucket, same
+    // exact-DECIMAL sum — results must agree bit-for-bit
+    val batchOracle = graft.SparkEntry.queries("q_events_hourly")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streaming == batchOracle)
+    assert(streaming.nonEmpty)
+    assert(dropped == 0L) // a full in-order replay loses nothing
+  }
 }
