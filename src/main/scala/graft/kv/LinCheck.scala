@@ -42,12 +42,55 @@ object LinCheck {
   def check(history: Seq[HistOp]): Boolean =
     history.groupBy(_.key).values.forall(ops => checkKey(ops.toIndexedSeq))
 
-  private def checkKey(ops: IndexedSeq[HistOp]): Boolean = {
+  /** Three-valued verdict of the budgeted check, mirroring porcupine's
+    * CheckOperationsTimeout contract (porcupine/porcupine.go — Ok /
+    * Illegal / Unknown-on-timeout; the reference runs every history
+    * under a 1 s budget, kvraft/test_test.go:20).
+    */
+  sealed trait LinResult
+  case object LinOk extends LinResult
+  case object LinIllegal extends LinResult
+  case object LinUnknown extends LinResult
+
+  private final class BudgetExceeded extends RuntimeException
+
+  /** Budgeted, parallel-partition check: each per-key sub-history (the
+    * model's P-compositional partition, models/kv.go:18-34) is searched
+    * on its own task, all sharing one wall-clock budget — the harness
+    * fidelity the reference gets from porcupine's per-partition
+    * goroutines + timeout channel (porcupine/checker.go:174-249).
+    * Illegal dominates (a found violation is a fact regardless of other
+    * partitions timing out); otherwise any exhausted partition makes the
+    * verdict Unknown.
+    */
+  def checkTimeout(history: Seq[HistOp], budgetMillis: Long): LinResult = {
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val deadline = System.nanoTime() + budgetMillis * 1000000L
+    val parts = history.groupBy(_.key).values.map(_.toIndexedSeq).toSeq
+    val futures = parts.map(p => Future(
+      try Some(checkKey(p, deadline))
+      catch { case _: BudgetExceeded => None }))
+    val results = futures.map { f =>
+      val remainNs = math.max(0L, deadline - System.nanoTime())
+      try Await.result(f, (remainNs + 50000000L).nanos) // grace for the self-abort
+      catch { case _: TimeoutException => None }
+    }
+    if (results.exists(_.contains(false))) LinIllegal
+    else if (results.exists(_.isEmpty)) LinUnknown
+    else LinOk
+  }
+
+  private def checkKey(
+      ops: IndexedSeq[HistOp], deadline: Long = Long.MaxValue): Boolean = {
     val n = ops.size
     if (n == 0) return true
     val seen = mutable.HashSet.empty[(BitSet, String)]
 
     def dfs(done: BitSet, state: String): Boolean = {
+      if (deadline != Long.MaxValue && System.nanoTime() > deadline)
+        throw new BudgetExceeded
       if (done.size == n) return true
       if (!seen.add((done, state))) return false
       // an op may linearize next only if it was invoked before every

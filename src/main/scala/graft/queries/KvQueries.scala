@@ -160,7 +160,9 @@ object KvQueries {
       val wrong = routed.filter($"gid" =!= $"stale_gid")
         .groupBy($"config_num", $"stale_gid".as("gid"))
         .agg(count(lit(1)).as("n_wrong_first"))
-      served.join(wrong, Seq("config_num", "gid"), "left")
+      // both aggregates are O(configs × groups) metadata — broadcast the
+      // build side rather than letting the planner sort-merge blind
+      served.join(broadcast(wrong), Seq("config_num", "gid"), "left")
         .select($"config_num", $"gid", $"n_ops", $"n_rerouted",
           coalesce($"n_wrong_first", lit(0L)).as("n_wrong_first"))
         .orderBy($"config_num", $"gid")

@@ -102,4 +102,35 @@ class LinCheckSpec extends AnyFunSuite {
     }
     assert(LinCheck.check(hist))
   }
+
+  test("budgeted parallel check: Ok within budget, per-key partitions") {
+    // 50 keys × 6 sequential ops each — trivially linearizable, checked
+    // as 50 parallel partitions under the reference's 1 s budget
+    val hist = (0 until 50).flatMap { k =>
+      var t = 0L
+      Seq("put" -> "A", "append" -> "B", "get" -> "AB",
+        "append" -> "C", "get" -> "ABC", "put" -> "Z").map { case (o, v) =>
+        t += 2
+        if (o == "get") op(1, o, s"k$k", "", v, t, t + 1)
+        else op(1, o, s"k$k", v, "", t, t + 1)
+      }
+    }
+    assert(LinCheck.checkTimeout(hist, 1000L) == LinCheck.LinOk)
+  }
+
+  test("budgeted check: an illegal partition dominates other Ok keys") {
+    val hist = Seq(
+      op(1, "put", "good", "A", "", 0, 1),
+      op(2, "get", "good", "", "A", 2, 3),
+      op(1, "put", "bad", "A", "", 0, 1),
+      op(2, "get", "bad", "", "", 2, 3)) // stale read, no interleaving
+    assert(LinCheck.checkTimeout(hist, 1000L) == LinCheck.LinIllegal)
+  }
+
+  test("budgeted check: an exhausted budget yields Unknown, not a verdict") {
+    val hist = Seq(
+      op(1, "put", "k", "A", "", 0, 10),
+      op(2, "get", "k", "", "", 1, 2))
+    assert(LinCheck.checkTimeout(hist, 0L) == LinCheck.LinUnknown)
+  }
 }

@@ -77,6 +77,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("dedup_spans: one doc-partitioned window over the staged index, no cartesian") {
+    val p = plan("dedup_spans")
+    assert("Window".r.findAllIn(p).size == 1, p.take(2000)) // one gaps-and-islands pass
+    assert(p.contains("InMemoryTableScan"), "window index should be session-staged")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ann_ivf_quantized: bounded heaps end-to-end, broadcast probes, no window") {
+    val p = plan("ann_ivf_quantized")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("grouped_topk"), "retrieve + final stages should use the bounded heap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "probe set should broadcast")
+  }
+
+  test("kv_reroute joins configs and the final rollup by broadcast") {
+    val p = plan("kv_reroute")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "metadata-sized sides must not sort-merge")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
