@@ -64,22 +64,36 @@ object LinCheck {
     * verdict Unknown.
     */
   def checkTimeout(history: Seq[HistOp], budgetMillis: Long): LinResult = {
-    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration._
+    import scala.util.{Failure, Success}
     val deadline = System.nanoTime() + budgetMillis * 1000000L
     val parts = history.groupBy(_.key).values.map(_.toIndexedSeq).toSeq
     val futures = parts.map(p => Future(
       try Some(checkKey(p, deadline))
       catch { case _: BudgetExceeded => None }))
-    val results = futures.map { f =>
-      val remainNs = math.max(0L, deadline - System.nanoTime())
-      try Await.result(f, (remainNs + 50000000L).nanos) // grace for the self-abort
-      catch { case _: TimeoutException => None }
+    // poll completion order so a found violation returns IMMEDIATELY
+    // (porcupine's killSwitch behavior) instead of waiting out slower
+    // partitions; unfinished searches self-abort at the shared deadline
+    val pending = mutable.Set.from(futures)
+    var unknown = false
+    val graceNs = 100000000L // post-deadline slack for the self-abort
+    while (pending.nonEmpty) {
+      pending.filter(_.isCompleted).foreach { f =>
+        pending -= f
+        f.value.get match {
+          case Success(Some(false)) => return LinIllegal
+          case Success(Some(true))  => ()
+          case Success(None)        => unknown = true
+          case Failure(_)           => unknown = true
+        }
+      }
+      if (pending.nonEmpty) {
+        if (System.nanoTime() > deadline + graceNs) return LinUnknown
+        Thread.sleep(1)
+      }
     }
-    if (results.exists(_.contains(false))) LinIllegal
-    else if (results.exists(_.isEmpty)) LinUnknown
-    else LinOk
+    if (unknown) LinUnknown else LinOk
   }
 
   private def checkKey(

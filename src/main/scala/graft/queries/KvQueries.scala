@@ -105,19 +105,7 @@ object KvQueries {
     // config table is a broadcast join.
     "kv_migration" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ops = KvOps.opLog(s, dir).toDF()
-      val w = Window.partitionBy($"clientId", $"clientSeq").orderBy($"seq")
-      val deduped = ops.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1).drop("rn")
-      val mx = deduped.agg(max($"clientSeq").as("mx"))
-      val routed = deduped
-        .crossJoin(broadcast(mx))
-        .withColumn("epoch",
-          least(lit(3), expr("clientSeq * 4 div (mx + 1)")).cast("int"))
-        .withColumn("shard",
-          (ascii(substring($"key", 1, 1)) % Sharding.NShards).cast("int"))
-      routed.join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
+      routedOps(s, dir).join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
         .groupBy($"config_num", $"gid")
         .agg(count(lit(1)).as("n_ops"),
           countDistinct($"key").as("n_keys"),
@@ -140,18 +128,7 @@ object KvQueries {
     // epoch threshold, two 40-row broadcast config joins.
     "kv_reroute" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ops = KvOps.opLog(s, dir).toDF()
-      val w = Window.partitionBy($"clientId", $"clientSeq").orderBy($"seq")
-      val deduped = ops.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1).drop("rn")
-      val mx = deduped.agg(max($"clientSeq").as("mx"))
-      val routed = deduped
-        .crossJoin(broadcast(mx))
-        .withColumn("epoch",
-          least(lit(3), expr("clientSeq * 4 div (mx + 1)")).cast("int"))
-        .withColumn("shard",
-          (ascii(substring($"key", 1, 1)) % Sharding.NShards).cast("int"))
+      val routed = routedOps(s, dir)
         .join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
         .join(broadcast(staleConfigEpochs(s)), Seq("epoch", "shard"))
       val served = routed.groupBy($"config_num", $"gid")
@@ -160,10 +137,20 @@ object KvQueries {
       val wrong = routed.filter($"gid" =!= $"stale_gid")
         .groupBy($"config_num", $"stale_gid".as("gid"))
         .agg(count(lit(1)).as("n_wrong_first"))
-      // both aggregates are O(configs × groups) metadata — broadcast the
-      // build side rather than letting the planner sort-merge blind
-      served.join(broadcast(wrong), Seq("config_num", "gid"), "left")
-        .select($"config_num", $"gid", $"n_ops", $"n_rerouted",
+      // anchor on the UNION of both key sets: a group that LEFT in this
+      // config serves nothing but still rejects stale first attempts —
+      // exactly the rows a served-side left join would silently drop.
+      // Both aggregates are O(configs × groups) metadata → broadcast
+      // left joins (a full-outer would force a sort-merge).
+      val keys = routed.select($"config_num", $"gid")
+        .union(routed.filter($"gid" =!= $"stale_gid")
+          .select($"config_num", $"stale_gid".as("gid")))
+        .distinct()
+      keys.join(broadcast(served), Seq("config_num", "gid"), "left")
+        .join(broadcast(wrong), Seq("config_num", "gid"), "left")
+        .select($"config_num", $"gid",
+          coalesce($"n_ops", lit(0L)).as("n_ops"),
+          coalesce($"n_rerouted", lit(0L)).as("n_rerouted"),
           coalesce($"n_wrong_first", lit(0L)).as("n_wrong_first"))
         .orderBy($"config_num", $"gid")
     },
@@ -201,18 +188,41 @@ object KvQueries {
     }.toDF("epoch", "config_num", "shard", "gid")
   }
 
-  /** The clerk's CACHED (one-epoch-stale) shard map per epoch: epoch e's
-    * rows carry the gid from config c(e) — i.e. the previous epoch's
-    * assignment — except e = 0 where the cache is already current
-    * (shardkv/client.go:68-71: the clerk holds the last config it
-    * fetched and only refreshes after ErrWrongGroup).
+  /** The shared front end of kv_migration / kv_reroute: K4 window dedup
+    * (hash-partitioned, never a global sort), epoch = clientSeq quartile
+    * via a broadcast 1-row scalar, shard from the key's first byte.
+    */
+  private def routedOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ops = KvOps.opLog(s, dir).toDF()
+    val w = Window.partitionBy($"clientId", $"clientSeq").orderBy($"seq")
+    val deduped = ops.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    val mx = deduped.agg(max($"clientSeq").as("mx"))
+    deduped
+      .crossJoin(broadcast(mx))
+      .withColumn("epoch",
+        least(lit(3), expr("clientSeq * 4 div (mx + 1)")).cast("int"))
+      .withColumn("shard",
+        (ascii(substring($"key", 1, 1)) % Sharding.NShards).cast("int"))
+  }
+
+  /** The clerk's CACHED (one-epoch-stale) shard map per epoch: epoch e
+    * carries the gids of the config active in epoch max(0, e−1) — the
+    * clerk holds the last config it fetched and only refreshes after
+    * ErrWrongGroup (shardkv/client.go:68-71). Derived from
+    * [[configEpochs]] by an epoch shift, the same formulation as the
+    * oracle's `st.epoch = greatest(0, r.epoch - 1)` self-join.
     */
   private def staleConfigEpochs(s: SparkSession): DataFrame = {
     import s.implicits._
-    Sharding.scriptedHistory.drop(1).zipWithIndex.flatMap { case (_, e) =>
-      val cached = Sharding.scriptedHistory(math.max(1, e))
-      cached.shards.zipWithIndex.map { case (gid, shard) => (e, shard, gid) }
-    }.toDF("epoch", "shard", "stale_gid")
+    val cfg = configEpochs(s)
+      .select($"epoch".as("src_epoch"), $"shard", $"gid".as("stale_gid"))
+    Seq.tabulate(Sharding.scriptedHistory.size - 1)(e => (e, math.max(0, e - 1)))
+      .toDF("epoch", "src_epoch")
+      .join(cfg, "src_epoch")
+      .select($"epoch", $"shard", $"stale_gid")
   }
 
   def oracle: Map[String, String] = Map(
@@ -310,11 +320,18 @@ object KvQueries {
          |  FROM rt GROUP BY 1, 2),
          |wr AS (
          |  SELECT config_num, stale_gid AS gid, count(*) AS n_wrong_first
-         |  FROM rt WHERE gid <> stale_gid GROUP BY 1, 2)
-         |SELECT s.config_num, s.gid, s.n_ops, s.n_rerouted,
+         |  FROM rt WHERE gid <> stale_gid GROUP BY 1, 2),
+         |keys AS (
+         |  SELECT DISTINCT config_num, gid FROM rt
+         |  UNION
+         |  SELECT DISTINCT config_num, stale_gid FROM rt WHERE gid <> stale_gid)
+         |SELECT k.config_num, k.gid,
+         |       COALESCE(s.n_ops, 0::BIGINT) AS n_ops,
+         |       COALESCE(s.n_rerouted, 0::BIGINT) AS n_rerouted,
          |       COALESCE(w.n_wrong_first, 0::BIGINT) AS n_wrong_first
-         |FROM srv s LEFT JOIN wr w
-         |  ON w.config_num = s.config_num AND w.gid = s.gid
+         |FROM keys k
+         |LEFT JOIN srv s ON s.config_num = k.config_num AND s.gid = k.gid
+         |LEFT JOIN wr w ON w.config_num = k.config_num AND w.gid = k.gid
          |ORDER BY 1, 2""".stripMargin,
 
     "kv_migration_owner" ->

@@ -42,6 +42,24 @@ object Similarity {
       i => when(element_at(e, i) > 0f, pow(lit(2), i - 1).cast("long")).otherwise(0L)),
     lit(0L), (acc, v) => acc + v)
 
+  /** [[vecs]] plus the int8 code book: per-vector absolute max and the
+    * rounded 127/vmax quantization — the PARITY-CRITICAL front end shared
+    * by both quantized serving queries (ann_quantized_topk,
+    * ann_ivf_quantized); the oracle-side twin is [[QuantCte]]. One copy
+    * each side so a rounding/ordering tweak can never drift between the
+    * two queries.
+    */
+  private def quantizedVecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val absMax = aggregate(
+      transform($"embedding", x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    vecs(s, dir)
+      .withColumn("vmax", absMax)
+      .withColumn("qv", transform($"embedding",
+        x => round(x.cast("double") * 127.0 / $"vmax").cast("long")))
+  }
+
   /** Vectors with precomputed squared norm (+ LSH bucket). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -166,13 +184,7 @@ object Similarity {
     "ann_quantized_topk" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
-      val absMax = aggregate(
-        transform($"embedding", x => abs(x.cast("double"))),
-        lit(0.0), (acc, x) => greatest(acc, x))
-      val v = vecs(s, dir)
-        .withColumn("vmax", absMax)
-        .withColumn("qv", transform($"embedding",
-          x => round(x.cast("double") * 127.0 / $"vmax").cast("long")))
+      val v = quantizedVecs(s, dir)
       val probes = v.filter($"vec_id" < 25)
         .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"),
           $"vmax".as("pmax"), $"qv".as("pq"))
@@ -206,13 +218,7 @@ object Similarity {
     "ann_ivf_quantized" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
-      val absMax = aggregate(
-        transform($"embedding", x => abs(x.cast("double"))),
-        lit(0.0), (acc, x) => greatest(acc, x))
-      val v = vecs(s, dir)
-        .withColumn("vmax", absMax)
-        .withColumn("qv", transform($"embedding",
-          x => round(x.cast("double") * 127.0 / $"vmax").cast("long")))
+      val v = quantizedVecs(s, dir)
       val va = v.join(assignments(s, dir), "vec_id")
       val pcells = centroidDists(s, dir).filter($"vec_id" < 25)
         .groupBy($"vec_id")
@@ -359,7 +365,10 @@ object Similarity {
       .agg(count(lit(1)).as("cells_used"),
         max($"c").as("max_cell"),
         sum($"c").as("n_vectors"),
-        sum(($"c" * ($"c" - 1)).cast("long") / 2).cast("long").as("within_cell_pairs"))
+        // integral div, not Divide: c·(c−1) is even, and a double-typed
+        // sum would silently round above 2^53 — the extreme-scale regime
+        // this meter exists to observe
+        expr("sum(c * (c - 1)) div 2").as("within_cell_pairs"))
       .withColumn("nlist_target", lit(nlistFor(n)))
       .withColumn("split_bits", lit(splitBitsFor(n)))
   }
@@ -488,6 +497,23 @@ object Similarity {
       |      (x, y) -> x + y) AS bucket
       |  FROM embeddings)""".stripMargin
 
+  /** Oracle twin of [[quantizedVecs]] (appended after [[VecCte]]): the
+    * int8 code book — vmax then rounded 127/vmax codes. One copy for
+    * both quantized oracles, mirroring the single Scala-side copy.
+    */
+  private val QuantCte =
+    """q0 AS (
+      |  SELECT vec_id, embedding, norm2,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(embedding, x -> abs(x::DOUBLE))),
+      |      (a, b) -> greatest(a, b)) AS vmax
+      |  FROM v),
+      |qq AS (
+      |  SELECT vec_id, embedding, norm2, vmax,
+      |    list_transform(embedding,
+      |      x -> CAST(round(x::DOUBLE * 127.0 / vmax) AS BIGINT)) AS qv
+      |  FROM q0)""".stripMargin
+
   private def oracleFor(probeLimit: Int, joinCond: String, k: Int): String =
     s"""$VecCte,
        |probes AS (SELECT vec_id AS probe, label AS plabel, bucket AS pbucket,
@@ -567,17 +593,7 @@ object Similarity {
 
     "ann_quantized_topk" ->
       s"""$VecCte,
-         |q AS (
-         |  SELECT vec_id, embedding, norm2,
-         |    list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(embedding, x -> abs(x::DOUBLE))),
-         |      (a, b) -> greatest(a, b)) AS vmax
-         |  FROM v),
-         |qq AS (
-         |  SELECT vec_id, embedding, norm2, vmax,
-         |    list_transform(embedding,
-         |      x -> CAST(round(x::DOUBLE * 127.0 / vmax) AS BIGINT)) AS qv
-         |  FROM q),
+         |$QuantCte,
          |probes AS (
          |  SELECT vec_id AS probe, embedding AS pe, norm2 AS pn,
          |         vmax AS pmax, qv AS pq
@@ -612,17 +628,7 @@ object Similarity {
     "ann_ivf_quantized" ->
       s"""$VecCte,
          |$TrainedAsgCte,
-         |qq AS (
-         |  SELECT vec_id, embedding, norm2,
-         |    list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(embedding, x -> abs(x::DOUBLE))),
-         |      (a, b) -> greatest(a, b)) AS vmax,
-         |    list_transform(embedding,
-         |      x -> CAST(round(x::DOUBLE * 127.0 /
-         |        list_reduce(list_prepend(0.0::DOUBLE,
-         |          list_transform(embedding, y -> abs(y::DOUBLE))),
-         |          (a, b) -> greatest(a, b))) AS BIGINT)) AS qv
-         |  FROM v),
+         |$QuantCte,
          |pcell AS (
          |  SELECT vec_id AS probe, clabel AS pcell FROM (
          |    SELECT vec_id, clabel,

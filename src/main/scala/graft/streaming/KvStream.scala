@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -93,35 +93,35 @@ object KvStream {
   */
 object EventWindows {
 
-  /** Hourly tumbling windows per event_type; rows later than the
-    * watermark delay are dropped.
-    */
-  def hourly(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+  private def hourlyWith(
+      events: DataFrame, watermarkDelay: String, totalValue: Column): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), totalValue.as("total_value"))
       .select(
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Hourly tumbling windows per event_type; rows later than the
+    * watermark delay are dropped. Sums in plain DOUBLE — cheap, but
+    * aggregation-order dependent; use [[hourlyOracleTwin]] when the
+    * total must be replay-exact.
+    */
+  def hourly(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    hourlyWith(events, watermarkDelay, sum(col("value")))
+
   /** The batch `q_events_hourly` query's EXACT streaming twin: same hour
     * bucket (tumbling-window start ≡ `date_trunc('hour', ts)`) and the
     * same exact-DECIMAL value sum, so a complete-mode replay converges to
-    * the oracle query's result bit-for-bit (a double sum would be
-    * aggregation-order dependent and could differ across micro-batch
-    * splits). Watermarked: in append/update mode, late rows drop — and
-    * the loss is observable through [[droppedByWatermark]], not silent.
+    * the oracle query's result bit-for-bit regardless of how the input
+    * splits into micro-batches. Watermarked: in append/update mode, late
+    * rows drop — and the loss is observable through
+    * [[droppedByWatermark]], not silent.
     */
   def hourlyOracleTwin(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .select(
-        col("window.start").as("hour"),
-        col("event_type"), col("n"), col("total_value"))
+    hourlyWith(events, watermarkDelay,
+      sum(col("value").cast("decimal(18,2)")).cast("double"))
 
   /** Late-data loss METER (pattern: Dedup.simhashDropStats — recall loss
     * is measured, never assumed): rows the stateful operators discarded
