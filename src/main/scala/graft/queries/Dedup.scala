@@ -373,6 +373,12 @@ object Dedup {
         .orderBy($"doc_id", $"span_start")
     },
 
+    // The simhash skew-guard's recall METER as a first-class,
+    // oracle-checked query (observability is part of the operator
+    // contract at 100 TB — what the cap discards must be queryable, not
+    // buried in logs; see [[simhashDropStats]]).
+    "dedup_simhash_drops" -> { (s, dir) => simhashDropStats(s, dir) },
+
     // Embedding-cosine near-dup: blocked by the precomputed cluster
     // label (IVF-style coarse quantization, nprobe=1), pairs within a
     // block with cosine ≥ 0.4. At scale the block is the shuffle key;
@@ -479,6 +485,38 @@ object Dedup {
       sum($"n_dropped_bands").as("band_rows_dropped"),
       count(lit(1)).as("docs_total"))
   }
+
+  /** Shared oracle CTE for the simhash family (mirrors [[simhashBands0]]
+    * + [[simhashHotBuckets]] exactly): per-doc 32-bit tf-weighted
+    * simhash, byte-band rows, and the relative-capped hot buckets.
+    * Consumed by both the dedup_simhash oracle and the drop-meter
+    * oracle, so the guard's definition can never drift between them.
+    */
+  private val SimhashCte =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+      |      tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(0, 32), b -> CASE WHEN
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          list_transform(hs, h -> CASE WHEN (h // CAST(2**b AS BIGINT)) % 2 = 1
+      |                                      THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+      |          (x, y) -> x + y) > 0
+      |        THEN CAST(2**b AS BIGINT) ELSE 0::BIGINT END)),
+      |      (x, y) -> x + y) AS sim
+      |  FROM t),
+      |bands0 AS (
+      |  SELECT doc_id, sim, b AS band, (sim // CAST(2**(8*b) AS BIGINT)) % 256 AS key
+      |  FROM sh, unnest([0, 1, 2, 3]) AS u(b)),
+      |hot AS (
+      |  SELECT band, key FROM bands0 GROUP BY band, key
+      |  HAVING count(*) > greatest(200,
+      |    (4 * (SELECT count(*) FROM documents)) // 256))""".stripMargin
 
   /** Shared oracle CTE: tokenized docs → df-filtered distinct shingle
     * sets (mirrors [[shingleIndex]] exactly).
@@ -626,30 +664,7 @@ object Dedup {
         |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_simhash" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-        |      tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(0, 32), b -> CASE WHEN
-        |        list_reduce(list_prepend(0::BIGINT,
-        |          list_transform(hs, h -> CASE WHEN (h // CAST(2**b AS BIGINT)) % 2 = 1
-        |                                      THEN 1::BIGINT ELSE (-1)::BIGINT END)),
-        |          (x, y) -> x + y) > 0
-        |        THEN CAST(2**b AS BIGINT) ELSE 0::BIGINT END)),
-        |      (x, y) -> x + y) AS sim
-        |  FROM t),
-        |bands0 AS (
-        |  SELECT doc_id, sim, b AS band, (sim // CAST(2**(8*b) AS BIGINT)) % 256 AS key
-        |  FROM sh, unnest([0, 1, 2, 3]) AS u(b)),
-        |hot AS (
-        |  SELECT band, key FROM bands0 GROUP BY band, key
-        |  HAVING count(*) > greatest(200,
-        |    (4 * (SELECT count(*) FROM documents)) // 256)),
+      s"""$SimhashCte,
         |bands AS (
         |  SELECT * FROM bands0 b0
         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
@@ -661,6 +676,17 @@ object Dedup {
         |SELECT ia, ib, bit_count(xor(sima, simb)) AS hamming
         |FROM cand WHERE bit_count(xor(sima, simb)) <= 3
         |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_simhash_drops" ->
+      s"""$SimhashCte,
+        |dropped AS (
+        |  SELECT b0.doc_id FROM bands0 b0
+        |  JOIN hot h ON b0.band = h.band AND b0.key = h.key),
+        |perdoc AS (SELECT doc_id, count(*) AS nd FROM dropped GROUP BY doc_id)
+        |SELECT CAST((SELECT count(*) FROM perdoc) AS BIGINT) AS docs_affected,
+        |       CAST((SELECT count(*) FROM perdoc WHERE nd = 4) AS BIGINT) AS docs_invisible,
+        |       CAST(COALESCE((SELECT sum(nd) FROM perdoc), 0) AS BIGINT) AS band_rows_dropped,
+        |       CAST((SELECT count(DISTINCT doc_id) FROM bands0) AS BIGINT) AS docs_total""".stripMargin,
 
     "dedup_emb_cos" ->
       """WITH v AS (

@@ -136,6 +136,11 @@ object Similarity {
 
     "ann_centroids" -> { (s, dir) => centroids(s, dir) },
 
+    // The IVF cell-geometry METER as a first-class, oracle-checked query
+    // (same contract as dedup_simhash_drops: the quantizer's blocking
+    // cost must be queryable per corpus; see [[embCellStats]]).
+    "ann_ivf_cells" -> { (s, dir) => embCellStats(s, dir) },
+
     "ann_quantize" -> { (s, dir) => quantize(s, dir) },
 
     // IVF with the TRAINED coarse quantizer and nprobe=2: vectors are
@@ -682,6 +687,25 @@ object Similarity {
          |  JOIN asg sb ON sb.vec_id = b.vec_id AND sb.alabel = sa.alabel)
          |SELECT ia, ib, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
          |ORDER BY ia, ib""".stripMargin,
+
+    // The cell-geometry CTE is the gate-regime (b = 0, label-seeded)
+    // form, like every trained-quantizer oracle here; nlist/split_bits
+    // carry the general corpus-scaled formula.
+    "ann_ivf_cells" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |cells AS (SELECT alabel, count(*) AS c FROM asg GROUP BY alabel),
+         |nl AS (SELECT greatest(10,
+         |  CAST(ceil(sqrt((SELECT count(*) FROM embeddings) / 20.0)) AS INTEGER)) AS nlist)
+         |SELECT CAST(count(*) AS BIGINT) AS cells_used,
+         |       CAST(max(c) AS BIGINT) AS max_cell,
+         |       CAST(sum(c) AS BIGINT) AS n_vectors,
+         |       CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS within_cell_pairs,
+         |       (SELECT nlist FROM nl) AS nlist_target,
+         |       (SELECT CASE WHEN nlist <= 10 THEN 0
+         |               ELSE CAST(ceil(log2(nlist / 10.0)) AS INTEGER) END
+         |        FROM nl) AS split_bits
+         |FROM cells""".stripMargin,
 
     "ann_centroids" ->
       """WITH e AS (
