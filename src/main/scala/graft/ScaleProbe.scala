@@ -57,7 +57,7 @@ object ScaleProbe {
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
-      "dedup_emb_cos_ivf", "ann_ivf2_topk")
+      "dedup_emb_cos_ivf", "ann_ivf2_topk", "dedup_substring", "dedup_spans")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
