@@ -78,4 +78,38 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streaming.nonEmpty)
     assert(dropped == 0L) // a full in-order replay loses nothing
   }
+
+  test("the oracle twin's totals are invariant to how input splits into micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // values chosen so a DOUBLE running sum is order-sensitive
+    // (0.01 is not representable in binary; 1e12 swallows low bits) —
+    // the exact-DECIMAL state makes the result split-independent
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val rows = (0 until 60).map { i =>
+      (t(i), i.toLong, "click",
+        if (i == 0) 123456789012.34 else 0.01)
+    }
+
+    def run(name: String, batches: Seq[Seq[(Timestamp, Long, String, Double)]]): Double = {
+      val in = MemoryStream[(Timestamp, Long, String, Double)]
+      val q = EventWindows.hourlyOracleTwin(
+        in.toDS().toDF("ts", "user_id", "event_type", "value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val v = spark.table(name).select($"total_value").as[Double].collect().head
+      q.stop()
+      v
+    }
+
+    val oneShot = run("twin_one", Seq(rows))
+    val split = run("twin_split", Seq(rows.take(7), rows.slice(7, 31), rows.drop(31)))
+    assert(oneShot == split, s"split-dependent total: $oneShot vs $split")
+    // the exact decimal total is 123456789012.93; both runs must land on
+    // the double nearest that value (the literal below)
+    assert(oneShot == 123456789012.93)
+  }
 }
