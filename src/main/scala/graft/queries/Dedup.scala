@@ -177,6 +177,65 @@ object Dedup {
         .orderBy($"ia", $"ib")
     },
 
+    // Prefix-filtered exact Jaccard (AllPairs / PPJoin family, Bayardo
+    // et al. "Scaling Up All Pairs Similarity Search", Xiao et al.
+    // PPJoin): byte-identical results to dedup_ngram_jaccard from a
+    // fundamentally cheaper candidate generator. Order every doc's
+    // shingle set by GLOBAL rarity (document frequency asc, shingle asc
+    // — a total order) and index only the first
+    // n − ⌈0.8·n⌉ + 1 shingles: any pair with Jaccard ≥ 0.8 must share
+    // an indexed prefix shingle, because J ≥ t forces overlap
+    // ≥ ⌈t·max(|A|,|B|)⌉ and two sets whose (|X|−o+1)-prefixes under one
+    // total order are disjoint have overlap < o. Candidates additionally
+    // pass the exact integer size filter 5·min ≥ 4·max (J ≥ 0.8 ⟹
+    // |A∩B| ≥ 0.8·|A∪B| ⟹ min ≥ 0.8·max; integer form avoids the
+    // 0.8-in-double boundary bug at e.g. (na,nb)=(4,5)). Verification
+    // then runs ONLY over admitted candidates (same restricted-join
+    // shape as the LSH verifier), so unlike the interIndex route the
+    // cost scales with near-duplicate density, not Σ df² over every
+    // shingle-sharing pair — at 100 TB the prefix index is ~20% of the
+    // full inverted index and the rarest-first order makes collisions
+    // rare by construction. Exact (no recall loss), unlike MinHash.
+    "dedup_jaccard_prefix" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      val cand = prefixCandidates(s, dir)
+      val inter = cand.join(kept.toDF("ia", "sh"), "ia")
+        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .withColumn("jac",
+          $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jac" >= 0.8)
+        .select($"ia", $"ib", round($"jac", 6).as("jac"))
+        .orderBy($"ia", $"ib")
+    },
+
+    // The prefix filter's cost/selectivity METER as an oracle-checked
+    // query (the observability contract of every guarded operator here):
+    // how many index rows the prefix kept, how many candidate pairs the
+    // prefix+size filters admitted, and how many survived exact
+    // verification. ScaleProbe compares candidate count against the full
+    // pair-intersection table at 10× — the measured evidence that the
+    // prefix route's verification work tracks near-dup density.
+    "dedup_prefix_meter" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      val cand = prefixCandidates(s, dir).localCheckpoint()
+      val survivors = cand.join(kept.toDF("ia", "sh"), "ia")
+        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.8)
+      prefixIndex(s, dir).agg(count(lit(1)).as("prefix_rows"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_pairs")))
+        .select($"prefix_rows", $"n_candidates", $"n_pairs")
+    },
+
     // Containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 — the asymmetric
     // companion to Jaccard that catches near-SUBSET duplicates (a short
     // doc quoted inside a long one), which the symmetric ratio dilutes
@@ -400,6 +459,50 @@ object Dedup {
     }
   )
 
+  /** Jaccard threshold of the prefix-filter family as an exact integer
+    * ratio (4/5 = 0.8): all prefix/size arithmetic stays integral so no
+    * double rounding can admit or drop a boundary pair.
+    */
+  private val PrefT_num = 4
+  private val PrefT_den = 5
+
+  /** The prefix index: per doc, the first n_sh − ⌈0.8·n_sh⌉ + 1 kept
+    * shingles under the global (document frequency asc, shingle asc)
+    * order. ⌈4n/5⌉ = (4n + 4) div 5 — integral. One window function
+    * partitioned by doc_id (per-doc state only; parallelizes across
+    * docs at scale exactly like dedup_spans' island merge).
+    */
+  private def prefixIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (kept, sizes) = shingleIndex(s, dir)
+    val df = kept.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"sh")
+    kept.join(df, "sh")
+      .withColumn("rk", row_number().over(win))
+      .join(sizes, "doc_id")
+      .filter($"rk" <= $"n_sh" - expr(
+        s"($PrefT_num * n_sh + ${PrefT_den - 1}) div $PrefT_den") + 1)
+      .select($"doc_id", $"sh", $"n_sh")
+  }
+
+  /** Candidate pairs admitted by the prefix + size filters (ia < ib,
+    * deduplicated). The join key is the prefix shingle — rarest-first,
+    * so the per-key fanout is small by construction (a shingle with df
+    * ≤ MaxDf contributes at most df² ≤ 10⁴ pairs, and prefix membership
+    * prunes far below that).
+    */
+  private def prefixCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = prefixIndex(s, dir)
+    p.toDF("ia", "sh", "na").join(p.toDF("ib", "sh", "nb"), "sh")
+      .filter($"ia" < $"ib")
+      .filter($"na" * PrefT_den >= $"nb" * PrefT_num &&
+        $"nb" * PrefT_den >= $"na" * PrefT_num)
+      .select($"ia", $"ib")
+      .dropDuplicates("ia", "ib")
+  }
+
   /** Floor of the SimHash band-bucket cap. The effective cap is
     * `greatest(MaxBucket, 4 × n_docs / 256)` — relative to the expected
     * uniform occupancy (n_docs/256 per band), so the guard drops only
@@ -554,6 +657,52 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = ib
          |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
          |ORDER BY ia, ib""".stripMargin,
+
+    // Same result set as dedup_ngram_jaccard by construction (the prefix
+    // filter is exact) — the oracle IS the straightforward full
+    // inverted-index SQL; only the Spark-side plan differs.
+    "dedup_jaccard_prefix" ->
+      s"""$ShingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ia, ib,
+         |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jac
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = ia
+         |JOIN sizes sb ON sb.doc_id = ib
+         |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+         |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_prefix_meter" ->
+      s"""$ShingleCte,
+         |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+         |rk AS (
+         |  SELECT e.doc_id, e.sh, s.n_sh,
+         |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rk
+         |  FROM ex e JOIN df d ON e.sh = d.sh JOIN sizes s ON s.doc_id = e.doc_id),
+         |pref AS (
+         |  SELECT doc_id, sh, n_sh FROM rk
+         |  WHERE rk <= n_sh - ((4 * n_sh + 4) // 5) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  WHERE a.n_sh * 5 >= b.n_sh * 4 AND b.n_sh * 5 >= a.n_sh * 4),
+         |inter AS (
+         |  SELECT c.ia, c.ib, count(*) AS inter
+         |  FROM cand c
+         |  JOIN ex a ON a.doc_id = c.ia
+         |  JOIN ex b ON b.doc_id = c.ib AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |surv AS (
+         |  SELECT i.ia FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.ia
+         |  JOIN sizes sb ON sb.doc_id = i.ib
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8)
+         |SELECT CAST((SELECT count(*) FROM pref) AS BIGINT) AS prefix_rows,
+         |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         |       CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_pairs""".stripMargin,
 
     "dedup_containment" ->
       s"""$ShingleCte,
