@@ -55,7 +55,8 @@ object ScaleProbe {
     graft.queries.Dedup.clearCaches()
     graft.queries.Similarity.clearCaches()
 
-    Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
+      "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
       "dedup_emb_cos_ivf", "ann_ivf2_topk", "dedup_substring", "dedup_spans")
       .foreach { name =>
@@ -70,6 +71,13 @@ object ScaleProbe {
     println(s"""{"meter": "simhash_hot_bucket_drops", "docs_affected": ${drops.getLong(0)}, """ +
       s""""docs_invisible": ${drops.getLong(1)}, "band_rows_dropped": ${drops.getLong(2)}, """ +
       s""""docs_total": ${drops.getLong(3)}}""")
+    // prefix-filter selectivity meter: candidate pairs the AllPairs
+    // prefix admitted vs the full shingle-sharing pair table the
+    // interIndex route intersects — the measured gap between the two
+    // exact-Jaccard plans at this corpus multiple
+    val pm = graft.queries.Dedup.queries("dedup_prefix_meter")(spark, out).collect()(0)
+    println(s"""{"meter": "prefix_filter", "prefix_rows": ${pm.getLong(0)}, """ +
+      s""""n_candidates": ${pm.getLong(1)}, "n_pairs": ${pm.getLong(2)}}""")
     // IVF cell-geometry meter: observed within-cell pair count under the
     // corpus-scaled quantizer (the all-pairs cost of dedup_emb_cos_ivf)
     val cells = graft.queries.Similarity.embCellStats(spark, out).collect()(0)

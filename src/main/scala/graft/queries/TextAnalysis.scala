@@ -246,6 +246,44 @@ object TextAnalysis {
         .select($"doc_id", $"n_shared", $"n_grams",
           round($"n_shared".cast("double") / $"n_grams", 6).as("overlap_ratio"))
         .orderBy($"doc_id")
+    },
+
+    // Bloom-prefiltered decontamination: byte-identical output to
+    // tx_decontaminate, but the membership test reaches the corpus as a
+    // ~100 KB bloom bitmap (a scalar subquery — the same plan shape
+    // Spark's InjectRuntimeFilter produces) instead of a broadcast of
+    // the full eval gram set. The exact verify join then runs only over
+    // might-contain rows. At gate scale the two are equivalent; at
+    // 100 TB with a large held-out suite the bloom is fixed-size while
+    // the gram-set broadcast grows with the suite, and the pruned verify
+    // join shrinks from |corpus grams| to |might-contain grams| —
+    // false positives are removed by the exact join, so no recall loss.
+    "tx_decontaminate_bloom" -> { (s, dir) =>
+      import s.implicits._
+      val grams = array_distinct(wordGrams($"text", 4))
+      val evalGrams = Tables(s, dir).documents
+        .filter($"doc_id" % 97 === 0)
+        .select(explode(grams).as("g")).distinct()
+      // ~2.6k eval grams at sf0.01; sized for 100k with 1M bits (fpp≈2%
+      // at capacity). The bloom binary enters the plan ONCE as a scalar.
+      val bloom = evalGrams
+        .agg(graft.functions.BloomSketch.bloomAgg(
+          xxhash64($"g"), 100000L, 1000000L).as("bf"))
+        .scalar()
+      val trainGrams = Tables(s, dir).documents
+        .filter($"doc_id" % 97 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(grams).as("g"))
+      // per-doc totals count ALL grams — computed before the bloom prune
+      val totals = trainGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = trainGrams
+        .filter(graft.functions.BloomSketch.mightContain(bloom, xxhash64($"g")))
+        .join(evalGrams, Seq("g"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      totals.join(hits, "doc_id") // inner: only contaminated docs survive
+        .select($"doc_id", $"n_shared", $"n_grams",
+          round($"n_shared".cast("double") / $"n_grams", 6).as("overlap_ratio"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -288,6 +326,33 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** Decontamination oracle — shared verbatim by tx_decontaminate and
+    * tx_decontaminate_bloom (the bloom route is exact end-to-end).
+    */
+  private val DeconSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+      |    THEN list_transform(range(1, len(toks) - 2),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |              toks[i+3])
+      |    ELSE [] END) AS gs
+      |  FROM t),
+      |g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      |shared AS (
+      |  SELECT tr.doc_id, count(*) AS n_shared
+      |  FROM g tr JOIN ev ON tr.g = ev.g
+      |  WHERE tr.doc_id % 97 <> 0 GROUP BY tr.doc_id),
+      |sz AS (SELECT doc_id, len(gs) AS n_grams FROM g0 WHERE doc_id % 97 <> 0)
+      |SELECT s.doc_id, s.n_shared, z.n_grams,
+      |  round(CAST(s.n_shared AS DOUBLE) / z.n_grams, 6) AS overlap_ratio
+      |FROM shared s JOIN sz z ON z.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "tx_repetition" ->
       """WITH t AS (
@@ -305,29 +370,11 @@ object TextAnalysis {
         |    / nullif(len(gs), 0), 6) AS dup_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
 
-    "tx_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |g0 AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
-        |    THEN list_transform(range(1, len(toks) - 2),
-        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-        |              toks[i+3])
-        |    ELSE [] END) AS gs
-        |  FROM t),
-        |g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
-        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
-        |shared AS (
-        |  SELECT tr.doc_id, count(*) AS n_shared
-        |  FROM g tr JOIN ev ON tr.g = ev.g
-        |  WHERE tr.doc_id % 97 <> 0 GROUP BY tr.doc_id),
-        |sz AS (SELECT doc_id, len(gs) AS n_grams FROM g0 WHERE doc_id % 97 <> 0)
-        |SELECT s.doc_id, s.n_shared, z.n_grams,
-        |  round(CAST(s.n_shared AS DOUBLE) / z.n_grams, 6) AS overlap_ratio
-        |FROM shared s JOIN sz z ON z.doc_id = s.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
+    "tx_decontaminate" -> DeconSql,
+
+    // the bloom prefilter is exact end-to-end (false positives die in
+    // the verify join), so the oracle is the same decontamination SQL
+    "tx_decontaminate_bloom" -> DeconSql,
 
     "tx_curation_pipeline" ->
       s"""WITH docs AS (
