@@ -252,6 +252,57 @@ object Similarity {
       topk(pairs, 5)
     },
 
+    // IVF with a SAMPLE-TRAINED quantizer (nprobe=2): identical serving
+    // plan to ann_ivf2_topk, but the centroids are the DECIMAL-exact
+    // means of a deterministic 20% sample (md5(vec_id) % 5 == 0 — the
+    // portable replayable-sampling trick tx_sample_stratified uses), not
+    // of the full corpus. This is the extreme-n training posture: the
+    // Lloyd pass costs O(|sample|·d) instead of O(n·d), and since
+    // k-means centroids are means, a uniform sample estimates them with
+    // error O(1/√(cell sample size)) — the standard IVF practice (train
+    // on ~max(10⁶, 50·nlist) points, assign everything). Assignment
+    // still scans the full corpus — that cost is inherent to indexing —
+    // and cells may differ from the full-trained quantizer's near cell
+    // boundaries; the meter query below makes the resulting geometry
+    // observable. Gate corpora sample 100-400 vectors over 10 labels,
+    // so the oracle mirrors the sampled means bit-for-bit.
+    "ann_ivf_sampled_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = vecs(s, dir)
+      val va = v.join(assignmentsFrom(sampledDists(s, dir)), "vec_id")
+      val pcells = sampledDists(s, dir).filter($"vec_id" < 50)
+        .groupBy($"vec_id")
+        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), 2).as("top"))
+        .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
+      val probes = v.filter($"vec_id" < 50)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+        .join(pcells, "probe")
+      val pairs = va.join(broadcast(probes),
+        $"alabel" === $"pcell" && $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      topk(pairs, 5)
+    },
+
+    // Cell-geometry meter for the sample-trained quantizer (the
+    // embCellStats contract): how the sampled training's cells compare
+    // to the full training's, plus the observed training-set size. The
+    // within_cell_pairs delta between this and ann_ivf_cells IS the
+    // measured cost of training on 20% of the data.
+    "ann_ivf_sampled_cells" -> { (s, dir) =>
+      import s.implicits._
+      val sampleN = Tables(s, dir).embeddings
+        .filter(sampleCond).agg(count(lit(1)).as("sample_size"))
+      assignmentsFrom(sampledDists(s, dir))
+        .groupBy($"alabel").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("cells_used"),
+          max($"c").as("max_cell"),
+          sum($"c").as("n_vectors"),
+          expr("sum(c * (c - 1)) div 2").as("within_cell_pairs"))
+        .crossJoin(broadcast(sampleN))
+    },
+
     // Embedding near-dup blocked by the TRAINED centroid assignment
     // (closing the loop the label-blocked dedup_emb_cos documents): the
     // blocking key comes from the IVF training step, so the operator is
@@ -415,18 +466,26 @@ object Similarity {
     sizeCache.clear()
   }
 
-  /** Squared L2 distance of every vector to every trained centroid:
-    * one sequential zip_with fold in DOUBLE per pair (same order as the
-    * oracle's list_reduce), against the broadcast centroid table.
-    * Memoized + persisted per (session, corpus). Cost O(n·nlist·d) with
-    * nlist ∝ √n — the standard IVF assignment pass.
+  /** Squared L2 distance of every vector to every centroid of the given
+    * quantizer: one sequential zip_with fold in DOUBLE per pair (same
+    * order as the oracle's list_reduce), against the broadcast centroid
+    * table. Memoized + persisted per (session, corpus, quantizer). Cost
+    * O(n·nlist·d) with nlist ∝ √n — the standard IVF assignment pass.
+    * (At extreme n the next lever is a coarse PRE-quantizer: assign each
+    * vector to one of ~√nlist coarse cells first, then compute fine
+    * distances only against that coarse cell's centroids —
+    * O(n·√nlist·d) total; the dataflow below is unchanged, the centroid
+    * table just gains a coarse_cell key to join on instead of a full
+    * crossJoin.)
     */
-  private def centroidDists(s: SparkSession, dir: String): DataFrame =
-    distCache.getOrElseUpdate((s, dir), {
+  private def distsAgainst(
+      s: SparkSession, dir: String, key: String,
+      cents: => DataFrame): DataFrame =
+    distCache.getOrElseUpdate((s, dir + key), {
       import s.implicits._
       Tables(s, dir).embeddings
         .select($"vec_id", $"embedding")
-        .crossJoin(broadcast(trainedCentroids(s, dir)))
+        .crossJoin(broadcast(cents))
         .withColumn("d", aggregate(
           zip_with($"embedding", $"cv",
             (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
@@ -435,16 +494,79 @@ object Similarity {
         .persist()
     })
 
-  /** Nearest-centroid assignment (the IVF cell of each vector); ties
-    * break to the smaller label via lexicographic struct min — a cheap
-    * aggregate over the memoized distance table.
+  private def centroidDists(s: SparkSession, dir: String): DataFrame =
+    distsAgainst(s, dir, "", trainedCentroids(s, dir))
+
+  private def sampledDists(s: SparkSession, dir: String): DataFrame =
+    distsAgainst(s, dir, "#sampled", sampledCentroids(s, dir))
+
+  /** Nearest-centroid assignment over a distance table (the IVF cell of
+    * each vector); ties break to the smaller label via lexicographic
+    * struct min — a cheap aggregate over the memoized distances.
     */
-  private[queries] def assignments(s: SparkSession, dir: String): DataFrame = {
+  private def assignmentsFrom(dists: DataFrame): DataFrame = {
+    val s = dists.sparkSession
     import s.implicits._
-    centroidDists(s, dir)
+    dists
       .groupBy($"vec_id")
       .agg(min(struct($"d", $"clabel")).as("m"))
       .select($"vec_id", $"m.clabel".as("alabel"))
+  }
+
+  private[queries] def assignments(s: SparkSession, dir: String): DataFrame =
+    assignmentsFrom(centroidDists(s, dir))
+
+  /** Deterministic 20% training sample: md5-hash the vec_id, keep
+    * residue-0 of 5. Replayable and portable (the oracle reproduces the
+    * exact member set) — the same device as tx_sample_stratified.
+    */
+  private def sampleCond: Column =
+    pmod(graft.queries.QueryFns.hash48(col("vec_id").cast("string")), lit(5)) === 0
+
+  /** Label-mean centroids trained on the 20% SAMPLE only (the
+    * [[centroidVectors]] twin; same exact-DECIMAL summation). */
+  private def sampledSeedMeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .filter(sampleCond)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        c => c.getField("m")).as("cv"))
+      .select($"label".as("clabel"), $"cv")
+  }
+
+  /** Sample-trained quantizer: [[trainedCentroids]] with every mean
+    * taken over the deterministic 20% sample. Structure (split-bit
+    * count) still follows the FULL corpus size, so the sampled and full
+    * quantizers stay cell-count comparable; at b > 0 the residual
+    * splits are computed against the sampled label means.
+    */
+  private def sampledCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = splitBitsFor(corpusSize(s, dir))
+    if (b == 0) sampledSeedMeans(s, dir)
+    else {
+      val bits = (0 until b).map(j =>
+        when(element_at($"embedding", j + 1).cast("double") >=
+          element_at($"cv", j + 1), lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      Tables(s, dir).embeddings
+        .filter(sampleCond)
+        .join(broadcast(sampledSeedMeans(s, dir)), $"label" === $"clabel")
+        .select($"vec_id", ($"label" * lit(1 << b) + bits).as("cell"), $"embedding")
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          c => c.getField("m")).as("cv"))
+        .select($"cell".as("clabel"), $"cv")
+    }
   }
 
   /** IVF "training" step: per-cluster centroids. Sums run in
@@ -565,7 +687,74 @@ object Similarity {
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
       |    FROM dist) WHERE rn = 1)""".stripMargin
 
+  /** Oracle twin of the sample-trained quantizer (gate regime b = 0,
+    * like [[TrainedAsgCte]]): centroid means restricted to the
+    * deterministic 20% md5 sample; distances/assignment over the FULL
+    * corpus, unchanged.
+    */
+  private val SampledAsgCte =
+    """scde AS (
+      |  SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 200)) AS i) p
+      |  WHERE i <= len(embedding)
+      |    AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % 5 = 0),
+      |scm AS (
+      |  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM scde GROUP BY label, pos),
+      |scarr AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM scm GROUP BY label),
+      |sdist AS (
+      |  SELECT v.vec_id, c.clabel,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(v.embedding) + 1),
+      |        i -> (v.embedding[i]::DOUBLE - c.cv[i]) * (v.embedding[i]::DOUBLE - c.cv[i]))),
+      |      (a, b) -> a + b) AS d
+      |  FROM v, scarr c),
+      |sasg AS (
+      |  SELECT vec_id, clabel AS alabel FROM (
+      |    SELECT vec_id, clabel,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+      |    FROM sdist) WHERE rn = 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ann_ivf_sampled_topk" ->
+      s"""$VecCte,
+         |$SampledAsgCte,
+         |pcell AS (
+         |  SELECT vec_id AS probe, clabel AS pcell FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+         |    FROM sdist WHERE vec_id < 50) WHERE rn <= 2),
+         |probes AS (
+         |  SELECT p.probe, p.pcell, v.embedding AS pe, v.norm2 AS pn
+         |  FROM pcell p JOIN v ON v.vec_id = p.probe),
+         |pairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN sasg a ON a.vec_id = v.vec_id
+         |  JOIN probes p ON a.alabel = p.pcell AND v.vec_id <> p.probe),
+         |ranked AS (
+         |  SELECT probe, neighbor, cos,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM pairs)
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    "ann_ivf_sampled_cells" ->
+      s"""$VecCte,
+         |$SampledAsgCte,
+         |cells AS (SELECT alabel, count(*) AS c FROM sasg GROUP BY alabel)
+         |SELECT CAST(count(*) AS BIGINT) AS cells_used,
+         |       CAST(max(c) AS BIGINT) AS max_cell,
+         |       CAST(sum(c) AS BIGINT) AS n_vectors,
+         |       CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS within_cell_pairs,
+         |       CAST((SELECT count(*) FROM embeddings
+         |             WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+         |                   % 5 = 0) AS BIGINT) AS sample_size
+         |FROM cells""".stripMargin,
+
     "ann_topk" -> oracleFor(25, "TRUE", 10),
     "ann_ivf_topk" -> oracleFor(50, "v.label = p.plabel", 5),
     "ann_lsh_topk" -> oracleFor(50, "v.bucket = p.pbucket", 5),
