@@ -99,6 +99,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_jaccard_prefix: staged prefix index feeds both join sides, no cartesian") {
+    val p = plan("dedup_jaccard_prefix")
+    // both sides of the candidate self-join must read the SAME persisted
+    // prefix index (the rarity-ranking window runs once, inside the
+    // cached relation — it prints under each InMemoryTableScan but is
+    // computed once); no Window may appear in the live plan above them
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.substring(0, p.indexOf("InMemoryTableScan")).contains("Window"),
+      "rarity ranking must live inside the staged index, not re-run per query")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx_decontaminate_bloom: bloom enters as a scalar subquery, verify join broadcasts") {
+    val p = plan("tx_decontaminate_bloom")
+    assert(p.contains("might_contain"), s"bloom probe missing: ${p.take(2000)}")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      "bloom must arrive as a scalar subquery, not a collected literal")
+    assert(p.contains("BroadcastHashJoin"), "exact verify join should broadcast")
+  }
+
+  test("ann_ivf_sampled_topk: bounded heaps, broadcast sampled centroids, no window") {
+    val p = plan("ann_ivf_sampled_topk")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("grouped_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "sampled centroid table should broadcast")
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
