@@ -363,6 +363,30 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // The actionable END of the near-dup pipeline: per duplicate
+    // cluster, keep the best member (longest token count — the standard
+    // keep-longest canonicalization; ties to the smallest doc_id) and
+    // emit the DROP decision for everyone else. This is the artifact a
+    // 100 TB curation run actually ships — pairs and clusters are
+    // intermediate. Winner selection is an argmax-by-struct aggregate
+    // (min of (−n_tok, doc_id) — one shuffle on cluster_rep), not a
+    // window sort; singleton docs never enter (clusters only contain
+    // edge-connected docs), so the output is exactly the removal list.
+    "dedup_drop_list" -> { (s, dir) =>
+      import s.implicits._
+      val labels = Dedup.queries("dedup_clusters")(s, dir)
+      val tok = Tables(s, dir).documents
+        .select($"doc_id", size(wsTokens($"text")).as("n_tok"))
+      val withTok = labels.join(tok, "doc_id")
+      val keep = withTok.groupBy($"cluster_rep")
+        .agg(min(struct(-$"n_tok", $"doc_id")).as("w"))
+        .select($"cluster_rep", $"w.doc_id".as("keep_id"))
+      withTok.join(keep, "cluster_rep")
+        .filter($"doc_id" =!= $"keep_id")
+        .select($"doc_id", $"cluster_rep", $"keep_id")
+        .orderBy($"doc_id")
+    },
+
     // SimHash near-dup: 32-bit tf-weighted simhash per doc; candidates
     // share one of 4 bytes (guarantees recall for hamming ≤ 3 — one of
     // the 4 bands must be untouched); verify bit_count(xor) ≤ 3.
@@ -652,6 +676,37 @@ object Dedup {
        |ex AS (SELECT doc_id, sh FROM ex0 WHERE sh NOT IN (SELECT sh FROM hot)),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle CTE chain: Jaccard ≥ 0.8 pairs → undirected edges →
+    * transitive closure (recursive CTE) → per-doc min-label cluster id
+    * (`lab(doc_id, cluster_rep)`). Consumed by dedup_clusters and
+    * dedup_drop_list so the cluster definition can never drift.
+    */
+  private val ClusterCte =
+    s"""$ShingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ia, ib FROM inter
+       |  JOIN sizes sa ON sa.doc_id = ia
+       |  JOIN sizes sb ON sb.doc_id = ib
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8),
+       |edges AS (
+       |  SELECT ia AS src, ib AS dst FROM pairs
+       |  UNION ALL SELECT ib, ia FROM pairs
+       |  UNION SELECT ia, ia FROM pairs
+       |  UNION SELECT ib, ib FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+       |  SELECT * FROM r),
+       |lab AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_rep
+       |  FROM reach GROUP BY src)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -759,29 +814,25 @@ object Dedup {
          |ORDER BY ia, ib""".stripMargin,
 
     "dedup_clusters" ->
-      s"""$ShingleCte,
-         |inter AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT ia, ib FROM inter
-         |  JOIN sizes sa ON sa.doc_id = ia
-         |  JOIN sizes sb ON sb.doc_id = ib
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8),
-         |edges AS (
-         |  SELECT ia AS src, ib AS dst FROM pairs
-         |  UNION ALL SELECT ib, ia FROM pairs
-         |  UNION SELECT ia, ia FROM pairs
-         |  UNION SELECT ib, ib FROM pairs),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT src, dst FROM edges
-         |    UNION
-         |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
-         |  SELECT * FROM r)
-         |SELECT src AS doc_id, min(dst) AS cluster_rep
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      s"""$ClusterCte
+         |SELECT doc_id, cluster_rep FROM lab ORDER BY doc_id""".stripMargin,
+
+    "dedup_drop_list" ->
+      s"""$ClusterCte,
+         |tok AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+         |  FROM documents),
+         |win AS (
+         |  SELECT l.cluster_rep, l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster_rep
+         |                       ORDER BY t.n_tok DESC, l.doc_id) AS rn
+         |  FROM lab l JOIN tok t ON t.doc_id = l.doc_id),
+         |keep AS (SELECT cluster_rep, doc_id AS keep_id FROM win WHERE rn = 1)
+         |SELECT l.doc_id, l.cluster_rep, k.keep_id
+         |FROM lab l JOIN keep k ON k.cluster_rep = l.cluster_rep
+         |WHERE l.doc_id <> k.keep_id
+         |ORDER BY l.doc_id""".stripMargin,
 
     "dedup_substring" ->
       """WITH t AS (
