@@ -85,6 +85,14 @@ object ScaleProbe {
       s""""max_cell": ${cells.getAs[Long]("max_cell")}, "n_vectors": ${cells.getAs[Long]("n_vectors")}, """ +
       s""""within_cell_pairs": ${cells.getAs[Long]("within_cell_pairs")}, """ +
       s""""nlist_target": ${cells.getAs[Int]("nlist_target")}, "split_bits": ${cells.getAs[Int]("split_bits")}}""")
+    // two-level assignment meter: agreement of the coarse-pruned argmin
+    // with the flat argmin, and the distance-fold rows of each route —
+    // the extreme-n indexing path (O(n·(L + w·2^b)·d) vs O(n·L·2^b·d))
+    val ca = graft.queries.Similarity.coarseAssignStats(spark, out).collect()(0)
+    println(s"""{"meter": "ivf_coarse_assign", "n_vectors": ${ca.getAs[Long]("n_vectors")}, """ +
+      s""""agree_flat": ${ca.getAs[Long]("agree_flat")}, """ +
+      s""""fine_dist_rows": ${ca.getAs[Long]("fine_dist_rows")}, """ +
+      s""""flat_dist_rows": ${ca.getAs[Long]("flat_dist_rows")}}""")
     spark.stop()
   }
 }

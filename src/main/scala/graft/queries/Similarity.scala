@@ -143,6 +143,14 @@ object Similarity {
 
     "ann_quantize" -> { (s, dir) => quantize(s, dir) },
 
+    // The two-level assignment meter as a first-class, oracle-checked
+    // query (the embCellStats/simhashDropStats contract): the coarse
+    // pre-quantizer's agreement with the flat argmin and the measured
+    // distance-fold row counts of both routes. At the gate SFs b = 0,
+    // so coarse == fine and agree_flat == n_vectors exactly — the oracle
+    // replays the same two-level procedure, not a constant.
+    "ann_ivf_coarse" -> { (s, dir) => coarseAssignStats(s, dir) },
+
     // IVF with the TRAINED coarse quantizer and nprobe=2: vectors are
     // assigned to their nearest trained centroid (full 64-dim L2,
     // argmin with deterministic label tie-break); each probe searches
@@ -516,6 +524,80 @@ object Similarity {
   private[queries] def assignments(s: SparkSession, dir: String): DataFrame =
     assignmentsFrom(centroidDists(s, dir))
 
+  /** Distances to the COARSE level of the quantizer — the L label means.
+    * The trained quantizer is hierarchical by construction (fine cell =
+    * label·2^b + residual bits, so a fine cell's parent is `clabel div
+    * 2^b`), which makes the label means a free coarse pre-quantizer: no
+    * extra training pass. At b = 0 coarse == fine, so this reuses the
+    * memoized fine distance table outright.
+    */
+  private def coarseDists(s: SparkSession, dir: String): DataFrame =
+    if (splitBitsFor(corpusSize(s, dir)) == 0) centroidDists(s, dir)
+    else distsAgainst(s, dir, "#coarse", centroidVectors(s, dir))
+
+  /** Each vector's 2 nearest coarse cells (ties → smaller label, same
+    * ordering contract as the nprobe=2 probe-cell selection).
+    */
+  private def coarseTop2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    coarseDists(s, dir)
+      .groupBy($"vec_id")
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), 2).as("top"))
+      .select($"vec_id", explode($"top.id").as("pcoarse"))
+  }
+
+  /** Fine-centroid distances RESTRICTED to the vector's 2 nearest coarse
+    * cells — the extreme-n assignment pass. The flat pass costs
+    * O(n·nlist·d); with nlist ∝ √n that fold itself becomes the indexing
+    * bottleneck around n ≈ 10¹⁰. Here each vector computes L coarse
+    * distances plus w·2^b fine distances (w = 2), i.e. O(n·(L + w·2^b)·d)
+    * ≈ O(n·√nlist·d) — the standard two-level IVF assignment. The price
+    * is approximation: the true nearest fine centroid can live under a
+    * third coarse parent. [[coarseAssignStats]] METERS that disagreement
+    * against the flat assignment rather than assuming it away; at b = 0
+    * the two levels coincide and agreement is exact by construction.
+    */
+  private def coarseFineDists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = splitBitsFor(corpusSize(s, dir))
+    val fines = trainedCentroids(s, dir)
+      .withColumn("parent", expr(s"CAST(clabel AS BIGINT) div ${1L << b}"))
+    Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding")
+      .join(coarseTop2(s, dir), "vec_id")
+      .join(broadcast(fines), $"parent" === $"pcoarse")
+      .withColumn("d", aggregate(
+        zip_with($"embedding", $"cv",
+          (a, c) => (a.cast("double") - c) * (a.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x))
+      .select($"vec_id", $"clabel", $"d")
+  }
+
+  /** Two-level (coarse → fine) cell assignment. */
+  private[queries] def coarseAssignments(s: SparkSession, dir: String): DataFrame =
+    assignmentsFrom(coarseFineDists(s, dir))
+
+  /** METER for the two-level assignment pass (the embCellStats contract):
+    * how often the coarse-pruned argmin agrees with the flat argmin, and
+    * the measured distance-fold row counts of each route — the evidence
+    * that the pruning buys its cost reduction without silent recall loss.
+    */
+  def coarseAssignStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fine = coarseFineDists(s, dir)
+    val cmp = assignments(s, dir)
+      .join(coarseAssignments(s, dir).withColumnRenamed("alabel", "alabel2"), "vec_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when($"alabel" === $"alabel2", 1L).otherwise(0L)).as("agree_flat"))
+    val coarseN = centroidVectors(s, dir).agg(count(lit(1)).as("coarse_cells"))
+    val fineN = trainedCentroids(s, dir).agg(count(lit(1)).as("fine_cells"))
+    val fRows = fine.agg(count(lit(1)).as("fine_dist_rows"))
+    cmp.crossJoin(broadcast(coarseN))
+      .crossJoin(broadcast(fineN))
+      .crossJoin(broadcast(fRows))
+      .withColumn("flat_dist_rows", $"n_vectors" * $"fine_cells")
+  }
+
   /** Deterministic 20% training sample: md5-hash the vec_id, keep
     * residue-0 of 5. Replayable and portable (the oracle reproduces the
     * exact member set) — the same device as tx_sample_stratified.
@@ -754,6 +836,36 @@ object Similarity {
          |             WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
          |                   % 5 = 0) AS BIGINT) AS sample_size
          |FROM cells""".stripMargin,
+
+    // Oracle twin of the two-level assignment meter in the gate regime
+    // (b = 0): the coarse table IS carr and coarse distances ARE dist —
+    // exactly mirroring the Scala side's b = 0 reuse — so the oracle
+    // replays coarse top-2 → restricted fine argmin and compares it to
+    // the flat asg row by row.
+    "ann_ivf_coarse" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |ctop AS (
+         |  SELECT vec_id, clabel AS pcoarse FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+         |    FROM dist) WHERE rn <= 2),
+         |fdist AS (
+         |  SELECT d.vec_id, d.clabel, d.d
+         |  FROM dist d JOIN ctop c ON c.vec_id = d.vec_id AND d.clabel = c.pcoarse),
+         |fasg AS (
+         |  SELECT vec_id, clabel AS alabel2 FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+         |    FROM fdist) WHERE rn = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(sum(CASE WHEN a.alabel = f.alabel2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS agree_flat,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM carr) AS coarse_cells,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM carr) AS fine_cells,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM fdist) AS fine_dist_rows,
+         |       CAST(count(*) * (SELECT count(*) FROM carr) AS BIGINT) AS flat_dist_rows
+         |FROM asg a JOIN fasg f ON f.vec_id = a.vec_id""".stripMargin,
 
     "ann_topk" -> oracleFor(25, "TRUE", 10),
     "ann_ivf_topk" -> oracleFor(50, "v.label = p.plabel", 5),

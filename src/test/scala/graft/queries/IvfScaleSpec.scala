@@ -45,6 +45,18 @@ class IvfScaleSpec extends SparkSpec {
     assert(r.getAs[Long]("n_vectors") === 500L)
   }
 
+  test("gate corpus: two-level assignment is the b=0 identity (exact, 2 fine cands)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val r = Similarity.coarseAssignStats(spark, dir).collect()(0)
+    assert(r.getAs[Long]("agree_flat") === r.getAs[Long]("n_vectors"))
+    assert(r.getAs[Long]("coarse_cells") === 10L)
+    assert(r.getAs[Long]("fine_cells") === 10L)
+    // b = 0: the fine pass touches exactly the 2 coarse-winner cells
+    assert(r.getAs[Long]("fine_dist_rows") === 2L * r.getAs[Long]("n_vectors"))
+    assert(r.getAs[Long]("flat_dist_rows") === 10L * r.getAs[Long]("n_vectors"))
+  }
+
   test("past the floor, cells split and bound within-cell pairs") {
     import spark.implicits._
     val n = 3000
@@ -80,6 +92,18 @@ class IvfScaleSpec extends SparkSpec {
         .join(asg.toDF("vb", "cb"), $"vb" === $"va" + 700)
         .filter($"ca" =!= $"cb").count()
       assert(cloneSplit === 0L)
+      // two-level (coarse → fine) assignment past the floor: on this
+      // well-separated corpus the pruned argmin must agree with the flat
+      // argmin for every vector, while doing strictly less distance work
+      val cs = Similarity.coarseAssignStats(spark, dir).collect()(0)
+      info(s"coarse meter: agree=${cs.getAs[Long]("agree_flat")}/" +
+        s"${cs.getAs[Long]("n_vectors")} " +
+        s"fine_dist_rows=${cs.getAs[Long]("fine_dist_rows")} " +
+        s"flat_dist_rows=${cs.getAs[Long]("flat_dist_rows")}")
+      assert(cs.getAs[Long]("agree_flat") === cs.getAs[Long]("n_vectors"))
+      assert(cs.getAs[Long]("coarse_cells") === 10L)
+      assert(cs.getAs[Long]("fine_cells") > 10L)
+      assert(cs.getAs[Long]("fine_dist_rows") < cs.getAs[Long]("flat_dist_rows"))
     } finally {
       Similarity.clearCaches()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
