@@ -127,6 +127,14 @@ class PlanShapeSpec extends SparkSpec {
       "sampled centroid table should broadcast")
   }
 
+  test("ann_ivf_coarse: bounded-heap coarse probe, broadcast fine centroids, no window") {
+    val p = plan("ann_ivf_coarse")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("grouped_topk"), "coarse top-2 should use the bounded heap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid tables and 1-row meter frames should broadcast")
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
