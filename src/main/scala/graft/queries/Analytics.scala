@@ -498,6 +498,30 @@ object Analytics {
         .orderBy($"l_returnflag")
     },
 
+    // HyperLogLog++ distinct-count sketch vs the exact answer. At 100 TB
+    // exact countDistinct shuffles every distinct key to its group's
+    // reducer — O(distinct) shuffle rows; the sketch ships one fixed-size
+    // (2^p registers) mergeable binary per partition per group instead,
+    // the only viable cardinality plan at that scale. Sketches are not
+    // portable across engines, so the gate row carries the EXACT count
+    // (the anchor both engines agree on) plus an observed-accuracy flag:
+    // |hll − exact| ≤ 5%·exact with rsd = 2%. The flag is a real
+    // assertion — a Spark-side sketch regression (or an rsd
+    // misconfiguration) flips it to false and fails the hash compare.
+    "q_approx_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("exact_users"),
+          approx_count_distinct($"user_id", rsd = 0.02).as("hll"),
+          count(lit(1)).as("n_events"))
+        .select($"event_type", $"exact_users", $"n_events",
+          (abs($"hll" - $"exact_users") <=
+            $"exact_users".cast("double") * 0.05).as("hll_within_5pct"))
+        .orderBy($"event_type")
+    },
+
     // Time-bucketed aggregation (batch analog of the streaming window op).
     "q_events_hourly" -> { (s, dir) =>
       import s.implicits._
@@ -822,6 +846,15 @@ object Analytics {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The oracle pins the exact anchor and asserts the sketch held its
+    // accuracy bound (TRUE literal — Spark's side computes the real flag)
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS n_events,
+        |  TRUE AS hll_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,

@@ -381,6 +381,31 @@ object Dedup {
         .orderBy($"ia", $"ib")
     },
 
+    // RECALL meter for the MinHash+LSH route (the simhashDropStats
+    // contract): of the exact Jaccard ≥ 0.5 pairs (same df-guarded
+    // shingle front end, from the staged inter index), how many did the
+    // 4-band/3-row LSH actually admit? 12 perms / 4 bands has a known
+    // theoretical S-curve (P[admit] = 1 − (1 − s³)⁴ at similarity s —
+    // ~87% at s = 0.6, ~99.6% at s = 0.8); this query turns that
+    // expectation into an observed, oracle-checked number per corpus, so
+    // band/row tuning is driven by data, not the formula alone.
+    // Deterministic end to end (md5-based permutations), hence exactly
+    // reproducible in the oracle.
+    "dedup_lsh_recall" -> { (s, dir) =>
+      import s.implicits._
+      val (_, sizes) = shingleIndex(s, dir)
+      val exact = interIndex(s, dir)
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.5)
+        .select($"ia", $"ib")
+      val lsh = Dedup.queries("dedup_minhash_lsh")(s, dir).select($"ia", $"ib")
+      val found = exact.join(lsh, Seq("ia", "ib"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .withColumn("n_missed", $"n_exact" - $"n_found")
+    },
+
     // Duplicate clusters: connected components over the Jaccard ≥ 0.8
     // near-dup graph via min-label propagation — the step that turns
     // pairwise matches into keep/drop decisions. Iterates
@@ -706,6 +731,36 @@ object Dedup {
        |ex AS (SELECT doc_id, sh FROM ex0 WHERE sh NOT IN (SELECT sh FROM hot)),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle CTE chain for the MinHash+LSH route (appended after
+    * [[ShingleCte]]): 12 permuted min-hashes → 4 bands of 3 → distinct
+    * band-collision candidates → exact Jaccard `j(ia, ib, jac)`.
+    * Consumed by dedup_minhash_lsh and dedup_lsh_recall so the LSH
+    * definition can never drift between the operator and its meter.
+    */
+  private val MinhashCte =
+    """sets AS (SELECT doc_id, list(sh) AS shs FROM ex GROUP BY doc_id),
+      |mh AS (
+      |  SELECT doc_id, shs,
+      |    list_transform(range(0, 12), i ->
+      |      list_min(list_transform(shs, sh ->
+      |        ((('0x' || substr(md5(sh), 1, 12))::BIGINT % 2147483647)
+      |          * (1103515245 + 12345*i)
+      |         + (1000003*i + 54321)) % 2147483647))) AS m
+      |  FROM sets),
+      |bands AS (
+      |  SELECT doc_id, shs, b AS band,
+      |    m[3*b + 1]::VARCHAR || ',' || m[3*b + 2]::VARCHAR || ',' || m[3*b + 3]::VARCHAR AS key
+      |  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.shs AS sha, b.shs AS shb
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |   AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT ia, ib, len(list_intersect(sha, shb)) AS inter,
+      |    CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+      |      / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jac
+      |  FROM cand)""".stripMargin
+
   /** Shared oracle CTE chain: Jaccard ≥ 0.8 pairs → undirected edges →
     * transitive closure (recursive CTE) → per-doc min-label cluster id
     * (`lab(doc_id, cluster_rep)`). Consumed by dedup_clusters and
@@ -818,30 +873,33 @@ object Dedup {
 
     "dedup_minhash_lsh" ->
       s"""$ShingleCte,
-         |sets AS (SELECT doc_id, list(sh) AS shs FROM ex GROUP BY doc_id),
-         |mh AS (
-         |  SELECT doc_id, shs,
-         |    list_transform(range(0, 12), i ->
-         |      list_min(list_transform(shs, sh ->
-         |        ((('0x' || substr(md5(sh), 1, 12))::BIGINT % 2147483647)
-         |          * (1103515245 + 12345*i)
-         |         + (1000003*i + 54321)) % 2147483647))) AS m
-         |  FROM sets),
-         |bands AS (
-         |  SELECT doc_id, shs, b AS band,
-         |    m[3*b + 1]::VARCHAR || ',' || m[3*b + 2]::VARCHAR || ',' || m[3*b + 3]::VARCHAR AS key
-         |  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.shs AS sha, b.shs AS shb
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |   AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT ia, ib, len(list_intersect(sha, shb)) AS inter,
-         |    CAST(len(list_intersect(sha, shb)) AS DOUBLE)
-         |      / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jac
-         |  FROM cand)
+         |$MinhashCte
          |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.5
          |ORDER BY ia, ib""".stripMargin,
+
+    "dedup_lsh_recall" ->
+      s"""$ShingleCte,
+         |$MinhashCte,
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT ia, ib FROM inter
+         |  JOIN sizes sa ON sa.doc_id = ia
+         |  JOIN sizes sb ON sb.doc_id = ib
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |lshr AS (SELECT ia, ib FROM j WHERE jac >= 0.5)
+         |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |       CAST((SELECT count(*) FROM exact e
+         |             WHERE EXISTS (SELECT 1 FROM lshr l
+         |                           WHERE l.ia = e.ia AND l.ib = e.ib)) AS BIGINT)
+         |         AS n_found,
+         |       CAST((SELECT count(*) FROM exact) AS BIGINT)
+         |         - CAST((SELECT count(*) FROM exact e
+         |                 WHERE EXISTS (SELECT 1 FROM lshr l
+         |                               WHERE l.ia = e.ia AND l.ib = e.ib)) AS BIGINT)
+         |         AS n_missed""".stripMargin,
 
     "dedup_clusters" ->
       s"""$ClusterCte
