@@ -49,7 +49,23 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"""{"built": "$out", "docs": ${n * m}, "vectors": ${en * m}}""")
+    // events replicated m× with per-copy user-id offsets: user count grows
+    // with the corpus while per-user event density stays fixed — the
+    // growth mode a real event log has — so the interval join's true pair
+    // count (and thus a correctly-shaped plan's cost) must grow linearly.
+    // ts arrives as nanos-long (NanosAsLong) and is written back as plain
+    // int64 nanos, which Tables.events reads identically.
+    val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val evn = evBase.count()
+    (0 until m).map { k =>
+      evBase.select(
+        ($"event_id" + lit(k * evn)).as("event_id"), $"ts",
+        ($"user_id" + lit(k * 1000L)).as("user_id"),
+        $"event_type", $"value", $"props")
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"""{"built": "$out", "docs": ${n * m}, "vectors": ${en * m}, "events": ${evn * m}}""")
     // the corpus at `out` was just (re)written — drop any memoized
     // indexes a previous run of this session may hold for the same path
     graft.queries.Dedup.clearCaches()
@@ -58,7 +74,8 @@ object ScaleProbe {
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
       "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
-      "dedup_emb_cos_ivf", "ann_ivf2_topk", "dedup_substring", "dedup_spans")
+      "dedup_emb_cos_ivf", "ann_ivf2_topk", "dedup_substring", "dedup_spans",
+      "q_interval_join")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()

@@ -538,6 +538,91 @@ object Analytics {
         .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
         .groupBy($"k").agg(count(lit(1)).as("n"))
         .orderBy($"k")
+    },
+
+    // Interval join (Flink-style): for each error event, the click events
+    // by the same user in the preceding 6 hours. The naive plan for the
+    // inequality predicate is a per-key cross product (BroadcastNestedLoop
+    // at best); instead the window is turned into an EQUI-join by bucketing
+    // time into bins exactly one window wide — a click in [err−6h, err)
+    // lies in the error's bin or the one before it, so exploding the error
+    // side into those two bins and joining on (user, bin) gives a shuffle
+    // hash/merge join with ≤2× probe duplication, then the exact predicate
+    // refines. At 100 TB this is the only interval-join plan that scales:
+    // cost follows true pair density, never |errors|×|clicks| per user.
+    "q_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val binUs = 6L * 3600L * 1000000L // bin width == window length (6 h)
+      val ev    = Tables(s, dir).events
+      val err = ev.filter($"event_type" === "error")
+        .select($"event_id".as("err_id"), $"user_id",
+          unix_micros($"ts").as("err_us"))
+        .withColumn("bin", explode(array(
+          expr(s"err_us div $binUs") - 1, expr(s"err_us div $binUs"))))
+      val clk = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), unix_micros($"ts").as("click_us"))
+        .withColumn("bin", expr(s"click_us div $binUs"))
+      err.join(clk, err("user_id") === clk("c_user") && err("bin") === clk("bin"))
+        .filter($"click_us" >= $"err_us" - binUs && $"click_us" < $"err_us")
+        .groupBy($"err_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min($"click_us").as("first_click_us"),
+          max($"click_us").as("last_click_us"))
+        .orderBy($"err_id")
+    },
+
+    // Quantile sketch vs its exact anchor — same contract as
+    // q_approx_distinct: at 100 TB an exact grouped percentile sorts every
+    // group's values (O(n log n) per group, full shuffle of the value
+    // column); percentile_approx ships one bounded GK sketch per partition
+    // per group. Sketches aren't portable across engines, so the gate row
+    // carries the exact interpolated percentiles (both engines agree) plus
+    // observed-accuracy flags stated in the sketch's OWN contract — rank
+    // error, not value distance (a sparse tail makes the nearest element
+    // arbitrarily far in value while still rank-exact): the fraction of
+    // values ≤ the sketch's answer must sit within ε + tie/discreteness
+    // slack of p. A Spark-side sketch regression flips a flag and fails
+    // the hash compare.
+    "q_approx_quantile" -> { (s, dir) =>
+      import s.implicits._
+      val apx = Tables(s, dir).events
+        .groupBy($"event_type")
+        .agg(
+          percentile($"value", lit(0.5)).as("exact_p50"),
+          percentile($"value", lit(0.95)).as("exact_p95"),
+          percentile_approx($"value", lit(0.5), lit(10000)).as("apx50"),
+          percentile_approx($"value", lit(0.95), lit(10000)).as("apx95"))
+      def rankOk(apxCol: Column, p: Double): Column = {
+        val frac = sum(when($"value" <= apxCol, 1L).otherwise(0L))
+          .cast("double") / count(lit(1))
+        abs(frac - p) <= lit(0.02) + lit(2.0) / count(lit(1))
+      }
+      Tables(s, dir).events
+        .join(broadcast(apx), "event_type")
+        .groupBy($"event_type")
+        .agg(
+          first($"exact_p50").as("exact_p50"),
+          first($"exact_p95").as("exact_p95"),
+          count(lit(1)).as("n"),
+          rankOk($"apx50", 0.5).as("p50_rank_ok"),
+          rankOk($"apx95", 0.95).as("p95_rank_ok"))
+        .orderBy($"event_type")
+    },
+
+    // Unpivot (wide → long), the inverse of q_pivot: per-returnflag sums
+    // melted into (metric, value) rows. Narrow projection over the
+    // 3-row aggregate — the relational melt the reference expresses as a
+    // per-record emit loop in its map phase.
+    "q_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(sumDec($"l_quantity").as("quantity"),
+          sumDec($"l_extendedprice").as("price"),
+          sumDec($"l_discount").as("discount"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"quantity", $"price", $"discount"), "metric", "value")
+        .orderBy($"l_returnflag", $"metric")
     }
   )
 
@@ -863,6 +948,38 @@ object Analytics {
 
     "q_json_extract" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The oracle states the interval join directly as the inequality
+    // predicate — DuckDB's optimizer handles the small gate corpus; the
+    // Spark side's bin-join must produce the identical pair set.
+    "q_interval_join" ->
+      """SELECT e.event_id AS err_id, COUNT(*) AS n_clicks,
+        |  MIN(epoch_us(c.ts)) AS first_click_us,
+        |  MAX(epoch_us(c.ts)) AS last_click_us
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts < e.ts
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS exact_p50,
+        |  quantile_cont(value, 0.95) AS exact_p95,
+        |  COUNT(*) AS n,
+        |  TRUE AS p50_rank_ok,
+        |  TRUE AS p95_rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT * FROM (UNPIVOT (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS quantity,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+        |  FROM lineitem GROUP BY l_returnflag
+        |) ON quantity, price, discount INTO NAME metric VALUE value)
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 }

@@ -284,6 +284,26 @@ object TextAnalysis {
         .select($"doc_id", $"n_shared", $"n_grams",
           round($"n_shared".cast("double") / $"n_grams", 6).as("overlap_ratio"))
         .orderBy($"doc_id")
+    },
+
+    // Dictionary redaction — the PII-scrub plumbing (emails/phones/SSNs in
+    // a real corpus; this synthetic corpus has none, so the dictionary is
+    // a term list standing in for the sensitive-pattern alternation).
+    // Shuffle-free single-pass projection: one codegen'd regex automaton
+    // per row for match counting + global replace; the scrubbed text
+    // leaves the operator as an md5 so 100 TB of redacted text never
+    // re-materializes through the gate. The pattern stays in the
+    // Java-regex ∩ RE2 portable subset (\b + alternation, no lookaround).
+    "tx_redact" -> { (s, dir) =>
+      import s.implicits._
+      val pat = "\\b(spark|customer|vector)\\b"
+      Tables(s, dir).documents
+        .select($"doc_id",
+          regexp_count($"text", lit(pat)).cast("long").as("n_hits"),
+          md5(regexp_replace($"text", pat, "[X]")).as("redacted_md5"),
+          length(regexp_replace($"text", pat, "[X]")).cast("long")
+            .as("redacted_len"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -485,6 +505,15 @@ object TextAnalysis {
         |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
         |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
         |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all semantics.
+    "tx_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|customer|vector)\b')) AS BIGINT) AS n_hits,
+        |  md5(regexp_replace(text, '\b(spark|customer|vector)\b', '[X]', 'g')) AS redacted_md5,
+        |  CAST(length(regexp_replace(text, '\b(spark|customer|vector)\b', '[X]', 'g')) AS BIGINT) AS redacted_len
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -135,6 +135,34 @@ class PlanShapeSpec extends SparkSpec {
       "centroid tables and 1-row meter frames should broadcast")
   }
 
+  test("q_interval_join: the time-window predicate becomes an equi bin join") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval predicate fell back to a nested loop: ${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      "interval join must hash/merge on (user, bin)")
+  }
+
+  test("tx_redact is a shuffle-free narrow projection") {
+    val p = plan("tx_redact")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected shuffles in tx_redact: ${p.take(2000)}")
+    assert(!p.contains("Join"))
+  }
+
+  test("q_approx_quantile broadcasts the per-type sketch anchors back onto events") {
+    val p = plan("q_approx_quantile")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_unpivot melts via Expand below the final sort — no join, no window") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
