@@ -60,7 +60,7 @@ object ScaleProbe {
     (0 until m).map { k =>
       evBase.select(
         ($"event_id" + lit(k * evn)).as("event_id"), $"ts",
-        ($"user_id" + lit(k * 1000L)).as("user_id"),
+        ($"user_id" + lit(k * 100000L)).as("user_id"),
         $"event_type", $"value", $"props")
     }.reduce(_ unionAll _)
       .repartition(32)

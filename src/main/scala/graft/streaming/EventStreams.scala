@@ -49,6 +49,51 @@ object EventStreams {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming twin of the batch `q_interval_join` gate query: for each
+    * error, the clicks by the same user in the PRECEDING
+    * `lookbackSeconds` — `clickPurchaseJoin` with the range reversed
+    * (buffered lookback instead of lookahead). Same boundary convention
+    * as the batch bin-join: closed at err−lookback, open at err. The
+    * watermark + range condition bound both state-store sides; clicks
+    * are discardable once the watermark passes their ts + lookback.
+    */
+  def errorClickLookback(
+      errors: DataFrame, // (err_id: Long, err_ts: Timestamp, user_id: Long)
+      clicks: DataFrame, // (click_ts: Timestamp, user_id: Long)
+      lookbackSeconds: Long = 21600L,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val e = errors.withWatermark("err_ts", watermarkDelay)
+    val c = clicks
+      .withColumnRenamed("user_id", "c_user_id")
+      .withWatermark("click_ts", watermarkDelay)
+    e.join(
+      c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("click_ts") < col("err_ts"))
+      .select(col("err_id"), col("user_id"), col("err_ts"), col("click_ts"))
+  }
+
+  /** Streaming exactly-once-per-event dedup over an at-least-once
+    * delivery: `dropDuplicatesWithinWatermark` keeps one state entry per
+    * event_id and drops it once the watermark passes the first
+    * occurrence's event time + delay — retries arriving within the delay
+    * (even with a jittered timestamp, which is why the plain
+    * `dropDuplicates` key (id, ts) can't do this) collapse to the first
+    * emission. State is bounded by the watermark window, the only
+    * tenable posture at 100 TB/day event volume; a global
+    * `dropDuplicates("event_id")` would grow its store without bound.
+    * Complements the KV family's K4 semantics (first-delivery-wins by
+    * (clientId, clientSeq), KvOps/KvStream), which dedups by explicit
+    * sequence instead of event identity + time proximity.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, // needs (ts: Timestamp, event_id: Long)
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** One closed user session (same shape as the batch `q_sessionize`
     * rollup: bounds + event count).
     */

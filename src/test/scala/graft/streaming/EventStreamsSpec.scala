@@ -45,6 +45,28 @@ class EventStreamsSpec extends SparkSpec {
       (1L, t(11, 0), t(11, 30))))
   }
 
+  test("dropDuplicatesWithinWatermark collapses at-least-once delivery to exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.dedupWithinWatermark(in.toDS().toDF("ts", "event_id"))
+      .writeStream.format("memory").queryName("dedup_ww")
+      .outputMode(OutputMode.Append()).start()
+
+    // in-batch duplicate of event 1, plus a distinct event 2
+    in.addData((t(10, 0), 1L), (t(10, 0), 1L), (t(10, 5), 2L))
+    q.processAllAvailable()
+    // cross-batch retry of event 1 with a JITTERED timestamp — still
+    // within the watermark delay of the original, so it must be dropped
+    // (a (id, ts)-keyed dropDuplicates would emit it again)
+    in.addData((t(10, 1), 1L))
+    q.processAllAvailable()
+
+    val rows = spark.table("dedup_ww")
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    q.stop()
+    assert(rows == Seq(1L, 2L))
+  }
+
   test("sessions closed by an in-batch gap emit immediately") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]

@@ -79,6 +79,47 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(dropped == 0L) // a full in-order replay loses nothing
   }
 
+  test("streaming interval join over events.parquet equals the q_interval_join gate query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, min, unix_micros}
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    def stream(eventType: String) = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .filter($"event_type" === eventType)
+    val errors = stream("error")
+      .select($"event_id".as("err_id"), $"ts".as("err_ts"), $"user_id")
+    val clicks = stream("click").select($"ts".as("click_ts"), $"user_id")
+
+    val q = EventStreams.errorClickLookback(errors, clicks)
+      .writeStream.format("memory").queryName("parity_ivj")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    // roll the emitted pairs up to the gate query's contract
+    val streaming = spark.table("parity_ivj")
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        min(unix_micros($"click_ts")).as("first_click_us"),
+        max(unix_micros($"click_ts")).as("last_click_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.SparkEntry.queries("q_interval_join")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+  }
+
   test("the oracle twin's totals are invariant to how input splits into micro-batches") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
