@@ -609,6 +609,42 @@ object Analytics {
         .orderBy($"event_type")
     },
 
+    // Hopping (sliding) windows: 2 h windows every 30 min — each event
+    // lands in 4 overlapping windows. q_events_hourly covers tumbling;
+    // this is the overlapping shape Structured Streaming's window(slide)
+    // uses. Spark expands each row into its windows (Expand, factor =
+    // size/slide) before one partial+final aggregation — the output is
+    // bounded by slots × types regardless of corpus size, and the
+    // expansion happens map-side so the shuffle carries only partials.
+    "q_hopping" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(window($"ts", "2 hours", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumDec($"value").as("total_value"))
+        .select($"w.start".as("w_start"), $"event_type", $"n", $"total_value")
+        .orderBy($"w_start", $"event_type")
+    },
+
+    // Time-series densification (gap fill): every hour in the corpus's
+    // span appears, absent hours with n = 0 — the monitoring/feature
+    // pipeline shape. The hour spine derives from a 1-row bounds
+    // aggregate exploded through sequence() (never a driver-side range),
+    // and is bounded by the TIME span, not the corpus: at 100 TB the
+    // spine stays tiny while the hourly rollup is the usual partial+final
+    // aggregate, so the left join is spine-broadcast-sized.
+    "q_gapfill" -> { (s, dir) =>
+      import s.implicits._
+      val hourly = Tables(s, dir).events
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly
+        .agg(min($"hour").as("lo"), max($"hour").as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+      spine.join(hourly, Seq("hour"), "left")
+        .select($"hour", coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"hour")
+    },
+
     // Unpivot (wide → long), the inverse of q_pivot: per-returnflag sums
     // melted into (metric, value) rows. Narrow projection over the
     // 3-row aggregate — the relational melt the reference expresses as a
@@ -971,6 +1007,30 @@ object Analytics {
         |  TRUE AS p50_rank_ok,
         |  TRUE AS p95_rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // DuckDB has no hopping windows; equivalent expansion: each event's 4
+    // containing windows start at floor30(ts) − k·30min, k = 0..3 (the
+    // exact-cover identity: k·30 + (ts − floor30(ts)) < 120 always holds).
+    "q_hopping" ->
+      """SELECT ws AS w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+        |               - k.k * INTERVAL 30 MINUTE AS ws,
+        |             event_type, value
+        |      FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b)
+        |SELECT s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN hourly h USING (hour)
+        |ORDER BY s.hour""".stripMargin,
 
     "q_unpivot" ->
       """SELECT * FROM (UNPIVOT (

@@ -108,6 +108,28 @@ object Dedup {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The drop decisions (doc_id, cluster_rep, keep_id): per duplicate
+    * cluster keep the best member (longest token count, ties to the
+    * smallest doc_id — the standard keep-longest canonicalization), drop
+    * the rest. Winner selection is an argmax-by-struct aggregate (min of
+    * (−n_tok, doc_id) — one shuffle on cluster_rep), never a window
+    * sort. Shared by dedup_drop_list (the decision artifact) and
+    * dedup_apply (the surviving corpus).
+    */
+  private def dropList(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = clusterLabels(s, dir)
+    val tok = Tables(s, dir).documents
+      .select($"doc_id", size(wsTokens($"text")).as("n_tok"))
+    val withTok = labels.join(tok, "doc_id")
+    val keep = withTok.groupBy($"cluster_rep")
+      .agg(min(struct(-$"n_tok", $"doc_id")).as("w"))
+      .select($"cluster_rep", $"w.doc_id".as("keep_id"))
+    withTok.join(keep, "cluster_rep")
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"doc_id", $"cluster_rep", $"keep_id")
+  }
+
   /** Connected components over the Jaccard ≥ 0.8 near-dup graph via
     * min-label propagation, run to a fixpoint. Each round is one shuffle
     * on the vertex id; convergence is checked with a scalar changed-count
@@ -427,19 +449,21 @@ object Dedup {
     // (min of (−n_tok, doc_id) — one shuffle on cluster_rep), not a
     // window sort; singleton docs never enter (clusters only contain
     // edge-connected docs), so the output is exactly the removal list.
-    "dedup_drop_list" -> { (s, dir) =>
+    "dedup_drop_list" -> { (s, dir) => dropList(s, dir).orderBy(col("doc_id")) },
+
+    // Apply the drop list: the surviving corpus with per-lang doc/token
+    // accounting — what actually flows to the tokenizer after
+    // deduplication. One left-anti join of the corpus against the
+    // (small) drop list; at 100 TB the drop list is the broadcast side
+    // (it holds only cluster members, a tiny fraction of the corpus).
+    "dedup_apply" -> { (s, dir) =>
       import s.implicits._
-      val labels = clusterLabels(s, dir)
-      val tok = Tables(s, dir).documents
-        .select($"doc_id", size(wsTokens($"text")).as("n_tok"))
-      val withTok = labels.join(tok, "doc_id")
-      val keep = withTok.groupBy($"cluster_rep")
-        .agg(min(struct(-$"n_tok", $"doc_id")).as("w"))
-        .select($"cluster_rep", $"w.doc_id".as("keep_id"))
-      withTok.join(keep, "cluster_rep")
-        .filter($"doc_id" =!= $"keep_id")
-        .select($"doc_id", $"cluster_rep", $"keep_id")
-        .orderBy($"doc_id")
+      Tables(s, dir).documents
+        .join(dropList(s, dir).select($"doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(wsTokens($"text")).cast("long")).as("n_tokens"))
+        .orderBy($"lang")
     },
 
     // SimHash near-dup: 32-bit tf-weighted simhash per doc; candidates
@@ -921,6 +945,29 @@ object Dedup {
          |FROM lab l JOIN keep k ON k.cluster_rep = l.cluster_rep
          |WHERE l.doc_id <> k.keep_id
          |ORDER BY l.doc_id""".stripMargin,
+
+    "dedup_apply" ->
+      s"""$ClusterCte,
+         |tok AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+         |  FROM documents),
+         |win AS (
+         |  SELECT l.cluster_rep, l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster_rep
+         |                       ORDER BY t.n_tok DESC, l.doc_id) AS rn
+         |  FROM lab l JOIN tok t ON t.doc_id = l.doc_id),
+         |keep AS (SELECT cluster_rep, doc_id AS keep_id FROM win WHERE rn = 1),
+         |drops AS (
+         |  SELECT l.doc_id FROM lab l
+         |  JOIN keep k ON k.cluster_rep = l.cluster_rep
+         |  WHERE l.doc_id <> k.keep_id)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+         |FROM documents d
+         |JOIN tok t ON t.doc_id = d.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "dedup_substring" ->
       """WITH t AS (

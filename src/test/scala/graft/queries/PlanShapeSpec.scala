@@ -163,6 +163,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("q_hopping expands each row into its windows map-side, then partial+final agg") {
+    val p = plan("q_hopping")
+    assert(p.contains("Expand"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "window expansion must feed partial aggregation")
+    assert(!p.contains("Join"))
+  }
+
+  test("dedup_apply anti-joins the corpus against the drop list, no window sort") {
+    val p = plan("dedup_apply")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("Window"),
+      "winner selection must stay an argmax-by-struct aggregate")
+  }
+
+  test("q_gapfill derives the hour spine from a 1-row aggregate, no driver range") {
+    val p = plan("q_gapfill")
+    assert(p.contains("Generate"), p.take(2000)) // sequence() explode
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the spine-side left join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
