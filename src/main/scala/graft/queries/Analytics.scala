@@ -645,6 +645,71 @@ object Analytics {
         .orderBy($"hour")
     },
 
+    // Ordered funnel: signup → first click at-or-after it → first
+    // purchase at-or-after that, per user. Stage timestamps come from
+    // conditional min-aggregates joined back on user_id (equi joins that
+    // shuffle-partition by user at scale — never a window over the full
+    // event stream); the three stage counts collapse to one row.
+    "q_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events.select($"user_id", $"event_type", $"ts")
+      val st = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("st"))
+      val ct = ev.filter($"event_type" === "click").join(st, "user_id")
+        .filter($"ts" >= $"st")
+        .groupBy($"user_id").agg(min($"ts").as("ct"))
+      val pt = ev.filter($"event_type" === "purchase").join(ct, "user_id")
+        .filter($"ts" >= $"ct")
+        .groupBy($"user_id").agg(min($"ts").as("pt"))
+      st.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(ct.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(pt.agg(count(lit(1)).as("n_purchase"))))
+    },
+
+    // Cohort retention: users grouped by first-seen week, counted in
+    // each later week they are active — the classic warehouse retention
+    // matrix. Both frames aggregate before the equi join on user_id, so
+    // the join moves one row per (user, active week), not raw events.
+    "q_cohort" -> { (s, dir) =>
+      import s.implicits._
+      val wk = date_trunc("week", $"ts").cast("date")
+      val ev = Tables(s, dir).events
+      val first = ev.groupBy($"user_id").agg(min(wk).as("cohort_week"))
+      val active = ev.select($"user_id", wk.as("week")).distinct()
+      active.join(first, "user_id")
+        .groupBy($"cohort_week",
+          expr("datediff(week, cohort_week) div 7").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .select($"cohort_week".cast("string").as("cohort_week"),
+          $"week_offset", $"n_users")
+        .orderBy($"cohort_week", $"week_offset")
+    },
+
+    // Pearson correlation from exact-DECIMAL moments: Spark's corr()
+    // (and any streaming double formulation) is partition-order
+    // dependent; the five moments are DECIMAL sums (exact, associative)
+    // and r assembles from them in one fixed double expression — the
+    // same bits under any partitioning, and the same plan shape as any
+    // other partial+final aggregate.
+    "q_corr" -> { (s, dir) =>
+      import s.implicits._
+      val x  = dec($"l_quantity")
+      val y  = dec($"l_discount")
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select($"l_returnflag",
+          (($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+            / (sqrt($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+              * sqrt($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
+            .as("r_qty_disc"),
+          $"n")
+        .orderBy($"l_returnflag")
+    },
+
     // Unpivot (wide → long), the inverse of q_pivot: per-returnflag sums
     // melted into (metric, value) rows. Narrow projection over the
     // 3-row aggregate — the relational melt the reference expresses as a
@@ -1019,6 +1084,43 @@ object Analytics {
         |             event_type, value
         |      FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS st FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.st GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+        |       (SELECT COUNT(*) FROM c) AS n_click,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin,
+
+    // date_diff('week', a, b) on week-truncated bounds ≡ Spark's
+    // datediff div 7 (the day difference is an exact multiple of 7).
+    "q_cohort" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        |SELECT CAST(CAST(f.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+        |  CAST(date_diff('week', f.cohort_week, a.week) AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+        |  (COUNT(*)*CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))*CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)*CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
+        |  / (sqrt(COUNT(*)*CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)*CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+        |   * sqrt(COUNT(*)*CAST(SUM(CAST(l_discount AS DECIMAL(18,2))*CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |      - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)*CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)))
+        |  AS r_qty_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_gapfill" ->
       """WITH hourly AS (

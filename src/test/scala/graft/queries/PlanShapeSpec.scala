@@ -186,6 +186,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_funnel: stage gates are aggregate-then-join, never a window over raw events") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      "each funnel stage must pre-aggregate (partial+final) before joining")
+  }
+
+  test("q_cohort aggregates both sides before the user join, no window") {
+    val p = plan("q_cohort")
+    assert(!p.contains("Window"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "first-week and active-week frames must both pre-aggregate")
+  }
+
+  test("q_corr computes all five moments in one aggregation pass, no join") {
+    val p = plan("q_corr")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      "exactly one partial+final aggregate pair")
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
