@@ -75,7 +75,7 @@ object ScaleProbe {
       "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
       "dedup_emb_cos_ivf", "ann_ivf2_topk", "dedup_substring", "dedup_spans",
-      "q_interval_join")
+      "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
