@@ -9,10 +9,27 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
+/** Match direction for the native as-of join: [[AsofDirection.Backward]]
+  * attaches the latest right row at-or-before the left time (the default,
+  * kdb `aj` / pandas merge_asof semantics); [[AsofDirection.Forward]] the
+  * earliest right row at-or-after it (next-touch attribution). Both are
+  * the same co-partitioned merge; forward needs no buffered match at all
+  * — the first equal-key right row not yet behind the left time IS the
+  * answer.
+  */
+sealed trait AsofDirection
+object AsofDirection {
+  case object Backward extends AsofDirection
+  case object Forward extends AsofDirection
+}
+
 /** Native as-of join: for every left row, attach the single right row
   * with equal join keys and the greatest `rightTime <= leftTime`
   * (left-outer semantics — unmatched left rows keep null right columns;
-  * equal-time ties resolved by the greatest `rightTiebreak`).
+  * equal-time ties resolved by the greatest `rightTiebreak`). With
+  * [[AsofDirection.Forward]] the mirror: the smallest
+  * `rightTime >= leftTime`, equal-time ties to the SMALLEST tiebreak
+  * (first recorded wins — the natural mirror of backward's last-wins).
   *
   * This is the (c)-tier Catalyst extension of the build brief — a whole
   * logical operator Spark's built-ins cannot express without row
@@ -48,7 +65,8 @@ case class AsofJoinPlan(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    rightTiebreak: Seq[Attribute])
+    rightTiebreak: Seq[Attribute],
+    direction: AsofDirection = AsofDirection.Backward)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
@@ -83,8 +101,8 @@ case class AsofJoinPlan(
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb, dir) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir) :: Nil
     case _ => Nil
   }
 }
@@ -113,7 +131,8 @@ case class AsofJoinExec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    rightTiebreak: Seq[Attribute])
+    rightTiebreak: Seq[Attribute],
+    direction: AsofDirection = AsofDirection.Backward)
   extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -171,9 +190,14 @@ case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(
         outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
 
+      val fwd = direction == AsofDirection.Forward
+
       new Iterator[InternalRow] {
         // rHead stays valid until the next rIter.next() call; every row
-        // retained PAST a next() (the buffered match) is copied first.
+        // retained PAST a next() (the buffered backward match) is copied
+        // first. Forward never buffers: the first equal-key right row not
+        // yet behind the left time IS the match, and it stays rHead (a
+        // later left row of the same key may match the same right row).
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var bestMatch: InternalRow = null
         private var bestMatchKey: UnsafeRow = null
@@ -192,9 +216,17 @@ case class AsofJoinExec(
             if (c < 0) {
               rHead = if (rIter.hasNext) rIter.next() else null
               advancing = rHead != null
-            } else if (c == 0 && !lTimeNull && {
+            } else if (c == 0 && {
+                val rt = rTimeProj(rHead); rt.isNullAt(0)
+              }) {
+              // NULL right time sorts first within the key group but can
+              // never satisfy the time bound in either direction: consume
+              // without recording
+              rHead = if (rIter.hasNext) rIter.next() else null
+              advancing = rHead != null
+            } else if (c == 0 && !fwd && !lTimeNull && {
                 val rt = rTimeProj(rHead)
-                !rt.isNullAt(0) && timeOrd.compare(rt, lTimeRow) <= 0
+                timeOrd.compare(rt, lTimeRow) <= 0
               }) {
               if (!lKey.anyNull) { // NULL keys never equi-match
                 bestMatch = rHead.copy()
@@ -202,11 +234,12 @@ case class AsofJoinExec(
               }
               rHead = if (rIter.hasNext) rIter.next() else null
               advancing = rHead != null
-            } else if (c == 0 && {
-                val rt = rTimeProj(rHead); rt.isNullAt(0)
+            } else if (c == 0 && fwd && !lTimeNull && {
+                val rt = rTimeProj(rHead)
+                timeOrd.compare(rt, lTimeRow) < 0
               }) {
-              // NULL right time sorts first within the key group but can
-              // never satisfy rt <= lt: consume without recording
+              // forward: rows strictly behind the left time can never
+              // match this or any later left row of this key — discard
               rHead = if (rIter.hasNext) rIter.next() else null
               advancing = rHead != null
             } else {
@@ -214,11 +247,19 @@ case class AsofJoinExec(
             }
           }
 
-          val matched = !lTimeNull && !lKey.anyNull && bestMatch != null &&
-            keyOrd.compare(bestMatchKey, lKey) == 0
+          val matched =
+            if (fwd)
+              // the advance loop stopped with rHead at the first equal-key
+              // row whose time is >= leftTime (non-null by construction)
+              !lTimeNull && !lKey.anyNull && rHead != null &&
+                keyOrd.compare(rKeyProj(rHead), lKey) == 0
+            else
+              !lTimeNull && !lKey.anyNull && bestMatch != null &&
+                keyOrd.compare(bestMatchKey, lKey) == 0
           if (matched) numMatched += 1
           numOutputRows += 1
-          resultProj(joined(lRow, if (matched) bestMatch else nullRight))
+          val rightRow = if (!matched) nullRight else if (fwd) rHead else bestMatch
+          resultProj(joined(lRow, rightRow))
         }
       }
     }
@@ -235,7 +276,12 @@ object AsofJoinOps {
   /** `asofJoin(trades, quotes, Seq("sym" -> "sym"), "ts", "q_ts")` — for
     * each left row, the latest right row with equal keys and
     * `rightTime <= leftTime` (ties on time resolved toward the greatest
-    * `rightTiebreak`). Right columns come back nullable; callers rename
+    * `rightTiebreak`); with `direction = AsofDirection.Forward`, the
+    * earliest right row with `rightTime >= leftTime` (ties to the
+    * smallest tiebreak). A tolerance window composes on top: the matched
+    * right time comes back as a column, so
+    * `when(abs(lt − rt) <= tol, rCol)` nulls out-of-tolerance matches
+    * without re-joining. Right columns come back nullable; callers rename
     * columns beforehand if the two sides share names. Registers the
     * planner strategy on the session idempotently, so it works on
     * sessions built without [[graft.functions.GraftExtensions]].
@@ -246,7 +292,8 @@ object AsofJoinOps {
       on: Seq[(String, String)],
       leftTimeCol: String,
       rightTimeCol: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      direction: AsofDirection = AsofDirection.Backward): DataFrame = {
     val spark = left.sparkSession
     register(spark)
 
@@ -277,7 +324,8 @@ object AsofJoinOps {
       on.map(p => attr(rPlan, p._2, "right")),
       attr(lPlan, leftTimeCol, "left"),
       attr(rPlan, rightTimeCol, "right"),
-      rightTiebreak.map(attr(rPlan, _, "right"))))
+      rightTiebreak.map(attr(rPlan, _, "right")),
+      direction))
   }
 
   /** Idempotently add [[GraftStrategy]] to the session's planner.

@@ -187,6 +187,27 @@ object Analytics {
         .orderBy($"event_id")
     },
 
+    // FORWARD as-of through the same native operator: for each purchase,
+    // the EARLIEST click at-or-after it (next-touch attribution) —
+    // direction flips the merge, not the plan shape: same co-partitioned
+    // co-sorted single pass, and forward needs no buffered match at all.
+    "q_asof_forward" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user_id"),
+          $"ts".as("click_ts"))
+      graft.plans.AsofJoinOps.asofJoin(
+          purchases, clicks, Seq("user_id" -> "c_user_id"), "ts", "click_ts",
+          rightTiebreak = Seq("click_id"),
+          direction = graft.plans.AsofDirection.Forward)
+        .select($"event_id", $"user_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"))
+        .orderBy($"event_id")
+    },
+
     // Set operations: union / intersect / except.
     "q_setops" -> { (s, dir) =>
       import s.implicits._
@@ -627,21 +648,27 @@ object Analytics {
 
     // Time-series densification (gap fill): every hour in the corpus's
     // span appears, absent hours with n = 0 — the monitoring/feature
-    // pipeline shape. The hour spine derives from a 1-row bounds
-    // aggregate exploded through sequence() (never a driver-side range),
-    // and is bounded by the TIME span, not the corpus: at 100 TB the
-    // spine stays tiny while the hourly rollup is the usual partial+final
-    // aggregate, so the left join is spine-broadcast-sized.
+    // pipeline shape. ONE corpus scan: the gaps are generated from the
+    // hourly rollup itself — each present hour emits the missing hours
+    // up to its successor (lead + sequence), so there is no second
+    // bounds pass over events (a spine-join formulation measurably
+    // re-scanned the corpus: the pruned spine subtree defeats
+    // ReuseExchange). The global-order window runs over the ROLLUP,
+    // whose size is bounded by the time span (hours, not rows) — the
+    // part that must never be a corpus-wide window.
     "q_gapfill" -> { (s, dir) =>
       import s.implicits._
       val hourly = Tables(s, dir).events
         .groupBy(date_trunc("hour", $"ts").as("hour"))
         .agg(count(lit(1)).as("n"))
-      val spine = hourly
-        .agg(min($"hour").as("lo"), max($"hour").as("hi"))
-        .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
-      spine.join(hourly, Seq("hour"), "left")
-        .select($"hour", coalesce($"n", lit(0L)).as("n"))
+      hourly
+        .withColumn("nxt", lead($"hour", 1).over(Window.orderBy($"hour")))
+        .select($"hour".as("h0"), $"n", explode(sequence(
+          $"hour",
+          coalesce($"nxt" - expr("INTERVAL 1 HOUR"), $"hour"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+        .select($"hour",
+          when($"hour" === $"h0", $"n").otherwise(0L).as("n"))
         .orderBy($"hour")
     },
 
@@ -814,6 +841,18 @@ object Analytics {
         |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |              AND c.ts <= p.ts
         |            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // forward ties resolve to the SMALLEST tiebreak (first recorded
+    // wins — the mirror of backward's last-wins), hence ASC in the
+    // correlated ORDER BY.
+    "q_asof_forward" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  COALESCE((SELECT c.event_id FROM events c
+        |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |              AND c.ts >= p.ts
+        |            ORDER BY c.ts ASC, c.event_id ASC LIMIT 1), -1) AS click_id
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 

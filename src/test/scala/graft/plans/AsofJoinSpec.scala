@@ -78,6 +78,63 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.head.getLong(2) == 11L && got.head.getString(5) == "second")
   }
 
+  test("forward direction matches the pair-join oracle on random multi-partition data") {
+    val rnd = new Random(13)
+    val trades = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong)
+    }.toDF("trade_id", "sym", "t").repartition(7)
+    val quotes = (0 until 300).map { i =>
+      (1000L + i, rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100))
+    }.toDF("quote_id", "q_sym", "q_t", "px").repartition(5)
+
+    val got = AsofJoinOps.asofJoin(
+      trades, quotes, Seq("sym" -> "q_sym"), "t", "q_t", Seq("quote_id"),
+      direction = AsofDirection.Forward)
+
+    // oracle: every in-key pair with q_t >= t, min (q_t, quote_id)
+    val cand = trades.join(quotes, $"sym" === $"q_sym" && $"q_t" >= $"t", "left")
+    val w = Window.partitionBy($"trade_id")
+      .orderBy($"q_t".asc_nulls_last, $"quote_id".asc_nulls_last)
+    val want = cand.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() == 400)
+  }
+
+  test("forward ties: rt == lt matches, SMALLEST tiebreak wins (mirror of backward)") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq(
+      (10L, 1L, 100L, "first"), (11L, 1L, 100L, "second"),
+      (12L, 1L, 101L, "late"), (9L, 1L, 99L, "early"))
+      .toDF("qid", "rk", "rt", "tag")
+    val got = AsofJoinOps.asofJoin(
+      left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      direction = AsofDirection.Forward).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 10L && got.head.getString(5) == "first")
+  }
+
+  test("forward: NULL keys/times never match; NULL right times are skipped over") {
+    val left = Seq(
+      (Some(1L), Some(100L), "ok"),
+      (None: Option[Long], Some(100L), "null_key"),
+      (Some(1L), None: Option[Long], "null_time")
+    ).toDF("k", "t", "side")
+    val right = Seq(
+      (Some(1L), None: Option[Long], 902L), // NULL right time: never matches
+      (Some(1L), Some(150L), 900L),
+      (None: Option[Long], Some(140L), 901L) // NULL right key: matches nothing
+    ).toDF("rk", "rt", "qid")
+    val got = AsofJoinOps.asofJoin(
+      left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      direction = AsofDirection.Forward).collect()
+    val bySide = got.map(r => r.getString(2) -> r).toMap
+    assert(bySide("ok").getLong(5) == 900L)
+    assert(bySide("null_key").isNullAt(5))
+    assert(bySide("null_time").isNullAt(5))
+    assert(got.length == 3)
+  }
+
   test("NULL keys and NULL times never match") {
     val left = Seq(
       (Some(1L), Some(100L), "ok"),

@@ -178,12 +178,13 @@ class PlanShapeSpec extends SparkSpec {
       "winner selection must stay an argmax-by-struct aggregate")
   }
 
-  test("q_gapfill derives the hour spine from a 1-row aggregate, no driver range") {
+  test("q_gapfill fills gaps from the rollup in ONE corpus scan, no join") {
     val p = plan("q_gapfill")
     assert(p.contains("Generate"), p.take(2000)) // sequence() explode
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "the spine-side left join must broadcast")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join"),
+      "gap filling must derive from the rollup, not a spine join")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events must be scanned exactly once: ${p.take(2000)}")
   }
 
   test("q_funnel: stage gates are aggregate-then-join, never a window over raw events") {
