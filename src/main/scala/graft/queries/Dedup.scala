@@ -36,7 +36,15 @@ object Dedup {
     */
   private val MaxDf = 100
 
-  /** Distinct word 3-gram shingles of a document. */
+  /** Distinct word 3-gram shingles over an already-MATERIALIZED token
+    * array attribute. `toks` must come from a prior projection, never an
+    * inline `wsTokens(text)`: an expression substituted into the lambda
+    * re-evaluates per element — the whole-document SPLIT would run once
+    * per shingle, O(tokens²) (a 100k-token real book turned the shingle
+    * front end into hours; the synthetic 60-token docs never showed it).
+    * CollapseProject keeps the split materialized because the array is
+    * referenced more than once here.
+    */
   private def shingles(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(1), size(toks) - 2),
@@ -90,8 +98,9 @@ object Dedup {
       import s.implicits._
       Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", wsTokens($"text").as("toks")) // split ONCE per doc
         .select($"doc_id",
-          posexplode(TextAnalysis.wordGrams($"text", 5)).as(Seq("pos", "w")))
+          posexplode(TextAnalysis.wordGrams($"toks", 5)).as(Seq("pos", "w")))
         .select($"doc_id", $"pos", substring(md5($"w"), 1, 16).as("fp"))
         .persist()
     })
@@ -224,7 +233,8 @@ object Dedup {
     // this repartition would be dropped.)
     val docSh = Tables(s, dir).documents
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", explode(shingles(wsTokens($"text"))).as("sh"))
+      .select($"doc_id", wsTokens($"text").as("toks")) // split ONCE per doc
+      .select($"doc_id", explode(shingles($"toks")).as("sh"))
     // df ≤ MaxDf filter: broadcast-join the (tiny) hot-shingle list away.
     val hot = docSh.groupBy($"sh").count().filter($"count" > MaxDf).select($"sh")
     // The filtered index feeds 2-3 downstream consumers (pair join sides

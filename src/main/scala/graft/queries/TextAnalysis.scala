@@ -199,8 +199,9 @@ object TextAnalysis {
     // no shuffle, fully codegen'd.
     "tx_repetition" -> { (s, dir) =>
       import s.implicits._
-      val grams = wordGrams($"text", 3)
+      val grams = wordGrams($"toks", 3)
       Tables(s, dir).documents
+        .select($"doc_id", wsTokens($"text").as("toks"))
         .select($"doc_id",
           size(grams).as("n_grams"),
           size(array_distinct(grams)).as("n_distinct"))
@@ -224,7 +225,7 @@ object TextAnalysis {
       // 4-grams here because the synthetic corpus has high n-gram
       // entropy (8-gram overlap is empty at some SFs); a production run
       // uses 8-13-gram windows — same plan, one constant.
-      val grams = array_distinct(wordGrams($"text", 4))
+      val grams = array_distinct(wordGrams($"toks", 4))
       // eval docs are filtered BEFORE gram construction (the held-out
       // set is tiny — tokenize only it), and the training side is
       // tokenized exactly ONCE: membership arrives as a broadcast left
@@ -232,11 +233,13 @@ object TextAnalysis {
       // and the hit count. One corpus pass, one shuffle on doc_id.
       val evalGrams = Tables(s, dir).documents
         .filter($"doc_id" % 97 === 0)
+        .select(wsTokens($"text").as("toks"))
         .select(explode(grams).as("g")).distinct()
         .withColumn("hit", lit(1L))
       Tables(s, dir).documents
         .filter($"doc_id" % 97 =!= 0)
         .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", wsTokens($"text").as("toks"))
         .select($"doc_id", explode(grams).as("g"))
         .join(broadcast(evalGrams), Seq("g"), "left")
         .groupBy($"doc_id")
@@ -260,9 +263,10 @@ object TextAnalysis {
     // false positives are removed by the exact join, so no recall loss.
     "tx_decontaminate_bloom" -> { (s, dir) =>
       import s.implicits._
-      val grams = array_distinct(wordGrams($"text", 4))
+      val grams = array_distinct(wordGrams($"toks", 4))
       val evalGrams = Tables(s, dir).documents
         .filter($"doc_id" % 97 === 0)
+        .select(wsTokens($"text").as("toks"))
         .select(explode(grams).as("g")).distinct()
       // ~2.6k eval grams at sf0.01; sized for 100k with 1M bits (fpp≈2%
       // at capacity). The bloom binary enters the plan ONCE as a scalar.
@@ -273,6 +277,7 @@ object TextAnalysis {
       val trainGrams = Tables(s, dir).documents
         .filter($"doc_id" % 97 =!= 0)
         .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", wsTokens($"text").as("toks"))
         .select($"doc_id", explode(grams).as("g"))
       // per-doc totals count ALL grams — computed before the bloom prune
       val totals = trainGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
@@ -307,16 +312,23 @@ object TextAnalysis {
     }
   )
 
-  /** Word n-grams of the whitespace tokens (ordered, with repeats).
-    * Shared with [[Dedup]]'s duplicated-passage detector.
+  /** Word n-grams (ordered, with repeats) over an already-MATERIALIZED
+    * token array attribute. Shared with [[Dedup]]'s duplicated-passage
+    * detector. `toks` must come from a prior projection, never an inline
+    * `wsTokens(text)`: an expression substituted into the lambda is
+    * re-evaluated per element, so the whole-document SPLIT would run
+    * once per gram — O(tokens²). The synthetic 60-token docs never
+    * exposed that; a 100k-token real book re-split 600 KB per window
+    * and turned the front end into hours. With a materialized attribute
+    * the lambda's `slice` is an O(n) array read, and CollapseProject
+    * keeps the split from being inlined back (the array is referenced
+    * more than once).
     */
-  private[queries] def wordGrams(text: Column, n: Int): Column = {
-    val toks = wsTokens(text)
+  private[queries] def wordGrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   private def stopList(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString("(", ",", ")")

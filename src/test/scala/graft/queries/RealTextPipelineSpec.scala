@@ -1,0 +1,116 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+/** The LLM-pipeline text operators on REAL text: the reference's own 8
+  * Project Gutenberg books (~3.3 MB, main/pg-*.txt) instead of the
+  * synthetic word-salad documents table. Real text has exactly the
+  * structures the operators exist for — every book carries the same
+  * Project Gutenberg license boilerplate, so cross-document duplicated
+  * passages are REAL here, and the language-ID heuristic faces genuine
+  * English prose rather than a vocabulary engineered for the test.
+  *
+  * Cancels if the reference corpus is absent (same contract as
+  * RealCorpusSpec).
+  */
+class RealTextPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val books: Seq[(Long, String, String)] = {
+    val dir = Paths.get("/root/reference/main")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("pg-") && p.toString.endsWith(".txt"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .zipWithIndex
+      .map { case (p, i) =>
+        (i.toLong, new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
+          p.getFileName.toString)
+      }
+  }
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("real_text").toString
+    books.map { case (id, text, name) =>
+      (id, text, "xx", name, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("dedup_substring finds the Gutenberg license boilerplate across all 8 books") {
+    assume(books.nonEmpty, "reference corpus not present")
+    Dedup.clearCaches()
+    val rows = run("dedup_substring").collect()
+    assert(rows.nonEmpty, "real books must share duplicated 5-token windows")
+    // the license text is common to EVERY book — some window must appear
+    // in all 8 documents, not just a pair
+    val maxDocs = rows.map(_.getAs[Long]("n_docs")).max
+    assert(maxDocs == 8L,
+      s"license boilerplate should span all 8 books, best was $maxDocs")
+  }
+
+  test("dedup_spans merges the boilerplate into long per-book spans") {
+    assume(books.nonEmpty, "reference corpus not present")
+    val spans = run("dedup_spans").collect()
+    assert(spans.nonEmpty)
+    // license paragraphs are hundreds of tokens long — the
+    // gaps-and-islands merge must produce a correspondingly long span,
+    // not a scatter of 5-token fragments
+    val longest = spans.map(r => r.getAs[Long]("span_end") - r.getAs[Long]("span_start")).max
+    assert(longest >= 100L, s"longest merged span only ${longest} tokens")
+    // every book carries the boilerplate → spans in every doc
+    assert(spans.map(_.getAs[Long]("doc_id")).distinct.length == 8)
+  }
+
+  test("tx_lang_id votes English for every book") {
+    assume(books.nonEmpty, "reference corpus not present")
+    val preds = run("tx_lang_id").collect()
+    assert(preds.length == 8)
+    assert(preds.forall(_.getAs[String]("pred_lang") == "en"),
+      preds.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred_lang"))).mkString(", "))
+  }
+
+  test("tx_topk_words: 'the' tops real English prose under the bounded sketch") {
+    assume(books.nonEmpty, "reference corpus not present")
+    val top = run("tx_topk_words").collect()
+    assert(top.nonEmpty)
+    val byCount = top.maxBy(_.getAs[Long]("cnt"))
+    assert(byCount.getAs[String]("word") == "the",
+      top.take(5).mkString(", "))
+  }
+
+  test("tx_redact on zero-hit docs is the identity (md5 and length survive unicode)") {
+    assume(books.nonEmpty, "reference corpus not present")
+    val red = run("tx_redact").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[String]("redacted_md5"), r.getAs[Long]("redacted_len")))
+      .toMap
+    assert(red.size == 8)
+    books.foreach { case (id, text, _) =>
+      val (hits, md5Hex, len) = red(id)
+      if (hits == 0L) {
+        val want = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        assert(md5Hex == want, s"doc $id: zero-hit redaction must be identity")
+        assert(len == text.length.toLong)
+      }
+    }
+  }
+
+  test("dedup_exact: 8 distinct books, no exact duplicates") {
+    assume(books.nonEmpty, "reference corpus not present")
+    val g = run("dedup_exact").collect()
+    assert(g.length == 8)
+  }
+}
