@@ -68,8 +68,10 @@ object TextAnalysis {
     // alphabetically (de < en < es < fr) — deterministic.
     "tx_lang_id" -> { (s, dir) =>
       import s.implicits._
-      val toks = wsTokens(lower($"text"))
+      // tokenize ONCE per row (4 language scores read the same array)
+      val toks = $"toks"
       Tables(s, dir).documents
+        .select($"doc_id", wsTokens(lower($"text")).as("toks"))
         .select(
           $"doc_id",
           scoreIn(toks, stop("de")).as("s_de"),
@@ -90,11 +92,16 @@ object TextAnalysis {
     // composed into a bounded [0,1] score.
     "tx_quality" -> { (s, dir) =>
       import s.implicits._
-      val toks = wsTokens($"text")
+      // tokenize ONCE per row (4 token-consuming expressions below; an
+      // inline wsTokens would re-split per expression — linear, but a
+      // 4× constant on long documents)
+      val toks = $"toks"
       Tables(s, dir).documents
+        .select($"doc_id", length($"text").as("n_chars"),
+          wsTokens($"text").as("toks"))
         .select(
           $"doc_id",
-          length($"text").as("n_chars"),
+          $"n_chars",
           size(toks).as("n_tok"),
           aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b).as("tok_chars"),
           scoreIn(toks, stop("en")).as("n_stop"))
@@ -341,11 +348,12 @@ object TextAnalysis {
     */
   private def curationPipeline(s: SparkSession, dir: String) = {
     import s.implicits._
-    val toks = wsTokens($"text")
+    val toks = $"toks" // tokenized once below; two expressions read it
     val docs = graft.core.Tables(s, dir).documents
       .select($"doc_id", $"lang", $"text", md5($"text").as("fp"))
     val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .select($"doc_id", $"lang", wsTokens($"text").as("toks"))
       .select($"doc_id", $"lang",
         size(toks).as("n_tok"),
         scoreIn(toks, stop("en")).as("n_stop"))
