@@ -64,6 +64,32 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Fixed-size token chunking — the sequence-packing prep step of a
+    // training pipeline (documents → 64-token windows, last chunk
+    // ragged). One tokenize per doc, O(tokens) chunk construction over
+    // the materialized array, shuffle-free; chunk text leaves the
+    // operator as an md5, so 100 TB of chunk bodies never re-materialize
+    // through the gate (the downstream writer would emit the text
+    // column instead of the hash — same plan).
+    "tx_chunk" -> { (s, dir) =>
+      import s.implicits._
+      val C = 64
+      Tables(s, dir).documents
+        .select($"doc_id", wsTokens($"text").as("toks"))
+        .select($"doc_id", posexplode(
+          when(size($"toks") > 0,
+            transform(
+              sequence(lit(0), ceil(size($"toks") / lit(C.toDouble)).cast("int") - 1),
+              k => struct(
+                concat_ws(" ", slice($"toks", k * C + 1, lit(C))).as("chunk"),
+                least(lit(C.toLong), (size($"toks") - k * C).cast("long")).as("m"))))
+            .otherwise(array().cast("array<struct<chunk:string,m:bigint>>")))
+          .as(Seq("chunk_idx", "ch")))
+        .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+          md5($"ch.chunk").as("chunk_md5"), $"ch.m".as("n_tok"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // Language identification: stopword-voting heuristic. Ties break
     // alphabetically (de < en < es < fr) — deterministic.
     "tx_lang_id" -> { (s, dir) =>
@@ -441,6 +467,22 @@ object TextAnalysis {
          |  round(CAST(length(text) AS DOUBLE)
          |        / nullif(len(regexp_extract_all(text, '$BpeIsh')), 0), 4) AS cpt
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list slices are 1-based inclusive and clamp past the end,
+    // matching Spark's slice() on the ragged last chunk.
+    "tx_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(CAST(ceil(len(toks)/64.0) AS BIGINT))) AS k
+        |  FROM t)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  md5(array_to_string(toks[k*64+1 : k*64+64], ' ')) AS chunk_md5,
+        |  CAST(least(64, len(toks) - k*64) AS BIGINT) AS n_tok
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "tx_lang_id" ->
       s"""WITH t AS (

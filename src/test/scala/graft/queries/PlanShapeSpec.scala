@@ -209,6 +209,15 @@ class PlanShapeSpec extends SparkSpec {
       "exactly one partial+final aggregate pair")
   }
 
+  test("tx_chunk: one tokenize, shuffle-free chunk explosion") {
+    val p = plan("tx_chunk")
+    assert(p.contains("Generate"), p.take(2000)) // posexplode
+    assert(!p.contains("Join"))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected shuffles in tx_chunk: ${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
