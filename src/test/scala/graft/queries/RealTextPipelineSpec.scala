@@ -108,6 +108,24 @@ class RealTextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("tx_chunk packs each book into ceil(tokens/64) windows with a ragged tail") {
+    assume(books.nonEmpty, "reference corpus not present")
+    val chunks = run("tx_chunk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_tok")))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet.size == 8)
+    books.foreach { case (id, text, _) =>
+      val nTok = text.split("\\s+").count(_.nonEmpty).toLong
+      val want = (nTok + 63) / 64
+      val got = byDoc(id)
+      assert(got.length.toLong == want, s"doc $id: ${got.length} chunks, want $want")
+      // every chunk but the last is exactly 64 tokens; the tail is the rest
+      val full = got.count(_._3 == 64L)
+      assert(full.toLong >= want - 1)
+      assert(got.map(_._3).sum == nTok, s"doc $id: token counts must partition the doc")
+    }
+  }
+
   test("dedup_exact: 8 distinct books, no exact duplicates") {
     assume(books.nonEmpty, "reference corpus not present")
     val g = run("dedup_exact").collect()
