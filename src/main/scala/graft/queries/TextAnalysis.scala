@@ -324,6 +324,76 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Sequence PACKING — concat-and-chunk the corpus token stream into
+    // fixed 512-token training sequences (the step after tx_chunk in a
+    // pretraining pipeline: documents are laid end-to-end in doc_id
+    // order and the stream is cut every 512 tokens; a document whose
+    // token interval straddles a cut contributes a fragment to each
+    // side). Needs each doc's global token OFFSET — a prefix sum. The
+    // naive window (`sum over (orderBy doc_id)` with no partition) is a
+    // single-partition sort at 100 TB, so this runs the classic
+    // two-phase scan instead: per-block subtotals (block = 64 docs,
+    // partition-parallel) → cumsum over the 64×-smaller block table →
+    // broadcast block offsets back + a PARTITIONED within-block cumsum.
+    // The one unpartitioned window left touches n_docs/64 single-value
+    // rows (recurse the same trick at extreme n). Integer arithmetic
+    // throughout, so the result is bit-identical to the oracle's direct
+    // global cumsum.
+    "tx_pack" -> { (s, dir) =>
+      import s.implicits._
+      val S = 512L
+      val w = org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).documents
+        .select($"doc_id", size(wsTokens($"text")).cast("long").as("m"))
+        .filter($"m" > 0)
+        .withColumn("blk", expr("doc_id div 64"))
+      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
+        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
+        .select($"blk", $"boff")
+      d.join(broadcast(blkOff), "blk")
+        .withColumn("off",
+          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"doc_id")) - $"m")
+        .withColumn("seq_id",
+          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
+        .withColumn("piece",
+          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"seq_id")
+    },
+
+    // Domain MIXING — deterministic per-language downsampling to a
+    // balanced token budget (the data-recipe step of a pretraining run:
+    // re-weight domains so no language dominates). Target = the
+    // smallest language's token total; each language keeps docs at rate
+    // target/total via the replayable md5-residue coin (the
+    // tx_sample_stratified device — rand() is not reproducible across
+    // runs or engines). Rates enter the plan as a broadcast 5-row
+    // table; the corpus is scanned once, the filter is a codegen'd
+    // projection, and the only shuffles are the two tiny per-lang
+    // rollups. At 100 TB the totals come from table statistics and the
+    // rate table ships exactly the same way.
+    "tx_mix" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", $"lang", size(wsTokens($"text")).cast("long").as("m"))
+      val tot = toks.groupBy($"lang").agg(sum($"m").as("lang_tok"))
+      val minTot = tot.agg(min($"lang_tok").as("min_tok"))
+      // double division of two exact BIGINTs → identical IEEE result in
+      // the oracle; the coin compares hash48/2^48 (exact: 48 < 53 bits)
+      val rates = tot.crossJoin(broadcast(minTot))
+        .select($"lang",
+          ($"min_tok".cast("double") / $"lang_tok".cast("double")).as("rate"))
+      toks.join(broadcast(rates), "lang")
+        .filter(QueryFns.hash48($"doc_id".cast("string")).cast("double")
+          / lit(281474976710656.0) < $"rate")
+        .groupBy($"lang", $"rate")
+        .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_tok"))
+        .select($"lang", $"n_docs", $"n_tok", round($"rate", 6).as("rate"))
+        .orderBy($"lang")
+    },
+
     // Dictionary redaction — the PII-scrub plumbing (emails/phones/SSNs in
     // a real corpus; this synthetic corpus has none, so the dictionary is
     // a term list standing in for the sensitive-pattern alternation).
@@ -568,6 +638,47 @@ object TextAnalysis {
         |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
         |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Direct global cumsum (1 PRECEDING frame = exclusive prefix) —
+    // integer-exact, so it equals the Spark side's two-phase block scan.
+    "tx_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS m
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, m,
+        |    CAST(COALESCE(SUM(m) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t WHERE m > 0),
+        |x AS (
+        |  SELECT doc_id, m, off,
+        |    unnest(range(off // 512, (off + m - 1) // 512 + 1)) AS s
+        |  FROM o)
+        |SELECT CAST(s AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(off + m, (s + 1) * 512) - greatest(off, s * 512)) AS BIGINT) AS n_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY s ORDER BY seq_id""".stripMargin,
+
+    "tx_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS m
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(m) AS BIGINT) AS lang_tok FROM t GROUP BY lang),
+        |r AS (
+        |  SELECT lang,
+        |    CAST((SELECT min(lang_tok) FROM tot) AS DOUBLE)
+        |      / CAST(lang_tok AS DOUBLE) AS rate
+        |  FROM tot),
+        |k AS (
+        |  SELECT t.lang, t.m, r.rate FROM t JOIN r ON t.lang = r.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |        AS DOUBLE) / 281474976710656.0 < r.rate)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(m) AS BIGINT) AS n_tok, round(rate, 6) AS rate
+        |FROM k GROUP BY lang, rate ORDER BY lang""".stripMargin,
 
     // DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
     // replace-all semantics.

@@ -218,6 +218,24 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1)
   }
 
+  test("tx_pack: corpus-wide cumsum window is block-partitioned, offsets broadcast") {
+    val p = plan("tx_pack")
+    // the window that touches every doc row must be PARTITIONED by blk —
+    // an unpartitioned global cumsum would serialize the corpus through
+    // one task; only the 64×-smaller block-offset table may use the
+    // unpartitioned frame
+    assert("windowspecdefinition\\(blk#\\d+L, doc_id".r.findFirstIn(p).isDefined,
+      s"per-doc cumsum must partition by blk: ${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "block offsets should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx_mix: rate table broadcasts, one corpus scan feeds the filter") {
+    val p = plan("tx_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "the 5-row rate table must not sort-merge")
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned

@@ -126,6 +126,19 @@ class RealTextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("tx_pack cuts the 8-book token stream into exact 512-token sequences") {
+    assume(books.nonEmpty, "reference corpus not present")
+    val seqs = run("tx_pack").collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_tok")))
+    val totalTok = books.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+    // sequences partition the concatenated stream: ids contiguous from 0,
+    // every sequence full except the ragged last, totals conserved
+    assert(seqs.map(_._1).toSeq == (0L until seqs.length.toLong))
+    assert(seqs.dropRight(1).forall(_._2 == 512L))
+    assert(seqs.map(_._2).sum == totalTok)
+    assert(seqs.length.toLong == (totalTok + 511) / 512)
+  }
+
   test("dedup_exact: 8 distinct books, no exact duplicates") {
     assume(books.nonEmpty, "reference corpus not present")
     val g = run("dedup_exact").collect()
