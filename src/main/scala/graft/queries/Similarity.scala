@@ -311,6 +311,41 @@ object Similarity {
         .crossJoin(broadcast(sampleN))
     },
 
+    // The IMI product-cell geometry meter, oracle-checked like every
+    // other index meter (see [[imiCellStats]]).
+    "ann_imi_cells" -> { (s, dir) => imiCellStats(s, dir) },
+
+    // Inverted MULTI-index search: each probe takes its top-2 centroids
+    // PER HALF and searches the ≤4 product cells they span. Versus
+    // ann_ivf2_topk at the same codebook size the candidate cells are
+    // K²-fine instead of K-coarse, so the scanned candidate set shrinks
+    // by ~K× while the probe-side argmin work is unchanged — the
+    // Babenko–Lempitsky multi-index tradeoff, with recall governed by
+    // the per-half probe width exactly as nprobe governs IVF. At 100 TB
+    // the product cell id is the partition key, same as every IVF tier.
+    "ann_imi_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = vecs(s, dir)
+      val hd = imiDists(s, dir).filter($"vec_id" < 50)
+      val p1 = hd.groupBy($"vec_id")
+        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d1", $"clabel".cast("long"), 2).as("t1"))
+        .select($"vec_id", explode($"t1.id").as("c1"))
+      val p2 = hd.groupBy($"vec_id")
+        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d2", $"clabel".cast("long"), 2).as("t2"))
+        .select($"vec_id", explode($"t2.id").as("c2"))
+      val pcells = p1.join(p2, "vec_id")
+        .select($"vec_id".as("probe"), ($"c1" * 1000000L + $"c2").as("pcell"))
+      val probes = v.filter($"vec_id" < 50)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+        .join(pcells, "probe")
+      val pairs = v.join(imiAssignments(s, dir), "vec_id")
+        .join(broadcast(probes), $"icell" === $"pcell" && $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      topk(pairs, 5)
+    },
+
     // Embedding near-dup blocked by the TRAINED centroid assignment
     // (closing the loop the label-blocked dedup_emb_cos documents): the
     // blocking key comes from the IVF training step, so the operator is
@@ -598,6 +633,69 @@ object Similarity {
       .withColumn("flat_dist_rows", $"n_vectors" * $"fine_cells")
   }
 
+  /** Squared L2 of every vector to every codebook centroid restricted to
+    * each HALF of the dimensions — the inverted-multi-index (IMI)
+    * distance table. The IMI point at extreme n: a product of two
+    * K-centroid half-space quantizers spans K² cells while storing and
+    * scanning only 2K centroids, so reaching nlist cells costs
+    * O(n·√nlist·d) assignment work instead of the flat O(n·nlist·d) —
+    * the same cell count for the square root of the codebook. Both half
+    * distances come out of ONE pass over the broadcast codebook (the
+    * fold is split at d/2, not recomputed), memoized + persisted like
+    * every staged index here.
+    */
+  private def imiDists(s: SparkSession, dir: String): DataFrame =
+    distCache.getOrElseUpdate((s, dir + "#imi"), {
+      import s.implicits._
+      def fold(lo: Column, hi: Column) = aggregate(
+        transform(sequence(lo, hi),
+          i => (element_at($"embedding", i).cast("double") - element_at($"cv", i))
+            * (element_at($"embedding", i).cast("double") - element_at($"cv", i))),
+        lit(0.0), (acc, x) => acc + x)
+      Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding")
+        .crossJoin(broadcast(centroidVectors(s, dir)))
+        .withColumn("h", expr("CAST(size(embedding) / 2 AS INT)"))
+        .select($"vec_id", $"clabel",
+          fold(lit(1), $"h").as("d1"),
+          fold($"h" + 1, size($"embedding")).as("d2"))
+        .persist()
+    })
+
+  /** IMI product-cell assignment: independent argmin per half (ties →
+    * smaller label, the [[assignmentsFrom]] contract), cell id =
+    * a1·10⁶ + a2 (disjoint for any codebook under a million rows).
+    */
+  private[queries] def imiAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    imiDists(s, dir)
+      .groupBy($"vec_id")
+      .agg(min(struct($"d1", $"clabel")).as("m1"),
+        min(struct($"d2", $"clabel")).as("m2"))
+      .select($"vec_id",
+        ($"m1.clabel".cast("long") * 1000000L + $"m2.clabel".cast("long"))
+          .as("icell"))
+  }
+
+  /** Cell-geometry meter for the IMI product cells (the [[embCellStats]]
+    * contract): the within_cell_pairs delta against ann_ivf_cells is the
+    * measured candidate-set shrink the K²-cell product buys over the
+    * K-cell flat quantizer, at identical codebook storage (codebook_rows
+    * counts both halves' centroids).
+    */
+  def imiCellStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val book = centroidVectors(s, dir)
+      .agg((count(lit(1)) * 2).as("codebook_rows"))
+    imiAssignments(s, dir)
+      .groupBy($"icell").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cells_used"),
+        max($"c").as("max_cell"),
+        sum($"c").as("n_vectors"),
+        expr("sum(c * (c - 1)) div 2").as("within_cell_pairs"))
+      .crossJoin(broadcast(book))
+  }
+
   /** Deterministic 20% training sample: md5-hash the vec_id, keep
     * residue-0 of 5. Replayable and portable (the oracle reproduces the
     * exact member set) — the same device as tx_sample_stratified.
@@ -742,12 +840,11 @@ object Similarity {
        |SELECT probe, rank, neighbor, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $k ORDER BY probe, rank""".stripMargin
 
-  /** Oracle CTEs for the trained quantizer (appended after [[VecCte]]):
-    * full-width centroids with the exact-DECIMAL mean, per-pair squared
-    * L2 via the same sequential double fold, argmin assignment with
-    * label tie-break.
+  /** Oracle CTE for the label-mean codebook alone (cde/cm/carr) — shared
+    * by the trained-quantizer assignment CTE and the IMI product
+    * quantizer (which reads half-ranges of the same `carr` vectors).
     */
-  private val TrainedAsgCte =
+  private val CentroidCte =
     """cde AS (
       |  SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
       |  FROM embeddings, (SELECT unnest(range(1, 200)) AS i) p
@@ -755,7 +852,15 @@ object Similarity {
       |cm AS (
       |  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
       |  FROM cde GROUP BY label, pos),
-      |carr AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
+      |carr AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM cm GROUP BY label)""".stripMargin
+
+  /** Oracle CTEs for the trained quantizer (appended after [[VecCte]]):
+    * full-width centroids with the exact-DECIMAL mean, per-pair squared
+    * L2 via the same sequential double fold, argmin assignment with
+    * label tie-break.
+    */
+  private val TrainedAsgCte =
+    s"""$CentroidCte,
       |dist AS (
       |  SELECT v.vec_id, c.clabel,
       |    list_reduce(list_prepend(0.0::DOUBLE,
@@ -797,7 +902,82 @@ object Similarity {
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
       |    FROM sdist) WHERE rn = 1)""".stripMargin
 
+  /** Oracle twin of [[imiDists]] + [[imiAssignments]] (appended after
+    * [[VecCte]] and [[CentroidCte]]): half-range squared-L2 folds over
+    * the same codebook, independent per-half argmin, product cell id.
+    */
+  private val ImiAsgCte =
+    """hdist AS (
+      |  SELECT v.vec_id, c.clabel,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(v.embedding) // 2 + 1),
+      |        i -> (v.embedding[i]::DOUBLE - c.cv[i]) * (v.embedding[i]::DOUBLE - c.cv[i]))),
+      |      (a, b) -> a + b) AS d1,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(len(v.embedding) // 2 + 1, len(v.embedding) + 1),
+      |        i -> (v.embedding[i]::DOUBLE - c.cv[i]) * (v.embedding[i]::DOUBLE - c.cv[i]))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM v, carr c),
+      |ia1 AS (SELECT vec_id, clabel AS c1 FROM (
+      |  SELECT vec_id, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d1, clabel) AS rn
+      |  FROM hdist) WHERE rn = 1),
+      |ia2 AS (SELECT vec_id, clabel AS c2 FROM (
+      |  SELECT vec_id, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      |  FROM hdist) WHERE rn = 1),
+      |iasg AS (
+      |  SELECT ia1.vec_id,
+      |    CAST(ia1.c1 AS BIGINT) * 1000000 + CAST(ia2.c2 AS BIGINT) AS icell
+      |  FROM ia1 JOIN ia2 ON ia2.vec_id = ia1.vec_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ann_imi_cells" ->
+      s"""$VecCte,
+         |$CentroidCte,
+         |$ImiAsgCte,
+         |cells AS (SELECT icell, count(*) AS c FROM iasg GROUP BY icell)
+         |SELECT CAST(count(*) AS BIGINT) AS cells_used,
+         |       CAST(max(c) AS BIGINT) AS max_cell,
+         |       CAST(sum(c) AS BIGINT) AS n_vectors,
+         |       CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS within_cell_pairs,
+         |       (SELECT CAST(2 * count(*) AS BIGINT) FROM carr) AS codebook_rows
+         |FROM cells""".stripMargin,
+
+    "ann_imi_topk" ->
+      s"""$VecCte,
+         |$CentroidCte,
+         |$ImiAsgCte,
+         |pt1 AS (SELECT vec_id, clabel AS c1 FROM (
+         |  SELECT vec_id, clabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d1, clabel) AS rn
+         |  FROM hdist WHERE vec_id < 50) WHERE rn <= 2),
+         |pt2 AS (SELECT vec_id, clabel AS c2 FROM (
+         |  SELECT vec_id, clabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+         |  FROM hdist WHERE vec_id < 50) WHERE rn <= 2),
+         |pcell AS (
+         |  SELECT pt1.vec_id AS probe,
+         |    CAST(pt1.c1 AS BIGINT) * 1000000 + CAST(pt2.c2 AS BIGINT) AS pcell
+         |  FROM pt1 JOIN pt2 ON pt2.vec_id = pt1.vec_id),
+         |probes AS (
+         |  SELECT p.probe, p.pcell, v.embedding AS pe, v.norm2 AS pn
+         |  FROM pcell p JOIN v ON v.vec_id = p.probe),
+         |pairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN iasg a ON a.vec_id = v.vec_id
+         |  JOIN probes p ON a.icell = p.pcell AND v.vec_id <> p.probe),
+         |ranked AS (
+         |  SELECT probe, neighbor, cos,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM pairs)
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
     "ann_ivf_sampled_topk" ->
       s"""$VecCte,
          |$SampledAsgCte,

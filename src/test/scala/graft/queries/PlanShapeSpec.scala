@@ -236,6 +236,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the 5-row rate table must not sort-merge")
   }
 
+  test("ann_imi_topk: bounded-heap probes over the product cells, no window") {
+    val p = plan("ann_imi_topk")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("grouped_topk"), "per-half top-2 should use the bounded heap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "probe set should broadcast")
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
