@@ -8,19 +8,28 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types._
 
 /** Match direction for the native as-of join: [[AsofDirection.Backward]]
   * attaches the latest right row at-or-before the left time (the default,
   * kdb `aj` / pandas merge_asof semantics); [[AsofDirection.Forward]] the
-  * earliest right row at-or-after it (next-touch attribution). Both are
-  * the same co-partitioned merge; forward needs no buffered match at all
-  * — the first equal-key right row not yet behind the left time IS the
-  * answer.
+  * earliest right row at-or-after it (next-touch attribution);
+  * [[AsofDirection.Nearest]] whichever of those two is closer in time
+  * (equal distance → the backward candidate, the at-or-before
+  * convention). All three are the same co-partitioned merge. Forward
+  * needs no buffered match at all — the first equal-key right row not
+  * yet behind the left time IS the answer. Nearest advances exactly
+  * like backward, so after the advance both candidates are in hand for
+  * free: the buffered at-or-before row and the merge head (the first
+  * equal-key row strictly after the left time) — still O(1) state.
+  * Nearest requires a numeric or date/timestamp time column (a distance
+  * must be computable, not just an ordering).
   */
 sealed trait AsofDirection
 object AsofDirection {
   case object Backward extends AsofDirection
   case object Forward extends AsofDirection
+  case object Nearest extends AsofDirection
 }
 
 /** Native as-of join: for every left row, attach the single right row
@@ -84,6 +93,10 @@ case class AsofJoinPlan(
   for (a <- Seq(leftTime, rightTime) ++ rightTiebreak)
     require(RowOrdering.isOrderable(a.dataType),
       s"as-of join time/tiebreak column '${a.name}' has un-orderable type ${a.dataType.simpleString}")
+  if (direction == AsofDirection.Nearest)
+    require(AsofJoinExec.distanceComputable(leftTime.dataType),
+      s"nearest as-of join needs a numeric or date/timestamp time column " +
+        s"(got ${leftTime.dataType.simpleString}: ordering alone cannot compare distances)")
 
   /** Left rows pass through 1:1; right columns become nullable (outer). */
   override def output: Seq[Attribute] =
@@ -191,6 +204,23 @@ case class AsofJoinExec(
         outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
 
       val fwd = direction == AsofDirection.Forward
+      val near = direction == AsofDirection.Nearest
+      // distance accessors for NEAREST: integral/datetime types subtract
+      // exactly in Long (overflow → loud ArithmeticException rather than
+      // a silently wrong sign); float types in Double. Bound once per
+      // partition; construction already guaranteed the type is covered.
+      val timeLong: InternalRow => Long = timeType match {
+        case ByteType => _.getByte(0).toLong
+        case ShortType => _.getShort(0).toLong
+        case IntegerType | DateType => _.getInt(0).toLong
+        case LongType | TimestampType | TimestampNTZType => _.getLong(0)
+        case _ => null
+      }
+      val timeDouble: InternalRow => Double = timeType match {
+        case FloatType => _.getFloat(0).toDouble
+        case DoubleType => _.getDouble(0)
+        case _ => null
+      }
 
       new Iterator[InternalRow] {
         // rHead stays valid until the next rIter.next() call; every row
@@ -247,18 +277,41 @@ case class AsofJoinExec(
             }
           }
 
-          val matched =
-            if (fwd)
-              // the advance loop stopped with rHead at the first equal-key
-              // row whose time is >= leftTime (non-null by construction)
-              !lTimeNull && !lKey.anyNull && rHead != null &&
-                keyOrd.compare(rKeyProj(rHead), lKey) == 0
-            else
-              !lTimeNull && !lKey.anyNull && bestMatch != null &&
-                keyOrd.compare(bestMatchKey, lKey) == 0
-          if (matched) numMatched += 1
+          val usable = !lTimeNull && !lKey.anyNull
+          // backward/nearest candidate: the buffered last at-or-before row.
+          // forward/nearest candidate: the advance loop stopped with rHead
+          // at the first equal-key row whose time satisfies the forward
+          // bound (>= for forward; strictly > for nearest, where an
+          // equal-time row was consumed into the buffer at distance 0) —
+          // non-null time by construction.
+          val bwdOk = !fwd && usable && bestMatch != null &&
+            keyOrd.compare(bestMatchKey, lKey) == 0
+          val fwdOk = (fwd || near) && usable && rHead != null &&
+            keyOrd.compare(rKeyProj(rHead), lKey) == 0
+          val rightRow =
+            if (fwd) { if (fwdOk) rHead else nullRight }
+            else if (!near) { if (bwdOk) bestMatch else nullRight }
+            else if (bwdOk && fwdOk) {
+              // extract each time scalar immediately: rTimeProj reuses one
+              // buffer, so the second projection invalidates the first row
+              val pickBwd = if (timeLong != null) {
+                val lt = timeLong(lTimeRow)
+                val bt = timeLong(rTimeProj(bestMatch))
+                val ft = timeLong(rTimeProj(rHead))
+                Math.subtractExact(lt, bt) <= Math.subtractExact(ft, lt)
+              } else {
+                val lt = timeDouble(lTimeRow)
+                val bt = timeDouble(rTimeProj(bestMatch))
+                val ft = timeDouble(rTimeProj(rHead))
+                lt - bt <= ft - lt
+              }
+              if (pickBwd) bestMatch else rHead
+            }
+            else if (bwdOk) bestMatch
+            else if (fwdOk) rHead
+            else nullRight
+          if (rightRow ne nullRight) numMatched += 1
           numOutputRows += 1
-          val rightRow = if (!matched) nullRight else if (fwd) rHead else bestMatch
           resultProj(joined(lRow, rightRow))
         }
       }
@@ -268,6 +321,18 @@ case class AsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinExec {
+  /** Time types NEAREST can subtract — long-backed integral/datetime
+    * types plus the float family. (DecimalType is orderable but excluded
+    * until someone needs it; backward/forward accept any orderable type.)
+    */
+  def distanceComputable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case _ => false
+  }
 }
 
 /** DataFrame-level entry point for the native as-of join. */

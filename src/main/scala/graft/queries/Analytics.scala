@@ -208,6 +208,28 @@ object Analytics {
         .orderBy($"event_id")
     },
 
+    // NEAREST direction: each purchase attaches its closest click in
+    // either time direction (equal distance → the at-or-before one).
+    // Same single-pass merge: the backward buffer and the merge head
+    // are the two candidates, so nearest costs exactly what backward
+    // does — no second scan, no pair amplification.
+    "q_asof_nearest" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user_id"),
+          $"ts".as("click_ts"))
+      graft.plans.AsofJoinOps.asofJoin(
+          purchases, clicks, Seq("user_id" -> "c_user_id"), "ts", "click_ts",
+          rightTiebreak = Seq("click_id"),
+          direction = graft.plans.AsofDirection.Nearest)
+        .select($"event_id", $"user_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"))
+        .orderBy($"event_id")
+    },
+
     // Set operations: union / intersect / except.
     "q_setops" -> { (s, dir) =>
       import s.implicits._
@@ -853,6 +875,21 @@ object Analytics {
         |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |              AND c.ts >= p.ts
         |            ORDER BY c.ts ASC, c.event_id ASC LIMIT 1), -1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // nearest-in-time: order candidates by absolute distance, then side
+    // (at-or-before beats after on equal distance), then the side's own
+    // tie rule (backward last-wins = event_id DESC via negation, forward
+    // first-wins = event_id ASC).
+    "q_asof_nearest" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  COALESCE((SELECT c.event_id FROM events c
+        |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |            ORDER BY abs(epoch_ns(c.ts) - epoch_ns(p.ts)) ASC,
+        |              CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+        |              CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC
+        |            LIMIT 1), -1) AS click_id
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 

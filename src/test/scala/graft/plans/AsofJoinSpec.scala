@@ -135,6 +135,81 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.length == 3)
   }
 
+  test("nearest direction matches the pair-join oracle on random multi-partition data") {
+    val rnd = new Random(29)
+    val trades = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong)
+    }.toDF("trade_id", "sym", "t").repartition(7)
+    val quotes = (0 until 300).map { i =>
+      (1000L + i, rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100))
+    }.toDF("quote_id", "q_sym", "q_t", "px").repartition(5)
+
+    val got = AsofJoinOps.asofJoin(
+      trades, quotes, Seq("sym" -> "q_sym"), "t", "q_t", Seq("quote_id"),
+      direction = AsofDirection.Nearest)
+
+    // oracle: ALL in-key pairs ranked by |q_t − t|, then side (at-or-
+    // before first), then the side's own tie rule (backward greatest
+    // tiebreak, forward smallest)
+    val cand = trades.join(quotes, $"sym" === $"q_sym", "left")
+    val w = Window.partitionBy($"trade_id").orderBy(
+      abs($"q_t" - $"t").asc_nulls_last,
+      when($"q_t" <= $"t", 0).otherwise(1).asc_nulls_last,
+      when($"q_t" <= $"t", -$"quote_id").otherwise($"quote_id").asc_nulls_last)
+    val want = cand.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() == 400)
+  }
+
+  test("nearest: equal distance prefers the at-or-before candidate") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq(
+      (10L, 1L, 95L, "before"), (11L, 1L, 105L, "after"))
+      .toDF("qid", "rk", "rt", "tag")
+    val got = AsofJoinOps.asofJoin(
+      left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      direction = AsofDirection.Nearest).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(5) == "before", "tie at distance 5 must go backward")
+
+    // strictly closer forward candidate wins
+    val right2 = Seq(
+      (10L, 1L, 90L, "before"), (11L, 1L, 105L, "after"))
+      .toDF("qid", "rk", "rt", "tag")
+    val got2 = AsofJoinOps.asofJoin(
+      left, right2, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      direction = AsofDirection.Nearest).collect()
+    assert(got2.head.getString(5) == "after")
+  }
+
+  test("nearest: one-sided keys match from whichever side exists") {
+    val left = Seq((1L, 100L, "only_after"), (2L, 100L, "only_before"), (3L, 100L, "none"))
+      .toDF("k", "t", "side")
+    val right = Seq((10L, 1L, 200L), (11L, 2L, 50L))
+      .toDF("qid", "rk", "rt")
+    val got = AsofJoinOps.asofJoin(
+      left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      direction = AsofDirection.Nearest).collect()
+    val bySide = got.map(r => r.getString(2) -> r).toMap
+    assert(bySide("only_after").getLong(3) == 10L)
+    assert(bySide("only_before").getLong(3) == 11L)
+    assert(bySide("none").isNullAt(3))
+  }
+
+  test("nearest rejects a non-subtractable time type at plan construction") {
+    val left = Seq(("a", "2024-01-01")).toDF("k", "t")
+    val right = Seq(("a", "2024-01-02", 1L)).toDF("rk", "rt", "qid")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinOps.asofJoin(left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+        direction = AsofDirection.Nearest)
+    }
+    assert(e.getMessage.contains("nearest"), e.getMessage)
+    // backward on the same string times is fine (ordering is enough)
+    assert(AsofJoinOps.asofJoin(left, right, Seq("k" -> "rk"), "t", "rt",
+      Seq("qid")).count() == 1)
+  }
+
   test("NULL keys and NULL times never match") {
     val left = Seq(
       (Some(1L), Some(100L), "ok"),
