@@ -70,12 +70,14 @@ object ScaleProbe {
     // indexes a previous run of this session may hold for the same path
     graft.queries.Dedup.clearCaches()
     graft.queries.Similarity.clearCaches()
+    graft.queries.TextAnalysis.clearCaches()
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
       "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
       "dedup_emb_cos_ivf", "ann_ivf2_topk", "dedup_substring", "dedup_spans",
-      "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill")
+      "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill",
+      "tx_pack", "tx_mix", "ann_imi_topk", "q_asof_nearest")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
@@ -110,6 +112,13 @@ object ScaleProbe {
       s""""agree_flat": ${ca.getAs[Long]("agree_flat")}, """ +
       s""""fine_dist_rows": ${ca.getAs[Long]("fine_dist_rows")}, """ +
       s""""flat_dist_rows": ${ca.getAs[Long]("flat_dist_rows")}}""")
+    // IMI product-cell meter: the candidate-set shrink the two-half
+    // product buys over the flat quantizer at the same codebook storage
+    val ic = graft.queries.Similarity.imiCellStats(spark, out).collect()(0)
+    println(s"""{"meter": "imi_cells", "cells_used": ${ic.getAs[Long]("cells_used")}, """ +
+      s""""max_cell": ${ic.getAs[Long]("max_cell")}, """ +
+      s""""within_cell_pairs": ${ic.getAs[Long]("within_cell_pairs")}, """ +
+      s""""codebook_rows": ${ic.getAs[Long]("codebook_rows")}}""")
     spark.stop()
   }
 }

@@ -27,6 +27,33 @@ object TextAnalysis {
 
   import QueryFns.{wsTokens, tokHash}
 
+  /** Session-scoped memo of the persisted per-doc token-count table
+    * (doc_id, lang, m) — the [[Dedup.indexCache]] staging pattern.
+    * tx_pack reads it on BOTH sides of its prefix sum (block totals +
+    * the join back) and tx_mix on both sides of its rate computation;
+    * without the memo each consumer re-runs the tokenize over the full
+    * corpus, and the expensive part of this projection is exactly the
+    * tokenize. 16 bytes a doc — a production pipeline materializes this
+    * as its token-accounting table.
+    */
+  private val tokCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokCountCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"lang",
+          size(wsTokens($"text")).cast("long").as("m"))
+        .persist()
+    })
+
+  /** Drop and unpersist the memoized token counts (inputs rewritten). */
+  def clearCaches(): Unit = {
+    tokCountCache.values.foreach(_.unpersist())
+    tokCountCache.clear()
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
     * language-ID heuristic. Deterministic, shared with the oracle SQL.
     */
@@ -343,8 +370,8 @@ object TextAnalysis {
       import s.implicits._
       val S = 512L
       val w = org.apache.spark.sql.expressions.Window
-      val d = Tables(s, dir).documents
-        .select($"doc_id", size(wsTokens($"text")).cast("long").as("m"))
+      val d = tokenCounts(s, dir)
+        .select($"doc_id", $"m")
         .filter($"m" > 0)
         .withColumn("blk", expr("doc_id div 64"))
       val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
@@ -376,8 +403,7 @@ object TextAnalysis {
     // rate table ships exactly the same way.
     "tx_mix" -> { (s, dir) =>
       import s.implicits._
-      val toks = Tables(s, dir).documents
-        .select($"doc_id", $"lang", size(wsTokens($"text")).cast("long").as("m"))
+      val toks = tokenCounts(s, dir)
       val tot = toks.groupBy($"lang").agg(sum($"m").as("lang_tok"))
       val minTot = tot.agg(min($"lang_tok").as("min_tok"))
       // double division of two exact BIGINTs → identical IEEE result in
