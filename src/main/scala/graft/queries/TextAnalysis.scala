@@ -390,6 +390,39 @@ object TextAnalysis {
         .orderBy($"seq_id")
     },
 
+    // Sequence packing over the SHUFFLED corpus order — real training
+    // runs shuffle documents before packing so a sequence doesn't carry
+    // long runs of one source. The shuffle is the replayable md5 order
+    // (rand() replays differently per run/engine) and the two-phase
+    // prefix sum survives it because the block key is the md5's leading
+    // byte: hex-digit order matches numeric order, so blocks are exactly
+    // contiguous 1/256 slices of the global (md5, doc_id) order and the
+    // block-offset trick applies unchanged. 256 fixed blocks also means
+    // the unpartitioned block window is O(1) rows at any corpus size.
+    "tx_pack_shuffled" -> { (s, dir) =>
+      import s.implicits._
+      val S = 512L
+      val w = org.apache.spark.sql.expressions.Window
+      val d = tokenCounts(s, dir)
+        .select($"doc_id", $"m", md5($"doc_id".cast("string")).as("h"))
+        .filter($"m" > 0)
+        .withColumn("blk", conv(substring($"h", 1, 2), 16, 10).cast("long"))
+      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
+        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
+        .select($"blk", $"boff")
+      d.join(broadcast(blkOff), "blk")
+        .withColumn("off",
+          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"h", $"doc_id")) - $"m")
+        .withColumn("seq_id",
+          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
+        .withColumn("piece",
+          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"seq_id")
+    },
+
     // Domain MIXING — deterministic per-language downsampling to a
     // balanced token budget (the data-recipe step of a pretraining run:
     // re-weight domains so no language dominates). Target = the
@@ -417,6 +450,34 @@ object TextAnalysis {
         .groupBy($"lang", $"rate")
         .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_tok"))
         .select($"lang", $"n_docs", $"n_tok", round($"rate", 6).as("rate"))
+        .orderBy($"lang")
+    },
+
+    // Domain mixing, UPSAMPLING posture: every language is brought UP to
+    // the largest language's token budget (the low-resource-language
+    // recipe — multiple epochs over scarce data rather than discarding
+    // abundant data). factor = max_total/total ≥ 1 splits into
+    // floor(factor) full copies per doc plus one fractional copy
+    // admitted by the same replayable md5 coin tx_mix uses; the explode
+    // IS the amplified stream a downstream tokenizer would consume
+    // (here rolled up into per-language accounting). floor() of an IEEE
+    // double is exact in both engines, so replica counts are portable.
+    "tx_mix_upsample" -> { (s, dir) =>
+      import s.implicits._
+      val toks = tokenCounts(s, dir)
+      val tot = toks.groupBy($"lang").agg(sum($"m").as("lang_tok"))
+      val maxTot = tot.agg(max($"lang_tok").as("max_tok"))
+      val factors = tot.crossJoin(broadcast(maxTot))
+        .select($"lang",
+          ($"max_tok".cast("double") / $"lang_tok".cast("double")).as("f"))
+      toks.join(broadcast(factors), "lang")
+        .withColumn("n_rep", floor($"f") +
+          when(QueryFns.hash48($"doc_id".cast("string")).cast("double")
+            / lit(281474976710656.0) < $"f" - floor($"f"), 1L).otherwise(0L))
+        .withColumn("rep", explode(sequence(lit(1L), $"n_rep")))
+        .groupBy($"lang", $"f")
+        .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_tok"))
+        .select($"lang", $"n_docs", $"n_tok", round($"f", 6).as("factor"))
         .orderBy($"lang")
     },
 
@@ -686,6 +747,52 @@ object TextAnalysis {
         |  CAST(sum(least(off + m, (s + 1) * 512) - greatest(off, s * 512)) AS BIGINT) AS n_tok,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM x GROUP BY s ORDER BY seq_id""".stripMargin,
+
+    // same cumsum, over the shuffled (md5, doc_id) order — identical to
+    // the Spark side's block form because the block key is the md5's
+    // leading byte (order-consistent prefix)
+    "tx_pack_shuffled" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS m,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, m,
+        |    CAST(COALESCE(SUM(m) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t WHERE m > 0),
+        |x AS (
+        |  SELECT doc_id, m, off,
+        |    unnest(range(off // 512, (off + m - 1) // 512 + 1)) AS s
+        |  FROM o)
+        |SELECT CAST(s AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(off + m, (s + 1) * 512) - greatest(off, s * 512)) AS BIGINT) AS n_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY s ORDER BY seq_id""".stripMargin,
+
+    "tx_mix_upsample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS m
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(m) AS BIGINT) AS lang_tok FROM t GROUP BY lang),
+        |f AS (
+        |  SELECT lang,
+        |    CAST((SELECT max(lang_tok) FROM tot) AS DOUBLE)
+        |      / CAST(lang_tok AS DOUBLE) AS f
+        |  FROM tot),
+        |r AS (
+        |  SELECT t.lang, t.m, f.f,
+        |    CAST(floor(f.f) AS BIGINT)
+        |      + CASE WHEN CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |             AS DOUBLE) / 281474976710656.0 < f.f - floor(f.f)
+        |        THEN 1 ELSE 0 END AS n_rep
+        |  FROM t JOIN f ON t.lang = f.lang)
+        |SELECT lang, CAST(sum(n_rep) AS BIGINT) AS n_docs,
+        |  CAST(sum(m * n_rep) AS BIGINT) AS n_tok, round(f, 6) AS factor
+        |FROM r GROUP BY lang, f ORDER BY lang""".stripMargin,
 
     "tx_mix" ->
       """WITH t AS (

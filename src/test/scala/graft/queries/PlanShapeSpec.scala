@@ -236,6 +236,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the 5-row rate table must not sort-merge")
   }
 
+  test("tx_pack_shuffled: shuffled-order cumsum still partitions by block") {
+    val p = plan("tx_pack_shuffled")
+    assert("windowspecdefinition\\(blk#\\d+L, h#".r.findFirstIn(p).isDefined,
+      s"per-doc cumsum must partition by the md5-prefix block: ${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "block offsets should broadcast")
+  }
+
+  test("tx_mix_upsample: factor table broadcasts; replication is a generator, not a join") {
+    val p = plan("tx_mix_upsample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Generate"), "per-doc replication should be an explode")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("ann_imi_topk: bounded-heap probes over the product cells, no window") {
     val p = plan("ann_imi_topk")
     assert(!p.contains("Window"), p.take(2000))
