@@ -323,27 +323,33 @@ object Similarity {
     // Babenko–Lempitsky multi-index tradeoff, with recall governed by
     // the per-half probe width exactly as nprobe governs IVF. At 100 TB
     // the product cell id is the partition key, same as every IVF tier.
-    "ann_imi_topk" -> { (s, dir) =>
-      implicit val sp: SparkSession = s
+    "ann_imi_topk" -> { (s, dir) => imiTopk(s, dir, 50) },
+
+    // Observed IMI recall against the exact brute force (the metered-
+    // recall contract every approximate tier here honors: simhash drop
+    // meter, LSH recall, IVF cell meters). Per probe: the exact top-5,
+    // the ≤4-product-cell top-5, and their overlap — the number the
+    // per-half probe width (here 2) is tuned against on a real corpus.
+    "ann_imi_recall" -> { (s, dir) =>
       import s.implicits._
+      implicit val sp: SparkSession = s
       val v = vecs(s, dir)
-      val hd = imiDists(s, dir).filter($"vec_id" < 50)
-      val p1 = hd.groupBy($"vec_id")
-        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d1", $"clabel".cast("long"), 2).as("t1"))
-        .select($"vec_id", explode($"t1.id").as("c1"))
-      val p2 = hd.groupBy($"vec_id")
-        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d2", $"clabel".cast("long"), 2).as("t2"))
-        .select($"vec_id", explode($"t2.id").as("c2"))
-      val pcells = p1.join(p2, "vec_id")
-        .select($"vec_id".as("probe"), ($"c1" * 1000000L + $"c2").as("pcell"))
-      val probes = v.filter($"vec_id" < 50)
+      val probes = v.filter($"vec_id" < 25)
         .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
-        .join(pcells, "probe")
-      val pairs = v.join(imiAssignments(s, dir), "vec_id")
-        .join(broadcast(probes), $"icell" === $"pcell" && $"vec_id" =!= $"probe")
+      val exactPairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
         .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
         .select($"probe", $"vec_id".as("neighbor"), $"cos")
-      topk(pairs, 5)
+      val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
+      val imi5 = imiTopk(s, dir, 25).select($"probe", $"neighbor")
+      val nExact = ex5.groupBy($"probe").agg(count(lit(1)).as("n_exact"))
+      val nImi = imi5.groupBy($"probe").agg(count(lit(1)).as("n_imi"))
+      val nCommon = ex5.join(imi5, Seq("probe", "neighbor"), "left_semi")
+        .groupBy($"probe").agg(count(lit(1)).as("n_common"))
+      nExact.join(nImi, "probe")
+        .join(nCommon, Seq("probe"), "left")
+        .select($"probe", $"n_exact", $"n_imi",
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"probe")
     },
 
     // Embedding near-dup blocked by the TRAINED centroid assignment
@@ -675,6 +681,33 @@ object Similarity {
       .select($"vec_id",
         ($"m1.clabel".cast("long") * 1000000L + $"m2.clabel".cast("long"))
           .as("icell"))
+  }
+
+  /** The IMI search shared by ann_imi_topk (probes < 50) and the recall
+    * meter (probes < 25): per-half top-2 centroids via the bounded heap,
+    * candidates restricted to the ≤4 product cells, exact cosine, top-5.
+    */
+  private def imiTopk(s: SparkSession, dir: String, probeLimit: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val v = vecs(s, dir)
+    val hd = imiDists(s, dir).filter($"vec_id" < probeLimit)
+    val p1 = hd.groupBy($"vec_id")
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d1", $"clabel".cast("long"), 2).as("t1"))
+      .select($"vec_id", explode($"t1.id").as("c1"))
+    val p2 = hd.groupBy($"vec_id")
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d2", $"clabel".cast("long"), 2).as("t2"))
+      .select($"vec_id", explode($"t2.id").as("c2"))
+    val pcells = p1.join(p2, "vec_id")
+      .select($"vec_id".as("probe"), ($"c1" * 1000000L + $"c2").as("pcell"))
+    val probes = v.filter($"vec_id" < probeLimit)
+      .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+      .join(pcells, "probe")
+    val pairs = v.join(imiAssignments(s, dir), "vec_id")
+      .join(broadcast(probes), $"icell" === $"pcell" && $"vec_id" =!= $"probe")
+      .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+      .select($"probe", $"vec_id".as("neighbor"), $"cos")
+    topk(pairs, 5)
   }
 
   /** Cell-geometry meter for the IMI product cells (the [[embCellStats]]
@@ -1046,6 +1079,63 @@ object Similarity {
          |       (SELECT CAST(count(*) AS BIGINT) FROM fdist) AS fine_dist_rows,
          |       CAST(count(*) * (SELECT count(*) FROM carr) AS BIGINT) AS flat_dist_rows
          |FROM asg a JOIN fasg f ON f.vec_id = a.vec_id""".stripMargin,
+
+    "ann_imi_recall" ->
+      s"""$VecCte,
+         |$CentroidCte,
+         |$ImiAsgCte,
+         |pt1 AS (SELECT vec_id, clabel AS c1 FROM (
+         |  SELECT vec_id, clabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d1, clabel) AS rn
+         |  FROM hdist WHERE vec_id < 25) WHERE rn <= 2),
+         |pt2 AS (SELECT vec_id, clabel AS c2 FROM (
+         |  SELECT vec_id, clabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+         |  FROM hdist WHERE vec_id < 25) WHERE rn <= 2),
+         |pcell AS (
+         |  SELECT pt1.vec_id AS probe,
+         |    CAST(pt1.c1 AS BIGINT) * 1000000 + CAST(pt2.c2 AS BIGINT) AS pcell
+         |  FROM pt1 JOIN pt2 ON pt2.vec_id = pt1.vec_id),
+         |iprobes AS (
+         |  SELECT p.probe, p.pcell, v.embedding AS pe, v.norm2 AS pn
+         |  FROM pcell p JOIN v ON v.vec_id = p.probe),
+         |ipairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN iasg a ON a.vec_id = v.vec_id
+         |  JOIN iprobes p ON a.icell = p.pcell AND v.vec_id <> p.probe),
+         |imi5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM ipairs) WHERE rank <= 5),
+         |eprobes AS (
+         |  SELECT vec_id AS probe, embedding AS pe, norm2 AS pn
+         |  FROM v WHERE vec_id < 25),
+         |epairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN eprobes p ON v.vec_id <> p.probe),
+         |ex5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM epairs) WHERE rank <= 5),
+         |ne AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_exact FROM ex5 GROUP BY probe),
+         |ni AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_imi FROM imi5 GROUP BY probe),
+         |nc AS (
+         |  SELECT e.probe, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ex5 e JOIN imi5 i ON i.probe = e.probe AND i.neighbor = e.neighbor
+         |  GROUP BY e.probe)
+         |SELECT ne.probe, ne.n_exact, ni.n_imi,
+         |  COALESCE(nc.n_common, CAST(0 AS BIGINT)) AS n_common
+         |FROM ne JOIN ni ON ni.probe = ne.probe
+         |LEFT JOIN nc ON nc.probe = ne.probe
+         |ORDER BY ne.probe""".stripMargin,
 
     "ann_topk" -> oracleFor(25, "TRUE", 10),
     "ann_ivf_topk" -> oracleFor(50, "v.label = p.plabel", 5),
