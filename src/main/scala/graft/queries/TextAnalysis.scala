@@ -48,10 +48,40 @@ object TextAnalysis {
         .persist()
     })
 
+  /** Session-scoped memo of the CURATED survivor token counts
+    * (doc_id, m): docs that win their exact-dedup content-hash group
+    * and pass the quality gate — the input both prefix-sum phases of
+    * tx_curation_packed read. Tokenize + quality run once per corpus.
+    */
+  private val survivorCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def curationSurvivors(s: SparkSession, dir: String): DataFrame =
+    survivorCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val toks = $"toks"
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"text", md5($"text").as("fp"))
+      val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+        .select($"doc_id", wsTokens($"text").as("toks"))
+        .select($"doc_id", size(toks).cast("long").as("m"),
+          scoreIn(toks, stop("en")).as("n_stop"))
+        .filter($"m" > 0)
+        .filter(
+          round(least(lit(1.0), $"m".cast("double") / 50.0) * 0.5
+            + least(lit(1.0), $"n_stop".cast("double") * 10.0 / $"m") * 0.5, 4)
+            >= 0.7)
+        .select($"doc_id", $"m")
+        .persist()
+    })
+
   /** Drop and unpersist the memoized token counts (inputs rewritten). */
   def clearCaches(): Unit = {
     tokCountCache.values.foreach(_.unpersist())
     tokCountCache.clear()
+    survivorCache.values.foreach(_.unpersist())
+    survivorCache.clear()
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
@@ -233,6 +263,37 @@ object TextAnalysis {
 
     // Composed curation pipeline (see curationPipeline scaladoc).
     "tx_curation_pipeline" -> { (s, dir) => curationPipeline(s, dir) },
+
+    // The END-TO-END training-prep recipe as one plan: exact dedup
+    // (keep smallest doc_id per content hash) → quality gate (≥ 0.7,
+    // the tx_quality formula) → pack the SURVIVORS into 512-token
+    // sequences (the tx_pack prefix-sum, doc_id order). What
+    // tx_curation_pipeline accounts for, this one actually produces:
+    // the sequence layout a tokenizer writer would emit. The survivor
+    // token-count table is staged once per (session, corpus) — both
+    // prefix-sum phases read it, and the tokenize+quality front end
+    // runs once.
+    "tx_curation_packed" -> { (s, dir) =>
+      import s.implicits._
+      val S = 512L
+      val w = org.apache.spark.sql.expressions.Window
+      val d = curationSurvivors(s, dir)
+        .withColumn("blk", expr("doc_id div 64"))
+      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
+        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
+        .select($"blk", $"boff")
+      d.join(broadcast(blkOff), "blk")
+        .withColumn("off",
+          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"doc_id")) - $"m")
+        .withColumn("seq_id",
+          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
+        .withColumn("piece",
+          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"seq_id")
+    },
 
     // Document fingerprinting: md5 of whitespace-normalized text + a
     // 31-bit polynomial rolling hash over token hashes (ref analogue:
@@ -617,6 +678,40 @@ object TextAnalysis {
          |  FROM m)
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
          |FROM q WHERE quality >= 0.7 GROUP BY lang ORDER BY lang""".stripMargin,
+    // curation front end (dedup keep-min + quality gate) composed with
+    // the pack cumsum — the tx_curation_pipeline and tx_pack oracles
+    // fused over the survivor set
+    "tx_curation_packed" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, md5(text) AS fp FROM documents),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY fp),
+         |kept AS (
+         |  SELECT d.doc_id,
+         |    list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS toks
+         |  FROM docs d JOIN keep k ON d.fp = k.fp AND d.doc_id = k.doc_id),
+         |m0 AS (
+         |  SELECT doc_id, len(toks) AS m,
+         |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS n_stop
+         |  FROM kept),
+         |surv AS (
+         |  SELECT doc_id, CAST(m AS BIGINT) AS m FROM m0
+         |  WHERE m > 0 AND round(least(1.0, CAST(m AS DOUBLE) / 50.0) * 0.5
+         |    + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / m) * 0.5, 4) >= 0.7),
+         |o AS (
+         |  SELECT doc_id, m,
+         |    CAST(COALESCE(SUM(m) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM surv),
+         |x AS (
+         |  SELECT doc_id, m, off,
+         |    unnest(range(off // 512, (off + m - 1) // 512 + 1)) AS s
+         |  FROM o)
+         |SELECT CAST(s AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(off + m, (s + 1) * 512) - greatest(off, s * 512)) AS BIGINT) AS n_tok,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY s ORDER BY seq_id""".stripMargin,
+
     "tx_token_count" ->
       s"""SELECT doc_id,
          |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws,
