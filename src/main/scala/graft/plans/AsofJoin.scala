@@ -75,7 +75,8 @@ case class AsofJoinPlan(
     leftTime: Attribute,
     rightTime: Attribute,
     rightTiebreak: Seq[Attribute],
-    direction: AsofDirection = AsofDirection.Backward)
+    direction: AsofDirection = AsofDirection.Backward,
+    allowExactMatches: Boolean = true)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
@@ -97,6 +98,12 @@ case class AsofJoinPlan(
     require(AsofJoinExec.distanceComputable(leftTime.dataType),
       s"nearest as-of join needs a numeric or date/timestamp time column " +
         s"(got ${leftTime.dataType.simpleString}: ordering alone cannot compare distances)")
+  // nearest-strict would need the forward candidate BEYOND an equal-time
+  // run whose rows remain backward candidates for later left rows — that
+  // needs a buffered run, not O(1) state; fail loudly instead of silently
+  // approximating
+  require(allowExactMatches || direction != AsofDirection.Nearest,
+    "as-of join: allowExactMatches=false is not supported with direction=Nearest")
 
   /** Left rows pass through 1:1; right columns become nullable (outer). */
   override def output: Seq[Attribute] =
@@ -114,8 +121,8 @@ case class AsofJoinPlan(
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb, dir) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb, dir, exact) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, exact) :: Nil
     case _ => Nil
   }
 }
@@ -145,7 +152,8 @@ case class AsofJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     rightTiebreak: Seq[Attribute],
-    direction: AsofDirection = AsofDirection.Backward)
+    direction: AsofDirection = AsofDirection.Backward,
+    allowExactMatches: Boolean = true)
   extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -205,6 +213,7 @@ case class AsofJoinExec(
 
       val fwd = direction == AsofDirection.Forward
       val near = direction == AsofDirection.Nearest
+      val exact = allowExactMatches
       // distance accessors for NEAREST: integral/datetime types subtract
       // exactly in Long (overflow → loud ArithmeticException rather than
       // a silently wrong sign); float types in Double. Bound once per
@@ -256,7 +265,8 @@ case class AsofJoinExec(
               advancing = rHead != null
             } else if (c == 0 && !fwd && !lTimeNull && {
                 val rt = rTimeProj(rHead)
-                timeOrd.compare(rt, lTimeRow) <= 0
+                val cmp = timeOrd.compare(rt, lTimeRow)
+                if (exact) cmp <= 0 else cmp < 0
               }) {
               if (!lKey.anyNull) { // NULL keys never equi-match
                 bestMatch = rHead.copy()
@@ -266,10 +276,14 @@ case class AsofJoinExec(
               advancing = rHead != null
             } else if (c == 0 && fwd && !lTimeNull && {
                 val rt = rTimeProj(rHead)
-                timeOrd.compare(rt, lTimeRow) < 0
+                val cmp = timeOrd.compare(rt, lTimeRow)
+                // forward: rows behind the bound can never match this or
+                // any later left row of this key — discard. Strict mode
+                // (allowExactMatches=false) also discards equal-time rows:
+                // a later same-key left has a strictly larger time, so an
+                // rt == lt row is behind ITS strict bound too.
+                if (exact) cmp < 0 else cmp <= 0
               }) {
-              // forward: rows strictly behind the left time can never
-              // match this or any later left row of this key — discard
               rHead = if (rIter.hasNext) rIter.next() else null
               advancing = rHead != null
             } else {
@@ -343,13 +357,18 @@ object AsofJoinOps {
     * `rightTime <= leftTime` (ties on time resolved toward the greatest
     * `rightTiebreak`); with `direction = AsofDirection.Forward`, the
     * earliest right row with `rightTime >= leftTime` (ties to the
-    * smallest tiebreak). A tolerance window composes on top: the matched
-    * right time comes back as a column, so
-    * `when(abs(lt − rt) <= tol, rCol)` nulls out-of-tolerance matches
-    * without re-joining. Right columns come back nullable; callers rename
-    * columns beforehand if the two sides share names. Registers the
-    * planner strategy on the session idempotently, so it works on
-    * sessions built without [[graft.functions.GraftExtensions]].
+    * smallest tiebreak); with [[AsofDirection.Nearest]], whichever of
+    * the two is closer. `allowExactMatches = false` makes the time bound
+    * strict (`<` / `>`, the pandas knob; not combinable with Nearest —
+    * see the plan-level require). `tolerance = Some(t)` nulls the right
+    * side of any match whose |leftTime − rightTime| exceeds t — the
+    * match SELECTION is unchanged (latest-at-or-before first, then the
+    * tolerance gate, pandas semantics), applied as a post-projection so
+    * no second join runs; requires a numeric time column. Right columns
+    * come back nullable; callers rename columns beforehand if the two
+    * sides share names. Registers the planner strategy on the session
+    * idempotently, so it works on sessions built without
+    * [[graft.functions.GraftExtensions]].
     */
   def asofJoin(
       left: DataFrame,
@@ -358,7 +377,9 @@ object AsofJoinOps {
       leftTimeCol: String,
       rightTimeCol: String,
       rightTiebreak: Seq[String] = Nil,
-      direction: AsofDirection = AsofDirection.Backward): DataFrame = {
+      direction: AsofDirection = AsofDirection.Backward,
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Double] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
 
@@ -383,14 +404,39 @@ object AsofJoinOps {
           s"$side side column '$name' is ambiguous (${many.size} matches)")
       }
 
-    GraftBridge.ofRows(spark, AsofJoinPlan(
+    val ltA = attr(lPlan, leftTimeCol, "left")
+    val rtA = attr(rPlan, rightTimeCol, "right")
+    val joined = GraftBridge.ofRows(spark, AsofJoinPlan(
       lPlan, rPlan,
       on.map(p => attr(lPlan, p._1, "left")),
       on.map(p => attr(rPlan, p._2, "right")),
-      attr(lPlan, leftTimeCol, "left"),
-      attr(rPlan, rightTimeCol, "right"),
+      ltA, rtA,
       rightTiebreak.map(attr(rPlan, _, "right")),
-      direction))
+      direction, allowExactMatches))
+    tolerance match {
+      case None => joined
+      case Some(tol) =>
+        import org.apache.spark.sql.functions.{abs, datediff, lit, unix_micros, when}
+        val (ltC, rtC) = (GraftBridge.column(ltA), GraftBridge.column(rtA))
+        // the difference is computed in the column's own integral domain
+        // (exact — no double cast of large raw values; only the small
+        // difference meets the double tolerance). Tolerance unit follows
+        // the type: the column's own unit for numerics, MICROSECONDS for
+        // timestamps, DAYS for dates.
+        val diff = ltA.dataType match {
+          case TimestampType => abs(unix_micros(ltC) - unix_micros(rtC))
+          case DateType => abs(datediff(ltC, rtC))
+          case _: NumericType => abs(ltC - rtC)
+          case other => throw new IllegalArgumentException(
+            s"as-of tolerance needs a numeric, timestamp, or date time column " +
+              s"(got ${other.simpleString})")
+        }
+        val cond = diff <= lit(tol)
+        val keepLeft = lPlan.output.map(GraftBridge.column)
+        val gatedRight = rPlan.output.map(a =>
+          when(cond, GraftBridge.column(a)).as(a.name))
+        joined.select(keepLeft ++ gatedRight: _*)
+    }
   }
 
   /** Idempotently add [[GraftStrategy]] to the session's planner.

@@ -208,6 +208,47 @@ object Analytics {
         .orderBy($"event_id")
     },
 
+    // STRICT backward (allowExactMatches=false, the pandas knob): the
+    // latest click strictly before the purchase — same-instant clicks
+    // no longer match. Same merge, one comparison flipped.
+    "q_asof_strict" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user_id"),
+          $"ts".as("click_ts"))
+      graft.plans.AsofJoinOps.asofJoin(
+          purchases, clicks, Seq("user_id" -> "c_user_id"), "ts", "click_ts",
+          rightTiebreak = Seq("click_id"), allowExactMatches = false)
+        .select($"event_id", $"user_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"))
+        .orderBy($"event_id")
+    },
+
+    // Tolerance gate (pandas merge_asof tolerance): the backward match
+    // is selected as usual, then NULLed when the purchase-click gap
+    // exceeds one hour — a post-projection, not a second join. ts is a
+    // micros timestamp, so the tolerance unit is microseconds and the
+    // gap arithmetic is exact integer work.
+    "q_asof_tolerance" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user_id"),
+          $"ts".as("click_ts"))
+      graft.plans.AsofJoinOps.asofJoin(
+          purchases, clicks, Seq("user_id" -> "c_user_id"), "ts", "click_ts",
+          rightTiebreak = Seq("click_id"),
+          tolerance = Some(3600e6)) // 1 h in µs
+        .select($"event_id", $"user_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"))
+        .orderBy($"event_id")
+    },
+
     // NEAREST direction: each purchase attaches its closest click in
     // either time direction (equal distance → the at-or-before one).
     // Same single-pass merge: the backward buffer and the merge head
@@ -875,6 +916,33 @@ object Analytics {
         |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |              AND c.ts >= p.ts
         |            ORDER BY c.ts ASC, c.event_id ASC LIMIT 1), -1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_strict" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  COALESCE((SELECT c.event_id FROM events c
+        |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |              AND c.ts < p.ts
+        |            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // selection first (latest at-or-before, ignoring tolerance), gate
+    // second — pandas semantics; the two correlated subqueries share one
+    // deterministic ordering so (ts, id) come from the same row
+    "q_asof_tolerance" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  COALESCE(CASE WHEN
+        |    epoch_us(p.ts) - (SELECT epoch_us(c.ts) FROM events c
+        |       WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |         AND c.ts <= p.ts
+        |       ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) <= 3600000000
+        |    THEN (SELECT c.event_id FROM events c
+        |       WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |         AND c.ts <= p.ts
+        |       ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+        |    END, -1) AS click_id
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 

@@ -210,6 +210,70 @@ class AsofJoinSpec extends SparkSpec {
       Seq("qid")).count() == 1)
   }
 
+  test("strict mode (allowExactMatches=false): equal-time rows do not match") {
+    val left = Seq((1L, 100L), (1L, 101L)).toDF("k", "t")
+    val right = Seq(
+      (10L, 1L, 100L, "at"), (9L, 1L, 99L, "before"))
+      .toDF("qid", "rk", "rt", "tag")
+    val got = AsofJoinOps.asofJoin(
+      left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      allowExactMatches = false).collect()
+      .map(r => r.getLong(1) -> r.getString(5)).toMap
+    assert(got(100L) == "before", "rt == lt must not match in strict mode")
+    // the equal-time row is still a valid STRICT match for the later left
+    assert(got(101L) == "at")
+
+    // forward strict: rt == lt skipped, the next later row matches
+    val fwd = AsofJoinOps.asofJoin(
+      left, right.union(Seq((12L, 1L, 105L, "later")).toDF("qid", "rk", "rt", "tag")),
+      Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      direction = AsofDirection.Forward, allowExactMatches = false).collect()
+      .map(r => r.getLong(1) -> r.getString(5)).toMap
+    assert(fwd(100L) == "later")
+  }
+
+  test("strict mode matches the pair-join oracle on random data") {
+    val rnd = new Random(41)
+    val trades = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(200).toLong)
+    }.toDF("trade_id", "sym", "t").repartition(5)
+    val quotes = (0 until 300).map { i =>
+      (1000L + i, rnd.nextInt(18).toLong, rnd.nextInt(200).toLong, rnd.nextInt(100))
+    }.toDF("quote_id", "q_sym", "q_t", "px").repartition(4)
+    val got = AsofJoinOps.asofJoin(
+      trades, quotes, Seq("sym" -> "q_sym"), "t", "q_t", Seq("quote_id"),
+      allowExactMatches = false)
+    val cand = trades.join(quotes, $"sym" === $"q_sym" && $"q_t" < $"t", "left")
+    val w = Window.partitionBy($"trade_id")
+      .orderBy($"q_t".desc_nulls_last, $"quote_id".desc_nulls_last)
+    val want = cand.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("tolerance nulls out-of-window matches without changing selection") {
+    val left = Seq((1L, 100L, "near"), (1L, 500L, "far"), (2L, 100L, "none"))
+      .toDF("k", "t", "side")
+    val right = Seq((10L, 1L, 95L)).toDF("qid", "rk", "rt")
+    val got = AsofJoinOps.asofJoin(
+      left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      tolerance = Some(50.0)).collect()
+    val bySide = got.map(r => r.getString(2) -> r).toMap
+    assert(bySide("near").getLong(3) == 10L)     // |100-95| <= 50
+    assert(bySide("far").isNullAt(3))            // matched then gated out
+    assert(bySide("none").isNullAt(3))           // never matched
+    assert(got.length == 3)
+  }
+
+  test("nearest with allowExactMatches=false is rejected at construction") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((10L, 1L, 95L)).toDF("qid", "rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinOps.asofJoin(left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+        direction = AsofDirection.Nearest, allowExactMatches = false)
+    }
+    assert(e.getMessage.contains("Nearest"), e.getMessage)
+  }
+
   test("NULL keys and NULL times never match") {
     val left = Seq(
       (Some(1L), Some(100L), "ok"),
