@@ -39,7 +39,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only a ~2.2 KB tail of stdout, so a single line
+    // carrying the full per-query map gets its head (with the headline
+    // total) truncated away. Print the full map first on its own line,
+    // then a LAST compact line — total + slowest 5 — small enough to
+    // always survive the tail capture.
+    println(s"""{"metric":"queries_full","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val nFail = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
