@@ -57,10 +57,15 @@ object ScaleProbe {
     // int64 nanos, which Tables.events reads identically.
     val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     val evn = evBase.count()
+    // per-copy offset derived from the base corpus (like event_id's evn),
+    // not a hardcoded bound: a fixed 100k stride would silently alias
+    // users across copies on a base corpus with more distinct users,
+    // breaking the probe's linear pair-growth claim
+    val userOff = evBase.agg(max($"user_id")).head.getAs[Number](0).longValue + 1L
     (0 until m).map { k =>
       evBase.select(
         ($"event_id" + lit(k * evn)).as("event_id"), $"ts",
-        ($"user_id" + lit(k * 100000L)).as("user_id"),
+        ($"user_id" + lit(k * userOff)).as("user_id"),
         $"event_type", $"value", $"props")
     }.reduce(_ unionAll _)
       .repartition(32)

@@ -317,7 +317,15 @@ case class AsofJoinExec(
                 val lt = timeDouble(lTimeRow)
                 val bt = timeDouble(rTimeProj(bestMatch))
                 val ft = timeDouble(rTimeProj(rHead))
-                lt - bt <= ft - lt
+                // NaN float times order after every real time, so a NaN
+                // distance must act as +infinity here: the naive
+                // `lt - bt <= ft - lt` is false when ft is NaN and would
+                // select the NaN-time row over a finite backward match
+                val db = lt - bt
+                val df = ft - lt
+                val dbv = if (java.lang.Double.isNaN(db)) Double.PositiveInfinity else db
+                val dfv = if (java.lang.Double.isNaN(df)) Double.PositiveInfinity else df
+                dbv <= dfv
               }
               if (pickBwd) bestMatch else rHead
             }

@@ -677,9 +677,14 @@ object Analytics {
           percentile_approx($"value", lit(0.5), lit(10000)).as("apx50"),
           percentile_approx($"value", lit(0.95), lit(10000)).as("apx95"))
       def rankOk(apxCol: Column, p: Double): Column = {
+        // percentile/percentile_approx ignore NULL values, so the
+        // observed-rank fraction must be taken over non-null values only
+        // (count($"value"), not count(*)) or a NULL-bearing column
+        // deflates the fraction and flips the flag against a fine sketch
+        val nv = count($"value")
         val frac = sum(when($"value" <= apxCol, 1L).otherwise(0L))
-          .cast("double") / count(lit(1))
-        abs(frac - p) <= lit(0.02) + lit(2.0) / count(lit(1))
+          .cast("double") / nv
+        abs(frac - p) <= lit(0.02) + lit(2.0) / nv
       }
       Tables(s, dir).events
         .join(broadcast(apx), "event_type")
@@ -954,6 +959,7 @@ object Analytics {
       """SELECT p.event_id AS event_id, p.user_id AS user_id,
         |  COALESCE((SELECT c.event_id FROM events c
         |            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |              AND c.ts IS NOT NULL AND p.ts IS NOT NULL
         |            ORDER BY abs(epoch_ns(c.ts) - epoch_ns(p.ts)) ASC,
         |              CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
         |              CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC

@@ -183,6 +183,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(got2.head.getString(5) == "after")
   }
 
+  test("nearest: NaN right time never beats a finite backward match") {
+    // NaN sorts after every real double, so a NaN-time row becomes the
+    // forward candidate; the distance pick must treat its NaN distance as
+    // +infinity (naive `lt - bt <= ft - lt` is false for NaN ft and used
+    // to select the NaN-time row over the finite backward match)
+    val left = Seq((1L, 100.0)).toDF("k", "t")
+    val right = Seq(
+      (10L, 1L, 90.0, "real_before"), (11L, 1L, Double.NaN, "nan_after"))
+      .toDF("qid", "rk", "rt", "tag")
+    val got = AsofJoinOps.asofJoin(
+      left, right, Seq("k" -> "rk"), "t", "rt", Seq("qid"),
+      direction = AsofDirection.Nearest).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(5) == "real_before",
+      "finite backward match must beat the NaN-time forward candidate")
+  }
+
   test("nearest: one-sided keys match from whichever side exists") {
     val left = Seq((1L, 100L, "only_after"), (2L, 100L, "only_before"), (3L, 100L, "none"))
       .toDF("k", "t", "side")
