@@ -32,9 +32,15 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val (a, b) = (time(fn), time(fn))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // SPARK_GRAFT_ONLY=q1,q2 restricts to named queries and
+    // SPARK_GRAFT_REPS=n takes min-of-n (default 2) — for re-measuring a
+    // suspected regression without paying for the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val ts = Seq.fill(reps)(time(fn))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
