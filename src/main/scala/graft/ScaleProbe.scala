@@ -80,7 +80,8 @@ object ScaleProbe {
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
       "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
-      "dedup_emb_cos_ivf", "ann_ivf2_topk", "dedup_substring", "dedup_spans",
+      "dedup_emb_cos", "dedup_emb_cos_ivf", "ann_ivf2_topk",
+      "dedup_substring", "dedup_spans",
       "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill",
       "tx_pack", "tx_mix", "ann_imi_topk", "q_asof_nearest")
       .foreach { name =>
@@ -109,6 +110,15 @@ object ScaleProbe {
       s""""max_cell": ${cells.getAs[Long]("max_cell")}, "n_vectors": ${cells.getAs[Long]("n_vectors")}, """ +
       s""""within_cell_pairs": ${cells.getAs[Long]("within_cell_pairs")}, """ +
       s""""nlist_target": ${cells.getAs[Int]("nlist_target")}, "split_bits": ${cells.getAs[Int]("split_bits")}}""")
+    // seed-cell meter: the within-cell pair count of dedup_emb_cos's
+    // curated-label blocking under the corpus-scaled residual splits —
+    // the bound that kills the O(n²/labels) growth the fixed-label
+    // blocking had
+    val sc = graft.queries.Similarity.seedCellStats(spark, out).collect()(0)
+    println(s"""{"meter": "seed_cells", "cells_used": ${sc.getAs[Long]("cells_used")}, """ +
+      s""""max_cell": ${sc.getAs[Long]("max_cell")}, "n_vectors": ${sc.getAs[Long]("n_vectors")}, """ +
+      s""""within_cell_pairs": ${sc.getAs[Long]("within_cell_pairs")}, """ +
+      s""""nlist_target": ${sc.getAs[Int]("nlist_target")}, "split_bits": ${sc.getAs[Int]("split_bits")}}""")
     // two-level assignment meter: agreement of the coarse-pruned argmin
     // with the flat argmin, and the distance-fold rows of each route —
     // the extreme-n indexing path (O(n·(L + w·2^b)·d) vs O(n·L·2^b·d))

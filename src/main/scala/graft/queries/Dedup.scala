@@ -553,19 +553,26 @@ object Dedup {
     // buried in logs; see [[simhashDropStats]]).
     "dedup_simhash_drops" -> { (s, dir) => simhashDropStats(s, dir) },
 
-    // Embedding-cosine near-dup: blocked by the precomputed cluster
-    // label (IVF-style coarse quantization, nprobe=1), pairs within a
-    // block with cosine ≥ 0.4. At scale the block is the shuffle key;
-    // a cross join never happens. Norms are computed once per vector
-    // BEFORE the pair join (not per pair).
+    // Embedding-cosine near-dup on the CURATED labels, scale-bounded:
+    // the blocking key is the corpus-scaled seed cell (label·2^b +
+    // residual-sign bits, [[Similarity.seedCellAssignments]]), not the
+    // raw label — with the cell count frozen at the 10 labels,
+    // within-block all-pairs work grows O(n²/10), the one quadratic trap
+    // left in this family. b scales with √n so within-cell pairs stay
+    // ~linear (metered by ScaleProbe's seed_cells meter, like ivf_cells);
+    // at the gate SFs b = 0 and cell ≡ label, so the oracle keeps its
+    // label-join form (the gate-regime convention every trained-quantizer
+    // oracle here follows). Norms are computed once per vector BEFORE
+    // the pair join (not per pair).
     "dedup_emb_cos" -> { (s, dir) =>
       import s.implicits._
       val dot = (x: Column, y: Column) => graft.functions.FloatDot.floatDot(x, y)
       val v = Tables(s, dir).embeddings
-        .select($"vec_id", $"label", $"embedding",
+        .select($"vec_id", $"embedding",
           dot($"embedding", $"embedding").as("norm2"))
-      v.toDF("ia", "label", "ea", "na")
-        .join(v.toDF("ib", "label", "eb", "nb"), "label")
+        .join(Similarity.seedCellAssignments(s, dir), "vec_id")
+      v.select($"vec_id".as("ia"), $"embedding".as("ea"), $"norm2".as("na"), $"cell")
+        .join(v.select($"vec_id".as("ib"), $"embedding".as("eb"), $"norm2".as("nb"), $"cell"), "cell")
         .filter($"ia" < $"ib")
         .withColumn("cos", dot($"ea", $"eb") / sqrt($"na" * $"nb"))
         .filter($"cos" >= 0.4)

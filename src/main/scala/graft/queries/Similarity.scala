@@ -415,6 +415,15 @@ object Similarity {
     * observable via [[embCellStats]]). cell = label·2^b + bits, so cell
     * ids stay disjoint across labels.
     */
+  /** Public face of [[seedCells]]: (vec_id, cell) under the corpus-scaled
+    * residual-sign quantizer seeding. Consumed by `dedup_emb_cos` as its
+    * blocking key so the curated-label route shares the same √n cell
+    * growth as the trained-IVF route (at gate SFs b = 0 and cell ≡
+    * label, so the blocking — and every oracle hash — is unchanged).
+    */
+  def seedCellAssignments(s: SparkSession, dir: String): DataFrame =
+    seedCells(s, dir)
+
   private def seedCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = splitBitsFor(corpusSize(s, dir))
@@ -462,6 +471,24 @@ object Similarity {
     * tiers. Run alongside any corpus change (ScaleProbe prints it;
     * IvfScaleSpec pins it) so cell blowup is observed, not assumed.
     */
+  /** Cell-geometry meter for the SEED quantizer (the blocking key of
+    * `dedup_emb_cos`) — same shape as [[embCellStats]] so ScaleProbe can
+    * print both and the within-cell pair growth of the curated-label
+    * route is observed, not assumed.
+    */
+  def seedCellStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = corpusSize(s, dir)
+    seedCells(s, dir)
+      .groupBy($"cell").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cells_used"),
+        max($"c").as("max_cell"),
+        sum($"c").as("n_vectors"),
+        expr("sum(c * (c - 1)) div 2").as("within_cell_pairs"))
+      .withColumn("nlist_target", lit(nlistFor(n)))
+      .withColumn("split_bits", lit(splitBitsFor(n)))
+  }
+
   def embCellStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = corpusSize(s, dir)

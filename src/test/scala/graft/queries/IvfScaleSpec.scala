@@ -43,6 +43,12 @@ class IvfScaleSpec extends SparkSpec {
     assert(r.getAs[Int]("nlist_target") === 10)
     assert(r.getAs[Long]("cells_used") === 10L)
     assert(r.getAs[Long]("n_vectors") === 500L)
+    // the seed quantizer (dedup_emb_cos's blocking key) is the label
+    // identity at the floor — the oracle keeps its label-join form
+    val sr = Similarity.seedCellStats(spark, dir).collect()(0)
+    assert(sr.getAs[Int]("split_bits") === 0)
+    assert(sr.getAs[Long]("cells_used") === 10L)
+    assert(sr.getAs[Long]("n_vectors") === 500L)
   }
 
   test("gate corpus: two-level assignment is the b=0 identity (exact, 2 fine cands)") {
@@ -86,6 +92,14 @@ class IvfScaleSpec extends SparkSpec {
       // label-only blocking: 10 cells of 300 -> max_cell 300, pairs 448500
       assert(r.getAs[Long]("max_cell") < 300L)
       assert(r.getAs[Long]("within_cell_pairs") < 448500L)
+      // the seed quantizer (dedup_emb_cos's blocking key) splits the
+      // same way past the floor — its within-cell pair count must beat
+      // label-only blocking, or dedup_emb_cos is quadratic again
+      val sr = Similarity.seedCellStats(spark, dir).collect()(0)
+      assert(sr.getAs[Long]("n_vectors") === n.toLong)
+      assert(sr.getAs[Long]("cells_used") > 10L)
+      assert(sr.getAs[Long]("max_cell") < 300L)
+      assert(sr.getAs[Long]("within_cell_pairs") < 448500L)
       // exact clones must share a cell (residual signs are identical)
       val asg = Similarity.assignments(spark, dir)
       val cloneSplit = asg.toDF("va", "ca")
