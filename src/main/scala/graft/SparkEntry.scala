@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Aggregates every query module in the library. Each module exposes
   * `queries` (name → (SparkSession, sfDir) ⇒ DataFrame) and `oracle`
   * (name → equivalent DuckDB SQL over the same parquet tables). Every
-  * query currently has an oracle — 100 pairs. The driver gate checks
+  * query has a paired oracle (the per-round CORRECTNESS artifact
+  * carries the current count). The driver gate checks
   * sf0.01 (plus sf0.001 smoke); sf0.1 was additionally verified
   * hash-exact by manual runs this round (see BASELINE.md).
   *

@@ -352,6 +352,69 @@ object Similarity {
         .orderBy($"probe")
     },
 
+    // IVF-PQ: the remaining tier of the 100 TB serving story — residual
+    // product-quantization codes inside the trained cells, asymmetric
+    // (lookup-table) distance over the codes, exact rescore of the
+    // top-20. At scale the candidate scan reads M bytes of codes per
+    // vector instead of d floats — memory traffic shrinks ~d·4/M×, and
+    // the ADC table is probes × M × K rows, broadcast.
+    "ann_pq_topk" -> { (s, dir) => pqTopk(s, dir, 50) },
+
+    // Observed PQ recall against the exact brute force (the
+    // metered-recall contract every approximate tier honors — the
+    // number M/K/nprobe are tuned against on a real corpus).
+    "ann_pq_recall" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val v = vecs(s, dir)
+      val probes = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+      val exactPairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
+      val pq5 = pqTopk(s, dir, 25).select($"probe", $"neighbor")
+      val nExact = ex5.groupBy($"probe").agg(count(lit(1)).as("n_exact"))
+      val nPq = pq5.groupBy($"probe").agg(count(lit(1)).as("n_pq"))
+      val nCommon = ex5.join(pq5, Seq("probe", "neighbor"), "left_semi")
+        .groupBy($"probe").agg(count(lit(1)).as("n_common"))
+      nExact.join(nPq, "probe")
+        .join(nCommon, Seq("probe"), "left")
+        .select($"probe", $"n_exact", $"n_pq",
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"probe")
+    },
+
+    // PQ code-geometry + quantization-quality meter (the embCellStats
+    // contract): codebook size, codes actually used, and the residual
+    // energy before vs after PQ reconstruction — the variance the codes
+    // fail to explain IS the approximation error ADC ranking carries,
+    // made queryable per corpus. Exact-DECIMAL sums keep the energies
+    // partition-order free.
+    "ann_pq_codes" -> { (s, dir) =>
+      import s.implicits._
+      val book = pqCodebook(s, dir).agg(count(lit(1)).as("codebook_rows"))
+      val used = pqCodes(s, dir).select($"m", $"code").distinct()
+        .agg(count(lit(1)).as("codes_used"))
+      val energies = pqSubvectors(s, dir)
+        .join(pqCodes(s, dir), Seq("vec_id", "m"))
+        .join(broadcast(pqCodebook(s, dir)), Seq("m", "code"))
+        .withColumn("re", aggregate(
+          zip_with($"sub", $"sub", (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("qe", aggregate(
+          zip_with($"sub", $"cvq", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .agg(
+          round(sum($"re".cast("decimal(27,10)")).cast("double"), 6)
+            .as("resid_energy"),
+          round(sum($"qe".cast("decimal(27,10)")).cast("double"), 6)
+            .as("quant_error"))
+      energies.crossJoin(broadcast(book)).crossJoin(broadcast(used))
+        .select($"codebook_rows", $"codes_used",
+          $"resid_energy", $"quant_error")
+    },
+
     // Embedding near-dup blocked by the TRAINED centroid assignment
     // (closing the loop the label-blocked dedup_emb_cos documents): the
     // blocking key comes from the IVF training step, so the operator is
@@ -539,6 +602,8 @@ object Similarity {
   def clearCaches(): Unit = {
     distCache.values.foreach(_.unpersist())
     distCache.clear()
+    pqCache.values.foreach(_.unpersist())
+    pqCache.clear()
     sizeCache.clear()
   }
 
@@ -754,6 +819,158 @@ object Similarity {
         sum($"c").as("n_vectors"),
         expr("sum(c * (c - 1)) div 2").as("within_cell_pairs"))
       .crossJoin(broadcast(book))
+  }
+
+  // ===== Product-quantization tier (round 5) =====
+
+  /** PQ geometry: M subspaces × K = 2^PqBits codes per subspace — 16 × 16
+    * = 256 codebook rows, 16 codes (8 bytes at 4 bits/code) per vector
+    * vs 256 raw float bytes: 32× compression. Chosen by a measured sweep
+    * at sf0.1 (M=4/K=4 → 6% recall@5; M=16/K=16 → 30%, vs the 38%
+    * nprobe=2 exact-ranking ceiling — see SCALING.md). Deliberately
+    * independent of n: at scale the codebook trains on a sample (the
+    * sampledCentroids posture) and K grows to 256, but the dataflow
+    * (train means → argmin codes → ADC lookup join) is unchanged.
+    */
+  private val PqM = 16
+  private val PqBits = 4
+
+  /** Per-vector residual against its trained-cell centroid — the vector
+    * PQ encodes (the classic IVF-PQ decomposition: store the cell id
+    * plus M small codes instead of d floats).
+    */
+  private def pqResiduals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .join(assignments(s, dir), "vec_id")
+      .join(broadcast(trainedCentroids(s, dir)), $"alabel" === $"clabel")
+      .select($"vec_id", $"alabel",
+        zip_with($"embedding", $"cv", (a, b) => a.cast("double") - b).as("r"))
+  }
+
+  /** Residual subvectors, one row per (vector, subspace), with the
+    * sign-seed group (the subspace's PqBits leading residual signs) that
+    * seeds codebook training — the same residual-sign seeding device the
+    * coarse quantizer's cell splitting uses.
+    */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqResiduals(s, dir)
+      .withColumn("h", floor(size($"r") / PqM).cast("int"))
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("sub", slice($"r", $"m" * $"h" + 1, $"h"))
+      .withColumn("seed", (0 until PqBits).map(j =>
+        when(element_at($"sub", j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _))
+      .select($"vec_id", $"m", $"seed", $"sub")
+  }
+
+  /** Session memo for the PQ index (codebook + codes) — consumed by the
+    * serving query, the recall meter, and the codes meter; the PQ index
+    * is exactly the artifact a production pipeline writes once per
+    * corpus (same staged-index pattern as [[distCache]]).
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Shared PQ codebook: per (subspace, sign-seed group) the
+    * exact-DECIMAL mean residual subvector — PqM·2^PqBits rows, trained
+    * across ALL cells (the standard shared-codebook IVF-PQ posture).
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCache.getOrElseUpdate((s, dir, "book"), {
+      import s.implicits._
+      pqSubvectors(s, dir)
+        .select($"m", $"seed", posexplode($"sub").as(Seq("pos", "x")))
+        .groupBy($"m", $"seed", $"pos")
+        .agg((sum($"x".cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("c"))
+        .groupBy($"m", $"seed")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          c => c.getField("c")).as("cvq"))
+        .select($"m", $"seed".as("code"), $"cvq")
+        .persist()
+    })
+
+  /** Per-(vector, subspace) PQ code: argmin over the subspace's codebook
+    * (one Lloyd step past the sign seeding; ties → smaller code, the
+    * [[assignmentsFrom]] contract). Persisted per session.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCache.getOrElseUpdate((s, dir, "codes"), {
+      import s.implicits._
+      pqSubvectors(s, dir)
+        .join(broadcast(pqCodebook(s, dir)), "m")
+        .withColumn("d", aggregate(
+          zip_with($"sub", $"cvq", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"d", $"code")).as("mm"))
+        .select($"vec_id", $"m", $"mm.code".as("code"))
+        .persist()
+    })
+
+  /** IVF-PQ serving pass shared by ann_pq_topk (probes < 50) and the
+    * recall meter (probes < 25): nprobe=2 trained cells; approximate
+    * inner product from the PQ decomposition
+    * `dot(q,v) ≈ dot(q, cv(cell)) + Σ_m dot(q_sub[m], codevec[m, code])`
+    * — the candidate scan touches M code ids per vector (a broadcast
+    * lookup join against the probes × M × K ADC table), never the raw
+    * floats; the bounded heap keeps 20 per probe and full-precision
+    * vectors are read for those 20 alone (the ann_quantized_topk
+    * two-stage contract). The M subspace terms are folded in subspace
+    * order (sorted collect, sequential double fold) so the sum is
+    * partition-order free and matches the oracle bit-for-bit.
+    */
+  private def pqTopk(s: SparkSession, dir: String, probeLimit: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val v = vecs(s, dir)
+    val pcells = centroidDists(s, dir).filter($"vec_id" < probeLimit)
+      .groupBy($"vec_id")
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), 2).as("top"))
+      .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
+    val probes0 = v.filter($"vec_id" < probeLimit)
+      .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+    // base term: dot(probe, centroid) per probed cell
+    val bq = probes0.join(pcells, "probe")
+      .join(broadcast(trainedCentroids(s, dir)), $"pcell" === $"clabel")
+      .select($"probe", $"pcell", aggregate(
+        zip_with($"pe", $"cv", (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x).as("bq"))
+    // ADC lookup table: dot(probe subvector, code vector) — probes×M×K
+    val td = probes0
+      .withColumn("h", floor(size($"pe") / PqM).cast("int"))
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("psub", slice($"pe", $"m" * $"h" + 1, $"h"))
+      .join(broadcast(pqCodebook(s, dir)), "m")
+      .select($"probe", $"m", $"code", aggregate(
+        zip_with($"psub", $"cvq", (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x).as("sd"))
+    val va = v.select($"vec_id", $"norm2").join(assignments(s, dir), "vec_id")
+    val probesC = pcells.join(probes0.select($"probe", $"pn"), "probe")
+    val approx = va
+      .join(broadcast(probesC), $"alabel" === $"pcell" && $"vec_id" =!= $"probe")
+      .select($"probe", $"pcell", $"pn", $"vec_id", $"norm2")
+      .join(pqCodes(s, dir), "vec_id")
+      .join(broadcast(td), Seq("probe", "m", "code"))
+      .groupBy($"probe", $"pcell", $"pn", $"vec_id", $"norm2")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct($"m", $"sd"))),
+          x => x.getField("sd")),
+        lit(0.0), (acc, x) => acc + x).as("sdsum"))
+      .join(broadcast(bq), Seq("probe", "pcell"))
+      .withColumn("approx", ($"bq" + $"sdsum") / sqrt($"pn" * $"norm2"))
+    val cand = approx
+      .groupBy($"probe")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"approx", $"vec_id", 20).as("top"))
+      .select($"probe", explode($"top.id").as("neighbor"))
+    val pairs = cand
+      .join(v.select($"vec_id".as("neighbor"), $"embedding", $"norm2"), "neighbor")
+      .join(broadcast(probes0.select($"probe", $"pe", $"pn")), "probe")
+      .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+      .select($"probe", $"neighbor", $"cos")
+    topk(pairs, 5)
   }
 
   /** Deterministic 20% training sample: md5-hash the vec_id, keep
@@ -991,7 +1208,174 @@ object Similarity {
       |    CAST(ia1.c1 AS BIGINT) * 1000000 + CAST(ia2.c2 AS BIGINT) AS icell
       |  FROM ia1 JOIN ia2 ON ia2.vec_id = ia1.vec_id)""".stripMargin
 
+  /** Oracle CTEs for the PQ tier (appended after [[TrainedAsgCte]], whose
+    * `asg`/`carr`/`dist` it consumes): residuals against the assigned
+    * centroid, per-subspace sign-seeded codebook means, argmin code
+    * assignment — the twins of [[pqSubvectors]]/[[pqCodebook]]/
+    * [[pqCodes]]. DuckDB `list_slice(l, a, b)` is inclusive of b, so the
+    * m-th subspace is elements m·h+1 .. (m+1)·h with h = len // 16.
+    */
+  private val PqCte =
+    """res AS (
+      |  SELECT v.vec_id, a.alabel,
+      |    list_transform(range(1, len(v.embedding) + 1),
+      |      i -> v.embedding[i]::DOUBLE - c.cv[i]) AS r
+      |  FROM v JOIN asg a ON a.vec_id = v.vec_id
+      |  JOIN carr c ON c.clabel = a.alabel),
+      |ssub AS (
+      |  SELECT vec_id, m,
+      |    list_slice(r, m * (len(r) // 16) + 1, (m + 1) * (len(r) // 16)) AS sub
+      |  FROM res, (SELECT unnest(range(0, 16)) AS m) ms),
+      |subg AS (
+      |  SELECT vec_id, m, sub,
+      |    (CASE WHEN sub[1] >= 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN sub[2] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN sub[3] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN sub[4] >= 0 THEN 8 ELSE 0 END) AS seed
+      |  FROM ssub),
+      |bde AS (
+      |  SELECT m, seed, i - 1 AS pos, sub[i] AS x
+      |  FROM subg, (SELECT unnest(range(1, 200)) AS i) p
+      |  WHERE i <= len(sub)),
+      |bm AS (
+      |  SELECT m, seed, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM bde GROUP BY m, seed, pos),
+      |book AS (SELECT m, seed AS code, list(c ORDER BY pos) AS cvq
+      |         FROM bm GROUP BY m, seed),
+      |cdist AS (
+      |  SELECT g.vec_id, g.m, b.code,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(g.sub) + 1),
+      |        i -> (g.sub[i] - b.cvq[i]) * (g.sub[i] - b.cvq[i]))),
+      |      (a, x) -> a + x) AS d
+      |  FROM subg g JOIN book b ON b.m = g.m),
+      |codes AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+      |    FROM cdist) WHERE rn = 1)""".stripMargin
+
+  /** The PQ serving pass as oracle SQL, parameterized on the probe
+    * limit (twin of [[pqTopk]]); `pq5` is the final top-5 table.
+    */
+  private def pqSearchCtes(probeLimit: Int): String =
+    s"""pcell AS (
+       |  SELECT vec_id AS probe, clabel AS pcell FROM (
+       |    SELECT vec_id, clabel,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+       |    FROM dist WHERE vec_id < $probeLimit) WHERE rn <= 2),
+       |probes AS (
+       |  SELECT vec_id AS probe, embedding AS pe, norm2 AS pn
+       |  FROM v WHERE vec_id < $probeLimit),
+       |bq AS (
+       |  SELECT pc.probe, pc.pcell,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(p.pe) + 1),
+       |        i -> p.pe[i]::DOUBLE * c.cv[i])),
+       |      (x, y) -> x + y) AS bq
+       |  FROM pcell pc JOIN probes p ON p.probe = pc.probe
+       |  JOIN carr c ON c.clabel = pc.pcell),
+       |td AS (
+       |  SELECT p.probe, b.m, b.code,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(b.cvq) + 1),
+       |        i -> p.pe[b.m * (len(p.pe) // 16) + i]::DOUBLE * b.cvq[i])),
+       |      (x, y) -> x + y) AS sd
+       |  FROM probes p, book b),
+       |pqc AS (
+       |  SELECT p.probe, c.pcell, t.vec_id AS neighbor, t.norm2, p.pn
+       |  FROM v t JOIN asg a ON a.vec_id = t.vec_id
+       |  JOIN pcell c ON a.alabel = c.pcell
+       |  JOIN probes p ON p.probe = c.probe AND t.vec_id <> p.probe),
+       |apxd AS (
+       |  SELECT x.probe, x.neighbor,
+       |    (b.bq + list_reduce(list_prepend(0.0::DOUBLE, list(t.sd ORDER BY t.m)),
+       |       (a, y) -> a + y)) / sqrt(x.pn * x.norm2) AS approx
+       |  FROM pqc x
+       |  JOIN codes k ON k.vec_id = x.neighbor
+       |  JOIN td t ON t.probe = x.probe AND t.m = k.m AND t.code = k.code
+       |  JOIN bq b ON b.probe = x.probe AND b.pcell = x.pcell
+       |  GROUP BY x.probe, x.neighbor, x.norm2, x.pn, b.bq),
+       |shortlist AS (SELECT probe, neighbor FROM (
+       |  SELECT probe, neighbor,
+       |    row_number() OVER (PARTITION BY probe ORDER BY approx DESC, neighbor) AS arn
+       |  FROM apxd) WHERE arn <= 20),
+       |rpairs AS (
+       |  SELECT c.probe, c.neighbor,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(p.pe) + 1),
+       |        i -> p.pe[i]::DOUBLE * t.embedding[i]::DOUBLE)),
+       |      (x, y) -> x + y) / sqrt(p.pn * t.norm2) AS cos
+       |  FROM shortlist c JOIN v t ON t.vec_id = c.neighbor
+       |  JOIN probes p ON p.probe = c.probe),
+       |pq5 AS (
+       |  SELECT probe, neighbor, cos,
+       |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+       |  FROM rpairs)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ann_pq_topk" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |$PqCte,
+         |${pqSearchCtes(50)}
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM pq5 WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    "ann_pq_recall" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |$PqCte,
+         |${pqSearchCtes(25)},
+         |pq5n AS (SELECT probe, neighbor FROM pq5 WHERE rank <= 5),
+         |epairs AS (
+         |  SELECT p.probe, t.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * t.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * t.norm2) AS cos
+         |  FROM v t JOIN probes p ON t.vec_id <> p.probe),
+         |ex5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM epairs) WHERE rank <= 5),
+         |ne AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_exact FROM ex5 GROUP BY probe),
+         |np AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_pq FROM pq5n GROUP BY probe),
+         |nc AS (
+         |  SELECT e.probe, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ex5 e JOIN pq5n q ON q.probe = e.probe AND q.neighbor = e.neighbor
+         |  GROUP BY e.probe)
+         |SELECT ne.probe, ne.n_exact, np.n_pq,
+         |  COALESCE(nc.n_common, CAST(0 AS BIGINT)) AS n_common
+         |FROM ne JOIN np ON np.probe = ne.probe
+         |LEFT JOIN nc ON nc.probe = ne.probe
+         |ORDER BY ne.probe""".stripMargin,
+
+    "ann_pq_codes" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |$PqCte,
+         |err AS (
+         |  SELECT g.vec_id, g.m,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(g.sub) + 1),
+         |        i -> g.sub[i] * g.sub[i])),
+         |      (a, x) -> a + x) AS re,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(g.sub) + 1),
+         |        i -> (g.sub[i] - b.cvq[i]) * (g.sub[i] - b.cvq[i]))),
+         |      (a, x) -> a + x) AS qe
+         |  FROM subg g JOIN codes k ON k.vec_id = g.vec_id AND k.m = g.m
+         |  JOIN book b ON b.m = k.m AND b.code = k.code)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM book) AS codebook_rows,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT DISTINCT m, code FROM codes)) AS codes_used,
+         |  round(CAST(SUM(CAST(re AS DECIMAL(27,10))) AS DOUBLE), 6) AS resid_energy,
+         |  round(CAST(SUM(CAST(qe AS DECIMAL(27,10))) AS DOUBLE), 6) AS quant_error
+         |FROM err""".stripMargin,
+
     "ann_imi_cells" ->
       s"""$VecCte,
          |$CentroidCte,
