@@ -28,3 +28,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// StragglerSpec owns a standalone mini-cluster with speculation enabled —
+// context confs are creation-time, and suites interleave within one test
+// JVM, so it gets its own forked JVM. Groups run one at a time (sbt's
+// default ForkedTestGroup limit is 1).
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (straggler, rest) = (Test / definedTests).value
+    .partition(_.name.contains("StragglerSpec"))
+  Seq(
+    Tests.Group("straggler", straggler, Tests.SubProcess(opts)),
+    Tests.Group("rest", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}

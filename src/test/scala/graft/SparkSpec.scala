@@ -11,7 +11,17 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
+  // Rebuilt if a suite with its own context lifecycle (StragglerSpec
+  // needs speculation confs, which are fixed at context creation) stopped
+  // the shared one — suites run sequentially in the forked test JVM, so
+  // handover is race-free.
+  private var cached: SparkSession = null
+  def session: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) cached = build()
+    cached
+  }
+
+  private def build(): SparkSession = {
     // local[4, 4]: 4 threads, maxFailures=4 — task retry is live, so
     // FaultToleranceSpec can exercise E10 re-execution semantics
     // (ref: mr/master.go:200-214) instead of trusting them.
