@@ -83,7 +83,7 @@ object ScaleProbe {
       "dedup_emb_cos", "dedup_emb_cos_ivf", "ann_ivf2_topk",
       "dedup_substring", "dedup_spans",
       "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill",
-      "tx_pack", "tx_mix", "ann_imi_topk", "q_asof_nearest")
+      "tx_pack", "tx_mix", "ann_imi_topk", "ann_pq_topk", "q_asof_nearest")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()

@@ -92,6 +92,16 @@ class PlanShapeSpec extends SparkSpec {
       "probe set should broadcast")
   }
 
+  test("ann_pq_topk: code lookup joins broadcast, bounded heaps, no window, no cartesian") {
+    val p = plan("ann_pq_topk")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("grouped_topk"),
+      "shortlist + final stages should use the bounded heap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ADC table / bq / probe joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("kv_reroute joins configs and the final rollup by broadcast") {
     val p = plan("kv_reroute")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
