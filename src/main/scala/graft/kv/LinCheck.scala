@@ -123,6 +123,150 @@ object LinCheck {
     dfs(BitSet.empty, "")
   }
 
+  /** One step of a (partial) linearization: which op (index into the
+    * key's op vector) linearized next, and the sequential state after
+    * applying it.
+    */
+  final case class LinStep(index: Int, state: String)
+
+  /** Per-key result of [[explain]]: whether a full witness exists, and
+    * the witness order — complete when linearizable, otherwise the
+    * LONGEST partial linearization the search reached (the debugging
+    * artifact porcupine renders, ref: porcupine/visualization.go:31-60:
+    * `PartialLinearizations` per partition).
+    */
+  final case class KeyExplanation(
+      key: String,
+      ops: IndexedSeq[HistOp],
+      linearizable: Boolean,
+      witness: Seq[LinStep])
+
+  /** Explanation pass: the same Wing–Gong search as [[check]], but
+    * recording the linearization order instead of just the verdict. A
+    * debug tool for small failing histories — unbudgeted by design (run
+    * [[checkTimeout]] first when the history might be adversarial).
+    */
+  def explain(history: Seq[HistOp]): Seq[KeyExplanation] =
+    history.groupBy(_.key).toSeq.sortBy(_._1).map { case (k, os) =>
+      explainKey(k, os.toIndexedSeq)
+    }
+
+  private def explainKey(key: String, ops: IndexedSeq[HistOp]): KeyExplanation = {
+    val n = ops.size
+    val seen = mutable.HashSet.empty[(BitSet, String)]
+    var best: List[LinStep] = Nil
+    var bestLen = -1
+    def dfs(done: BitSet, state: String, acc: List[LinStep]): Boolean = {
+      if (done.size > bestLen) { bestLen = done.size; best = acc }
+      if (done.size == n) return true
+      if (!seen.add((done, state))) return false
+      var minRet = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!done(i) && ops(i).ret < minRet) minRet = ops(i).ret
+        i += 1
+      }
+      (0 until n).exists { j =>
+        !done(j) && ops(j).call <= minRet &&
+          step(ops(j), state).exists(s2 => dfs(done + j, s2, LinStep(j, s2) :: acc))
+      }
+    }
+    val ok = dfs(BitSet.empty, "", Nil)
+    KeyExplanation(key, ops, ok, best.reverse)
+  }
+
+  /** Self-contained HTML debug artifact — the analogue of porcupine's
+    * interactive linearization visualization
+    * (ref: porcupine/visualization.go:31-120): per key, one timeline row
+    * per client with each op's [call, ret] interval, the (partial)
+    * linearization order numbered on the bars, the sequential state each
+    * step reached, and unlinearized ops flagged when the history is
+    * illegal. One file, no external assets — open in any browser.
+    */
+  def writeVisualization(history: Seq[HistOp], path: String): Unit = {
+    val parts = explain(history)
+    def esc(s: String): String = s
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("<", "\\u003c").replace("\n", "\\n")
+    val json = parts.map { p =>
+      val ops = p.ops.map(o =>
+        s"""{"clientId":${o.clientId},"op":"${esc(o.op)}","value":"${esc(o.value)}",""" +
+          s""""output":"${esc(o.output)}","call":${o.call},"ret":${o.ret}}""")
+        .mkString("[", ",", "]")
+      val wit = p.witness.map(w =>
+        s"""{"index":${w.index},"state":"${esc(w.state)}"}""").mkString("[", ",", "]")
+      s"""{"key":"${esc(p.key)}","linearizable":${p.linearizable},"history":$ops,"witness":$wit}"""
+    }.mkString("[", ",", "]")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><meta charset="utf-8"><title>linearization</title><style>
+         |body{font:13px monospace;margin:20px}
+         |.key{margin:18px 0 4px;font-weight:bold}
+         |.bad{color:#b00020}
+         |svg{background:#fafafa;border:1px solid #ddd}
+         |</style></head><body>
+         |<h3>Linearization debug (Wing&ndash;Gong witness / longest partial)</h3>
+         |<div id="root"></div>
+         |<script>
+         |const DATA = $json;
+         |const root = document.getElementById('root');
+         |for (const part of DATA) {
+         |  const head = document.createElement('div');
+         |  head.className = 'key' + (part.linearizable ? '' : ' bad');
+         |  head.textContent = 'key "' + part.key + '" — ' +
+         |    (part.linearizable ? 'linearizable (full witness)'
+         |      : 'ILLEGAL — longest partial: ' + part.witness.length + '/' +
+         |        part.history.length + ' ops');
+         |  root.appendChild(head);
+         |  const clients = [...new Set(part.history.map(o => o.clientId))].sort((a,b)=>a-b);
+         |  const t0 = Math.min(...part.history.map(o => o.call));
+         |  const t1 = Math.max(...part.history.map(o => o.ret));
+         |  const W = 900, RH = 26, PAD = 60;
+         |  const x = t => PAD + (W - PAD - 10) * (t - t0) / Math.max(1, t1 - t0);
+         |  const order = new Map(part.witness.map((w, i) => [w.index, i]));
+         |  const svgNS = 'http://www.w3.org/2000/svg';
+         |  const svg = document.createElementNS(svgNS, 'svg');
+         |  svg.setAttribute('width', W);
+         |  svg.setAttribute('height', clients.length * RH + 10);
+         |  part.history.forEach((o, idx) => {
+         |    const row = clients.indexOf(o.clientId);
+         |    const y = 5 + row * RH;
+         |    const r = document.createElementNS(svgNS, 'rect');
+         |    r.setAttribute('x', x(o.call)); r.setAttribute('y', y);
+         |    r.setAttribute('width', Math.max(2, x(o.ret) - x(o.call)));
+         |    r.setAttribute('height', RH - 8);
+         |    const lin = order.has(idx);
+         |    r.setAttribute('fill', lin ? '#7fb3d5' : '#f1948a');
+         |    r.setAttribute('stroke', '#555');
+         |    svg.appendChild(r);
+         |    const t = document.createElementNS(svgNS, 'text');
+         |    t.setAttribute('x', x(o.call) + 3); t.setAttribute('y', y + 13);
+         |    t.setAttribute('font-size', '10');
+         |    const badge = lin ? ('#' + (order.get(idx) + 1) + ' ') : '✗ ';
+         |    t.textContent = badge + o.op + '(' + (o.op === 'get' ? '' : o.value) + ')' +
+         |      (o.op === 'get' ? '→"' + o.output + '"' : '');
+         |    svg.appendChild(t);
+         |  });
+         |  clients.forEach((c, row) => {
+         |    const t = document.createElementNS(svgNS, 'text');
+         |    t.setAttribute('x', 2); t.setAttribute('y', 5 + row * RH + 13);
+         |    t.setAttribute('font-size', '10');
+         |    t.textContent = 'c' + c;
+         |    svg.appendChild(t);
+         |  });
+         |  root.appendChild(svg);
+         |  const states = document.createElement('div');
+         |  states.textContent = 'states: "" → ' +
+         |    part.witness.map(w => '"' + w.state + '"').join(' → ');
+         |  root.appendChild(states);
+         |}
+         |</script></body></html>
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** The reference's append invariants (checkClntAppends,
     * kvraft/test_test.go:80-97): in a final observed value, every
     * client's appends appear (a) at most once and (b) in issue order.
