@@ -853,17 +853,22 @@ object Similarity {
     * seeds codebook training — the same residual-sign seeding device the
     * coarse quantizer's cell splitting uses.
     */
-  private def pqSubvectors(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    pqResiduals(s, dir)
-      .withColumn("h", floor(size($"r") / PqM).cast("int"))
-      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .withColumn("sub", slice($"r", $"m" * $"h" + 1, $"h"))
-      .withColumn("seed", (0 until PqBits).map(j =>
-        when(element_at($"sub", j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _))
-      .select($"vec_id", $"m", $"seed", $"sub")
-  }
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
+    pqCache.getOrElseUpdate((s, dir, "sub"), {
+      // staged like the codebook/codes below: codebook training, code
+      // assignment, AND the error meter all fold over these rows — the
+      // residual join + slicing would otherwise run three times cold
+      import s.implicits._
+      pqResiduals(s, dir)
+        .withColumn("h", floor(size($"r") / PqM).cast("int"))
+        .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+        .withColumn("sub", slice($"r", $"m" * $"h" + 1, $"h"))
+        .withColumn("seed", (0 until PqBits).map(j =>
+          when(element_at($"sub", j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _))
+        .select($"vec_id", $"m", $"seed", $"sub")
+        .persist()
+    })
 
   /** Session memo for the PQ index (codebook + codes) — consumed by the
     * serving query, the recall meter, and the codes meter; the PQ index
