@@ -36,7 +36,9 @@ object Bench {
     // SPARK_GRAFT_REPS=n takes min-of-n (default 2) — for re-measuring a
     // suspected regression without paying for the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // clamp: reps <= 0 would make ts.min throw on an empty Seq and kill
+    // the whole artifact over an env-var typo
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val ts = Seq.fill(reps)(time(fn))
@@ -52,7 +54,9 @@ object Bench {
     // always survive the tail capture.
     println(s"""{"metric":"queries_full","queries":$qs,"sf":"$sfDir"}""")
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      // locale-free formatting: the f interpolator uses the JVM default
+      // locale, and a comma decimal separator would break the JSON
+      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000).toString }
       .mkString("{", ",", "}")
     val nFail = results.values.count(_ < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"slowest":$slowest,"sf":"$sfDir"}""")

@@ -185,9 +185,19 @@ object LinCheck {
     */
   def writeVisualization(history: Seq[HistOp], path: String): Unit = {
     val parts = explain(history)
-    def esc(s: String): String = s
-      .replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("<", "\\u003c").replace("\n", "\\n")
+    // every JS-literal hazard, not just the common ones: control chars
+    // (CR is a JS line terminator — raw, it truncates the string and
+    // kills the whole inline script) and U+2028/U+2029 likewise
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '<' => "\\u003c"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' || c == ' ' || c == ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json = parts.map { p =>
       val ops = p.ops.map(o =>
         s"""{"clientId":${o.clientId},"op":"${esc(o.op)}","value":"${esc(o.value)}",""" +

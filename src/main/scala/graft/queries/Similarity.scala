@@ -487,7 +487,18 @@ object Similarity {
   def seedCellAssignments(s: SparkSession, dir: String): DataFrame =
     seedCells(s, dir)
 
-  private def seedCells(s: SparkSession, dir: String): DataFrame = {
+  /** Session memo for [[seedCells]]: dedup_emb_cos references it on BOTH
+    * sides of its self-join (plus the seed_cells meter), and at b > 0
+    * each evaluation would re-run the full-corpus centroid aggregation —
+    * the same staged-index discipline as [[distCache]]/[[pqCache]].
+    */
+  private val seedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def seedCells(s: SparkSession, dir: String): DataFrame =
+    seedCache.getOrElseUpdate((s, dir), seedCellsUncached(s, dir).persist())
+
+  private def seedCellsUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = splitBitsFor(corpusSize(s, dir))
     if (b == 0)
@@ -604,6 +615,8 @@ object Similarity {
     distCache.clear()
     pqCache.values.foreach(_.unpersist())
     pqCache.clear()
+    seedCache.values.foreach(_.unpersist())
+    seedCache.clear()
     sizeCache.clear()
   }
 

@@ -55,10 +55,18 @@ object ShardStream {
     val out = Seq.newBuilder[RouteUpdate]
     events.toSeq.sortBy(_.seq).foreach { e =>
       if (e.kind == "cfg") {
-        // first config ever seen: clerks start with it, so the "stale"
-        // view equals the active one (the batch model's max(0, e-1))
-        val prev = if (st.configNum < 0) e.gid else st.gid
-        st = ShardState(e.configNum, e.gid, prev, st.lastSeq)
+        // config numbers only advance (shardmaster hands out a strictly
+        // increasing sequence) — a re-delivered or delayed activation of
+        // an already-active or OLDER config must be a no-op, or it would
+        // overwrite prevGid (erasing the reroute hop from the stats) or
+        // regress ownership entirely; the stream is at-least-once like
+        // everything else in this family
+        if (e.configNum > st.configNum) {
+          // first config ever seen: clerks start with it, so the "stale"
+          // view equals the active one (the batch model's max(0, e-1))
+          val prev = if (st.configNum < 0) e.gid else st.gid
+          st = ShardState(e.configNum, e.gid, prev, st.lastSeq)
+        }
       } else {
         val last = st.lastSeq.getOrElse(e.clientId, Long.MinValue)
         if (e.clientSeq > last) {

@@ -53,16 +53,6 @@ class StragglerSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var markerDir: Path = _
   private val StallMs = 15000L
 
-  private val jdk17AddOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
-
   override def beforeAll(): Unit = {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(_.stop())
@@ -73,32 +63,7 @@ class StragglerSpec extends AnyFunSuite with BeforeAndAfterAll {
       coresPerWorker = 2, memMbPerWorker = 1024,
       workDirRoot = workRoot.toAbsolutePath.toString)
     cluster = handle
-    spark = SparkSession.builder()
-      .master(masterUrl)
-      .appName("graft-straggler-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      // keep the reduce stage at 4 real tasks: AQE would coalesce the
-      // tiny test shuffle to ONE partition, and single-task stages are
-      // never speculated (TaskSetManager numTasks == 1 guard)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.speculation", "true")
-      .config("spark.speculation.interval", "100ms")
-      .config("spark.speculation.multiplier", "1.5")
-      .config("spark.speculation.quantile", "0.5")
-      // keep the classic runtime-threshold behavior (the efficiency gate
-      // adds data-rate heuristics irrelevant to a pure stall)
-      .config("spark.speculation.efficiency.enabled", "false")
-      // executor JVMs need the app/test classes and the JDK17 opens the
-      // forked test JVM itself gets from build.sbt; the launcher resolves
-      // the Scala suffix from SPARK_SCALA_VERSION (a packaged distro has
-      // no launcher/target build dir to probe)
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.executor.extraJavaOptions", jdk17AddOpens)
-      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
-      .config(graft.core.Tables.NanosAsLong, "true")
-      .getOrCreate()
+    spark = StragglerSpec.speculationSession(masterUrl)
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskStart(t: SparkListenerTaskStart): Unit =
@@ -171,6 +136,48 @@ object StragglerSpec {
     * where tasks run).
     */
   val speculativeStarts = new AtomicInteger(0)
+
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  /** The speculation-enabled session against a [[GraftTestCluster]]
+    * master — ONE definition shared by the suite and the diagnostic
+    * [[StragglerProbe]], so the probe can never silently observe a
+    * different scheduler setup than the test it debugs.
+    *
+    * Notable confs: AQE partition coalescing OFF (the tiny test shuffle
+    * would coalesce to one task, and single-task stages are never
+    * speculated — TaskSetManager's numTasks == 1 guard); the efficiency
+    * gate OFF (classic runtime-threshold speculation — data-rate
+    * heuristics are irrelevant to a pure stall); executor JVMs get the
+    * test classpath, the JDK17 opens build.sbt gives the forked test
+    * JVM, and SPARK_SCALA_VERSION (a packaged distro has no
+    * launcher/target build dir for the launcher to probe).
+    */
+  def speculationSession(masterUrl: String): SparkSession = SparkSession.builder()
+    .master(masterUrl)
+    .appName("graft-straggler-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.speculation", "true")
+    .config("spark.speculation.interval", "100ms")
+    .config("spark.speculation.multiplier", "1.5")
+    .config("spark.speculation.quantile", "0.5")
+    .config("spark.speculation.efficiency.enabled", "false")
+    .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+    .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+    .config(graft.core.Tables.NanosAsLong, "true")
+    .getOrCreate()
 
   /** Stall once per task attempt: the marker file doubles as the proof
     * the injection fired and (via createFile atomicity) as the

@@ -96,11 +96,18 @@ class ShardRerouteStreamSpec extends SparkSpec {
     q.processAllAvailable()
     // config 2 arrives mid-stream: shard 0 moves to gid 2 — the next op
     // (and a re-delivered duplicate, which must NOT double-count) takes
-    // the stale-clerk hop; config 3 keeps gid 2 → hop stops
+    // the stale-clerk hop; a RE-DELIVERED activation of config 2 and a
+    // delayed stale config 1 must both be no-ops (at-least-once
+    // delivery must not erase prevGid or regress ownership); config 3
+    // keeps gid 2 → hop stops
     in.addData(
       ShardEvent(0, -99L, "cfg", 2, 2, 0L, 0L),
       ShardEvent(0, 3L, "op", 0, 0, 7L, 3L),
       ShardEvent(0, 4L, "op", 0, 0, 7L, 3L)) // duplicate (clientId, clientSeq)
+    q.processAllAvailable()
+    in.addData(
+      ShardEvent(0, -99L, "cfg", 2, 2, 0L, 0L), // re-delivered activation
+      ShardEvent(0, -100L, "cfg", 1, 1, 0L, 0L)) // delayed stale config
     q.processAllAvailable()
     in.addData(
       ShardEvent(0, -98L, "cfg", 3, 2, 0L, 0L),
