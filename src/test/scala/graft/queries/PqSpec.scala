@@ -36,4 +36,49 @@ class PqSpec extends SparkSpec {
     info(f"observed PQ recall@5 = $rec%.3f (measured 0.392 at tuning time)")
     assert(rec >= 0.2, f"PQ recall@5 collapsed: $rec%.3f")
   }
+
+  test("on a clustered corpus (the realistic embedding shape) recall is high") {
+    // the gate corpus's vectors are near-uniform, so every ANN tier's
+    // recall tracks its scanned fraction — the honest worst case
+    // (SCALING.md). Real embedding spaces are CLUSTERED; this pins that
+    // the modest gate-corpus recall is a data property, not an
+    // implementation defect: 10 well-separated clusters, within-cluster
+    // structure that PQ codes can capture, same M=16/K=16 geometry.
+    import spark.implicits._
+    val dim = 64
+    // 10 separated clusters × 40 families of 5: family members share a
+    // unit-scale random offset from the cluster center plus tiny jitter,
+    // so each vector's true top-4 are its family mates, separated from
+    // the rest of the cell by the cross-family offset distance — the
+    // "near-duplicate families in a clustered space" shape real
+    // embedding corpora have
+    val centers = {
+      val r = new scala.util.Random(3)
+      Array.fill(10, dim)(r.nextGaussian() * 4.0)
+    }
+    val rows = (0 until 2000).map { i =>
+      val label = i % 10
+      val fam = (i / 10) % 40
+      val fr = new scala.util.Random(label * 1000 + fam)
+      val offset = Array.fill(dim)(fr.nextGaussian() * 1.5)
+      val jr = new scala.util.Random(900000 + i)
+      val emb = Array.tabulate(dim)(d =>
+        (centers(label)(d) + offset(d) + jr.nextGaussian() * 0.02).toFloat)
+      (i.toLong, emb, label)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pqclustered").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    Similarity.clearCaches()
+    try {
+      val rec = Similarity.queries("ann_pq_recall")(spark, tmp)
+        .agg((sum($"n_common").cast("double") / sum($"n_exact")).as("recall"))
+        .collect()(0).getDouble(0)
+      info(f"clustered-corpus PQ recall@5 = $rec%.3f")
+      assert(rec >= 0.6, f"PQ recall should be high on clustered data: $rec%.3f")
+    } finally {
+      Similarity.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
