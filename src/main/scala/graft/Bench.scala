@@ -35,10 +35,18 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts to named queries and
     // SPARK_GRAFT_REPS=n takes min-of-n (default 2) — for re-measuring a
     // suspected regression without paying for the full suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // clamp: reps <= 0 would make ts.min throw on an empty Seq and kill
-    // the whole artifact over an env-var typo
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // clamp: reps <= 0 would make ts.min throw on an empty Seq, and a
+    // non-numeric value would kill the whole artifact over an env-var typo
+    val reps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toIntOption.getOrElse(2))
+    // a typo'd ONLY list silently selecting zero queries would print
+    // total=0, which reads like a clean fast run — fail loudly instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val ts = Seq.fill(reps)(time(fn))
@@ -59,7 +67,19 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000).toString }
       .mkString("{", ",", "}")
     val nFail = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"slowest":$slowest,"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"slowest":$slowest,"sf":"$sfDir"}"""
+    println(compact)
+    // The stdout compact line depends on the driver's ~2.2 KB tail
+    // capture surviving sbt's [info]/[success] wrappers — which it has
+    // not, three rounds running. Persist the same signal to a file so
+    // the artifact no longer depends on any stdout parser. Full map in
+    // the file too: no size limit applies there.
+    val summaryPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SUMMARY", "bench_summary.json"))
+    java.nio.file.Files.write(summaryPath,
+      (compact + "\n" + s"""{"metric":"queries_full","queries":$qs,"sf":"$sfDir"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

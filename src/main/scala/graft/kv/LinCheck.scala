@@ -195,7 +195,10 @@ object LinCheck {
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' || c == ' ' || c == ' ' => f"\\u${c.toInt}%04x"
+      // the separators written as unicode escapes, not raw chars: the
+      // invisible JS line/paragraph separators are easy for tooling to
+      // silently mangle
+      case c if c < ' ' || c == '\u2028' || c == '\u2029' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
     val json = parts.map { p =>

@@ -141,6 +141,11 @@ object Similarity {
     // cost must be queryable per corpus; see [[embCellStats]]).
     "ann_ivf_cells" -> { (s, dir) => embCellStats(s, dir) },
 
+    // The b > 0 regime under the oracle gate: a deterministic 8-33×
+    // replica corpus forces split_bits = 2 and every residual-sign cell
+    // assignment is hash-checked (see [[seedCellsScaledGate]]).
+    "ann_seed_cells_scaled" -> { (s, dir) => seedCellsScaledGate(s, dir) },
+
     "ann_quantize" -> { (s, dir) => quantize(s, dir) },
 
     // The two-level assignment meter as a first-class, oracle-checked
@@ -512,6 +517,53 @@ object Similarity {
         .join(broadcast(centroidVectors(s, dir)), $"label" === $"clabel")
         .select($"vec_id", ($"label" * lit(1 << b) + bits).as("cell"))
     }
+  }
+
+  /** Oracle-gated exercise of the b > 0 quantizer regime (VERDICT r05
+    * #3): every gate corpus sits on or below the b = 0 floor (n ≤ 2000),
+    * so the residual-sign splitting — the flagship scale mechanism — was
+    * pinned only by specs, never by a DuckDB hash. This query builds a
+    * DETERMINISTIC scaled corpus from the real embeddings table
+    * (replicate each vector R = ceil(16001/n) times; replica `rep`
+    * shifts every coordinate by rep·0.25 — exact in binary, so both
+    * engines see bit-identical doubles), which pushes n past 16 000 and
+    * forces split_bits = 2 at every gate SF. It then runs the REAL
+    * b > 0 arithmetic of [[seedCellsUncached]] — per-label DECIMAL-exact
+    * means over the split dims, residual-sign bits, cell = label·2^b +
+    * bits — and emits every per-vector assignment, so each of the
+    * ~16-18k residual-sign decisions is hash-checked against DuckDB
+    * replaying the identical derivation.
+    *
+    * Scale: one narrow shuffle to train the b-dim means (b·10 groups), a
+    * broadcast join to assign — the identical dataflow the production
+    * quantizer uses at any n.
+    */
+  def seedCellsScaledGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = corpusSize(s, dir)
+    val r = math.ceil(16001.0 / n).toInt
+    val sn = n * r
+    val b = splitBitsFor(sn)
+    require(b >= 2, s"scaled corpus n=$sn must exercise multi-bit splitting, got b=$b")
+    val scaled = Tables(s, dir).embeddings
+      .withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+      .select(($"vec_id" * r + $"rep").as("svec_id"), $"label",
+        $"rep".cast("double").as("shift"), $"embedding")
+    // only the first b dims participate in splitting — explode just those
+    val ex = scaled
+      .select($"svec_id", $"label", $"shift",
+        posexplode(slice($"embedding", 1, b)).as(Seq("pos", "xf")))
+      .select($"svec_id", $"label", $"pos",
+        ($"xf".cast("double") + $"shift" * lit(0.25)).as("x"))
+    val cv = ex.groupBy($"label", $"pos")
+      .agg((sum($"x".cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
+    ex.join(broadcast(cv), Seq("label", "pos"))
+      .groupBy($"svec_id", $"label")
+      .agg(sum(when($"x" >= $"m", expr("shiftleft(1, pos)")).otherwise(lit(0))).as("bits"))
+      .select($"svec_id",
+        ($"label".cast("long") * (1L << b) + $"bits").as("cell"),
+        lit(b).as("split_bits"), lit(nlistFor(sn)).as("nlist_target"))
+      .orderBy($"svec_id")
   }
 
   /** Trained coarse-quantizer centroids: the DECIMAL-exact mean of each
@@ -1706,6 +1758,49 @@ object Similarity {
          |               ELSE CAST(ceil(log2(nlist / 10.0)) AS INTEGER) END
          |        FROM nl) AS split_bits
          |FROM cells""".stripMargin,
+
+    // Replays seedCellsScaledGate's derivation exactly: same replica
+    // construction (rep·0.25 coordinate shift — exact in binary), same
+    // DECIMAL(27,10)-summed per-(label, pos) means, same residual-sign
+    // bit packing. geometry is a one-row CTE carrying R, scaled n,
+    // nlist, and split_bits (= 2 at every gate SF by construction).
+    "ann_seed_cells_scaled" ->
+      """WITH geo0 AS (
+        |  SELECT CAST(ceil(16001.0 / n) AS INTEGER) AS r, n
+        |  FROM (SELECT count(*) AS n FROM embeddings)),
+        |geo1 AS (
+        |  SELECT r, n * r AS sn,
+        |    greatest(10, CAST(ceil(sqrt(n * r / 20.0)) AS INTEGER)) AS nlist
+        |  FROM geo0),
+        |geo AS (
+        |  SELECT r, sn, nlist,
+        |    CASE WHEN nlist <= 10 THEN 0
+        |         ELSE CAST(ceil(log2(nlist / 10.0)) AS INTEGER) END AS sb
+        |  FROM geo1),
+        |reps AS (
+        |  SELECT unnest(generate_series(0, (SELECT r FROM geo) - 1)) AS rep),
+        |ex AS (
+        |  SELECT e.vec_id * (SELECT r FROM geo) + rp.rep AS svec_id,
+        |    e.label, d.i - 1 AS pos,
+        |    e.embedding[d.i]::DOUBLE + rp.rep * 0.25 AS x
+        |  FROM embeddings e, reps rp,
+        |    (SELECT unnest(generate_series(1, (SELECT sb FROM geo))) AS i) d),
+        |cv AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY label, pos),
+        |bits AS (
+        |  SELECT ex.svec_id, ex.label,
+        |    SUM(CASE WHEN ex.x >= cv.m
+        |        THEN CAST(1 AS BIGINT) << ex.pos ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM ex JOIN cv ON ex.label = cv.label AND ex.pos = cv.pos
+        |  GROUP BY ex.svec_id, ex.label)
+        |SELECT svec_id,
+        |  CAST(CAST(label AS BIGINT) * (CAST(1 AS BIGINT) << (SELECT sb FROM geo)) + b
+        |    AS BIGINT) AS cell,
+        |  (SELECT sb FROM geo) AS split_bits,
+        |  (SELECT nlist FROM geo) AS nlist_target
+        |FROM bits ORDER BY svec_id""".stripMargin,
 
     "ann_centroids" ->
       """WITH e AS (

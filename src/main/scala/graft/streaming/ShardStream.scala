@@ -35,10 +35,17 @@ object ShardStream {
       clientId: Long, clientSeq: Long)
 
   /** Per-shard live state: active config + owner, the previous config's
-    * owner, and the per-client dedup high-water mark.
+    * owner, the per-client dedup high-water mark, and ops that arrived
+    * before ANY config activation (a clerk cannot route without a shard
+    * map — shardmaster config 0 has no groups, so such an op retries
+    * with ErrWrongGroup until the first activation lands; we buffer it
+    * rather than fabricate a "-1 config" bucket the batch rollup never
+    * produces). Bounded by the pre-first-config prefix of the stream.
     */
+  final case class PendingOp(clientId: Long, clientSeq: Long)
   final case class ShardState(
-      configNum: Int, gid: Int, prevGid: Int, lastSeq: Map[Long, Long])
+      configNum: Int, gid: Int, prevGid: Int, lastSeq: Map[Long, Long],
+      pending: Seq[PendingOp])
 
   /** One row per APPLIED (deduped) op: the config it was served under,
     * the serving owner, and the stale first-attempt target — `rerouted`
@@ -51,8 +58,16 @@ object ShardStream {
       shard: Int,
       events: Iterator[ShardEvent],
       state: GroupState[ShardState]): Iterator[RouteUpdate] = {
-    var st = state.getOption.getOrElse(ShardState(-1, -1, -1, Map.empty))
+    var st = state.getOption.getOrElse(ShardState(-1, -1, -1, Map.empty, Nil))
     val out = Seq.newBuilder[RouteUpdate]
+    // apply one (deduped) op under the CURRENT config
+    def serve(clientId: Long, clientSeq: Long): Unit = {
+      val last = st.lastSeq.getOrElse(clientId, Long.MinValue)
+      if (clientSeq > last) {
+        st = st.copy(lastSeq = st.lastSeq + (clientId -> clientSeq))
+        out += RouteUpdate(st.configNum, st.gid, st.prevGid, st.prevGid != st.gid)
+      }
+    }
     events.toSeq.sortBy(_.seq).foreach { e =>
       if (e.kind == "cfg") {
         // config numbers only advance (shardmaster hands out a strictly
@@ -64,15 +79,23 @@ object ShardStream {
         if (e.configNum > st.configNum) {
           // first config ever seen: clerks start with it, so the "stale"
           // view equals the active one (the batch model's max(0, e-1))
-          val prev = if (st.configNum < 0) e.gid else st.gid
-          st = ShardState(e.configNum, e.gid, prev, st.lastSeq)
+          val first = st.configNum < 0
+          val prev = if (first) e.gid else st.gid
+          st = ShardState(e.configNum, e.gid, prev, st.lastSeq, st.pending)
+          if (first) {
+            // the buffered pre-config ops' retries now land, in their
+            // original arrival order, under this first config
+            val held = st.pending
+            st = st.copy(pending = Nil)
+            held.foreach(p => serve(p.clientId, p.clientSeq))
+          }
         }
+      } else if (st.configNum < 0) {
+        // no config yet: un-routable — hold the op instead of emitting
+        // a sentinel-config row the batch parity rollup cannot match
+        st = st.copy(pending = st.pending :+ PendingOp(e.clientId, e.clientSeq))
       } else {
-        val last = st.lastSeq.getOrElse(e.clientId, Long.MinValue)
-        if (e.clientSeq > last) {
-          st = st.copy(lastSeq = st.lastSeq + (e.clientId -> e.clientSeq))
-          out += RouteUpdate(st.configNum, st.gid, st.prevGid, st.prevGid != st.gid)
-        }
+        serve(e.clientId, e.clientSeq)
       }
     }
     state.update(st)

@@ -51,6 +51,41 @@ class IvfScaleSpec extends SparkSpec {
     assert(sr.getAs[Long]("n_vectors") === 500L)
   }
 
+  test("EVERY gate corpus dir sits below the b=0 floor (oracle-equivalence guard)") {
+    // dedup_emb_cos blocks on seedCellAssignments while its DuckDB
+    // oracle keeps the raw label join; the two are equivalent ONLY while
+    // splitBitsFor(n) == 0. sf0.1 (n = 2000) sits exactly on the floor
+    // boundary, so a regenerated corpus with one more embedding would
+    // flip b to 1 and hash-mismatch a query whose logic didn't change —
+    // this guard makes that failure mode a named assertion over every
+    // gate directory present, not a mystery gate red.
+    val dirs = Option(new java.io.File("/root/testdata").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .filter(f => new java.io.File(f, "embeddings.parquet").exists())
+    assume(dirs.nonEmpty, "no gate corpus directories present")
+    for (d <- dirs) {
+      val n = spark.read.parquet(s"${d.getPath}/embeddings.parquet").count()
+      assert(Similarity.splitBitsFor(n) === 0,
+        s"${d.getName}: n=$n flips the seed quantizer past the b=0 floor — " +
+          "parameterize the dedup_emb_cos oracle on the seed cell before " +
+          "trusting the gate")
+    }
+  }
+
+  test("ann_seed_cells_scaled exercises b=2 and genuinely splits the label cells") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val out = Similarity.seedCellsScaledGate(spark, dir)
+    val cells = out.select("cell").distinct().count()
+    val sb = out.select("split_bits").head().getInt(0)
+    assert(sb === 2)
+    // 10 labels × 2^2 sign patterns = 40 possible cells; the replica
+    // shifts must actually scatter vectors across >10 of them, or the
+    // gate query would be hash-checking the b=0 identity in disguise
+    assert(cells > 10L && cells <= 40L, s"cells=$cells")
+  }
+
   test("gate corpus: two-level assignment is the b=0 identity (exact, 2 fine cands)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory, s"$dir not present")

@@ -123,4 +123,36 @@ class ShardRerouteStreamSpec extends SparkSpec {
       RouteUpdate(2, 2, 1, rerouted = true), // the ErrWrongGroup hop
       RouteUpdate(3, 2, 2, rerouted = false))) // clerk refreshed; no hop
   }
+
+  test("ops before the first config activation buffer, then land under it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ShardEvent]
+    val q = ShardStream.updates(in.toDS())
+      .writeStream.format("memory").queryName("reroute_preconfig")
+      .outputMode(OutputMode.Update()).start()
+
+    // ops arrive before ANY config: un-routable (shardmaster config 0
+    // has no groups) — nothing may be emitted, and in particular no
+    // fabricated configNum=-1 row the batch rollup could never match
+    in.addData(
+      ShardEvent(0, 1L, "op", 0, 0, 9L, 1L),
+      ShardEvent(0, 2L, "op", 0, 0, 9L, 2L),
+      ShardEvent(0, 3L, "op", 0, 0, 9L, 2L)) // duplicate, must dedup too
+    q.processAllAvailable()
+    assert(spark.table("reroute_preconfig").count() === 0L,
+      "pre-config ops leaked into the output")
+    // first activation: the held retries land under config 1, deduped,
+    // in arrival order, with the first-config stale view (no hop)
+    in.addData(
+      ShardEvent(0, -100L, "cfg", 1, 1, 0L, 0L),
+      ShardEvent(0, 4L, "op", 0, 0, 9L, 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val upd = spark.table("reroute_preconfig").as[RouteUpdate].collect().toSeq
+    assert(upd == Seq(
+      RouteUpdate(1, 1, 1, rerouted = false), // buffered seq 1
+      RouteUpdate(1, 1, 1, rerouted = false), // buffered seq 2 (dup dropped)
+      RouteUpdate(1, 1, 1, rerouted = false))) // live seq 4
+  }
 }
