@@ -1,6 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,12 +15,20 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` batch stages (the Scala analogue of `mapInPandas`:
   * one decoder instantiation per partition, records streamed through).
   *
-  * The decode step is a STUB: real image/audio codecs are not available
-  * in this environment, so [[Codec.decode]] derives deterministic fake
-  * dimensions/features from an md5 of the payload bytes. Everything
-  * around it — schema, binary transport, partitioning, batch shape,
-  * feature output — is real and tested, and the determinism lets the
-  * DuckDB oracle verify the full pipeline end-to-end (`mm_features`).
+  * The IMAGE path is REAL: [[mediaTable]] encodes each image payload as
+  * genuine PNG bytes (`javax.imageio` — pure JDK, no native libs), and
+  * [[Codec.decode]] / [[boxFilterResize]] decode those bytes with
+  * `ImageIO.read` and operate on the actual raster — dimensions, pixel
+  * statistics, and the box-filter downsample all come from decoded
+  * pixels, not from metadata. The image CONTENT is a deterministic
+  * gray-level pattern derived from the document digest, which is what
+  * lets the DuckDB oracle reproduce the decoded statistics end-to-end
+  * (PNG is lossless, so encode→decode round-trips samples exactly).
+  *
+  * AUDIO / VIDEO decode remains a deterministic stub: the container has
+  * no audio/video codecs (JDK ships none), so those branches derive fake
+  * sample/frame counts from an md5 of the payload — honest about what is
+  * stubbed while keeping the 1→N frame-sampling plumbing testable.
   */
 object Multimodal {
 
@@ -27,7 +39,10 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Decoded per-record features (stub decoder output). */
+  /** Decoded per-record features. For images every field comes from the
+    * real decoded raster (`byte_len` = decoded gray bytes = w·h); for
+    * audio/video the stub derives them from the payload digest.
+    */
   final case class MediaFeatures(
       media_id: Long,
       modality: String,
@@ -38,27 +53,85 @@ object Multimodal {
       feat0: Double,
       feat7: Double)
 
-  /** The stub "codec". In production this object would wrap the native
-    * decoder handle created once per partition (expensive init amortized
-    * across the partition's records — the reason decode runs in
-    * `mapPartitions`, not per-row UDFs).
+  private def md5hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+  private def hex(h: String, from: Int, len: Int): Long =
+    java.lang.Long.parseLong(h.substring(from, from + len), 16)
+
+  /** Image geometry + pixel seed from the document digest — the contract
+    * shared by the PNG encoder and the DuckDB oracle. Small images
+    * (16-63 × 16-47) keep the per-doc pixel count ≤ ~3k so the oracle's
+    * pixel explode stays cheap at every gate SF.
+    */
+  private[multimodal] def imageGeometry(h: String): (Int, Int, Int) = (
+    16 + (hex(h, 0, 4) % 48L).toInt,
+    16 + (hex(h, 4, 4) % 32L).toInt,
+    (hex(h, 8, 2) % 256L).toInt)
+
+  /** The deterministic gray value at (x, y) — what the encoder writes
+    * and the oracle recomputes.
+    */
+  private[multimodal] def pixel(x: Int, y: Int, seed: Int): Int =
+    (x * 31 + y * 17 + seed) % 256
+
+  /** Encode the deterministic pattern as real PNG bytes. */
+  private[multimodal] def encodePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y, seed)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The codec. Images decode for real (ImageIO over the PNG payload);
+    * audio/video fall back to the documented digest stub. In production
+    * the per-partition decoder handle would be opened once in
+    * `mapPartitions` and shared across the partition's records — the
+    * reason decode is a partition stage, not a per-row UDF.
     */
   object Codec {
-    private def md5hex(bytes: Array[Byte]): String = {
-      val d = MessageDigest.getInstance("MD5").digest(bytes)
-      d.map(b => f"$b%02x").mkString
-    }
-    private def hex(h: String, from: Int, len: Int): Long =
-      java.lang.Long.parseLong(h.substring(from, from + len), 16)
 
-    /** Deterministic fake decode: dimensions and an 8-dim feature vector
-      * derived from the payload digest. Real decode would be `???` here;
-      * the fake keeps the pipeline testable end-to-end.
+    def decode(r: MediaRecord): MediaFeatures = r.modality match {
+      case "image" => decodeImage(r)
+      case _       => decodeStub(r)
+    }
+
+    /** REAL decode: dimensions and features from the decoded raster. */
+    private def decodeImage(r: MediaRecord): MediaFeatures = {
+      val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaFeatures(
+        r.media_id, r.modality,
+        byte_len = w.toLong * h, // decoded gray bytes, not PNG container size
+        width = w.toLong, height = h.toLong,
+        n_frames = 1L,
+        feat0 = sum.toDouble / (w.toLong * h) / 255.0, // mean luminance
+        feat7 = raster.getSample(w - 1, h - 1, 0).toDouble / 255.0)
+    }
+
+    /** Stub decode for the codec-less modalities: deterministic fake
+      * dimensions/features from an md5 of the payload bytes. Real decode
+      * would replace exactly this function.
       */
-    def decode(r: MediaRecord): MediaFeatures = {
+    private def decodeStub(r: MediaRecord): MediaFeatures = {
       val h = md5hex(r.payload)
       val frames = r.modality match {
-        case "image" => 1L
         case "audio" => 1L + hex(h, 8, 4) % 1000L // "samples/1k"
         case _       => 1L + hex(h, 8, 4) % 240L  // "video frames"
       }
@@ -73,21 +146,29 @@ object Multimodal {
     }
   }
 
-  /** Build the media table from `documents`: payload = UTF-8 bytes of
-    * the text (stand-in for real image/audio bytes), modality assigned
-    * round-robin by doc_id. Deterministic → oracle-reproducible.
+  /** Build the media table from `documents`: modality round-robin by
+    * doc_id; image payloads are REAL PNG bytes of the deterministic
+    * digest-derived pattern, audio/video payloads are the UTF-8 text
+    * bytes (opaque stand-ins). Runs as a `mapPartitions` stage like the
+    * decode side — the encoder is per-partition state, records streamed.
     */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     graft.core.Tables(s, dir).documents
-      .select(
-        $"doc_id".as("media_id"),
-        element_at(
-          array(lit("image"), lit("audio"), lit("video")),
-          ($"doc_id" % 3 + 1).cast("int")).as("modality"),
-        encode($"text", "UTF-8").as("payload"),
-        $"source")
-      .as[MediaRecord]
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text, source) =>
+          val modality = Seq("image", "audio", "video")((docId % 3).toInt)
+          val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload =
+            if (modality == "image") {
+              val (w, h, seed) = imageGeometry(md5hex(textBytes))
+              encodePng(w, h, seed)
+            } else textBytes
+          MediaRecord(docId, modality, payload, source)
+        }
+      }
   }
 
   /** Decode stage: one codec per partition, records streamed through. */
@@ -99,15 +180,14 @@ object Multimodal {
     }
   }
 
-  /** Resize stage: fit decoded dimensions into a target box preserving
-    * aspect ratio (integer arithmetic → deterministic, oracle-checkable).
-    * In production the pixel resampling would run next to the decoder in
-    * the same mapPartitions stage; the dimension math is the real part.
+  /** Resize PLANNING stage: fit decoded dimensions into a target box
+    * preserving aspect ratio (integer cross-multiplication — exact, no
+    * floating-point scale). [[boxFilterResize]] applies the same rule to
+    * the real raster; this metadata-only form is the cheap planner for
+    * batch-size/packing decisions upstream of the pixel work.
     */
   def resizeTo(feats: Dataset[MediaFeatures], boxW: Long, boxH: Long): DataFrame = {
     import feats.sparkSession.implicits._
-    // scale = min(boxW/w, boxH/h) in exact rational form:
-    // pick the axis by cross-multiplication, then floor-scale the other.
     val heightBinding = $"width" * boxH <= $"height" * boxW
     feats.toDF()
       .select($"media_id", $"width", $"height")
@@ -120,6 +200,58 @@ object Multimodal {
       .select($"media_id", $"width", $"height",
         greatest($"fit_w", lit(1L)).as("out_w"),
         greatest($"fit_h", lit(1L)).as("out_h"))
+  }
+
+  /** Per-image result of the real box-filter resize: aspect-fit output
+    * dims plus exact statistics of the RESIZED raster (sum of output
+    * pixels and the top-left output pixel) — scalars, so the oracle can
+    * hash-compare the resample itself, not just the dimension math.
+    */
+  final case class ResizedImage(
+      media_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, px_sum: Long, px00: Long)
+
+  /** REAL resize: decode the PNG, aspect-fit the target box (exact
+    * cross-multiplication — no floating-point scale factor), then an
+    * integer-area box filter: input column x belongs to output column
+    * i = x·out_w / w (floor), which partitions the input grid into
+    * contiguous boxes; each output pixel is the floor-mean of its box.
+    * All-integer arithmetic → deterministic → oracle-replayable.
+    *
+    * Scale: one decode + one O(w·h) pass per image inside the existing
+    * partition stage; no shuffle — the stage pipelines with decode.
+    */
+  def boxFilterResize(media: Dataset[MediaRecord], boxW: Int, boxH: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").mapPartitions { it =>
+      it.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val heightBinding = w.toLong * boxH <= h.toLong * boxW
+        val ow = if (heightBinding) math.max(1L, w.toLong * boxH / h).toInt else boxW
+        val oh = if (heightBinding) boxH else math.max(1L, h.toLong * boxW / w).toInt
+        val sums = Array.ofDim[Long](ow * oh)
+        val cnts = Array.ofDim[Long](ow * oh)
+        var y = 0
+        while (y < h) {
+          val j = y * oh / h
+          var x = 0
+          while (x < w) {
+            val idx = j * ow + x * ow / w
+            sums(idx) += raster.getSample(x, y, 0)
+            cnts(idx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var pxSum = 0L
+        var k = 0
+        while (k < sums.length) { pxSum += sums(k) / cnts(k); k += 1 }
+        ResizedImage(r.media_id, w.toLong, h.toLong, ow.toLong, oh.toLong,
+          pxSum, sums(0) / cnts(0))
+      }
+    }
   }
 
   /** Frame-sampling stage (video → every k-th frame index), showing a
