@@ -8,20 +8,31 @@ import org.apache.spark.sql.functions._
   * then times the dedup family on it. Evidence for the scaling claims in
   * NOTES.md/SCALING.md — run as:
   *
-  *   sbt "runMain graft.ScaleProbe 10"
+  *   sbt "runMain graft.ScaleProbe 10"           # full family at 10×
+  *   sbt "runMain graft.ScaleProbe 100 vectors"  # embeddings-only build:
+  *                                               # quantizer-ladder meters
+  *                                               # + PQ cold/warm timing
+  *   sbt "runMain graft.ScaleProbe sweep"        # PQ serving-knob sweep
+  *                                               # (recall/cost frontier
+  *                                               # on the sf0.1 gate)
   *
-  * Output: one JSON line per query with seconds and result rows.
+  * Output: one JSON line per query/meter with seconds and result rows.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val m = args.headOption.map(_.toInt).getOrElse(10)
-    val out = s"/tmp/graft_scale$m"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config(graft.core.Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (args.headOption.contains("sweep")) { pqSweep(spark); spark.stop(); return }
+    val m = args.headOption.map(_.toInt).getOrElse(10)
+    val vectorsOnly = args.contains("vectors")
+    val out = s"/tmp/graft_scale$m" + (if (vectorsOnly) "v" else "")
+
+    if (vectorsOnly) { vectorLadder(spark, m, out); spark.stop(); return }
 
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
@@ -135,5 +146,80 @@ object ScaleProbe {
       s""""within_cell_pairs": ${ic.getAs[Long]("within_cell_pairs")}, """ +
       s""""codebook_rows": ${ic.getAs[Long]("codebook_rows")}}""")
     spark.stop()
+  }
+
+  /** Embeddings-only replica build + the quantizer-ladder meters at
+    * multiples where the full dedup family would be the bottleneck, not
+    * the evidence. 100× (200k vectors) pushes the seed quantizer to
+    * b = 4 (160 cells) and the PQ codebook to realistic cell occupancy;
+    * the meters pin that within-cell pairs stay ~linear across TWO
+    * decades (10× and 100×), and the PQ serving query is timed cold
+    * (index training included) and warm (staged index) separately.
+    */
+  private def vectorLadder(spark: SparkSession, m: Int, out: String): Unit = {
+    import spark.implicits._
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val en = embBase.count()
+    (0 until m).map { k =>
+      embBase.select(
+        ($"vec_id" + lit(k * en)).as("vec_id"),
+        (if (k == 0) $"embedding"
+         else transform($"embedding", x => x + lit(k * 0.001f))).as("embedding"),
+        $"label")
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"""{"built": "$out", "vectors": ${en * m}}""")
+    graft.queries.Similarity.clearCaches()
+
+    def meter(name: String, df: org.apache.spark.sql.DataFrame,
+        fields: Seq[String]): Unit = {
+      val r = df.collect()(0)
+      val kv = fields.map { f =>
+        val v = r.get(r.fieldIndex(f)) match {
+          case l: Long => l.toString
+          case i: Int  => i.toString
+          case other   => other.toString
+        }
+        s""""$f": $v"""
+      }.mkString(", ")
+      println(s"""{"meter": "$name", "mult": $m, $kv}""")
+    }
+    meter("seed_cells", graft.queries.Similarity.seedCellStats(spark, out),
+      Seq("cells_used", "max_cell", "n_vectors", "within_cell_pairs",
+        "nlist_target", "split_bits"))
+    meter("ivf_cells", graft.queries.Similarity.embCellStats(spark, out),
+      Seq("cells_used", "max_cell", "n_vectors", "within_cell_pairs",
+        "nlist_target", "split_bits"))
+    meter("imi_cells", graft.queries.Similarity.imiCellStats(spark, out),
+      Seq("cells_used", "max_cell", "within_cell_pairs", "codebook_rows"))
+    meter("ivf_coarse_assign",
+      graft.queries.Similarity.coarseAssignStats(spark, out),
+      Seq("n_vectors", "agree_flat", "fine_dist_rows", "flat_dist_rows"))
+    // serving queries stay probe-bounded, so they are cheap even at
+    // 100×; the first ann_pq_topk run pays the full index training
+    // (cold), the second reads the staged index (warm)
+    for ((name, tag) <- Seq(("ann_ivf2_topk", "cold"), ("ann_imi_topk", "cold"),
+      ("ann_pq_topk", "cold"), ("ann_pq_topk", "warm"))) {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"query": "$name", "run": "$tag", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
+    }
+  }
+
+  /** PQ serving-knob sweep on the sf0.1 gate corpus: recall@5 and
+    * candidate-scan rows at each (nprobe, shortlist) — the measured
+    * frontier behind the (2, 20) gate defaults (SCALING.md).
+    */
+  private def pqSweep(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    for (nprobe <- Seq(2, 3, 4); shortlist <- Seq(20, 50)) {
+      val t0 = System.nanoTime()
+      val (recall, candRows) =
+        graft.queries.Similarity.pqServingMeter(spark, dir, 25, nprobe, shortlist)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"sweep": "pq", "nprobe": $nprobe, "shortlist": $shortlist, "recall_at5": $recall%.3f, "cand_rows": $candRows, "sec": $sec%.2f}""")
+    }
   }
 }

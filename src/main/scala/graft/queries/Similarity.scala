@@ -360,7 +360,8 @@ object Similarity {
     // IVF-PQ: the remaining tier of the 100 TB serving story — residual
     // product-quantization codes inside the trained cells, asymmetric
     // (lookup-table) distance over the codes, exact rescore of the
-    // top-20. At scale the candidate scan reads M bytes of codes per
+    // top-50 shortlist (knob measured by the ScaleProbe sweep: at fixed
+    // nprobe the shortlist is free in ADC cost and buys ~5pp recall). At scale the candidate scan reads M bytes of codes per
     // vector instead of d floats — memory traffic shrinks ~d·4/M×, and
     // the ADC table is probes × M × K rows, broadcast.
     "ann_pq_topk" -> { (s, dir) => pqTopk(s, dir, 50) },
@@ -719,7 +720,7 @@ object Similarity {
       .select($"vec_id", $"m.clabel".as("alabel"))
   }
 
-  private[queries] def assignments(s: SparkSession, dir: String): DataFrame =
+  private[graft] def assignments(s: SparkSession, dir: String): DataFrame =
     assignmentsFrom(centroidDists(s, dir))
 
   /** Distances to the COARSE level of the quantizer — the L label means.
@@ -986,19 +987,30 @@ object Similarity {
     * `dot(q,v) ≈ dot(q, cv(cell)) + Σ_m dot(q_sub[m], codevec[m, code])`
     * — the candidate scan touches M code ids per vector (a broadcast
     * lookup join against the probes × M × K ADC table), never the raw
-    * floats; the bounded heap keeps 20 per probe and full-precision
-    * vectors are read for those 20 alone (the ann_quantized_topk
-    * two-stage contract). The M subspace terms are folded in subspace
+    * floats; the bounded heap keeps the shortlist (default 50, measured
+    * by the ScaleProbe sweep) per probe and full-precision vectors are
+    * read for those alone (the ann_quantized_topk two-stage
+    * contract). The M subspace terms are folded in subspace
     * order (sorted collect, sequential double fold) so the sum is
     * partition-order free and matches the oracle bit-for-bit.
     */
-  private def pqTopk(s: SparkSession, dir: String, probeLimit: Int): DataFrame = {
+  private def pqTopk(s: SparkSession, dir: String, probeLimit: Int): DataFrame =
+    pqTopk(s, dir, probeLimit, nprobe = 2, shortlist = 50)
+
+  /** Knob-parameterized form — nprobe (probed cells per query) and
+    * shortlist (ADC candidates kept for exact rescore) are the two
+    * serving-cost/recall dials; the gate queries pin (2, 20), and
+    * [[pqServingMeter]] sweeps the frontier so the defaults are
+    * measured, not guessed (SCALING.md).
+    */
+  private def pqTopk(s: SparkSession, dir: String, probeLimit: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val v = vecs(s, dir)
     val pcells = centroidDists(s, dir).filter($"vec_id" < probeLimit)
       .groupBy($"vec_id")
-      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), 2).as("top"))
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), nprobe).as("top"))
       .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
     val probes0 = v.filter($"vec_id" < probeLimit)
       .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
@@ -1033,7 +1045,7 @@ object Similarity {
       .withColumn("approx", ($"bq" + $"sdsum") / sqrt($"pn" * $"norm2"))
     val cand = approx
       .groupBy($"probe")
-      .agg(graft.functions.GroupedTopK.groupedTopK($"approx", $"vec_id", 20).as("top"))
+      .agg(graft.functions.GroupedTopK.groupedTopK($"approx", $"vec_id", shortlist).as("top"))
       .select($"probe", explode($"top.id").as("neighbor"))
     val pairs = cand
       .join(v.select($"vec_id".as("neighbor"), $"embedding", $"norm2"), "neighbor")
@@ -1041,6 +1053,52 @@ object Similarity {
       .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
       .select($"probe", $"neighbor", $"cos")
     topk(pairs, 5)
+  }
+
+  /** Driver-side copy of the trained centroid table (clabel ascending)
+    * for the streaming-ingest twin ([[graft.streaming.AnnStream]]):
+    * nlist ∝ √n rows — the exact artifact the batch assignment
+    * broadcasts, handed to the stream as its static quantizer.
+    */
+  def trainedCentroidArrays(s: SparkSession, dir: String): Array[(Long, Array[Double])] = {
+    import s.implicits._
+    trainedCentroids(s, dir)
+      .select($"clabel".cast("long"), $"cv")
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+  }
+
+  /** Serving-knob meter (ScaleProbe-only diagnostic): recall@5 of the
+    * PQ pass against the exact brute force at explicit (nprobe,
+    * shortlist), plus the candidate-scan row count (Σ probed-cell
+    * occupancy — the ADC cost driver) so the knobs' recall/cost
+    * frontier is measured per corpus rather than defaulted.
+    */
+  def pqServingMeter(s: SparkSession, dir: String, probeLimit: Int,
+      nprobe: Int, shortlist: Int): (Double, Long) = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val v = vecs(s, dir)
+    val probes = v.filter($"vec_id" < probeLimit)
+      .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+    val exactPairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
+      .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+      .select($"probe", $"vec_id".as("neighbor"), $"cos")
+    val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor").persist()
+    val pq5 = pqTopk(s, dir, probeLimit, nprobe, shortlist)
+      .select($"probe", $"neighbor")
+    val common = ex5.join(pq5, Seq("probe", "neighbor"), "left_semi").count()
+    val total = ex5.count()
+    ex5.unpersist()
+    val pcells = centroidDists(s, dir).filter($"vec_id" < probeLimit)
+      .groupBy($"vec_id")
+      .agg(graft.functions.GroupedTopK.groupedTopK(
+        -$"d", $"clabel".cast("long"), nprobe).as("top"))
+      .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
+    val candRows = assignments(s, dir)
+      .join(broadcast(pcells), $"alabel" === $"pcell").count()
+    (common.toDouble / total, candRows)
   }
 
   /** Deterministic 20% training sample: md5-hash the vec_id, keep
@@ -1370,7 +1428,7 @@ object Similarity {
        |shortlist AS (SELECT probe, neighbor FROM (
        |  SELECT probe, neighbor,
        |    row_number() OVER (PARTITION BY probe ORDER BY approx DESC, neighbor) AS arn
-       |  FROM apxd) WHERE arn <= 20),
+       |  FROM apxd) WHERE arn <= 50),
        |rpairs AS (
        |  SELECT c.probe, c.neighbor,
        |    list_reduce(list_prepend(0.0::DOUBLE,
