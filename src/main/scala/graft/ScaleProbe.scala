@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.ScaleProbe 100 vectors"  # embeddings-only build:
   *                                               # quantizer-ladder meters
   *                                               # + PQ cold/warm timing
+  * sbt "runMain graft.ScaleProbe 100 docs"     # documents-only build:
+  *                                               # linear text path at 500k
   *   sbt "runMain graft.ScaleProbe sweep"        # PQ serving-knob sweep
   *                                               # (recall/cost frontier
   *                                               # on the sf0.1 gate)
@@ -30,9 +32,12 @@ object ScaleProbe {
     if (args.headOption.contains("sweep")) { pqSweep(spark); spark.stop(); return }
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val vectorsOnly = args.contains("vectors")
-    val out = s"/tmp/graft_scale$m" + (if (vectorsOnly) "v" else "")
+    val docsOnly = args.contains("docs")
+    val out = s"/tmp/graft_scale$m" +
+      (if (vectorsOnly) "v" else if (docsOnly) "d" else "")
 
     if (vectorsOnly) { vectorLadder(spark, m, out); spark.stop(); return }
+    if (docsOnly) { docLadder(spark, m, out); spark.stop(); return }
 
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
@@ -206,6 +211,46 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query": "$name", "run": "$tag", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
     }
+  }
+
+  /** Documents-only replica build at multiples where the EXACT pairwise
+    * routes would dominate the wall-clock without adding evidence (a
+    * dup-dense 100× corpus genuinely contains ~25M near-dup pairs —
+    * any correct tool's output is that big). Runs the linear/bounded
+    * text path: exact dedup, capped simhash (the skew guard is the
+    * design claim at this density — its drops are metered, not hidden),
+    * fingerprinting, tf-idf, packing, mixing, and the end-to-end
+    * curation recipe, at 500k docs.
+    */
+  private def docLadder(spark: SparkSession, m: Int, out: String): Unit = {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    (0 until m).map { k =>
+      base.select(
+        ($"doc_id" + lit(k * n)).as("doc_id"),
+        (if (k == 0) $"text"
+         else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"""{"built": "$out", "docs": ${n * m}}""")
+    graft.queries.Dedup.clearCaches()
+    graft.queries.TextAnalysis.clearCaches()
+
+    Seq("dedup_exact", "dedup_simhash", "tx_fingerprint", "tx_tfidf",
+      "tx_pack", "tx_mix", "tx_curation_packed")
+      .foreach { name =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, out).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query": "$name", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
+      }
+    val drops = graft.queries.Dedup.simhashDropStats(spark, out).collect()(0)
+    println(s"""{"meter": "simhash_hot_bucket_drops", "mult": $m, "docs_affected": ${drops.getLong(0)}, """ +
+      s""""docs_invisible": ${drops.getLong(1)}, "band_rows_dropped": ${drops.getLong(2)}, """ +
+      s""""docs_total": ${drops.getLong(3)}}""")
   }
 
   /** PQ serving-knob sweep on the sf0.1 gate corpus: recall@5 and

@@ -1069,6 +1069,30 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  /** Driver-side copy of the PQ codebook for the streaming-ingest twin:
+    * `codebook(m)(code)` = the mean residual subvector — PqM·2^PqBits
+    * rows, the broadcast-sized artifact the ADC join ships. A seed
+    * pattern that never occurred in the training corpus has NO codebook
+    * row; its slot stays null and the streaming argmin skips it, exactly
+    * as the batch argmin's inner join never sees it.
+    */
+  def pqCodebookArrays(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val rows = pqCodebook(s, dir)
+      .select($"m".cast("int"), $"code".cast("int"), $"cvq")
+      .as[(Int, Int, Array[Double])]
+      .collect()
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val out: Array[Array[Array[Double]]] = Array.fill(m, k)(null)
+    rows.foreach { case (mi, ci, cvq) => out(mi)(ci) = cvq }
+    out
+  }
+
+  /** Batch PQ code table, exposed for the streaming parity spec. */
+  private[graft] def pqCodesView(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir)
+
   /** Serving-knob meter (ScaleProbe-only diagnostic): recall@5 of the
     * PQ pass against the exact brute force at explicit (nprobe,
     * shortlist), plus the candidate-scan row count (Σ probed-cell

@@ -94,4 +94,91 @@ object AnnStream {
       .flatMapGroupsWithState[CellState, AssignUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(applyCell)
   }
+
+  /** One row per applied vector under FULL IVF-PQ ingest: the assigned
+    * cell plus the M PQ codes — everything the serving index stores per
+    * vector, produced in-stream.
+    */
+  final case class PqIngestUpdate(
+      vec_id: Long, cell: Long, cell_count: Long, codes: Array[Int])
+
+  /** The batch PQ code assignment, replicated per record: residual
+    * against the assigned cell's centroid, split into M = codebook
+    * .length subvectors (h = d / M dims each — the batch slice
+    * geometry), each coded by sequential-fold squared-L2 argmin over its
+    * subspace codebook with first-smallest (= smaller code) tie-break,
+    * the `min(struct(d, code))` contract.
+    */
+  def pqEncode(
+      emb: Array[Float],
+      cv: Array[Double],
+      codebook: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = codebook.length
+    val h = emb.length / m
+    Array.tabulate(m) { mi =>
+      val off = mi * h
+      val book = codebook(mi)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) { // code ascending
+        val cvq = book(c)
+        if (cvq == null) { c += 1 } // untrained seed pattern: no such code
+        else {
+        var acc = 0.0
+        var i = 0
+        while (i < h) {
+          val diff = (emb(off + i).toDouble - cv(off + i)) - cvq(i)
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+        }
+      }
+      best
+    }
+  }
+
+  private def applyCellPq(codebook: Array[Array[Array[Double]]],
+      centroidOf: Map[Long, Array[Double]])(
+      cell: Long,
+      events: Iterator[(Long, VecEvent)],
+      state: GroupState[CellState]): Iterator[PqIngestUpdate] = {
+    var st = state.getOption.getOrElse(CellState(0L, Map.empty))
+    val out = Seq.newBuilder[PqIngestUpdate]
+    val cv = centroidOf(cell)
+    events.map(_._2).toSeq.sortBy(e => (e.seq, e.src)).foreach { e =>
+      val last = st.lastSeq.getOrElse(e.src, Long.MinValue)
+      if (e.seq > last) {
+        st = CellState(st.count + 1, st.lastSeq + (e.src -> e.seq))
+        out += PqIngestUpdate(e.vec_id, cell, st.count,
+          pqEncode(e.embedding, cv, codebook))
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** FULL IVF-PQ incremental ingest: arriving vectors get their trained
+    * cell AND their M PQ codes in-stream — the complete per-vector index
+    * record of the batch `ann_pq_topk` serving path, so a corpus can
+    * grow between index retrains without batch re-encoding. Same
+    * per-cell state machine (occupancy + at-least-once dedup); the
+    * codebook rides along like the centroids (PqM·K rows — broadcast
+    * scale). Parity vs the batch `pqCodes` table is pinned by
+    * `AnnStreamSpec`.
+    */
+  def pqIngest(
+      events: Dataset[VecEvent],
+      centroids: Array[(Long, Array[Double])],
+      codebook: Array[Array[Array[Double]]]): Dataset[PqIngestUpdate] = {
+    import events.sparkSession.implicits._
+    val centroidOf = centroids.toMap
+    events.map(e => (assignCell(e.embedding, centroids), e))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CellState, PqIngestUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        applyCellPq(codebook, centroidOf))
+  }
 }

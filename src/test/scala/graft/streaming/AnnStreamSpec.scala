@@ -71,6 +71,46 @@ class AnnStreamSpec extends SparkSpec {
     checkParity(dir, "ann_ingest_gate")
   }
 
+  test("full IVF-PQ ingest: stream cells AND codes equal the batch index") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    implicit val sqlCtx = spark.sqlContext
+    val batchCells = Similarity.assignments(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val batchCodes = Similarity.pqCodesView(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).intValue()) ->
+        r.getAs[Number](2).intValue()).toMap
+    val centroids = Similarity.trainedCentroidArrays(spark, dir)
+    val codebook = Similarity.pqCodebookArrays(spark, dir)
+
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val events = vecs.zipWithIndex.map { case ((id, emb), i) =>
+      AnnStream.VecEvent(src = i % 2, seq = i.toLong, vec_id = id, embedding = emb)
+    }
+    val in = MemoryStream[AnnStream.VecEvent]
+    val q = AnnStream.pqIngest(in.toDS(), centroids, codebook)
+      .writeStream.format("memory").queryName("ann_pq_ingest")
+      .outputMode(OutputMode.Update()).start()
+    events.grouped(200).foreach { round =>
+      in.addData(round.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+
+    val upd = spark.table("ann_pq_ingest")
+      .select($"vec_id", $"cell", $"codes")
+      .as[(Long, Long, Array[Int])].collect()
+    assert(upd.length === vecs.length)
+    upd.foreach { case (id, cell, codes) =>
+      assert(cell === batchCells(id))
+      codes.zipWithIndex.foreach { case (code, m) =>
+        assert(code === batchCodes((id, m)),
+          s"vec $id subspace $m: stream code $code != batch ${batchCodes((id, m))}")
+      }
+    }
+  }
+
   test("streaming ingest equals batch assignment past the floor (b = 1)") {
     // the IvfScaleSpec synthetic corpus: 3000 vectors, 10 labels, b = 1
     // — seed cells diverge from labels, so the parity exercises the
