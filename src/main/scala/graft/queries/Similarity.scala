@@ -146,6 +146,10 @@ object Similarity {
     // assignment is hash-checked (see [[seedCellsScaledGate]]).
     "ann_seed_cells_scaled" -> { (s, dir) => seedCellsScaledGate(s, dir) },
 
+    // ...and the retrain half: the one-Lloyd-step trained-centroid means
+    // per scaled seed cell, hash-checked per (cell, dim < 4).
+    "ann_centroids_scaled" -> { (s, dir) => centroidsScaledGate(s, dir) },
+
     "ann_quantize" -> { (s, dir) => quantize(s, dir) },
 
     // The two-level assignment meter as a first-class, oracle-checked
@@ -539,7 +543,13 @@ object Similarity {
     * broadcast join to assign — the identical dataflow the production
     * quantizer uses at any n.
     */
-  def seedCellsScaledGate(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic scaled replica shared by the b > 0 gate queries:
+    * (svec_id, label, shift, embedding) with R = ceil(16001/n) replicas
+    * per vector, plus (b, r, sn). Replica `rep` shifts every coordinate
+    * by rep·0.25 at read time (exact in binary — both engines see
+    * bit-identical doubles).
+    */
+  private def scaledReplica(s: SparkSession, dir: String): (DataFrame, Int, Int) = {
     import s.implicits._
     val n = corpusSize(s, dir)
     val r = math.ceil(16001.0 / n).toInt
@@ -550,6 +560,16 @@ object Similarity {
       .withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
       .select(($"vec_id" * r + $"rep").as("svec_id"), $"label",
         $"rep".cast("double").as("shift"), $"embedding")
+    (scaled, b, nlistFor(sn))
+  }
+
+  /** The scaled replica's residual-sign cells: the REAL b > 0 seeding
+    * arithmetic (per-label DECIMAL means over the first b dims, sign
+    * bits, cell = label·2^b + bits), one row per (svec_id, cell).
+    */
+  private def scaledSeedCells(s: SparkSession, dir: String): (DataFrame, Int, Int) = {
+    import s.implicits._
+    val (scaled, b, nlist) = scaledReplica(s, dir)
     // only the first b dims participate in splitting — explode just those
     val ex = scaled
       .select($"svec_id", $"label", $"shift",
@@ -558,13 +578,44 @@ object Similarity {
         ($"xf".cast("double") + $"shift" * lit(0.25)).as("x"))
     val cv = ex.groupBy($"label", $"pos")
       .agg((sum($"x".cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
-    ex.join(broadcast(cv), Seq("label", "pos"))
+    val cells = ex.join(broadcast(cv), Seq("label", "pos"))
       .groupBy($"svec_id", $"label")
       .agg(sum(when($"x" >= $"m", expr("shiftleft(1, pos)")).otherwise(lit(0))).as("bits"))
       .select($"svec_id",
-        ($"label".cast("long") * (1L << b) + $"bits").as("cell"),
-        lit(b).as("split_bits"), lit(nlistFor(sn)).as("nlist_target"))
+        ($"label".cast("long") * (1L << b) + $"bits").as("cell"))
+    (cells, b, nlist)
+  }
+
+  def seedCellsScaledGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cells, b, nlist) = scaledSeedCells(s, dir)
+    cells.select($"svec_id", $"cell",
+      lit(b).as("split_bits"), lit(nlist).as("nlist_target"))
       .orderBy($"svec_id")
+  }
+
+  /** Second b > 0 gate: the TRAINED centroids (the one-Lloyd-step mean
+    * per seed cell — the arithmetic [[trainedCentroids]] runs past the
+    * floor) over the scaled replica, hash-checked per (cell, dim < 4)
+    * against DuckDB replaying the identical derivation. With
+    * [[seedCellsScaledGate]] this puts BOTH halves of the b > 0
+    * quantizer — seeding and retraining — under the oracle.
+    */
+  def centroidsScaledGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cells, b, _) = scaledSeedCells(s, dir)
+    val (scaled, _, _) = scaledReplica(s, dir)
+    val ex4 = scaled
+      .select($"svec_id",
+        posexplode(slice($"embedding", 1, 4)).as(Seq("pos", "xf")),
+        $"shift")
+      .select($"svec_id", $"pos",
+        ($"xf".cast("double") + $"shift" * lit(0.25)).as("x"))
+    ex4.join(cells, "svec_id")
+      .groupBy($"cell", $"pos")
+      .agg((sum($"x".cast("decimal(27,10)")).cast("double") / count(lit(1))).as("mean"))
+      .select($"cell", $"pos", $"mean", lit(b).as("split_bits"))
+      .orderBy($"cell", $"pos")
   }
 
   /** Trained coarse-quantizer centroids: the DECIMAL-exact mean of each
@@ -1466,6 +1517,48 @@ object Similarity {
        |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
        |  FROM rpairs)""".stripMargin
 
+  /** Shared oracle CTEs for the scaled-replica (b > 0) gate queries:
+    * geometry (R, scaled n, nlist, split_bits), the replica coordinate
+    * grid over the split dims, per-label DECIMAL means, sign bits, and
+    * the final (svec_id, cell) table.
+    */
+  private val ScaledCellsCte =
+    """WITH geo0 AS (
+      |  SELECT CAST(ceil(16001.0 / n) AS INTEGER) AS r, n
+      |  FROM (SELECT count(*) AS n FROM embeddings)),
+      |geo1 AS (
+      |  SELECT r, n * r AS sn,
+      |    greatest(10, CAST(ceil(sqrt(n * r / 20.0)) AS INTEGER)) AS nlist
+      |  FROM geo0),
+      |geo AS (
+      |  SELECT r, sn, nlist,
+      |    CASE WHEN nlist <= 10 THEN 0
+      |         ELSE CAST(ceil(log2(nlist / 10.0)) AS INTEGER) END AS sb
+      |  FROM geo1),
+      |reps AS (
+      |  SELECT unnest(generate_series(0, (SELECT r FROM geo) - 1)) AS rep),
+      |ex AS (
+      |  SELECT e.vec_id * (SELECT r FROM geo) + rp.rep AS svec_id,
+      |    e.label, d.i - 1 AS pos,
+      |    e.embedding[d.i]::DOUBLE + rp.rep * 0.25 AS x
+      |  FROM embeddings e, reps rp,
+      |    (SELECT unnest(generate_series(1, (SELECT sb FROM geo))) AS i) d),
+      |cv AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY label, pos),
+      |bits AS (
+      |  SELECT ex.svec_id, ex.label,
+      |    SUM(CASE WHEN ex.x >= cv.m
+      |        THEN CAST(1 AS BIGINT) << ex.pos ELSE CAST(0 AS BIGINT) END) AS b
+      |  FROM ex JOIN cv ON ex.label = cv.label AND ex.pos = cv.pos
+      |  GROUP BY ex.svec_id, ex.label),
+      |cells AS (
+      |  SELECT svec_id,
+      |    CAST(CAST(label AS BIGINT) * (CAST(1 AS BIGINT) << (SELECT sb FROM geo)) + b
+      |      AS BIGINT) AS cell
+      |  FROM bits)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ann_pq_topk" ->
       s"""$VecCte,
@@ -1847,42 +1940,29 @@ object Similarity {
     // bit packing. geometry is a one-row CTE carrying R, scaled n,
     // nlist, and split_bits (= 2 at every gate SF by construction).
     "ann_seed_cells_scaled" ->
-      """WITH geo0 AS (
-        |  SELECT CAST(ceil(16001.0 / n) AS INTEGER) AS r, n
-        |  FROM (SELECT count(*) AS n FROM embeddings)),
-        |geo1 AS (
-        |  SELECT r, n * r AS sn,
-        |    greatest(10, CAST(ceil(sqrt(n * r / 20.0)) AS INTEGER)) AS nlist
-        |  FROM geo0),
-        |geo AS (
-        |  SELECT r, sn, nlist,
-        |    CASE WHEN nlist <= 10 THEN 0
-        |         ELSE CAST(ceil(log2(nlist / 10.0)) AS INTEGER) END AS sb
-        |  FROM geo1),
-        |reps AS (
-        |  SELECT unnest(generate_series(0, (SELECT r FROM geo) - 1)) AS rep),
-        |ex AS (
-        |  SELECT e.vec_id * (SELECT r FROM geo) + rp.rep AS svec_id,
-        |    e.label, d.i - 1 AS pos,
-        |    e.embedding[d.i]::DOUBLE + rp.rep * 0.25 AS x
-        |  FROM embeddings e, reps rp,
-        |    (SELECT unnest(generate_series(1, (SELECT sb FROM geo))) AS i) d),
-        |cv AS (
-        |  SELECT label, pos,
-        |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
-        |  FROM ex GROUP BY label, pos),
-        |bits AS (
-        |  SELECT ex.svec_id, ex.label,
-        |    SUM(CASE WHEN ex.x >= cv.m
-        |        THEN CAST(1 AS BIGINT) << ex.pos ELSE CAST(0 AS BIGINT) END) AS b
-        |  FROM ex JOIN cv ON ex.label = cv.label AND ex.pos = cv.pos
-        |  GROUP BY ex.svec_id, ex.label)
-        |SELECT svec_id,
-        |  CAST(CAST(label AS BIGINT) * (CAST(1 AS BIGINT) << (SELECT sb FROM geo)) + b
-        |    AS BIGINT) AS cell,
+      s"""$ScaledCellsCte
+        |SELECT svec_id, cell,
         |  (SELECT sb FROM geo) AS split_bits,
         |  (SELECT nlist FROM geo) AS nlist_target
-        |FROM bits ORDER BY svec_id""".stripMargin,
+        |FROM cells ORDER BY svec_id""".stripMargin,
+
+    // The retrain half of the b > 0 quantizer: per-(scaled seed cell,
+    // dim < 4) one-Lloyd-step DECIMAL means — the trainedCentroids
+    // arithmetic past the floor, replayed from the same replica CTEs.
+    "ann_centroids_scaled" ->
+      s"""$ScaledCellsCte,
+        |ex4 AS (
+        |  SELECT e.vec_id * (SELECT r FROM geo) + rp.rep AS svec_id,
+        |    d.i - 1 AS pos,
+        |    e.embedding[d.i]::DOUBLE + rp.rep * 0.25 AS x
+        |  FROM embeddings e, reps rp,
+        |    (SELECT unnest(generate_series(1, 4)) AS i) d)
+        |SELECT c.cell, x.pos,
+        |  CAST(SUM(CAST(x.x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mean,
+        |  (SELECT sb FROM geo) AS split_bits
+        |FROM ex4 x JOIN cells c ON c.svec_id = x.svec_id
+        |GROUP BY c.cell, x.pos
+        |ORDER BY c.cell, x.pos""".stripMargin,
 
     "ann_centroids" ->
       """WITH e AS (
