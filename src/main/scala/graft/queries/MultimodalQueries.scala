@@ -5,18 +5,21 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing as oracle-checked queries. The IMAGE path is
-  * real: payloads are genuine PNG bytes and every image statistic below
-  * comes out of `ImageIO.read` + raster passes (decode, box-filter
-  * resize). The image CONTENT is a deterministic digest-derived pattern,
-  * so the DuckDB oracle regenerates the same pixel grid in SQL and
-  * hash-compares the decoded numbers — the oracle never needs a PNG
-  * decoder. Audio/video rows remain the documented digest stub.
+/** Multimodal plumbing as oracle-checked queries. All three modality
+  * paths are real: image payloads are genuine PNG bytes (ImageIO decode
+  * + box-filter resize), audio payloads are genuine 16-bit PCM WAVs
+  * (`AudioSystem` decode — rate/frames/amplitudes from the codec), and
+  * video payloads are GVID containers of real PNG frames (demux +
+  * per-frame ImageIO decode). The media CONTENT is deterministic and
+  * digest-derived, so the DuckDB oracle regenerates the same pixels and
+  * samples in SQL and hash-compares the decoded numbers — the oracle
+  * never needs a codec (PNG and PCM are lossless).
   */
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // decode via typed mapPartitions (real ImageIO for images).
+    // decode via typed mapPartitions (real ImageIO / AudioSystem / GVID
+    // demux per modality).
     "mm_features" -> { (s, dir) =>
       import s.implicits._
       Multimodal.decodeAll(Multimodal.mediaTable(s, dir))
@@ -34,25 +37,25 @@ object MultimodalQueries {
         .orderBy($"media_id")
     },
 
-    // 1→N frame sampling over decoded video metadata (every 7th frame).
+    // REAL 1→N frame sampling: demux every video's container, ImageIO-
+    // decode every 7th frame, checksum its decoded pixels.
     "mm_frame_sample" -> { (s, dir) =>
       import s.implicits._
-      Multimodal.sampleFrames(
-        Multimodal.decodeAll(Multimodal.mediaTable(s, dir)), 7L)
+      Multimodal.sampleFramesDecoded(Multimodal.mediaTable(s, dir), 7)
+        .toDF()
         .orderBy($"media_id", $"frame_idx")
     }
   )
 
   /** Media-table base: modality round-robin, payload digest (= md5 of
-    * the UTF-8 text for every modality — images derive their GEOMETRY
-    * from the same digest the encoder used).
+    * the UTF-8 text for every modality — each encoder derives its
+    * GEOMETRY and content seed from this digest).
     */
   private val MediaCte =
     """WITH m AS (
       |  SELECT doc_id AS media_id,
       |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
-      |    md5(text) AS h,
-      |    octet_length(encode(text)) AS byte_len
+      |    md5(text) AS h
       |  FROM documents)""".stripMargin
 
   /** Image geometry (the Multimodal.imageGeometry contract) and the
@@ -79,29 +82,70 @@ object MultimodalQueries {
       |    (x * 31 + y * 17 + seed) % 256 AS v
       |  FROM pxy)""".stripMargin
 
-  /** Stub features for the codec-less modalities (audio/video). */
-  private val StubCte =
-    """fs AS (
-      |  SELECT media_id, modality, byte_len::BIGINT AS byte_len,
-      |    16 + ('0x' || substr(h, 1, 4))::BIGINT % 1920 AS width,
-      |    16 + ('0x' || substr(h, 5, 4))::BIGINT % 1080 AS height,
-      |    CASE modality
-      |      WHEN 'audio' THEN 1 + ('0x' || substr(h, 9, 4))::BIGINT % 1000
-      |      ELSE 1 + ('0x' || substr(h, 9, 4))::BIGINT % 240 END AS n_frames,
-      |    CAST(('0x' || substr(h, 17, 2))::BIGINT AS DOUBLE)
-      |      / CAST(255 AS DOUBLE) AS feat0,
-      |    CAST(('0x' || substr(h, 31, 2))::BIGINT AS DOUBLE)
-      |      / CAST(255 AS DOUBLE) AS feat7
-      |  FROM m WHERE modality <> 'image')""".stripMargin
+  /** Audio geometry (the Multimodal.audioGeometry contract) and the
+    * regenerated 16-bit waveform `av` — (i·73 + seed) mod 65536 − 32768,
+    * exactly what the WAV encoder wrote and AudioSystem reads back (PCM
+    * lossless).
+    */
+  private val AudioCte =
+    """au AS (
+      |  SELECT media_id,
+      |    64 + ('0x' || substr(h, 1, 4))::BIGINT % 961 AS n,
+      |    [8000, 16000, 22050, 44100][
+      |      (('0x' || substr(h, 5, 2))::BIGINT % 4 + 1)::INT] AS rate,
+      |    ('0x' || substr(h, 9, 4))::BIGINT AS seed
+      |  FROM m WHERE modality = 'audio'),
+      |asq AS (
+      |  SELECT media_id, n, rate, seed,
+      |    unnest(generate_series(0, n - 1)) AS i
+      |  FROM au),
+      |av AS (
+      |  SELECT media_id, n, rate, i,
+      |    (i * 73 + seed) % 65536 - 32768 AS v
+      |  FROM asq)""".stripMargin
+
+  /** Video geometry (the Multimodal.videoGeometry contract) and the
+    * regenerated per-frame pixel grid `vv` — frame f shifts the base
+    * seed by 11·f mod 256; every frame is a real PNG in the container.
+    */
+  private val VideoCte =
+    """vi AS (
+      |  SELECT media_id,
+      |    1 + ('0x' || substr(h, 1, 2))::BIGINT % 24 AS nf,
+      |    8 + ('0x' || substr(h, 3, 1))::BIGINT % 8 AS w,
+      |    6 + ('0x' || substr(h, 4, 1))::BIGINT % 6 AS ht,
+      |    ('0x' || substr(h, 9, 2))::BIGINT % 256 AS seed
+      |  FROM m WHERE modality = 'video'),
+      |vfr AS (
+      |  SELECT media_id, nf, w, ht, seed,
+      |    unnest(generate_series(0, nf - 1)) AS f
+      |  FROM vi),
+      |vx AS (
+      |  SELECT media_id, nf, w, ht, seed, f,
+      |    unnest(generate_series(0, w - 1)) AS x
+      |  FROM vfr),
+      |vxy AS (
+      |  SELECT media_id, nf, w, ht, seed, f, x,
+      |    unnest(generate_series(0, ht - 1)) AS y
+      |  FROM vx),
+      |vv AS (
+      |  SELECT media_id, nf, w, ht, seed, f,
+      |    (x * 31 + y * 17 + (seed + 11 * f) % 256) % 256 AS v
+      |  FROM vxy)""".stripMargin
 
   def oracle: Map[String, String] = Map(
-    // image rows: real decoded statistics (byte_len = decoded gray
-    // bytes; feat0 = mean luminance; feat7 = bottom-right pixel) —
-    // regenerated from the deterministic pattern. Stub rows unchanged.
+    // every row: real decoded statistics regenerated from the
+    // deterministic content. Images: byte_len = decoded gray bytes,
+    // feat0 = mean luminance, feat7 = bottom-right pixel. Audio:
+    // width/height = rate/channels, n_frames = samples, feat0 = mean
+    // |amplitude|, feat7 = last sample (normalized). Video: dims from
+    // the decoded frames, feat0 = mean luminance over ALL frames,
+    // feat7 = last frame's bottom-right pixel.
     "mm_features" ->
       s"""$MediaCte,
          |$PixelCte,
-         |$StubCte,
+         |$AudioCte,
+         |$VideoCte,
          |fi AS (
          |  SELECT media_id, 'image' AS modality,
          |    (width * height)::BIGINT AS byte_len,
@@ -110,9 +154,25 @@ object MultimodalQueries {
          |    CAST(SUM(v) AS DOUBLE) / (width * height) / CAST(255 AS DOUBLE) AS feat0,
          |    CAST(((width - 1) * 31 + (height - 1) * 17 + seed) % 256
          |      AS DOUBLE) / CAST(255 AS DOUBLE) AS feat7
-         |  FROM pv GROUP BY media_id, width, height, seed)
+         |  FROM pv GROUP BY media_id, width, height, seed),
+         |fa AS (
+         |  SELECT media_id, 'audio' AS modality, (2 * n)::BIGINT AS byte_len,
+         |    rate::BIGINT AS width, 1::BIGINT AS height, n::BIGINT AS n_frames,
+         |    CAST(SUM(ABS(v)) AS DOUBLE) / n / CAST(32768 AS DOUBLE) AS feat0,
+         |    CAST(MAX(CASE WHEN i = n - 1 THEN v END) + 32768 AS DOUBLE)
+         |      / CAST(65536 AS DOUBLE) AS feat7
+         |  FROM av GROUP BY media_id, n, rate),
+         |fv AS (
+         |  SELECT media_id, 'video' AS modality,
+         |    (nf * w * ht)::BIGINT AS byte_len,
+         |    w::BIGINT AS width, ht::BIGINT AS height, nf::BIGINT AS n_frames,
+         |    CAST(SUM(v) AS DOUBLE) / (nf * w * ht) / CAST(255 AS DOUBLE) AS feat0,
+         |    CAST(((w - 1) * 31 + (ht - 1) * 17 + (seed + 11 * (nf - 1)) % 256) % 256
+         |      AS DOUBLE) / CAST(255 AS DOUBLE) AS feat7
+         |  FROM vv GROUP BY media_id, nf, w, ht, seed)
          |SELECT * FROM fi
-         |UNION ALL SELECT * FROM fs
+         |UNION ALL SELECT * FROM fa
+         |UNION ALL SELECT * FROM fv
          |ORDER BY media_id""".stripMargin,
 
     // replay the integer-area box filter: input pixel (x, y) belongs to
@@ -145,12 +205,16 @@ object MultimodalQueries {
          |FROM ob GROUP BY media_id, width, height, ow, oh
          |ORDER BY media_id""".stripMargin,
 
-    // video stub rows only — unchanged by the real image path.
+    // every 7th frame's decoded dimensions + pixel checksum, regenerated
+    // from the per-frame pattern the real decode read back via ImageIO.
     "mm_frame_sample" ->
       s"""$MediaCte,
-         |$StubCte
-         |SELECT media_id, unnest(range(0, n_frames, 7)) AS frame_idx
-         |FROM fs WHERE modality = 'video'
+         |$VideoCte
+         |SELECT media_id, f::BIGINT AS frame_idx,
+         |  w::BIGINT AS width, ht::BIGINT AS height,
+         |  CAST(SUM(v) AS BIGINT) AS px_sum
+         |FROM vv WHERE f % 7 = 0
+         |GROUP BY media_id, f, w, ht
          |ORDER BY media_id, frame_idx""".stripMargin
   )
 }
