@@ -404,6 +404,93 @@ object Multimodal {
     }
   }
 
+  /** Integer-exact analysis of one really-decoded waveform: every field
+    * folds over the PCM samples, so the oracle replays it exactly.
+    * energy = Σ v² stays ≤ 1024·2³⁰ ≈ 2⁴⁰ — well under the 2⁵³ portable
+    * integer ceiling.
+    */
+  final case class AudioStats(
+      media_id: Long, n_samples: Long, zero_crossings: Long,
+      peak: Long, energy: Long)
+
+  /** REAL audio analysis: decode via AudioSystem, then one integer pass —
+    * sign-flip count (a zero sample is non-negative), peak |amplitude|,
+    * and total energy. The silence/clipping gates a speech pipeline
+    * filters on are thresholds over exactly these three statistics.
+    */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "audio").mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = pcm.length / 2
+        var crossings = 0L
+        var peak = 0L
+        var energy = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val v = bb.getShort(2 * i).toInt
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          val a = math.abs(v.toLong)
+          if (a > peak) peak = a
+          energy += v.toLong * v
+          i += 1
+        }
+        AudioStats(r.media_id, n.toLong, crossings, peak, energy)
+      }
+    }
+  }
+
+  /** One decoded frame's content fingerprint: md5 of the canonical
+    * row-major comma-joined pixel string — a PORTABLE digest both
+    * engines can compute over the same text.
+    */
+  final case class FrameFingerprint(
+      media_id: Long, frame_idx: Long, width: Long, height: Long,
+      fingerprint: String)
+
+  /** Fingerprint every really-decoded frame of every video: demux, decode
+    * each PNG, canonicalize the raster as row-major "v,v,…", md5 it.
+    * Downstream exact frame-dedup is then a plain hash shuffle on the
+    * fingerprint — the multimodal twin of document exact-dedup, and at
+    * 100 TB the same one-shuffle shape.
+    */
+  def frameFingerprints(media: Dataset[MediaRecord]): Dataset[FrameFingerprint] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        demuxGvid(r.payload).zipWithIndex.map { case (png, f) =>
+          val img = ImageIO.read(new ByteArrayInputStream(png))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val sb = new StringBuilder
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if (sb.nonEmpty) sb.append(',')
+              sb.append(raster.getSample(x, y, 0))
+              x += 1
+            }
+            y += 1
+          }
+          FrameFingerprint(r.media_id, f.toLong, w.toLong, h.toLong,
+            md5hex(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+    }
+  }
+
   /** Frame-sampling PLANNING stage (video → every k-th frame index), a
     * 1→N typed generator over decoded metadata — the cheap form when
     * only indices are needed downstream.

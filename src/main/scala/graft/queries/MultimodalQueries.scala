@@ -44,6 +44,31 @@ object MultimodalQueries {
       Multimodal.sampleFramesDecoded(Multimodal.mediaTable(s, dir), 7)
         .toDF()
         .orderBy($"media_id", $"frame_idx")
+    },
+
+    // integer-exact analysis of the really-decoded waveforms — the
+    // silence/clipping statistics a speech pipeline gates on.
+    "mm_audio_stats" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.audioStats(Multimodal.mediaTable(s, dir))
+        .toDF()
+        .orderBy($"media_id")
+    },
+
+    // cross-video duplicate-frame detection: fingerprint every decoded
+    // frame (md5 of the canonical row-major pixel string — portable),
+    // then one hash shuffle groups identical content. The multimodal
+    // twin of document exact-dedup.
+    "mm_frame_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.frameFingerprints(Multimodal.mediaTable(s, dir))
+        .toDF()
+        .groupBy($"fingerprint", $"width", $"height")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct($"media_id").as("n_videos"),
+          min($"media_id").as("first_media_id"))
+        .filter($"n_frames" > 1)
+        .orderBy($"fingerprint")
     }
   )
 
@@ -215,6 +240,43 @@ object MultimodalQueries {
          |  CAST(SUM(v) AS BIGINT) AS px_sum
          |FROM vv WHERE f % 7 = 0
          |GROUP BY media_id, f, w, ht
-         |ORDER BY media_id, frame_idx""".stripMargin
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replay the one-pass integer waveform fold: sign-flip count (zero
+    // is non-negative, i=0 never crosses), peak |amplitude|, Σ v².
+    "mm_audio_stats" ->
+      s"""$MediaCte,
+         |$AudioCte,
+         |ast AS (
+         |  SELECT media_id, n, i,
+         |    (i * 73 + seed) % 65536 - 32768 AS v,
+         |    ((i - 1) * 73 + seed) % 65536 - 32768 AS vp
+         |  FROM asq)
+         |SELECT media_id, n::BIGINT AS n_samples,
+         |  CAST(SUM(CASE WHEN i > 0 AND ((v < 0) <> (vp < 0))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+         |  CAST(SUM(v * v) AS BIGINT) AS energy
+         |FROM ast GROUP BY media_id, n
+         |ORDER BY media_id""".stripMargin,
+
+    // duplicate frame classes: md5 of the canonical row-major pixel
+    // string per regenerated frame, grouped on content.
+    "mm_frame_dedup" ->
+      s"""$MediaCte,
+         |$VideoCte,
+         |fp AS (
+         |  SELECT media_id, f, w, ht,
+         |    md5(string_agg(
+         |      ((x * 31 + y * 17 + (seed + 11 * f) % 256) % 256)::VARCHAR,
+         |      ',' ORDER BY y * w + x)) AS fingerprint
+         |  FROM vxy GROUP BY media_id, f, w, ht)
+         |SELECT fingerprint, w::BIGINT AS width, ht::BIGINT AS height,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_videos,
+         |  CAST(MIN(media_id) AS BIGINT) AS first_media_id
+         |FROM fp GROUP BY fingerprint, w, ht
+         |HAVING COUNT(*) > 1
+         |ORDER BY fingerprint""".stripMargin
   )
 }
