@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *                                               # + PQ cold/warm timing
   * sbt "runMain graft.ScaleProbe 100 docs"     # documents-only build:
   *                                               # linear text path at 500k
+  *   sbt "runMain graft.ScaleProbe 10 media"     # documents-only build:
+  *                                               # media encode+decode
+  *                                               # throughput (50k payloads)
   *   sbt "runMain graft.ScaleProbe sweep"        # PQ serving-knob sweep
   *                                               # (recall/cost frontier
   *                                               # on the sf0.1 gate)
@@ -33,11 +36,13 @@ object ScaleProbe {
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val vectorsOnly = args.contains("vectors")
     val docsOnly = args.contains("docs")
+    val mediaOnly = args.contains("media")
     val out = s"/tmp/graft_scale$m" +
-      (if (vectorsOnly) "v" else if (docsOnly) "d" else "")
+      (if (vectorsOnly) "v" else if (docsOnly) "d" else if (mediaOnly) "m" else "")
 
     if (vectorsOnly) { vectorLadder(spark, m, out); spark.stop(); return }
     if (docsOnly) { docLadder(spark, m, out); spark.stop(); return }
+    if (mediaOnly) { mediaLadder(spark, m, out); spark.stop(); return }
 
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
@@ -251,6 +256,59 @@ object ScaleProbe {
     println(s"""{"meter": "simhash_hot_bucket_drops", "mult": $m, "docs_affected": ${drops.getLong(0)}, """ +
       s""""docs_invisible": ${drops.getLong(1)}, "band_rows_dropped": ${drops.getLong(2)}, """ +
       s""""docs_total": ${drops.getLong(3)}}""")
+  }
+
+  /** Documents-only replica build timing the MEDIA family: every payload
+    * is really encoded (PNG / PCM WAV / GVID) and really decoded
+    * (ImageIO / AudioSystem / demux+ImageIO), so the probe measures
+    * genuine codec throughput per partition stage, plus the decoded
+    * volume meters (pixels, samples, frames) that turn seconds into
+    * rates. Encode and decode pipeline in the same stage — no shuffle
+    * until the frame-dedup group-by, which is the one-hash-shuffle
+    * shape exact dedup has.
+    */
+  private def mediaLadder(spark: SparkSession, m: Int, out: String): Unit = {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    (0 until m).map { k =>
+      base.select(
+        ($"doc_id" + lit(k * n)).as("doc_id"),
+        (if (k == 0) $"text"
+         else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"""{"built": "$out", "docs": ${n * m}}""")
+    // the corpus at `out` was just (re)written — drop any staged media
+    // table a previous run of this session holds for the same path
+    graft.multimodal.Multimodal.clearCaches()
+
+    // first query pays the one-time fixture encode (the staged media
+    // table — production's stored corpus); the rest measure decode
+    Seq("mm_features", "mm_resize", "mm_frame_sample", "mm_audio_stats",
+      "mm_frame_dedup")
+      .foreach { name =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, out).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query": "$name", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
+      }
+    // decoded-volume meters: what the seconds above actually processed
+    val vol = graft.multimodal.Multimodal
+      .decodeAll(graft.multimodal.Multimodal.mediaTable(spark, out))
+      .toDF()
+      .groupBy($"modality")
+      .agg(count(lit(1)).as("payloads"), sum($"byte_len").as("decoded_bytes"),
+        sum($"n_frames").as("units"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    vol.foreach { case (mod, (p, b, u)) =>
+      println(s"""{"meter": "media_volume", "mult": $m, "modality": "$mod", """ +
+        s""""payloads": $p, "decoded_bytes": $b, "units": $u}""")
+    }
   }
 
   /** PQ serving-knob sweep on the sf0.1 gate corpus: recall@5 and

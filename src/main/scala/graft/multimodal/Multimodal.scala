@@ -115,8 +115,26 @@ object Multimodal {
   /** Frame f's pixel seed — each frame shifts the base pattern. */
   private[multimodal] def frameSeed(seed: Int, f: Int): Int = (seed + 11 * f) % 256
 
+  /** A reusable PNG encoder handle — the write-side twin of
+    * [[PngDecoder]], one `ImageWriter` serving a whole partition's
+    * fixture synthesis.
+    */
+  private[multimodal] final class PngEncoder {
+    private val writer = ImageIO.getImageWritersByFormatName("png").next()
+    def write(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally ios.close()
+      out.toByteArray
+    }
+  }
+
   /** Encode the deterministic pattern as real PNG bytes. */
-  private[multimodal] def encodePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+  private[multimodal] def encodePng(w: Int, h: Int, seed: Int,
+      enc: PngEncoder = new PngEncoder): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -125,9 +143,7 @@ object Multimodal {
       while (x < w) { raster.setSample(x, y, 0, pixel(x, y, seed)); x += 1 }
       y += 1
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    enc.write(img)
   }
 
   /** Encode the deterministic waveform as a real 16-bit mono PCM WAV:
@@ -153,14 +169,15 @@ object Multimodal {
     * magic + big-endian frame count, then per frame a big-endian byte
     * length + REAL PNG bytes of that frame's pattern.
     */
-  private[multimodal] def encodeGvid(nf: Int, w: Int, h: Int, seed: Int): Array[Byte] = {
+  private[multimodal] def encodeGvid(nf: Int, w: Int, h: Int, seed: Int,
+      enc: PngEncoder = new PngEncoder): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(out)
     dos.write("GVID".getBytes("US-ASCII"))
     dos.writeInt(nf)
     var f = 0
     while (f < nf) {
-      val png = encodePng(w, h, frameSeed(seed, f))
+      val png = encodePng(w, h, frameSeed(seed, f), enc)
       dos.writeInt(png.length)
       dos.write(png)
       f += 1
@@ -186,24 +203,44 @@ object Multimodal {
     }
   }
 
+  /** A reusable PNG decoder handle: one `ImageReader` instance serving
+    * many payloads. The `ImageIO.read` convenience method re-runs plugin
+    * lookup and stream setup per call — measurable overhead when a
+    * partition decodes 10⁴-10⁵ small frames — so the partition stages
+    * instantiate ONE of these per partition and stream records through
+    * it: the per-partition codec-init discipline made concrete.
+    */
+  private[multimodal] final class PngDecoder {
+    private val reader = ImageIO.getImageReadersByFormatName("png").next()
+    def read(png: Array[Byte]): BufferedImage = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(png))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally iis.close()
+    }
+  }
+
   /** The codec. All three modalities decode for real: ImageIO over the
     * PNG payload, `AudioSystem` over the WAV payload, GVID demux +
-    * per-frame ImageIO for video. In production the per-partition
-    * decoder handle would be opened once in `mapPartitions` and shared
-    * across the partition's records — the reason decode is a partition
-    * stage, not a per-row UDF.
+    * per-frame ImageIO for video. The partition stages below open one
+    * [[PngDecoder]] per partition and pass it in — the reason decode is
+    * a partition stage, not a per-row UDF.
     */
   object Codec {
 
-    def decode(r: MediaRecord): MediaFeatures = r.modality match {
-      case "image" => decodeImage(r)
-      case "audio" => decodeAudio(r)
-      case _       => decodeVideo(r)
-    }
+    def decode(r: MediaRecord): MediaFeatures = decode(r, new PngDecoder)
+
+    private[multimodal] def decode(r: MediaRecord, dec: PngDecoder): MediaFeatures =
+      r.modality match {
+        case "image" => decodeImage(r, dec)
+        case "audio" => decodeAudio(r)
+        case _       => decodeVideo(r, dec)
+      }
 
     /** REAL decode: dimensions and features from the decoded raster. */
-    private def decodeImage(r: MediaRecord): MediaFeatures = {
-      val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+    private def decodeImage(r: MediaRecord, dec: PngDecoder): MediaFeatures = {
+      val img = dec.read(r.payload)
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
       var sum = 0L
@@ -259,14 +296,14 @@ object Multimodal {
       * decoded gray bytes, feat0 = mean luminance across all frames,
       * feat7 = the last frame's bottom-right pixel.
       */
-    private def decodeVideo(r: MediaRecord): MediaFeatures = {
+    private def decodeVideo(r: MediaRecord, dec: PngDecoder): MediaFeatures = {
       var nf = 0
       var w = 0
       var h = 0
       var sum = 0L
       var lastCorner = 0
       demuxGvid(r.payload).foreach { png =>
-        val img = ImageIO.read(new ByteArrayInputStream(png))
+        val img = dec.read(png)
         if (nf == 0) { w = img.getWidth; h = img.getHeight }
         val raster = img.getRaster
         var y = 0
@@ -288,6 +325,28 @@ object Multimodal {
     }
   }
 
+  /** Session-scoped memo of the synthesized media table, persisted per
+    * (session, corpus) like the dedup/ANN staged indexes. In production
+    * the payload bytes are STORED input — a pipeline never re-encodes
+    * its corpus per query — so the fixture encoder runs once and every
+    * media query measures decode, not fixture synthesis.
+    */
+  private val mediaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dataset[MediaRecord]]
+
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] =
+    mediaCache.getOrElseUpdate((s, dir),
+      buildMediaTable(s, dir).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the staged media tables (needed if a corpus dir is rewritten
+    * in-session — same contract as the Dedup/Similarity caches).
+    */
+  def clearCaches(): Unit = {
+    mediaCache.values.foreach(_.unpersist())
+    mediaCache.clear()
+  }
+
   /** Build the media table from `documents`: modality round-robin by
     * doc_id; every payload is a REAL decodable container — PNG bytes for
     * images, 16-bit PCM WAV for audio, the GVID PNG-frame container for
@@ -295,12 +354,13 @@ object Multimodal {
     * `mapPartitions` stage like the decode side — the encoder is
     * per-partition state, records streamed.
     */
-  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+  private def buildMediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     graft.core.Tables(s, dir).documents
       .select($"doc_id", $"text", $"source")
       .as[(Long, String, String)]
       .mapPartitions { it =>
+        val enc = new PngEncoder // one codec handle per task
         it.map { case (docId, text, source) =>
           val modality = Seq("image", "audio", "video")((docId % 3).toInt)
           val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -308,13 +368,13 @@ object Multimodal {
           val payload = modality match {
             case "image" =>
               val (w, h, seed) = imageGeometry(digest)
-              encodePng(w, h, seed)
+              encodePng(w, h, seed, enc)
             case "audio" =>
               val (n, rate, seed) = audioGeometry(digest)
               encodeWav(n, rate, seed)
             case _ =>
               val (nf, w, h, seed) = videoGeometry(digest)
-              encodeGvid(nf, w, h, seed)
+              encodeGvid(nf, w, h, seed, enc)
           }
           MediaRecord(docId, modality, payload, source)
         }
@@ -325,8 +385,8 @@ object Multimodal {
   def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real pipeline: val codec = NativeCodec.open(...) — once per task
-      it.map(Codec.decode)
+      val dec = new PngDecoder // one codec handle per task
+      it.map(Codec.decode(_, dec))
     }
   }
 
@@ -374,8 +434,9 @@ object Multimodal {
   def boxFilterResize(media: Dataset[MediaRecord], boxW: Int, boxH: Int): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
     media.filter(_.modality == "image").mapPartitions { it =>
+      val dec = new PngDecoder
       it.map { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val img = dec.read(r.payload)
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         val heightBinding = w.toLong * boxH <= h.toLong * boxW
@@ -468,9 +529,10 @@ object Multimodal {
   def frameFingerprints(media: Dataset[MediaRecord]): Dataset[FrameFingerprint] = {
     import media.sparkSession.implicits._
     media.filter(_.modality == "video").mapPartitions { it =>
+      val dec = new PngDecoder
       it.flatMap { r =>
         demuxGvid(r.payload).zipWithIndex.map { case (png, f) =>
-          val img = ImageIO.read(new ByteArrayInputStream(png))
+          val img = dec.read(png)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           val sb = new StringBuilder
@@ -520,10 +582,11 @@ object Multimodal {
   def sampleFramesDecoded(media: Dataset[MediaRecord], everyK: Int): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.modality == "video").mapPartitions { it =>
+      val dec = new PngDecoder
       it.flatMap { r =>
         demuxGvid(r.payload).zipWithIndex.collect {
           case (png, f) if f % everyK == 0 =>
-            val img = ImageIO.read(new ByteArrayInputStream(png))
+            val img = dec.read(png)
             val (w, h) = (img.getWidth, img.getHeight)
             val raster = img.getRaster
             var sum = 0L
