@@ -30,8 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    centroids, quantization.
   *  - [[graft.queries.KvQueries]] — the declared KV surface K1–K10:
   *    linearizable replay, reads, dedup, shard routing, rebalance.
-  *  - [[graft.queries.MultimodalQueries]] — binary-column decode,
-  *    resize, frame sampling (stub codec, real plumbing).
+  *  - [[graft.queries.MultimodalQueries]] — binary-column decode
+  *    (real PNG/WAV/GVID codecs, pure JDK), box-filter resize, frame
+  *    sampling, audio waveform stats, cross-video frame dedup.
   */
 object SparkEntry {
 

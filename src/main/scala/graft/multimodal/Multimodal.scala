@@ -51,9 +51,11 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Decoded per-record features. For images every field comes from the
-    * real decoded raster (`byte_len` = decoded gray bytes = w·h); for
-    * audio/video the stub derives them from the payload digest.
+  /** Decoded per-record features. Every field comes from the real
+    * decode: images from the `ImageIO` raster (`byte_len` = decoded
+    * gray bytes = w·h), audio from the `AudioSystem` PCM stream
+    * (`byte_len` = decoded PCM bytes), video from the GVID demux +
+    * per-frame `ImageIO` decode (`byte_len` = sum of frame rasters).
     */
   final case class MediaFeatures(
       media_id: Long,
