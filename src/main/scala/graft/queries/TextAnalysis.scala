@@ -560,8 +560,72 @@ object TextAnalysis {
           length(regexp_replace($"text", pat, "[X]")).cast("long")
             .as("redacted_len"))
         .orderBy($"doc_id")
+    },
+
+    // Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
+    // Language Models", appendix A — the MassiveText document filters;
+    // public). Each rule emits its measured statistic AND a 0/1 flag;
+    // `keep` = every rule passes. Shuffle-free narrow projection like
+    // the rest of the family; rule flags are `when(...).otherwise(0)`
+    // so a NULL statistic (token-free doc) fails the rule on both
+    // engines instead of propagating NULL.
+    "tx_gopher_rules" -> { (s, dir) =>
+      import s.implicits._
+      val toks = $"toks"
+      val lines = $"lines"
+      val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+      Tables(s, dir).documents
+        .select($"doc_id", $"text",
+          wsTokens($"text").as("toks"),
+          split($"text", "\n", -1).as("lines"))
+        .select(
+          $"doc_id",
+          size(toks).cast("long").as("n_words"),
+          aggregate(transform(toks, t => length(t)), lit(0L), (a, b) => a + b)
+            .as("tok_chars"),
+          (length($"text") - length(replace($"text", lit("#"), lit(""))))
+            .cast("long").as("n_hash"),
+          ((length($"text") - length(replace($"text", lit("..."), lit("")))) / lit(3))
+            .cast("long").as("n_dots"),
+          size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+          size(lines).cast("long").as("n_lines"),
+          size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long").as("n_bullet"),
+          size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long").as("n_ellline"),
+          size(array_distinct(filter(transform(toks, t => lower(t)),
+            t => t.isInCollection(GopherStop)))).cast("long").as("n_req_stop"))
+        .select(
+          $"doc_id", $"n_words",
+          round($"tok_chars".cast("double") / nullif($"n_words", lit(0L)), 4)
+            .as("mean_word_len"),
+          round(($"n_hash" + $"n_dots").cast("double") / nullif($"n_words", lit(0L)), 4)
+            .as("symbol_ratio"),
+          round($"n_alpha".cast("double") / nullif($"n_words", lit(0L)), 4)
+            .as("alpha_ratio"),
+          round($"n_bullet".cast("double") / $"n_lines", 4).as("bullet_ratio"),
+          round($"n_ellline".cast("double") / $"n_lines", 4).as("ellipsis_ratio"),
+          $"n_req_stop")
+        .select(
+          $"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+          $"alpha_ratio", $"bullet_ratio", $"ellipsis_ratio", $"n_req_stop",
+          flag($"n_words".between(50L, 100000L)).as("r_wc"),
+          flag($"mean_word_len".between(3.0, 10.0)).as("r_mwl"),
+          flag($"symbol_ratio" <= 0.1).as("r_sym"),
+          flag($"bullet_ratio" <= 0.9).as("r_bullet"),
+          flag($"ellipsis_ratio" <= 0.3).as("r_ell"),
+          flag($"alpha_ratio" >= 0.8).as("r_alpha"),
+          flag($"n_req_stop" >= 2L).as("r_stop"))
+        .withColumn("keep",
+          ($"r_wc" * $"r_mwl" * $"r_sym" * $"r_bullet" * $"r_ell"
+            * $"r_alpha" * $"r_stop").as("keep"))
+        .orderBy($"doc_id")
     }
   )
+
+  /** The Gopher required-stopword list (rule: a kept document contains
+    * ≥2 distinct items). Shared with the oracle SQL.
+    */
+  private val GopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Word n-grams (ordered, with repeats) over an already-MATERIALIZED
     * token array attribute. Shared with [[Dedup]]'s duplicated-passage
@@ -915,6 +979,59 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '\b(spark|customer|vector)\b')) AS BIGINT) AS n_hits,
         |  md5(regexp_replace(text, '\b(spark|customer|vector)\b', '[X]', 'g')) AS redacted_md5,
         |  CAST(length(regexp_replace(text, '\b(spark|customer|vector)\b', '[X]', 'g')) AS BIGINT) AS redacted_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replace() is non-overlapping left-to-right on both engines, so the
+    // '...'-count arithmetic (char-delta / 3) matches Spark exactly; the
+    // CASE WHEN ... ELSE 0 flags reproduce Spark's when/otherwise NULL
+    // semantics (a NULL statistic fails the rule, not propagates).
+    "tx_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tok_chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_dots,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS n_ellline,
+         |    CAST(len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+         |      x -> x IN $GopherStopSql))) AS BIGINT) AS n_req_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    round(CAST(tok_chars AS DOUBLE) / nullif(n_words, 0), 4) AS mean_word_len,
+         |    round(CAST(n_hash + n_dots AS DOUBLE) / nullif(n_words, 0), 4) AS symbol_ratio,
+         |    round(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0), 4) AS alpha_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / n_lines, 4) AS bullet_ratio,
+         |    round(CAST(n_ellline AS DOUBLE) / n_lines, 4) AS ellipsis_ratio,
+         |    n_req_stop
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+         |  bullet_ratio, ellipsis_ratio, n_req_stop,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wc,
+         |  CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+         |  CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS r_sym,
+         |  CAST(CASE WHEN bullet_ratio <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+         |  CAST(CASE WHEN ellipsis_ratio <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ell,
+         |  CAST(CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+         |  CAST(CASE WHEN n_req_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+         |     * CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+         |     * CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END
+         |     * CASE WHEN bullet_ratio <= 0.9 THEN 1 ELSE 0 END
+         |     * CASE WHEN ellipsis_ratio <= 0.3 THEN 1 ELSE 0 END
+         |     * CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END
+         |     * CASE WHEN n_req_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
+
+  private val GopherStopSql =
+    GopherStop.map(w => s"'$w'").mkString("(", ",", ")")
 }
