@@ -26,6 +26,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a durable per-query marker: without it an erred query
+        // simply has no output dir and silently vanishes from the driver's
+        // correctness artifact (r8 shrank 119->84 with zero err entries).
+        try Files.writeString(
+          Paths.get(s"$outDir/$name.error"),
+          s"${e.getClass.getName}: ${e.getMessage}")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -11,21 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf, set at
-    * session build — see [[Tables.requiredConfs]]) and floor to
-    * microseconds — exactly what DuckDB does when it reads the same file,
-    * so oracle comparisons line up.
+  /** events.parquet's `ts` column layout has drifted across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * surfaces as a nanos long under [[Tables.NanosAsLong]]) and plain
+    * TIMESTAMP_MICROS have both been observed. Branch on the dtype the scan
+    * actually produced rather than assuming one layout, and normalize to
+    * session-zoned [[TimestampType]] so every downstream query sees the same
+    * type either way (sessions run UTC, so the NTZ cast is value-preserving
+    * and matches DuckDB's read of the same file).
     */
-  def events: DataFrame = {
-    require(
-      spark.conf.getOption(Tables.NanosAsLong).contains("true"),
-      s"set ${Tables.NanosAsLong}=true at session build (Tables.requiredConfs)")
-    table("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+  def events: DataFrame = Tables.normalizeEventTs(table("events"))
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -40,6 +35,21 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Normalize an events frame's `ts` to session-zoned TimestampType,
+    * whatever layout the scan produced (see [[Tables.events]]). Works on
+    * batch and streaming DataFrames alike — streaming readers must apply
+    * it too, or a data-contract drift splits batch/stream behavior.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
 
   /** Session-build confs the table loaders rely on. Apply with
     * `requiredConfs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }`

@@ -1,0 +1,65 @@
+package graft.core
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+import graft.SparkSpec
+
+/** Schema-drift canary for the events loader.
+  *
+  * The driver regenerates `/root/testdata` between rounds and the `ts`
+  * column's parquet layout has already drifted once (TIMESTAMP(NANOS) →
+  * TIMESTAMP_MICROS), which took out every events-derived query for a
+  * round. This spec pins the contract: whatever layout the scan produces
+  * (nanos-as-long, TIMESTAMP_NTZ, or session-zoned TIMESTAMP),
+  * [[Tables.events]] yields the same session-zoned TimestampType column
+  * with identical values.
+  */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2023-11-14T22:13:20.123456Z, plus sub-microsecond noise for the nanos
+  // layout (floored away by the div-1000, matching DuckDB's read).
+  private val micros = 1700000000123456L
+  private val nanos  = micros * 1000L + 789L
+
+  private def load(write: String => Unit): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("graft-tables-canary").toFile
+    dir.deleteOnExit()
+    write(s"${dir.getAbsolutePath}/events.parquet")
+    Tables(spark, dir.getAbsolutePath).events
+  }
+
+  private def assertCanonical(df: org.apache.spark.sql.DataFrame): Unit = {
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select("ts").as[Timestamp].head()
+    assert(got.toInstant == java.time.Instant.EPOCH.plusNanos(micros * 1000L))
+  }
+
+  test("events loads the legacy nanos-as-long layout") {
+    assertCanonical(load { path =>
+      Seq(nanos).toDF("ts").write.parquet(path)
+    })
+  }
+
+  test("events loads a TIMESTAMP_NTZ (micros, unadjusted) layout") {
+    assertCanonical(load { path =>
+      val df = Seq(micros).toDF("us")
+        .select(org.apache.spark.sql.functions.timestamp_micros(col("us"))
+          .cast(TimestampNTZType).as("ts"))
+      assert(df.schema("ts").dataType == TimestampNTZType)
+      df.write.parquet(path)
+    })
+  }
+
+  test("events passes through a session-zoned TIMESTAMP layout") {
+    assertCanonical(load { path =>
+      Seq(micros).toDF("us")
+        .select(org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"))
+        .write.parquet(path)
+    })
+  }
+}

@@ -21,9 +21,7 @@ class StreamBatchParitySpec extends SparkSpec {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .transform(graft.core.Tables.normalizeEventTs)
 
     val q = EventWindows.hourly(streamEvents, watermarkDelay = "0 seconds")
       .writeStream.format("memory").queryName("parity_hourly")
@@ -56,9 +54,7 @@ class StreamBatchParitySpec extends SparkSpec {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .transform(graft.core.Tables.normalizeEventTs)
 
     val q = EventWindows.hourlyOracleTwin(streamEvents, watermarkDelay = "0 seconds")
       .writeStream.format("memory").queryName("parity_oracle_hourly")
@@ -89,9 +85,8 @@ class StreamBatchParitySpec extends SparkSpec {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+
+      .transform(graft.core.Tables.normalizeEventTs)
       .filter($"event_type" === eventType)
     val errors = stream("error")
       .select($"event_id".as("err_id"), $"ts".as("err_ts"), $"user_id")
