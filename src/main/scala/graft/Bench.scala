@@ -25,6 +25,16 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
+    // touch every table at the bench SF dir so parquet footer parsing,
+    // vectorized-reader init, and scan codegen don't land in whichever
+    // query the Map iteration happens to time first (e3_fnv_bucket was
+    // charged ~4.5 s of this in the r8 artifact)
+    try {
+      val warm = graft.core.Tables(spark, sfDir)
+      Seq(warm.region, warm.nation, warm.customer, warm.supplier, warm.part,
+        warm.orders, warm.lineitem, warm.events, warm.documents, warm.embeddings)
+        .foreach(df => df.limit(1).collect())
+    } catch { case scala.util.control.NonFatal(_) => () }
     // a failing query reports -1, never its time-to-failure; fatal errors
     // (OOM etc.) propagate and fail the bench loudly instead of scoring -1
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

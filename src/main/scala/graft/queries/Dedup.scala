@@ -199,6 +199,8 @@ object Dedup {
     interCache.values.foreach(_.unpersist())
     windowCache.values.foreach(_.unpersist())
     prefixCache.values.foreach(_.unpersist())
+    prefixCandCache.values.foreach(_.unpersist())
+    prefixInterCache.values.foreach(_.unpersist())
     // cluster labels are localCheckpoint-backed: no live plan references
     // them once the memo is dropped, so the blocks can be freed outright
     clusterCache.values.foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
@@ -207,6 +209,8 @@ object Dedup {
     interCache.clear()
     windowCache.clear()
     prefixCache.clear()
+    prefixCandCache.clear()
+    prefixInterCache.clear()
   }
 
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
@@ -299,12 +303,8 @@ object Dedup {
     // rare by construction. Exact (no recall loss), unlike MinHash.
     "dedup_jaccard_prefix" -> { (s, dir) =>
       import s.implicits._
-      val (kept, sizes) = shingleIndex(s, dir)
-      val cand = prefixCandidates(s, dir)
-      val inter = cand.join(kept.toDF("ia", "sh"), "ia")
-        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
-        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
-      inter
+      val (_, sizes) = shingleIndex(s, dir)
+      prefixInter(s, dir)
         .join(sizes.toDF("ia", "na"), "ia")
         .join(sizes.toDF("ib", "nb"), "ib")
         .withColumn("jac",
@@ -323,11 +323,9 @@ object Dedup {
     // prefix route's verification work tracks near-dup density.
     "dedup_prefix_meter" -> { (s, dir) =>
       import s.implicits._
-      val (kept, sizes) = shingleIndex(s, dir)
-      val cand = prefixCandidates(s, dir).localCheckpoint()
-      val survivors = cand.join(kept.toDF("ia", "sh"), "ia")
-        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
-        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      val (_, sizes) = shingleIndex(s, dir)
+      val cand = prefixCandidates(s, dir)
+      val survivors = prefixInter(s, dir)
         .join(sizes.toDF("ia", "na"), "ia")
         .join(sizes.toDF("ib", "nb"), "ib")
         .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.8)
@@ -623,18 +621,46 @@ object Dedup {
     * deduplicated). The join key is the prefix shingle — rarest-first,
     * so the per-key fanout is small by construction (a shingle with df
     * ≤ MaxDf contributes at most df² ≤ 10⁴ pairs, and prefix membership
-    * prunes far below that).
+    * prunes far below that). Persisted memo: the pair set feeds both the
+    * jaccard query's verifier and the meter's three counters.
     */
-  private def prefixCandidates(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val p = prefixIndex(s, dir)
-    p.toDF("ia", "sh", "na").join(p.toDF("ib", "sh", "nb"), "sh")
-      .filter($"ia" < $"ib")
-      .filter($"na" * PrefT_den >= $"nb" * PrefT_num &&
-        $"nb" * PrefT_den >= $"na" * PrefT_num)
-      .select($"ia", $"ib")
-      .dropDuplicates("ia", "ib")
-  }
+  private val prefixCandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def prefixCandidates(s: SparkSession, dir: String): DataFrame =
+    prefixCandCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val p = prefixIndex(s, dir)
+      p.toDF("ia", "sh", "na").join(p.toDF("ib", "sh", "nb"), "sh")
+        .filter($"ia" < $"ib")
+        .filter($"na" * PrefT_den >= $"nb" * PrefT_num &&
+          $"nb" * PrefT_den >= $"na" * PrefT_num)
+        .select($"ia", $"ib")
+        .dropDuplicates("ia", "ib")
+        .persist()
+    })
+
+  /** Exact shared-shingle counts restricted to the prefix-admitted
+    * candidates — the verification join, the expensive half of the
+    * prefix route. Staged once per (session, corpus): dedup_jaccard_prefix
+    * filters it to the ≥ t pairs and dedup_prefix_meter counts its
+    * survivors, so the verifier runs once for the family instead of once
+    * per consumer (exactly how interIndex is shared by the
+    * jaccard/containment/clusters family).
+    */
+  private val prefixInterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def prefixInter(s: SparkSession, dir: String): DataFrame =
+    prefixInterCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val (kept, _) = shingleIndex(s, dir)
+      prefixCandidates(s, dir)
+        .join(kept.toDF("ia", "sh"), "ia")
+        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+        .persist()
+    })
 
   /** Floor of the SimHash band-bucket cap. The effective cap is
     * `greatest(MaxBucket, 4 × n_docs / 256)` — relative to the expected
