@@ -74,8 +74,9 @@ object ScaleProbe {
     // with the corpus while per-user event density stays fixed — the
     // growth mode a real event log has — so the interval join's true pair
     // count (and thus a correctly-shaped plan's cost) must grow linearly.
-    // ts arrives as nanos-long (NanosAsLong) and is written back as plain
-    // int64 nanos, which Tables.events reads identically.
+    // ts is copied through in whatever layout the source file has
+    // (nanos-long, TIMESTAMP_NTZ, or TIMESTAMP) — Tables.normalizeEventTs
+    // branches on the scanned dtype, so the replica reads identically.
     val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     val evn = evBase.count()
     // per-copy offset derived from the base corpus (like event_id's evn),
