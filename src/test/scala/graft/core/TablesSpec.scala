@@ -62,4 +62,22 @@ class TablesSpec extends SparkSpec {
         .write.parquet(path)
     })
   }
+
+  // Whole-testdata smoke: every driver table loads and yields a row
+  // through its Tables accessor. When the driver regenerates
+  // /root/testdata with a new layout, THIS test names the broken table
+  // directly instead of 18 downstream suites failing on derived queries.
+  test("every driver table at sf0.001 loads through its accessor") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val all = Seq(
+      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings)
+    all.foreach { case (name, df) =>
+      withClue(s"table $name: ") { assert(df.limit(1).count() == 1L) }
+    }
+    assert(t.events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
