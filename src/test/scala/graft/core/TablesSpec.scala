@@ -79,5 +79,16 @@ class TablesSpec extends SparkSpec {
     }
     assert(t.events.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
+    // dtypes downstream operators hard-depend on: the FloatDot/quantizer
+    // family assumes array<float> embeddings; hash/join keys assume long
+    // ids. A silent widening (e.g. float[] -> double[]) would not fail the
+    // load but would break codegen'd expressions — pin it here.
+    import org.apache.spark.sql.types._
+    assert(t.embeddings.schema("embedding").dataType == ArrayType(FloatType))
+    assert(t.embeddings.schema("vec_id").dataType == LongType)
+    assert(t.documents.schema("doc_id").dataType == LongType)
+    assert(t.documents.schema("text").dataType == StringType)
+    assert(t.events.schema("user_id").dataType == LongType)
+    assert(t.events.schema("value").dataType == DoubleType)
   }
 }
