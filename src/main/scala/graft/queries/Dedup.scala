@@ -201,6 +201,7 @@ object Dedup {
     prefixCache.values.foreach(_.unpersist())
     prefixCandCache.values.foreach(_.unpersist())
     prefixInterCache.values.foreach(_.unpersist())
+    bandCache.values.foreach(_.unpersist())
     // cluster labels are localCheckpoint-backed: no live plan references
     // them once the memo is dropped, so the blocks can be freed outright
     clusterCache.values.foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
@@ -211,6 +212,7 @@ object Dedup {
     prefixCache.clear()
     prefixCandCache.clear()
     prefixInterCache.clear()
+    bandCache.clear()
   }
 
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
@@ -226,6 +228,43 @@ object Dedup {
         .groupBy($"ia", $"ib")
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("inter"))
+        .persist()
+    })
+
+  /** Session-scoped memo of the MinHash band index (doc_id, band, key):
+    * 12 codegen'd permutation minima per doc (one HashAggregate with
+    * map-side combine — the md5 base hash hoisted into a projection so it
+    * is computed once per (doc, shingle) row, not once per permutation),
+    * banded 4×3. This is the artifact a production pipeline STORES per
+    * corpus: dedup_minhash_lsh self-joins it, and dedup_incremental
+    * treats its existing-corpus subset as the stored index a new batch
+    * probes — the index build is paid once, not per batch.
+    */
+  private val bandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashBandIndex(s: SparkSession, dir: String): DataFrame =
+    bandCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val (kept, _) = shingleIndex(s, dir)
+      val hashed = kept.select($"doc_id", (hash48($"sh") % MinhashP).as("h"))
+      val aggs = (0 to 11).map(i =>
+        min(($"h" * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
+      val withMins = hashed
+        .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+        .select($"doc_id",
+          array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
+      // Candidate generation downstream joins only (doc_id, band, key) —
+      // shingle sets never enter the band shuffle.
+      withMins.select(
+        $"doc_id",
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            concat_ws(",",
+              element_at($"m", b * 3 + 1),
+              element_at($"m", b * 3 + 2),
+              element_at($"m", b * 3 + 3)).as("key")))).as("bk"))
+        .select($"doc_id", $"bk.band", $"bk.key")
         .persist()
     })
 
@@ -360,29 +399,7 @@ object Dedup {
     "dedup_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
       val (kept, sizes) = shingleIndex(s, dir)
-      // Codegen'd minhash: 12 hash columns per (doc, shingle) row, then 12
-      // min() aggregates in one HashAggregate (partial agg = map-side
-      // combine), rather than interpreted per-array transforms.
-      // hoist the md5 base hash into a projection so it is computed once
-      // per (doc, shingle) row, not once per permutation aggregate
-      val hashed = kept.select($"doc_id", (hash48($"sh") % MinhashP).as("h"))
-      val aggs = (0 to 11).map(i =>
-        min(($"h" * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
-      val withMins = hashed
-        .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-        .select($"doc_id",
-          array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
-      // Candidate generation joins only (doc_id, band, key) — shingle
-      // sets never enter the band shuffle.
-      val bands = withMins.select(
-        $"doc_id",
-        explode(transform(sequence(lit(0), lit(3)),
-          b => struct(b.as("band"),
-            concat_ws(",",
-              element_at($"m", b * 3 + 1),
-              element_at($"m", b * 3 + 2),
-              element_at($"m", b * 3 + 3)).as("key")))).as("bk"))
-        .select($"doc_id", $"bk.band", $"bk.key")
+      val bands = minhashBandIndex(s, dir)
       val cand = bands.toDF("ia", "band", "key")
         .join(bands.toDF("ib", "band", "key"), Seq("band", "key"))
         .filter($"ia" < $"ib")
@@ -434,6 +451,47 @@ object Dedup {
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
         .withColumn("n_missed", $"n_exact" - $"n_found")
+    },
+
+    // INCREMENTAL (delta) dedup: dedupe a NEW batch against an EXISTING
+    // corpus — the shape every production crawl pipeline actually runs
+    // (full-corpus self-dedup happens once; every ingest after that is
+    // new-vs-existing). The split is deterministic (doc_id % 5 == 0 is
+    // the "incoming batch", ~20%; the rest is the indexed corpus). The
+    // existing side probes the SAME staged MinHash band index the batch
+    // self-dedup uses — at 100 TB that index is a stored table bucketed
+    // by (band, key), so the only per-ingest cost is banding the new
+    // batch (O(batch)) and one co-located join against the index: no
+    // existing-corpus rescan, no existing×existing pairs (the asymmetric
+    // join cannot generate them, unlike the self-join route). Exact
+    // Jaccard verification restricted to admitted (new, old) candidates;
+    // output is the actionable per-new-doc DECISION — its best existing
+    // match (highest jac, ties to the smallest existing id), i.e. the
+    // incoming docs to drop and why.
+    "dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      val bands = minhashBandIndex(s, dir)
+      val newB = bands.filter($"doc_id" % 5 === 0).toDF("ni", "band", "key")
+      val oldB = bands.filter($"doc_id" % 5 =!= 0).toDF("oi", "band", "key")
+      val cand = newB.join(oldB, Seq("band", "key"))
+        .select($"ni", $"oi")
+        .dropDuplicates("ni", "oi")
+      val inter = cand.join(kept.toDF("ni", "sh"), "ni")
+        .join(kept.toDF("oi", "sh"), Seq("oi", "sh"))
+        .groupBy($"ni", $"oi").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("ni", "nn"), "ni")
+        .join(sizes.toDF("oi", "no"), "oi")
+        .withColumn("jac", $"inter".cast("double") / ($"nn" + $"no" - $"inter"))
+        .filter($"jac" >= 0.5)
+        // deterministic argmax by (jac desc, oi asc): one struct-min
+        // aggregate — a single shuffle on the new-doc id, no window sort
+        .groupBy($"ni")
+        .agg(min(struct((-$"jac").as("njac"), $"oi".as("oi"))).as("pick"))
+        .select($"ni".as("new_id"), $"pick.oi".as("dup_of"),
+          round(-$"pick.njac", 6).as("jac"))
+        .orderBy($"new_id")
     },
 
     // Duplicate clusters: connected components over the Jaccard ≥ 0.8
@@ -804,7 +862,7 @@ object Dedup {
     * Consumed by dedup_minhash_lsh and dedup_lsh_recall so the LSH
     * definition can never drift between the operator and its meter.
     */
-  private val MinhashCte =
+  private val MinhashBandsCte =
     """sets AS (SELECT doc_id, list(sh) AS shs FROM ex GROUP BY doc_id),
       |mh AS (
       |  SELECT doc_id, shs,
@@ -817,7 +875,10 @@ object Dedup {
       |bands AS (
       |  SELECT doc_id, shs, b AS band,
       |    m[3*b + 1]::VARCHAR || ',' || m[3*b + 2]::VARCHAR || ',' || m[3*b + 3]::VARCHAR AS key
-      |  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+      |  FROM mh, unnest([0, 1, 2, 3]) AS u(b))""".stripMargin
+
+  private val MinhashCte =
+    s"""$MinhashBandsCte,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.shs AS sha, b.shs AS shb
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -967,6 +1028,29 @@ object Dedup {
          |                 WHERE EXISTS (SELECT 1 FROM lshr l
          |                               WHERE l.ia = e.ia AND l.ib = e.ib)) AS BIGINT)
          |         AS n_missed""".stripMargin,
+
+    // Same banding CTEs as dedup_minhash_lsh; only the candidate join is
+    // asymmetric (new batch × existing corpus) and the output is the
+    // per-new-doc argmax decision.
+    "dedup_incremental" ->
+      s"""$ShingleCte,
+         |$MinhashBandsCte,
+         |candi AS (
+         |  SELECT DISTINCT n.doc_id AS ni, o.doc_id AS oi,
+         |    n.shs AS shn, o.shs AS sho
+         |  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+         |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+         |ji AS (
+         |  SELECT ni, oi,
+         |    CAST(len(list_intersect(shn, sho)) AS DOUBLE)
+         |      / (len(shn) + len(sho) - len(list_intersect(shn, sho))) AS jac
+         |  FROM candi),
+         |pick AS (
+         |  SELECT ni, oi, jac,
+         |    row_number() OVER (PARTITION BY ni ORDER BY jac DESC, oi) AS rn
+         |  FROM ji WHERE jac >= 0.5)
+         |SELECT ni AS new_id, oi AS dup_of, round(jac, 6) AS jac
+         |FROM pick WHERE rn = 1 ORDER BY new_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""$ClusterCte

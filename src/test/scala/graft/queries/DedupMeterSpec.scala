@@ -27,4 +27,25 @@ class DedupMeterSpec extends SparkSpec {
     // an invisible doc is one that lost all 4 bands
     assert(bandRows >= invisible * 4)
   }
+
+  test("incremental dedup decisions are consistent with the batch LSH pairs") {
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    import org.apache.spark.sql.Row
+    // batch self-dedup pair set (unordered ia < ib) with exact jac
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, dir)
+      .collect().map { case Row(ia: Long, ib: Long, jac: Double) => ((ia, ib), jac) }
+      .toMap
+    val incr = Dedup.queries("dedup_incremental")(spark, dir).collect()
+    assert(incr.nonEmpty)
+    incr.foreach { case Row(ni: Long, oi: Long, jac: Double) =>
+      // the split is real: new side is doc_id % 5 == 0, matches are not
+      assert(ni % 5 == 0 && oi % 5 != 0)
+      // every incremental decision is one of the batch pairs with the
+      // same verified jac (same band index, same verifier — the
+      // asymmetric join can only restrict, never invent)
+      val key = (math.min(ni, oi), math.max(ni, oi))
+      assert(pairs.get(key).contains(jac),
+        s"($ni, $oi, $jac) not in the batch LSH pair set")
+    }
+  }
 }
