@@ -45,7 +45,7 @@ object Dedup {
     * CollapseProject keeps the split materialized because the array is
     * referenced more than once here.
     */
-  private def shingles(toks: Column): Column =
+  private[graft] def shingles(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ",
@@ -202,6 +202,8 @@ object Dedup {
     prefixCandCache.values.foreach(_.unpersist())
     prefixInterCache.values.foreach(_.unpersist())
     bandCache.values.foreach(_.unpersist())
+    hotCache.values.foreach(_.unpersist())
+    setsCache.values.foreach(_.unpersist())
     // cluster labels are localCheckpoint-backed: no live plan references
     // them once the memo is dropped, so the blocks can be freed outright
     clusterCache.values.foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
@@ -213,6 +215,8 @@ object Dedup {
     prefixCandCache.clear()
     prefixInterCache.clear()
     bandCache.clear()
+    hotCache.clear()
+    setsCache.clear()
   }
 
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
@@ -243,7 +247,7 @@ object Dedup {
   private val bandCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def minhashBandIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashBandIndex(s: SparkSession, dir: String): DataFrame =
     bandCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val (kept, _) = shingleIndex(s, dir)
@@ -268,28 +272,116 @@ object Dedup {
         .persist()
     })
 
-  private def buildShingleIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The per-ROW (shuffle-free) formulation of the band index: adds a
+    * `_bands` array<struct<band,key>> column computed from a kept-shingle
+    * ARRAY column — the formulation a streaming ingest needs (no
+    * aggregation, so it runs in an append-mode projection). MUST stay
+    * value-identical to [[minhashBandIndex]]'s groupBy route; pinned by
+    * DedupStreamSpec. Staged via intermediate columns so the per-shingle
+    * base hash is computed once, not once per permutation.
+    */
+  /** All verified (ni, oi, jac ≥ 0.5) matches of the incremental split
+    * (new = doc_id % 5 == 0 vs the existing rest) — the pre-argmax match
+    * set behind dedup_incremental, and the batch reference its streaming
+    * twin ([[graft.streaming.DedupStream]]) is pinned against.
+    */
+  private[graft] def incrementalMatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (kept, sizes) = shingleIndex(s, dir)
+    val bands = minhashBandIndex(s, dir)
+    val newB = bands.filter($"doc_id" % 5 === 0).toDF("ni", "band", "key")
+    val oldB = bands.filter($"doc_id" % 5 =!= 0).toDF("oi", "band", "key")
+    val cand = newB.join(oldB, Seq("band", "key"))
+      .select($"ni", $"oi")
+      .dropDuplicates("ni", "oi")
+    val inter = cand.join(kept.toDF("ni", "sh"), "ni")
+      .join(kept.toDF("oi", "sh"), Seq("oi", "sh"))
+      .groupBy($"ni", $"oi").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("ni", "nn"), "ni")
+      .join(sizes.toDF("oi", "no"), "oi")
+      .withColumn("jac", $"inter".cast("double") / ($"nn" + $"no" - $"inter"))
+      .filter($"jac" >= 0.5)
+      .select($"ni", $"oi", $"jac")
+  }
+
+  private[graft] def withBandStructs(df: DataFrame, shsCol: String): DataFrame = {
+    val hs = transform(col(shsCol), sh => hash48(sh) % MinhashP)
+    val m = transform(sequence(lit(0), lit(11)), i =>
+      array_min(transform(col("_hs"), h =>
+        (h * (lit(1103515245L) + lit(12345L) * i)
+          + (lit(1000003L) * i + lit(54321L))) % MinhashP)))
+    df.withColumn("_hs", hs)
+      .withColumn("_m", m)
+      .withColumn("_bands", transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("band"), concat_ws(",",
+          element_at(col("_m"), b * 3 + 1),
+          element_at(col("_m"), b * 3 + 2),
+          element_at(col("_m"), b * 3 + 3)).as("key"))))
+      .drop("_hs", "_m")
+  }
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // The test tables are single-row-group parquet files → a 1-partition
     // scan; spread the hash-heavy tokenize/shingle work across cores.
     // (At production scale the input arrives as many files/partitions and
     // this repartition would be dropped.)
-    val docSh = Tables(s, dir).documents
+    Tables(s, dir).documents
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", wsTokens($"text").as("toks")) // split ONCE per doc
       .select($"doc_id", explode(shingles($"toks")).as("sh"))
+  }
+
+  /** The stop-shingle (df > MaxDf) list — a staged index-build artifact,
+    * broadcast-sized by construction. Persisted memo: consumed by the
+    * batch index build AND collected for streaming ingest front ends
+    * ([[hotShingleList]]), which must apply the SAME filter or their
+    * shingle sets drift from the index.
+    */
+  private val hotCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def hotShingles(s: SparkSession, dir: String): DataFrame =
+    hotCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      docShingles(s, dir).groupBy($"sh").count()
+        .filter($"count" > MaxDf).select($"sh").persist()
+    })
+
+  private[graft] def hotShingleList(s: SparkSession, dir: String): Array[String] =
+    hotShingles(s, dir).collect().map(_.getString(0)).sorted
+
+  private def buildShingleIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     // df ≤ MaxDf filter: broadcast-join the (tiny) hot-shingle list away.
-    val hot = docSh.groupBy($"sh").count().filter($"count" > MaxDf).select($"sh")
     // The filtered index feeds 2-3 downstream consumers (pair join sides
     // + per-doc sizes); persist to avoid re-running the tokenize+hash
     // front end per consumer. (At production scale: a staged write of the
     // shingle index, reused across the dedup family.)
-    val kept = docSh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val kept = docShingles(s, dir)
+      .join(broadcast(hotShingles(s, dir)), Seq("sh"), "left_anti")
       .select($"doc_id", $"sh")
       .persist()
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     (kept, sizes)
   }
+
+  /** Per-doc kept-shingle SETS (doc_id, shs, n_sh) — the array-shaped
+    * view of the staged shingle index, the static side a streaming
+    * ingest's per-row exact-Jaccard verifier joins against.
+    */
+  private val setsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def keptSets(s: SparkSession, dir: String): DataFrame =
+    setsCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val (kept, _) = shingleIndex(s, dir)
+      kept.groupBy($"doc_id")
+        .agg(collect_list($"sh").as("shs"), count(lit(1)).as("n_sh"))
+        .persist()
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep the smallest doc_id.
@@ -470,21 +562,7 @@ object Dedup {
     // incoming docs to drop and why.
     "dedup_incremental" -> { (s, dir) =>
       import s.implicits._
-      val (kept, sizes) = shingleIndex(s, dir)
-      val bands = minhashBandIndex(s, dir)
-      val newB = bands.filter($"doc_id" % 5 === 0).toDF("ni", "band", "key")
-      val oldB = bands.filter($"doc_id" % 5 =!= 0).toDF("oi", "band", "key")
-      val cand = newB.join(oldB, Seq("band", "key"))
-        .select($"ni", $"oi")
-        .dropDuplicates("ni", "oi")
-      val inter = cand.join(kept.toDF("ni", "sh"), "ni")
-        .join(kept.toDF("oi", "sh"), Seq("oi", "sh"))
-        .groupBy($"ni", $"oi").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("ni", "nn"), "ni")
-        .join(sizes.toDF("oi", "no"), "oi")
-        .withColumn("jac", $"inter".cast("double") / ($"nn" + $"no" - $"inter"))
-        .filter($"jac" >= 0.5)
+      incrementalMatches(s, dir)
         // deterministic argmax by (jac desc, oi asc): one struct-min
         // aggregate — a single shuffle on the new-doc id, no window sort
         .groupBy($"ni")

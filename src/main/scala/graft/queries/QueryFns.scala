@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * for the tokenizer and the portable md5-prefix hashes (both the Spark
   * side and every DuckDB oracle assume these exact definitions).
   */
-private[queries] object QueryFns {
+private[graft] object QueryFns {
 
   /** Whitespace tokens, empties dropped. */
   def wsTokens(c: Column): Column =

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Dedup
+
+/** Streaming twin of `dedup_incremental`: a continuous ingest of new
+  * documents deduped against a STATIC corpus's staged artifacts — the
+  * always-on form of the per-batch delta dedup a crawl pipeline runs.
+  *
+  * Dataflow (everything before the final dedup is a stateless per-row
+  * projection, so it runs in append mode with no watermark bookkeeping):
+  *
+  *  1. tokenize → 3-gram shingles → drop the index-build stop-shingle
+  *     list (shipped as a literal array: it is broadcast-sized by
+  *     construction — only shingles with df > MaxDf),
+  *  2. 12 MinHash permutation minima computed per ROW from the shingle
+  *     array ([[Dedup.withBandStructs]] — the shuffle-free formulation of
+  *     the staged band index, value-identical to the groupBy route by
+  *     DedupStreamSpec's parity pin),
+  *  3. band explode → stream-static equi-join against the existing
+  *     corpus's staged band index on (band, key),
+  *  4. `dropDuplicates(ni, oi)` to collapse multi-band collisions (the
+  *     one stateful step; a production deployment bounds its state with
+  *     `dropDuplicatesWithinWatermark` once doc ids carry event time),
+  *  5. stream-static join against the per-doc kept-shingle SETS and a
+  *     per-row exact-Jaccard verify (`array_intersect` — no aggregation),
+  *     emitting (new_id, dup_of, jac) matches ≥ 0.5 in append mode.
+  *
+  * At 100 TB the static sides are stored tables bucketed by (band, key)
+  * and doc_id respectively, so both stream-static joins are co-located;
+  * the per-ingest cost is O(batch), never an existing-corpus rescan.
+  */
+object DedupStream {
+
+  /** All verified (new_id, dup_of, jac) matches of `newDocs` — a
+    * streaming DataFrame with (doc_id, text) — against the existing
+    * (doc_id % 5 != 0) side of `dir`'s staged dedup index. Append-safe.
+    */
+  def matches(newDocs: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    // index-build artifacts (static sides)
+    val hotArr = Dedup.hotShingleList(s, dir)
+    val oldBands = Dedup.minhashBandIndex(s, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("oi"), col("band"), col("key"))
+    val oldSets = Dedup.keptSets(s, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("oi"), col("shs").as("shs_old"),
+        col("n_sh").as("n_old"))
+
+    val prepared = newDocs
+      .select(col("doc_id").as("ni"), wsTokens(col("text")).as("toks"))
+      .select(col("ni"),
+        array_except(Dedup.shingles(col("toks")), typedlit(hotArr.toSeq)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("n_new", size(col("shs")))
+    val banded = Dedup.withBandStructs(prepared, "shs")
+      .select(col("ni"), col("shs"), col("n_new"), explode(col("_bands")).as("bk"))
+      .select(col("ni"), col("shs"), col("n_new"), col("bk.band"), col("bk.key"))
+    banded
+      .join(oldBands, Seq("band", "key"))
+      .dropDuplicates("ni", "oi")
+      .join(oldSets, "oi")
+      .withColumn("inter", size(array_intersect(col("shs"), col("shs_old"))))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n_new") + col("n_old") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("ni").as("new_id"), col("oi").as("dup_of"),
+        round(col("jac"), 6).as("jac"))
+  }
+}
