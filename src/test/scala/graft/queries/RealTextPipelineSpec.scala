@@ -144,4 +144,33 @@ class RealTextPipelineSpec extends SparkSpec {
     val g = run("dedup_exact").collect()
     assert(g.length == 8)
   }
+
+  test("dedup_incremental: distinct real books produce no false drop decisions") {
+    assume(books.nonEmpty, "reference corpus not present")
+    // new side = ids 0 and 5; despite every book sharing the Gutenberg
+    // license boilerplate, whole-document Jaccard between distinct books
+    // is nowhere near 0.5 — the incremental decision list must be empty
+    assert(run("dedup_incremental").count() == 0L)
+  }
+
+  test("dedup_incremental catches a near-copy ingested against the real corpus") {
+    assume(books.nonEmpty, "reference corpus not present")
+    // existing corpus: the 8 books at ids avoiding multiples of 5 (all on
+    // the indexed side); incoming batch: id 5, a lightly-perturbed copy
+    // of the book at id 1 — the one true near-dup must be the one
+    // decision, pointing at its source
+    val d = Files.createTempDirectory("real_incr").toString
+    val ids = Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L)
+    val base = books.zip(ids).map { case ((_, text, name), id) =>
+      (id, text, "xx", name, text.length.toLong)
+    }
+    val copy = (5L, base.head._2 + "\nincremental ingest copy marker\n",
+      "xx", "copy-of-" + base.head._4, 0L)
+    (base :+ copy).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("dedup_incremental")(spark, d).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 5L && rows(0).getLong(1) == 1L)
+    assert(rows(0).getDouble(2) > 0.9)
+  }
 }
