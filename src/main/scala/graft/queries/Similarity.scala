@@ -442,6 +442,39 @@ object Similarity {
         .filter($"cos" >= 0.4)
         .select($"ia", $"ib", round($"cos", 6).as("cos"))
         .orderBy($"ia", $"ib")
+    },
+
+    // INCREMENTAL (delta) embedding dedup — the vector-modality twin of
+    // dedup_incremental: a new batch of vectors (vec_id % 5 == 0)
+    // deduped against the existing corpus within trained cells. The
+    // asymmetric join cannot generate existing×existing pairs, so the
+    // per-ingest cost tracks the BATCH (new vectors × their cells'
+    // existing occupants), never the corpus. The cell assignment rides
+    // the same staged artifact as the batch family; in production the
+    // stored quantizer (trained on the indexed corpus — at the gate
+    // regime, identical) assigns incoming vectors, making the centroid
+    // table the only artifact an ingest worker needs. Output is the
+    // per-new-vector DECISION: its best existing match (highest cosine,
+    // ties to the smallest existing id) at the family's ≥ 0.4 gate.
+    "dedup_emb_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val va = Tables(s, dir).embeddings
+        .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
+        .join(assignments(s, dir), "vec_id")
+      val nw = va.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("ni"), $"embedding".as("en"), $"norm2".as("nn"), $"alabel")
+      val old = va.filter($"vec_id" % 5 =!= 0)
+        .select($"vec_id".as("oi"), $"embedding".as("eo"), $"norm2".as("no"), $"alabel")
+      nw.join(old, "alabel")
+        .withColumn("cos", dot($"en", $"eo") / sqrt($"nn" * $"no"))
+        .filter($"cos" >= 0.4)
+        // deterministic argmax by (cos desc, oi asc) — one struct-min
+        // aggregate on the new-vector id, no window sort
+        .groupBy($"ni")
+        .agg(min(struct((-$"cos").as("ncos"), $"oi".as("oi"))).as("pick"))
+        .select($"ni".as("new_id"), $"pick.oi".as("dup_of"),
+          round(-$"pick.ncos", 6).as("cos"))
+        .orderBy($"new_id")
     }
   )
 
@@ -1914,6 +1947,28 @@ object Similarity {
          |  JOIN asg sb ON sb.vec_id = b.vec_id AND sb.alabel = sa.alabel)
          |SELECT ia, ib, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
          |ORDER BY ia, ib""".stripMargin,
+
+    // Same VecCte/TrainedAsgCte as dedup_emb_cos_ivf; only the pairing
+    // is asymmetric (new % 5 == 0 vs existing) and the output is the
+    // per-new-vector argmax decision.
+    "dedup_emb_incremental" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |pi AS (
+         |  SELECT n.vec_id AS ni, o.vec_id AS oi,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(n.embedding) + 1),
+         |        i -> n.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(n.norm2 * o.norm2) AS cos
+         |  FROM v n JOIN asg sn ON sn.vec_id = n.vec_id AND n.vec_id % 5 = 0
+         |  JOIN v o ON o.vec_id % 5 <> 0
+         |  JOIN asg so ON so.vec_id = o.vec_id AND so.alabel = sn.alabel),
+         |pick AS (
+         |  SELECT ni, oi, cos,
+         |    row_number() OVER (PARTITION BY ni ORDER BY cos DESC, oi) AS rn
+         |  FROM pi WHERE cos >= 0.4)
+         |SELECT ni AS new_id, oi AS dup_of, round(cos, 6) AS cos
+         |FROM pick WHERE rn = 1 ORDER BY new_id""".stripMargin,
 
     // The cell-geometry CTE is the gate-regime (b = 0, label-seeded)
     // form, like every trained-quantizer oracle here; nlist/split_bits
