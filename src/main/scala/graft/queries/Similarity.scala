@@ -458,16 +458,7 @@ object Similarity {
     // ties to the smallest existing id) at the family's ≥ 0.4 gate.
     "dedup_emb_incremental" -> { (s, dir) =>
       import s.implicits._
-      val va = Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
-        .join(assignments(s, dir), "vec_id")
-      val nw = va.filter($"vec_id" % 5 === 0)
-        .select($"vec_id".as("ni"), $"embedding".as("en"), $"norm2".as("nn"), $"alabel")
-      val old = va.filter($"vec_id" % 5 =!= 0)
-        .select($"vec_id".as("oi"), $"embedding".as("eo"), $"norm2".as("no"), $"alabel")
-      nw.join(old, "alabel")
-        .withColumn("cos", dot($"en", $"eo") / sqrt($"nn" * $"no"))
-        .filter($"cos" >= 0.4)
+      embIncrementalMatches(s, dir)
         // deterministic argmax by (cos desc, oi asc) — one struct-min
         // aggregate on the new-vector id, no window sort
         .groupBy($"ni")
@@ -477,6 +468,36 @@ object Similarity {
         .orderBy($"new_id")
     }
   )
+
+  /** The existing-corpus (vec_id % 5 != 0) side of the incremental
+    * embedding split, with norms and trained-cell assignments — the
+    * static table the streaming ingest twin joins against.
+    */
+  private[graft] def embIncrementalExisting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
+      .join(assignments(s, dir), "vec_id")
+      .filter($"vec_id" % 5 =!= 0)
+      .select($"vec_id".as("oi"), $"embedding".as("eo"), $"norm2".as("no"), $"alabel")
+  }
+
+  /** All verified (ni, oi, cos ≥ 0.4) matches of the incremental split —
+    * the pre-argmax set behind dedup_emb_incremental, and the batch
+    * reference its streaming twin is pinned against.
+    */
+  private[graft] def embIncrementalMatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nw = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
+      .join(assignments(s, dir), "vec_id")
+      .filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("ni"), $"embedding".as("en"), $"norm2".as("nn"), $"alabel")
+    nw.join(embIncrementalExisting(s, dir), "alabel")
+      .withColumn("cos", dot($"en", $"eo") / sqrt($"nn" * $"no"))
+      .filter($"cos" >= 0.4)
+      .select($"ni", $"oi", $"cos")
+  }
 
   /** Corpus-size-derived IVF cell count: `max(L, ceil(sqrt(n / 20)))`
     * with L = 10 seed labels. Fixed-cardinality blocking is the one

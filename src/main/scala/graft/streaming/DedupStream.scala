@@ -70,4 +70,34 @@ object DedupStream {
       .select(col("ni").as("new_id"), col("oi").as("dup_of"),
         round(col("jac"), 6).as("jac"))
   }
+
+  /** Streaming twin of `dedup_emb_incremental`: a continuous ingest of
+    * new vectors deduped against the static corpus. Cell assignment runs
+    * per ROW via [[AnnStream.assignCell]] over the collected trained
+    * centroids (broadcast-sized, nlist ∝ √n — the same task-local
+    * artifact AnnStream ships; in-stream parity with the batch
+    * assignment is AnnStreamSpec's pin), then one stream-static join
+    * brings in the assigned cell's existing occupants and a per-row
+    * FloatDot cosine verifies. ZERO stateful operators — each new
+    * vector's matches are complete within its own micro-batch, so the
+    * whole pipeline is an append-mode projection + join.
+    */
+  def embMatches(
+      newVecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FloatDot.floatDot
+    import graft.queries.Similarity
+    val centroids = Similarity.trainedCentroidArrays(s, dir)
+    val existing = Similarity.embIncrementalExisting(s, dir)
+    import s.implicits._
+    newVecs
+      .map { case (id, emb) => (id, AnnStream.assignCell(emb, centroids), emb) }
+      .toDF("ni", "alabel", "en")
+      .withColumn("nn", floatDot(col("en"), col("en")))
+      .join(existing, "alabel")
+      .withColumn("cos", floatDot(col("en"), col("eo")) / sqrt(col("nn") * col("no")))
+      .filter(col("cos") >= 0.4)
+      .select(col("ni").as("new_id"), col("oi").as("dup_of"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

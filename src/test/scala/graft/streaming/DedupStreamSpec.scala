@@ -62,4 +62,35 @@ class DedupStreamSpec extends SparkSpec {
     assert(decisions.map(_._1) == streaming.map(_._1))
     decisions.foreach { case (ni, oi, jac) => assert(streaming.contains((ni, oi, jac))) }
   }
+
+  test("streaming embedding ingest dedup equals the batch match set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val newVecs = graft.core.Tables(spark, dir).embeddings
+      .filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = DedupStream.embMatches(in.toDS(), spark, dir)
+      .writeStream.format("memory").queryName("emb_incr_stream")
+      .outputMode("append").start()
+    val cut = newVecs.length / 3
+    Seq(newVecs.take(cut), newVecs.slice(cut, 2 * cut), newVecs.drop(2 * cut))
+      .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+
+    val streaming = spark.table("emb_incr_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.queries.Similarity.embIncrementalMatches(spark, dir)
+      .select($"ni", $"oi",
+        org.apache.spark.sql.functions.round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+    val decisions = graft.SparkEntry.queries("dedup_emb_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(decisions.map(_._1) == streaming.map(_._1))
+    decisions.foreach { case (ni, oi, cos) => assert(streaming.contains((ni, oi, cos))) }
+  }
 }
