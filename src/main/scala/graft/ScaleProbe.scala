@@ -102,7 +102,8 @@ object ScaleProbe {
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
       "dedup_minhash_lsh", "dedup_incremental",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
-      "dedup_emb_cos", "dedup_emb_cos_ivf", "ann_ivf2_topk",
+      "dedup_emb_cos", "dedup_emb_cos_ivf", "dedup_emb_incremental",
+      "ann_ivf2_topk",
       "dedup_substring", "dedup_spans",
       "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill",
       "tx_pack", "tx_mix", "ann_imi_topk", "ann_pq_topk", "q_asof_nearest")
