@@ -652,6 +652,31 @@ object Dedup {
         .orderBy($"fp")
     },
 
+    // INCREMENTAL passage dedup — the delta form of the substring
+    // modality (and the third modality of the incremental family, after
+    // shingle-Jaccard and embedding-cosine): for each NEW doc
+    // (doc_id % 5 == 0), what fraction of its 5-token windows already
+    // exists in the corpus? This is the Lee-et-al "copied content"
+    // filter an ingest applies per incoming doc. Rides the staged window
+    // index; the existing side collapses to a distinct-fp set (at 100 TB
+    // a stored fingerprint table — the probe is one semi-join keyed on
+    // the fp hash, skew-free, cost O(batch windows)). Emits only new
+    // docs with ≥1 duplicated window — the decision list, with the
+    // evidence counts.
+    "dedup_substring_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val w = windowIndex(s, dir)
+      val nw = w.filter($"doc_id" % 5 === 0)
+      val oldFps = w.filter($"doc_id" % 5 =!= 0).select($"fp").distinct()
+      val totals = nw.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
+      nw.join(oldFps, Seq("fp"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
+        .join(totals, "doc_id")
+        .select($"doc_id".as("new_id"), $"n_dup_windows", $"n_windows",
+          round($"n_dup_windows".cast("double") / $"n_windows", 6).as("dup_fraction"))
+        .orderBy($"new_id")
+    },
+
     // Maximal duplicated SPANS: the actionable output of the substring
     // modality (Lee et al.) — adjacent duplicated 5-token windows merged
     // into per-doc maximal spans via gaps-and-islands (island id =
@@ -1191,6 +1216,36 @@ object Dedup {
         |       count(*) AS n_occurrences
         |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY fp""".stripMargin,
+
+    // Same t/g window derivation as dedup_substring (inline-duplicated
+    // like dedup_spans'); the existing side is the distinct-fp set.
+    "dedup_substring_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(range(1, len(toks) - 3),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |              toks[i+3] || ' ' || toks[i+4])
+        |    ELSE [] END) AS w
+        |  FROM t),
+        |f AS (SELECT doc_id, substr(md5(w), 1, 16) AS fp FROM g),
+        |oldf AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+        |nw AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_windows FROM nw GROUP BY doc_id),
+        |dup AS (
+        |  SELECT n.doc_id, count(*) AS n_dup_windows FROM nw n
+        |  WHERE EXISTS (SELECT 1 FROM oldf o WHERE o.fp = n.fp)
+        |  GROUP BY n.doc_id)
+        |SELECT d.doc_id AS new_id,
+        |       CAST(d.n_dup_windows AS BIGINT) AS n_dup_windows,
+        |       CAST(t2.n_windows AS BIGINT) AS n_windows,
+        |       round(CAST(d.n_dup_windows AS DOUBLE) / t2.n_windows, 6)
+        |         AS dup_fraction
+        |FROM dup d JOIN tot t2 ON t2.doc_id = d.doc_id
+        |ORDER BY new_id""".stripMargin,
 
     "dedup_spans" ->
       """WITH t AS (
