@@ -172,5 +172,11 @@ class RealTextPipelineSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows(0).getLong(0) == 5L && rows(0).getLong(1) == 1L)
     assert(rows(0).getDouble(2) > 0.9)
+    // the passage-level incremental agrees: essentially every 5-token
+    // window of the ingested copy already exists in the corpus
+    val ssi = graft.SparkEntry.queries("dedup_substring_incremental")(spark, d).collect()
+    assert(ssi.length == 1)
+    assert(ssi(0).getLong(0) == 5L)
+    assert(ssi(0).getDouble(3) > 0.99)
   }
 }
