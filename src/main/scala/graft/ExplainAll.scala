@@ -10,10 +10,11 @@ import org.apache.spark.sql.execution.FormattedMode
 object ExplainAll {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config(graft.core.Tables.NanosAsLong, "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.core.Tables.requiredConfs
+      .foldLeft(SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       println(s"===== $name =====")

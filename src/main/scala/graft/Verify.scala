@@ -10,12 +10,11 @@ object Verify {
     // fast single-query iteration (the driver always passes two args)
     val only = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.core.Tables.NanosAsLong, "true")
+    val spark = graft.core.Tables.requiredConfs
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -29,10 +28,22 @@ object Verify {
         // Leave a durable per-query marker: without it an erred query
         // simply has no output dir and silently vanishes from the driver's
         // correctness artifact (r8 shrank 119->84 with zero err entries).
-        try Files.writeString(
-          Paths.get(s"$outDir/$name.error"),
-          s"${e.getClass.getName}: ${e.getMessage}")
-        catch { case _: Throwable => () }
+        // Markers live under errors/ (not next to the per-query output
+        // dirs, where a driver globbing outDir entries could trip on a
+        // non-directory entry), and a mid-write partial output dir is
+        // removed first so the same query never presents both.
+        try {
+          val partial = Paths.get(s"$outDir/$name")
+          if (Files.exists(partial)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(partial).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+          }
+          Files.createDirectories(Paths.get(s"$outDir/errors"))
+          Files.writeString(
+            Paths.get(s"$outDir/errors/$name.error"),
+            s"${e.getClass.getName}: ${e.getMessage}")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

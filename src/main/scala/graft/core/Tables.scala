@@ -55,6 +55,14 @@ object Tables {
     * `requiredConfs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }`
     * — mutating the session conf inside a getter was a side effect that
     * surprised callers, so it lives here instead.
+    *
+    * UTC is load-bearing, not cosmetic: [[normalizeEventTs]]'s NTZ branch
+    * casts to session-zoned TimestampType, which is value-preserving only
+    * when the session zone is UTC. Any entry point that reads events must
+    * apply this map, or an NTZ-layout file silently shifts every
+    * events-derived result on a non-UTC host.
     */
-  val requiredConfs: Map[String, String] = Map(NanosAsLong -> "true")
+  val requiredConfs: Map[String, String] = Map(
+    NanosAsLong                   -> "true",
+    "spark.sql.session.timeZone"  -> "UTC")
 }

@@ -62,8 +62,17 @@ object Dedup {
     * product < 2^62.
     */
   private val MinhashP = 2147483647L // 2^31 − 1
-  private def permA(i: Int): Long = 1103515245L + 12345L * i
-  private def permB(i: Int): Long = 1000003L * i + 54321L
+  // Single source of truth for the affine family's constants: the staged
+  // (groupBy) route uses permA/permB with Int indices; the per-row
+  // streaming route ([[withBandStructs]]) rebuilds the same affine map
+  // from these SAME four constants with a Column-typed index. An edit
+  // that touches one constant now desyncs nothing.
+  private val PermA0    = 1103515245L
+  private val PermAStep = 12345L
+  private val PermB0    = 54321L
+  private val PermBStep = 1000003L
+  private def permA(i: Int): Long = PermA0 + PermAStep * i
+  private def permB(i: Int): Long = PermBStep * i + PermB0
 
   /** Session-scoped memo of the persisted shingle index ((doc_id,
     * shingle) pairs after the stop-shingle df filter + per-doc filtered
@@ -309,8 +318,8 @@ object Dedup {
     val hs = transform(col(shsCol), sh => hash48(sh) % MinhashP)
     val m = transform(sequence(lit(0), lit(11)), i =>
       array_min(transform(col("_hs"), h =>
-        (h * (lit(1103515245L) + lit(12345L) * i)
-          + (lit(1000003L) * i + lit(54321L))) % MinhashP)))
+        (h * (lit(PermA0) + lit(PermAStep) * i)
+          + (lit(PermBStep) * i + lit(PermB0))) % MinhashP)))
     df.withColumn("_hs", hs)
       .withColumn("_m", m)
       .withColumn("_bands", transform(sequence(lit(0), lit(3)), b =>

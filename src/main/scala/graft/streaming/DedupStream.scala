@@ -61,6 +61,12 @@ object DedupStream {
       .select(col("ni"), col("shs"), col("n_new"), col("bk.band"), col("bk.key"))
     banded
       .join(oldBands, Seq("band", "key"))
+      // TODO(unbounded-state): this streaming dropDuplicates keeps every
+      // (ni, oi) pair in state forever — fine for a bounded backfill, not
+      // for the documented always-on form. Switch to
+      // .withWatermark("ingest_ts", ...).dropDuplicatesWithinWatermark
+      // the moment ingested docs carry an event-time column; until then
+      // deployments must bound runs (restart per backfill window).
       .dropDuplicates("ni", "oi")
       .join(oldSets, "oi")
       .withColumn("inter", size(array_intersect(col("shs"), col("shs_old"))))

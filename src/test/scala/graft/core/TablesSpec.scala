@@ -90,5 +90,22 @@ class TablesSpec extends SparkSpec {
     assert(t.documents.schema("text").dataType == StringType)
     assert(t.events.schema("user_id").dataType == LongType)
     assert(t.events.schema("value").dataType == DoubleType)
+    // Unit-drift plausibility guard: the nanos-as-long branch divides by
+    // 1000 assuming the long is nanoseconds. If a regeneration instead
+    // emits plain int64 micros (or millis), every normalized ts lands
+    // ~1000x off — around 1970 (too small) or far future (too large) —
+    // while the schema checks above still pass. Pin the normalized range
+    // to a sane epoch window so that drift mode fails HERE by name.
+    val range = t.events.select(
+      org.apache.spark.sql.functions.min("ts"),
+      org.apache.spark.sql.functions.max("ts")).head()
+    val (lo, hi) = (java.time.Instant.parse("1990-01-01T00:00:00Z"),
+      java.time.Instant.parse("2100-01-01T00:00:00Z"))
+    Seq(range.getTimestamp(0), range.getTimestamp(1)).foreach { ts =>
+      withClue(s"normalized events.ts $ts outside plausible epoch range " +
+        "(likely a nanos->micros/millis unit drift in the testdata): ") {
+        assert(!ts.toInstant.isBefore(lo) && ts.toInstant.isBefore(hi))
+      }
+    }
   }
 }
