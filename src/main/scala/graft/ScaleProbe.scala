@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // the ladders measure genuine COLD index builds over freshly written
+    // corpora — a durable-staging disk hit would silently turn a build
+    // measurement into a parquet read
+    graft.core.Staging.disableInProcess()
     val spark = graft.core.Tables.requiredConfs
       .foldLeft(SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

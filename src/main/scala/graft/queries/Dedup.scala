@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Staging, Tables}
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
@@ -105,13 +105,14 @@ object Dedup {
   private def windowIndex(s: SparkSession, dir: String): DataFrame =
     windowCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      Tables(s, dir).documents
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", wsTokens($"text").as("toks")) // split ONCE per doc
-        .select($"doc_id",
-          posexplode(TextAnalysis.wordGrams($"toks", 5)).as(Seq("pos", "w")))
-        .select($"doc_id", $"pos", substring(md5($"w"), 1, 16).as("fp"))
-        .persist()
+      Staging.readElseBuild(s, dir, "window_index", Seq("documents")) {
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", wsTokens($"text").as("toks")) // split ONCE per doc
+          .select($"doc_id",
+            posexplode(TextAnalysis.wordGrams($"toks", 5)).as(Seq("pos", "w")))
+          .select($"doc_id", $"pos", substring(md5($"w"), 1, 16).as("fp"))
+      }.persist()
     })
 
   /** Session-scoped memo of the CONVERGED near-dup cluster labels
@@ -155,7 +156,8 @@ object Dedup {
     * diameter, tiny for dup clusters.
     */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate((s, dir), {
+    clusterCache.getOrElseUpdate((s, dir), Staging.readElseBuild(
+      s, dir, "cluster_labels", Seq("documents")) {
       import s.implicits._
       val (_, sizes) = shingleIndex(s, dir)
       val pairs = interIndex(s, dir)
@@ -195,7 +197,10 @@ object Dedup {
           s"dedup_clusters did not converge in $maxRounds rounds")
       // cache the RAW checkpointed frame (analyzed plan = LogicalRDD):
       // clearCaches frees blocks by matching that node, and a toDF
-      // rename on top would hide it behind a Project
+      // rename on top would hide it behind a Project. (With staging
+      // enabled the memoized frame is instead the parquet scan of the
+      // staged labels — freeLocalCheckpoint no-ops on it, and the one
+      // build-time checkpoint is reclaimed by ContextCleaner GC.)
       labels
     }).toDF("doc_id", "cluster_rep")
 
@@ -226,6 +231,25 @@ object Dedup {
     bandCache.clear()
     hotCache.clear()
     setsCache.clear()
+  }
+
+  /** Force-build the dedup family's durable staged artifacts for `dir`
+    * ([[graft.core.Staging]]): hot-shingle list, kept-shingle index,
+    * MinHash band index, kept-shingle sets, passage window index, prefix
+    * index, and near-dup cluster labels. Read-else-build — already-staged
+    * artifacts cost one parquet footer read. This is the "index build
+    * job" of a production ingest loop; every later session (batch
+    * re-runs, incremental probes, the streaming twin) starts from the
+    * stored artifacts.
+    */
+  def stageIndexes(s: SparkSession, dir: String): Unit = {
+    hotShingles(s, dir)
+    shingleIndex(s, dir)
+    minhashBandIndex(s, dir)
+    keptSets(s, dir)
+    windowIndex(s, dir)
+    prefixIndex(s, dir)
+    clusterLabels(s, dir)
   }
 
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
@@ -259,26 +283,27 @@ object Dedup {
   private[graft] def minhashBandIndex(s: SparkSession, dir: String): DataFrame =
     bandCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val (kept, _) = shingleIndex(s, dir)
-      val hashed = kept.select($"doc_id", (hash48($"sh") % MinhashP).as("h"))
-      val aggs = (0 to 11).map(i =>
-        min(($"h" * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
-      val withMins = hashed
-        .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-        .select($"doc_id",
-          array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
-      // Candidate generation downstream joins only (doc_id, band, key) —
-      // shingle sets never enter the band shuffle.
-      withMins.select(
-        $"doc_id",
-        explode(transform(sequence(lit(0), lit(3)),
-          b => struct(b.as("band"),
-            concat_ws(",",
-              element_at($"m", b * 3 + 1),
-              element_at($"m", b * 3 + 2),
-              element_at($"m", b * 3 + 3)).as("key")))).as("bk"))
-        .select($"doc_id", $"bk.band", $"bk.key")
-        .persist()
+      Staging.readElseBuild(s, dir, "band_index", Seq("documents")) {
+        val (kept, _) = shingleIndex(s, dir)
+        val hashed = kept.select($"doc_id", (hash48($"sh") % MinhashP).as("h"))
+        val aggs = (0 to 11).map(i =>
+          min(($"h" * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
+        val withMins = hashed
+          .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+          .select($"doc_id",
+            array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
+        // Candidate generation downstream joins only (doc_id, band, key) —
+        // shingle sets never enter the band shuffle.
+        withMins.select(
+          $"doc_id",
+          explode(transform(sequence(lit(0), lit(3)),
+            b => struct(b.as("band"),
+              concat_ws(",",
+                element_at($"m", b * 3 + 1),
+                element_at($"m", b * 3 + 2),
+                element_at($"m", b * 3 + 3)).as("key")))).as("bk"))
+          .select($"doc_id", $"bk.band", $"bk.key")
+      }.persist()
     })
 
   /** The per-ROW (shuffle-free) formulation of the band index: adds a
@@ -354,8 +379,10 @@ object Dedup {
   private def hotShingles(s: SparkSession, dir: String): DataFrame =
     hotCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      docShingles(s, dir).groupBy($"sh").count()
-        .filter($"count" > MaxDf).select($"sh").persist()
+      Staging.readElseBuild(s, dir, "hot_shingles", Seq("documents")) {
+        docShingles(s, dir).groupBy($"sh").count()
+          .filter($"count" > MaxDf).select($"sh")
+      }.persist()
     })
 
   private[graft] def hotShingleList(s: SparkSession, dir: String): Array[String] =
@@ -368,10 +395,11 @@ object Dedup {
     // + per-doc sizes); persist to avoid re-running the tokenize+hash
     // front end per consumer. (At production scale: a staged write of the
     // shingle index, reused across the dedup family.)
-    val kept = docShingles(s, dir)
-      .join(broadcast(hotShingles(s, dir)), Seq("sh"), "left_anti")
-      .select($"doc_id", $"sh")
-      .persist()
+    val kept = Staging.readElseBuild(s, dir, "kept_shingles", Seq("documents")) {
+      docShingles(s, dir)
+        .join(broadcast(hotShingles(s, dir)), Seq("sh"), "left_anti")
+        .select($"doc_id", $"sh")
+    }.persist()
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     (kept, sizes)
   }
@@ -386,10 +414,11 @@ object Dedup {
   private[graft] def keptSets(s: SparkSession, dir: String): DataFrame =
     setsCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val (kept, _) = shingleIndex(s, dir)
-      kept.groupBy($"doc_id")
-        .agg(collect_list($"sh").as("shs"), count(lit(1)).as("n_sh"))
-        .persist()
+      Staging.readElseBuild(s, dir, "kept_sets", Seq("documents")) {
+        val (kept, _) = shingleIndex(s, dir)
+        kept.groupBy($"doc_id")
+          .agg(collect_list($"sh").as("shs"), count(lit(1)).as("n_sh"))
+      }.persist()
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -774,17 +803,18 @@ object Dedup {
   private def prefixIndex(s: SparkSession, dir: String): DataFrame =
     prefixCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val (kept, sizes) = shingleIndex(s, dir)
-      val df = kept.groupBy($"sh").agg(count(lit(1)).as("df"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"df", $"sh")
-      kept.join(df, "sh")
-        .withColumn("rk", row_number().over(win))
-        .join(sizes, "doc_id")
-        .filter($"rk" <= $"n_sh" - expr(
-          s"($PrefT_num * n_sh + ${PrefT_den - 1}) div $PrefT_den") + 1)
-        .select($"doc_id", $"sh", $"n_sh")
-        .persist()
+      Staging.readElseBuild(s, dir, "prefix_index", Seq("documents")) {
+        val (kept, sizes) = shingleIndex(s, dir)
+        val df = kept.groupBy($"sh").agg(count(lit(1)).as("df"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"df", $"sh")
+        kept.join(df, "sh")
+          .withColumn("rk", row_number().over(win))
+          .join(sizes, "doc_id")
+          .filter($"rk" <= $"n_sh" - expr(
+            s"($PrefT_num * n_sh + ${PrefT_den - 1}) div $PrefT_den") + 1)
+          .select($"doc_id", $"sh", $"n_sh")
+      }.persist()
     })
 
   /** Candidate pairs admitted by the prefix + size filters (ia < ib,

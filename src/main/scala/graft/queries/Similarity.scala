@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Staging, Tables}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`Array[Float]` column, TESTDATA.md).
@@ -681,20 +681,25 @@ object Similarity {
     * beyond that, train on a sample and prune the centroid search with a
     * coarse pre-quantizer — the dataflow here is unchanged).
     */
-  private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    if (splitBitsFor(corpusSize(s, dir)) == 0) centroidVectors(s, dir)
-    else Tables(s, dir).embeddings
-      .join(seedCells(s, dir), "vec_id")
-      .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos")
-      .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
-        / count(lit(1))).as("m"))
-      .groupBy($"cell")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-        c => c.getField("m")).as("cv"))
-      .select($"cell".as("clabel"), $"cv")
-  }
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def trainedCentroids(s: SparkSession, dir: String): DataFrame =
+    centCache.getOrElseUpdate((s, dir), Staging.readElseBuild(
+      s, dir, "ivf_centroids", Seq("embeddings")) {
+      import s.implicits._
+      if (splitBitsFor(corpusSize(s, dir)) == 0) centroidVectors(s, dir)
+      else Tables(s, dir).embeddings
+        .join(seedCells(s, dir), "vec_id")
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          c => c.getField("m")).as("cv"))
+        .select($"cell".as("clabel"), $"cv")
+    })
 
   /** METER for the IVF cell geometry (pattern: Dedup.simhashDropStats):
     * how many trained cells are in use, how big the largest is, and the
@@ -767,6 +772,17 @@ object Similarity {
   private val distCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Force-build the ANN family's durable staged artifacts for `dir`
+    * ([[graft.core.Staging]]): trained IVF centroids, PQ codebook, and
+    * per-vector PQ codes. Read-else-build — already-staged artifacts
+    * cost one parquet footer read.
+    */
+  def stageIndexes(s: SparkSession, dir: String): Unit = {
+    trainedCentroids(s, dir)
+    pqCodebook(s, dir)
+    pqCodes(s, dir)
+  }
+
   /** Drop and unpersist memoized distance tables (inputs rewritten). */
   def clearCaches(): Unit = {
     distCache.values.foreach(_.unpersist())
@@ -775,6 +791,7 @@ object Similarity {
     pqCache.clear()
     seedCache.values.foreach(_.unpersist())
     seedCache.clear()
+    centCache.clear()
     sizeCache.clear()
   }
 
@@ -1056,16 +1073,17 @@ object Similarity {
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     pqCache.getOrElseUpdate((s, dir, "book"), {
       import s.implicits._
-      pqSubvectors(s, dir)
-        .select($"m", $"seed", posexplode($"sub").as(Seq("pos", "x")))
-        .groupBy($"m", $"seed", $"pos")
-        .agg((sum($"x".cast("decimal(27,10)")).cast("double")
-          / count(lit(1))).as("c"))
-        .groupBy($"m", $"seed")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          c => c.getField("c")).as("cvq"))
-        .select($"m", $"seed".as("code"), $"cvq")
-        .persist()
+      Staging.readElseBuild(s, dir, "pq_codebook", Seq("embeddings")) {
+        pqSubvectors(s, dir)
+          .select($"m", $"seed", posexplode($"sub").as(Seq("pos", "x")))
+          .groupBy($"m", $"seed", $"pos")
+          .agg((sum($"x".cast("decimal(27,10)")).cast("double")
+            / count(lit(1))).as("c"))
+          .groupBy($"m", $"seed")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+            c => c.getField("c")).as("cvq"))
+          .select($"m", $"seed".as("code"), $"cvq")
+      }.persist()
     })
 
   /** Per-(vector, subspace) PQ code: argmin over the subspace's codebook
@@ -1075,15 +1093,16 @@ object Similarity {
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
     pqCache.getOrElseUpdate((s, dir, "codes"), {
       import s.implicits._
-      pqSubvectors(s, dir)
-        .join(broadcast(pqCodebook(s, dir)), "m")
-        .withColumn("d", aggregate(
-          zip_with($"sub", $"cvq", (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"d", $"code")).as("mm"))
-        .select($"vec_id", $"m", $"mm.code".as("code"))
-        .persist()
+      Staging.readElseBuild(s, dir, "pq_codes", Seq("embeddings")) {
+        pqSubvectors(s, dir)
+          .join(broadcast(pqCodebook(s, dir)), "m")
+          .withColumn("d", aggregate(
+            zip_with($"sub", $"cvq", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+          .groupBy($"vec_id", $"m")
+          .agg(min(struct($"d", $"code")).as("mm"))
+          .select($"vec_id", $"m", $"mm.code".as("code"))
+      }.persist()
     })
 
   /** IVF-PQ serving pass shared by ann_pq_topk (probes < 50) and the

@@ -1,0 +1,87 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Contract of the durable staged-index store ([[Staging]]):
+  *  - an artifact is WRITTEN on first build and READ (same values) after,
+  *  - a corpus regeneration (content change) MISSES — staging must never
+  *    serve a previous generation's index against new data (the driver
+  *    rewrites /root/testdata between rounds),
+  *  - superseded generations are pruned,
+  *  - staging failures degrade to the in-memory build, never to an error.
+  */
+class StagingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCorpus(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+  test("read-else-build stages once, then serves identical values") {
+    assume(Staging.enabled, "staging disabled in this JVM")
+    val dir = Files.createTempDirectory("staging_spec").toString
+    writeCorpus(dir, (0L until 20L).map(i => (i, s"alpha beta gamma delta eps w$i x$i y$i z$i")))
+    try {
+      var builds = 0
+      def once() = Staging.readElseBuild(spark, dir, "probe", Seq("documents")) {
+        builds += 1
+        spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "length(text) AS len")
+      }
+      val first = once().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val second = once().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(builds == 1, "second call must hit the staged copy, not rebuild")
+      assert(first == second)
+      assert(first.size == 20)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a regenerated corpus misses the stale artifact and prunes it") {
+    assume(Staging.enabled, "staging disabled in this JVM")
+    val dir = Files.createTempDirectory("staging_gen").toString
+    try {
+      writeCorpus(dir, Seq((1L, "first generation text")))
+      def count() = Staging.readElseBuild(spark, dir, "probe", Seq("documents")) {
+        spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
+      }.count()
+      assert(count() == 1)
+      // regenerate with different content (different size => different
+      // fingerprint even within one mtime tick)
+      writeCorpus(dir, (0L until 5L).map(i => (i, s"second generation doc $i")))
+      assert(count() == 5, "stale staged artifact served after corpus regeneration")
+      // exactly one generation dir remains for this corpus slug
+      val slugPrefix = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+        .replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "").take(80)
+      import scala.jdk.CollectionConverters._
+      val gens = Files.list(java.nio.file.Paths.get(Staging.root)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(slugPrefix + "-")).toSeq
+      assert(gens.size == 1, s"superseded generation not pruned: $gens")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("staged dedup artifacts reproduce the unstaged query results") {
+    assume(Staging.enabled, "staging disabled in this JVM")
+    // same corpus staged under two distinct dirs: one queried straight
+    // through the staging layer twice (cold build+write, then warm read)
+    // — warm results must equal cold results value-for-value
+    val dir = Files.createTempDirectory("staging_dedup").toString
+    val docs = (0L until 40L).map { i =>
+      val base = s"the quick brown fox jumps over lazy dog number ${i % 7} again and again"
+      (i, if (i % 3 == 0) base else base + s" tail $i")
+    }
+    writeCorpus(dir, docs)
+    try {
+      def run() = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val cold = run()
+      graft.queries.Dedup.clearCaches() // drop session memos, keep disk
+      val warm = run()
+      assert(cold == warm, "staged read-back changed dedup_minhash_lsh results")
+    } finally {
+      graft.queries.Dedup.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
