@@ -41,7 +41,7 @@ object Staging {
     * constants, band shape, quantizer structure, PQ dims, …) — the cheap
     * global alternative to per-artifact schema hashes.
     */
-  val FormatVersion = "r10-1"
+  val FormatVersion = "r10-3" // r10-3: PQ Lloyd steps measured back to 0
 
   @volatile private var disabledInProcess = false
 

@@ -1023,6 +1023,35 @@ object Similarity {
   private val PqM = 16
   private val PqBits = 4
 
+  /** Lloyd refinement rounds past the sign seeding: each round
+    * re-assigns codes by argmin against the current codebook, then
+    * re-trains the codebook as the exact-DECIMAL mean of its assigned
+    * residual subvectors. The oracle replays the SAME number of rounds
+    * CTE-for-CTE ([[PqCte]] is generated from this constant), so a
+    * non-zero setting stays fully hash-checked — 2-step training passed
+    * the sf0.01 gate when measured.
+    *
+    * MEASURED to 0 (round 10): with 2 rounds, variance explained stayed
+    * 0.652 vs 0.650, sf0.1 gate recall moved 0.352 → 0.344 and the
+    * clustered-corpus recall 0.912 → 0.888 — the leading-sign orthant
+    * means are already a local optimum of the subspace distortion on
+    * both corpus shapes, so refinement only reshuffles near-ties. The
+    * recall lever that actually binds at nprobe=2 is the candidate-pool
+    * ceiling (exact in-cell ranking = 0.376 at sf0.1); see [[PqNprobe]].
+    */
+  private[queries] val PqLloydSteps = 0
+
+  /** Serving default: cells probed per query. Moved 2 → 4 in round 10:
+    * at nprobe=2 the EXACT-ranking ceiling within the probed cells is
+    * 0.376 recall@5 on the sf0.1 near-uniform worst case — no codebook
+    * improvement can clear 0.5 there. The measured frontier (ScaleProbe
+    * sweep, SCALING.md) prices the move: (4, 50) = 0.536 recall@5 at
+    * 20,156 candidate rows vs (2, 50) = 0.352 at 10,102 — 2× the ADC
+    * scan, still probe-bounded (candidates ∝ nprobe·n/nlist, immune to
+    * corpus growth at fixed occupancy).
+    */
+  private[queries] val PqNprobe = 4
+
   /** Per-vector residual against its trained-cell centroid — the vector
     * PQ encodes (the classic IVF-PQ decomposition: store the cell id
     * plus M small codes instead of d floats).
@@ -1070,19 +1099,51 @@ object Similarity {
     * exact-DECIMAL mean residual subvector — PqM·2^PqBits rows, trained
     * across ALL cells (the standard shared-codebook IVF-PQ posture).
     */
+  /** Argmin code per (vector, subspace) against a codebook (ties to the
+    * smaller code — the [[assignmentsFrom]] contract).
+    */
+  private def pqAssign(sub: DataFrame, book: DataFrame): DataFrame = {
+    val s = sub.sparkSession
+    import s.implicits._
+    sub.join(broadcast(book), "m")
+      .withColumn("d", aggregate(
+        zip_with($"sub", $"cvq", (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d", $"code")).as("mm"))
+      .select($"vec_id", $"m", $"mm.code".as("code"))
+  }
+
+  /** Mean residual subvector per (subspace, code) over an assignment —
+    * the codebook-training half of a Lloyd round. Exact-DECIMAL sums so
+    * the means are partition-order free (the oracle replays them).
+    */
+  private def pqTrain(sub: DataFrame, codes: DataFrame): DataFrame = {
+    val s = sub.sparkSession
+    import s.implicits._
+    sub.join(codes, Seq("vec_id", "m"))
+      .select($"m", $"code", posexplode($"sub").as(Seq("pos", "x")))
+      .groupBy($"m", $"code", $"pos")
+      .agg((sum($"x".cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"m", $"code")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        c => c.getField("c")).as("cvq"))
+      .select($"m", $"code", $"cvq")
+  }
+
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     pqCache.getOrElseUpdate((s, dir, "book"), {
       import s.implicits._
       Staging.readElseBuild(s, dir, "pq_codebook", Seq("embeddings")) {
-        pqSubvectors(s, dir)
-          .select($"m", $"seed", posexplode($"sub").as(Seq("pos", "x")))
-          .groupBy($"m", $"seed", $"pos")
-          .agg((sum($"x".cast("decimal(27,10)")).cast("double")
-            / count(lit(1))).as("c"))
-          .groupBy($"m", $"seed")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-            c => c.getField("c")).as("cvq"))
-          .select($"m", $"seed".as("code"), $"cvq")
+        val sub = pqSubvectors(s, dir)
+        // round 0: means per leading-sign orthant (the seed groups)
+        val seedBook = pqTrain(sub,
+          sub.select($"vec_id", $"m", $"seed".as("code")))
+        // Lloyd rounds: re-assign by argmin, re-train the means
+        (1 to PqLloydSteps).foldLeft(seedBook) { (book, _) =>
+          pqTrain(sub, pqAssign(sub, book))
+        }
       }.persist()
     })
 
@@ -1092,16 +1153,8 @@ object Similarity {
     */
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
     pqCache.getOrElseUpdate((s, dir, "codes"), {
-      import s.implicits._
       Staging.readElseBuild(s, dir, "pq_codes", Seq("embeddings")) {
-        pqSubvectors(s, dir)
-          .join(broadcast(pqCodebook(s, dir)), "m")
-          .withColumn("d", aggregate(
-            zip_with($"sub", $"cvq", (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
-          .groupBy($"vec_id", $"m")
-          .agg(min(struct($"d", $"code")).as("mm"))
-          .select($"vec_id", $"m", $"mm.code".as("code"))
+        pqAssign(pqSubvectors(s, dir), pqCodebook(s, dir))
       }.persist()
     })
 
@@ -1119,7 +1172,7 @@ object Similarity {
     * partition-order free and matches the oracle bit-for-bit.
     */
   private def pqTopk(s: SparkSession, dir: String, probeLimit: Int): DataFrame =
-    pqTopk(s, dir, probeLimit, nprobe = 2, shortlist = 50)
+    pqTopk(s, dir, probeLimit, nprobe = PqNprobe, shortlist = 50)
 
   /** Knob-parameterized form — nprobe (probed cells per query) and
     * shortlist (ADC candidates kept for exact rescore) are the two
@@ -1486,51 +1539,73 @@ object Similarity {
 
   /** Oracle CTEs for the PQ tier (appended after [[TrainedAsgCte]], whose
     * `asg`/`carr`/`dist` it consumes): residuals against the assigned
-    * centroid, per-subspace sign-seeded codebook means, argmin code
-    * assignment — the twins of [[pqSubvectors]]/[[pqCodebook]]/
-    * [[pqCodes]]. DuckDB `list_slice(l, a, b)` is inclusive of b, so the
+    * centroid, per-subspace sign-seeded codebook means, then
+    * [[PqLloydSteps]] Lloyd rounds (argmin re-assign → DECIMAL-mean
+    * re-train), then the final argmin code assignment — the twins of
+    * [[pqSubvectors]]/[[pqCodebook]]/[[pqCodes]], generated with the
+    * SAME round count so an edit to [[PqLloydSteps]] cannot desync the
+    * engines. DuckDB `list_slice(l, a, b)` is inclusive of b, so the
     * m-th subspace is elements m·h+1 .. (m+1)·h with h = len // 16.
     */
-  private val PqCte =
-    """res AS (
-      |  SELECT v.vec_id, a.alabel,
-      |    list_transform(range(1, len(v.embedding) + 1),
-      |      i -> v.embedding[i]::DOUBLE - c.cv[i]) AS r
-      |  FROM v JOIN asg a ON a.vec_id = v.vec_id
-      |  JOIN carr c ON c.clabel = a.alabel),
-      |ssub AS (
-      |  SELECT vec_id, m,
-      |    list_slice(r, m * (len(r) // 16) + 1, (m + 1) * (len(r) // 16)) AS sub
-      |  FROM res, (SELECT unnest(range(0, 16)) AS m) ms),
-      |subg AS (
-      |  SELECT vec_id, m, sub,
-      |    (CASE WHEN sub[1] >= 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN sub[2] >= 0 THEN 2 ELSE 0 END
-      |     + CASE WHEN sub[3] >= 0 THEN 4 ELSE 0 END
-      |     + CASE WHEN sub[4] >= 0 THEN 8 ELSE 0 END) AS seed
-      |  FROM ssub),
-      |bde AS (
-      |  SELECT m, seed, i - 1 AS pos, sub[i] AS x
-      |  FROM subg, (SELECT unnest(range(1, 200)) AS i) p
-      |  WHERE i <= len(sub)),
-      |bm AS (
-      |  SELECT m, seed, pos,
-      |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
-      |  FROM bde GROUP BY m, seed, pos),
-      |book AS (SELECT m, seed AS code, list(c ORDER BY pos) AS cvq
-      |         FROM bm GROUP BY m, seed),
-      |cdist AS (
-      |  SELECT g.vec_id, g.m, b.code,
-      |    list_reduce(list_prepend(0.0::DOUBLE,
-      |      list_transform(range(1, len(g.sub) + 1),
-      |        i -> (g.sub[i] - b.cvq[i]) * (g.sub[i] - b.cvq[i]))),
-      |      (a, x) -> a + x) AS d
-      |  FROM subg g JOIN book b ON b.m = g.m),
-      |codes AS (
-      |  SELECT vec_id, m, code FROM (
-      |    SELECT vec_id, m, code,
-      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
-      |    FROM cdist) WHERE rn = 1)""".stripMargin
+  private val PqCte: String = {
+    def sqDist(book: String) =
+      s"""  SELECT g.vec_id, g.m, b.code,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(g.sub) + 1),
+         |        i -> (g.sub[i] - b.cvq[i]) * (g.sub[i] - b.cvq[i]))),
+         |      (a, x) -> a + x) AS d
+         |  FROM subg g JOIN $book b ON b.m = g.m""".stripMargin
+    def argmin(dist: String) =
+      s"""  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM $dist) WHERE rn = 1""".stripMargin
+    def train(t: Int, asg: String) =
+      s"""bde$t AS (
+         |  SELECT g.m, k.code, i - 1 AS pos, g.sub[i] AS x
+         |  FROM subg g JOIN $asg k ON k.vec_id = g.vec_id AND k.m = g.m,
+         |  (SELECT unnest(range(1, 200)) AS i) p WHERE i <= len(g.sub)),
+         |bm$t AS (
+         |  SELECT m, code, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM bde$t GROUP BY m, code, pos),
+         |book$t AS (SELECT m, code, list(c ORDER BY pos) AS cvq
+         |           FROM bm$t GROUP BY m, code)""".stripMargin
+    val header =
+      """res AS (
+        |  SELECT v.vec_id, a.alabel,
+        |    list_transform(range(1, len(v.embedding) + 1),
+        |      i -> v.embedding[i]::DOUBLE - c.cv[i]) AS r
+        |  FROM v JOIN asg a ON a.vec_id = v.vec_id
+        |  JOIN carr c ON c.clabel = a.alabel),
+        |ssub AS (
+        |  SELECT vec_id, m,
+        |    list_slice(r, m * (len(r) // 16) + 1, (m + 1) * (len(r) // 16)) AS sub
+        |  FROM res, (SELECT unnest(range(0, 16)) AS m) ms),
+        |subg AS (
+        |  SELECT vec_id, m, sub,
+        |    (CASE WHEN sub[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN sub[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN sub[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN sub[4] >= 0 THEN 8 ELSE 0 END) AS seed
+        |  FROM ssub),
+        |seedasg AS (SELECT vec_id, m, seed AS code FROM subg)""".stripMargin
+    val round0 = train(0, "seedasg")
+    val lloyd = (1 to PqLloydSteps).map { t =>
+      s"""asgd$t AS (
+         |${sqDist(s"book${t - 1}")}),
+         |asg$t AS (
+         |${argmin(s"asgd$t")}),
+         |${train(t, s"asg$t")}""".stripMargin
+    }
+    val finalCtes =
+      s"""book AS (SELECT * FROM book$PqLloydSteps),
+         |cdist AS (
+         |${sqDist("book")}),
+         |codes AS (
+         |${argmin("cdist")})""".stripMargin
+    ((header +: round0 +: lloyd) :+ finalCtes).mkString(",\n")
+  }
 
   /** The PQ serving pass as oracle SQL, parameterized on the probe
     * limit (twin of [[pqTopk]]); `pq5` is the final top-5 table.
@@ -1540,7 +1615,7 @@ object Similarity {
        |  SELECT vec_id AS probe, clabel AS pcell FROM (
        |    SELECT vec_id, clabel,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
-       |    FROM dist WHERE vec_id < $probeLimit) WHERE rn <= 2),
+       |    FROM dist WHERE vec_id < $probeLimit) WHERE rn <= $PqNprobe),
        |probes AS (
        |  SELECT vec_id AS probe, embedding AS pe, norm2 AS pn
        |  FROM v WHERE vec_id < $probeLimit),

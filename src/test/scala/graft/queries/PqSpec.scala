@@ -33,8 +33,9 @@ class PqSpec extends SparkSpec {
     val rec = Similarity.queries("ann_pq_recall")(spark, dir)
       .agg((sum($"n_common").cast("double") / sum($"n_exact")).as("recall"))
       .collect()(0).getDouble(0)
-    info(f"observed PQ recall@5 = $rec%.3f (measured 0.392 at tuning time)")
-    assert(rec >= 0.2, f"PQ recall@5 collapsed: $rec%.3f")
+    info(f"observed PQ recall@5 = $rec%.3f (measured 0.648 at the round-10 " +
+      "nprobe=4 serving default; 0.392 at the round-5 nprobe=2 tuning)")
+    assert(rec >= 0.4, f"PQ recall@5 collapsed: $rec%.3f")
   }
 
   test("on a clustered corpus (the realistic embedding shape) recall is high") {
@@ -75,7 +76,7 @@ class PqSpec extends SparkSpec {
         .agg((sum($"n_common").cast("double") / sum($"n_exact")).as("recall"))
         .collect()(0).getDouble(0)
       info(f"clustered-corpus PQ recall@5 = $rec%.3f")
-      assert(rec >= 0.6, f"PQ recall should be high on clustered data: $rec%.3f")
+      assert(rec >= 0.8, f"PQ recall should be high on clustered data: $rec%.3f")
     } finally {
       Similarity.clearCaches()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
