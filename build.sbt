@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The local-cluster bench mode (Bench's second phase) starts standalone
+// workers in-process; their executor command builder resolves SPARK_HOME
+// and the scala version from the process environment (spark-submit
+// normally injects both; a bare forked JVM has neither).
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,7 +105,7 @@ object ScaleProbe {
     graft.queries.TextAnalysis.clearCaches()
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
-      "dedup_minhash_lsh", "dedup_incremental",
+      "dedup_minhash_lsh", "dedup_incremental", "dedup_lsh_recall_sampled",
       "dedup_simhash", "dedup_clusters", "tx_fingerprint", "tx_tfidf",
       "dedup_emb_cos", "dedup_emb_cos_ivf", "dedup_emb_incremental",
       "ann_ivf2_topk",

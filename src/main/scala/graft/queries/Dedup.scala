@@ -233,6 +233,23 @@ object Dedup {
     setsCache.clear()
   }
 
+  /** Anchor-sampling modulus for dedup_lsh_recall_sampled: 1-in-m docs
+    * anchor the exact side, m chosen so ~[[LshSampleTarget]] anchors
+    * survive whatever the corpus size (floor 4 — never sample more than
+    * 1-in-4). One planning-time count per (session, corpus), memoized —
+    * a table-statistics lookup at production scale, like
+    * [[Similarity]]'s corpusSize. The oracle derives the SAME modulus
+    * from the same count with a scalar subquery.
+    */
+  private val LshSampleTarget = 500L
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def lshSampleModulus(s: SparkSession, dir: String): Long = {
+    val n = docCountCache.getOrElseUpdate((s, dir),
+      Tables(s, dir).documents.count())
+    math.max(4L, (n + LshSampleTarget - 1) / LshSampleTarget)
+  }
+
   /** Force-build the dedup family's durable staged artifacts for `dir`
     * ([[graft.core.Staging]]): hot-shingle list, kept-shingle index,
     * MinHash band index, kept-shingle sets, passage window index, prefix
@@ -400,7 +417,13 @@ object Dedup {
         .join(broadcast(hotShingles(s, dir)), Seq("sh"), "left_anti")
         .select($"doc_id", $"sh")
     }.persist()
-    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // staged + persisted: sizes is n_docs rows but consumed by nearly
+    // every query of the family, often twice per plan — deriving it from
+    // the (much larger) kept index per use re-scanned 4.8M cached rows
+    // several times per query at 10×
+    val sizes = Staging.readElseBuild(s, dir, "shingle_sizes", Seq("documents")) {
+      kept.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    }.persist()
     (kept, sizes)
   }
 
@@ -581,6 +604,60 @@ object Dedup {
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
         .withColumn("n_missed", $"n_exact" - $"n_found")
+    },
+
+    // SAMPLED twin of dedup_lsh_recall: the full meter's exact side is
+    // O(Σ df²) over every shingle-sharing pair — a per-corpus audit at
+    // gate SFs, quadratic poison at 100×. Here the exact side is
+    // ANCHORED on a deterministic md5 sample of docs: only pairs whose
+    // left endpoint is sampled are generated, so cost is f× the full
+    // meter's. f scales DOWN with the corpus ([[lshSampleModulus]]:
+    // ~500 anchor docs whatever the corpus size, floor 1-in-4), so the
+    // meter's absolute cost is flat in n — measured 8.5 s fixed-f →
+    // 1.9 s at the 50k-doc 10× replica — while the anchored pair
+    // population keeps enough mass for a ±0.05 estimate. The recall RATIO over
+    // anchored pairs estimates the full recall: LSH admission is
+    // pair-symmetric, so anchoring weights found and missed pairs
+    // identically. Found-ness probes the staged band index directly —
+    // for a truly-similar (jac ≥ 0.5) pair, sharing a band key IS
+    // membership in the final LSH output (the verifier re-derives the
+    // same jac from the same kept sets and keeps it), so the meter
+    // never pays the full candidate-verification join.
+    "dedup_lsh_recall_sampled" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      // the anchor predicate runs over the DOC LIST (n rows), not the
+      // kept-shingle index (n × ~100 rows); the ~500 surviving ids then
+      // prune the index by broadcast semi-join
+      val anchorIds = Tables(s, dir).documents.select($"doc_id").filter(
+        conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          % lshSampleModulus(s, dir) === 0)
+      val anchored = kept.join(broadcast(anchorIds), "doc_id", "left_semi")
+      // BROADCAST the anchored side: it is ~target × avg-shingles rows
+      // by construction (bounded, corpus-size independent), and a
+      // broadcast hash join leaves the big kept index UNSHUFFLED — the
+      // recurring 10× cost before this was shuffling 4.8M index rows
+      // per run just to meet 48k anchored rows on the shingle key
+      val inter = broadcast(anchored.toDF("ia", "sh"))
+        .join(kept.toDF("ib", "sh"), "sh")
+        .filter($"ia" =!= $"ib")
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      val exact = inter
+        .join(broadcast(sizes.toDF("ia", "na")), "ia")
+        .join(broadcast(sizes.toDF("ib", "nb")), "ib")
+        .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.5)
+        .select($"ia", $"ib")
+      val bands = minhashBandIndex(s, dir)
+      val found = broadcast(exact)
+        .join(bands.toDF("ia", "band", "key"), "ia")
+        .join(bands.toDF("ib", "band", "key"), Seq("ib", "band", "key"), "left_semi")
+        .select($"ia", $"ib").dropDuplicates("ia", "ib")
+      exact.agg(count(lit(1)).as("n_exact_anchored"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found_anchored"))))
+        .withColumn("recall_est",
+          when($"n_exact_anchored" === 0, lit(0.0))
+            .otherwise(round($"n_found_anchored".cast("double")
+              / $"n_exact_anchored", 6)))
     },
 
     // INCREMENTAL (delta) dedup: dedupe a NEW batch against an EXISTING
@@ -1170,6 +1247,40 @@ object Dedup {
          |                 WHERE EXISTS (SELECT 1 FROM lshr l
          |                               WHERE l.ia = e.ia AND l.ib = e.ib)) AS BIGINT)
          |         AS n_missed""".stripMargin,
+
+    "dedup_lsh_recall_sampled" ->
+      s"""$ShingleCte,
+         |$MinhashBandsCte,
+         |modu AS (
+         |  SELECT greatest(4, CAST(ceil(count(*) / $LshSampleTarget.0) AS BIGINT)) AS m
+         |  FROM documents),
+         |sampex AS (
+         |  SELECT doc_id, sh FROM ex
+         |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+         |         % (SELECT m FROM modu)) = 0),
+         |sinter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |  FROM sampex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sexact AS (
+         |  SELECT ia, ib FROM sinter
+         |  JOIN sizes sa ON sa.doc_id = ia
+         |  JOIN sizes sb ON sb.doc_id = ib
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |sfound AS (
+         |  SELECT ia, ib FROM sexact e
+         |  WHERE EXISTS (
+         |    SELECT 1 FROM bands x JOIN bands y
+         |      ON x.band = y.band AND x.key = y.key
+         |    WHERE x.doc_id = e.ia AND y.doc_id = e.ib)),
+         |cnt AS (
+         |  SELECT CAST((SELECT count(*) FROM sexact) AS BIGINT) AS n_exact_anchored,
+         |         CAST((SELECT count(*) FROM sfound) AS BIGINT) AS n_found_anchored)
+         |SELECT n_exact_anchored, n_found_anchored,
+         |  CASE WHEN n_exact_anchored = 0 THEN 0.0
+         |       ELSE round(CAST(n_found_anchored AS DOUBLE) / n_exact_anchored, 6)
+         |  END AS recall_est
+         |FROM cnt""".stripMargin,
 
     // Same banding CTEs as dedup_minhash_lsh; only the candidate join is
     // asymmetric (new batch × existing corpus) and the output is the

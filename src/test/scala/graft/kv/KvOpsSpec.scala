@@ -82,6 +82,56 @@ class KvOpsSpec extends SparkSpec {
     }
   }
 
+  /** The reference's compaction size discipline (kvraft/test_test.go:152,
+    * 278: raft log stays ≤ 8× maxraftstate after snapshotting, i.e.
+    * retained bytes track STATE, never history length) rendered as a
+    * batch property: compacting an append-heavy log must retain
+    * O(live keys + clients) — snapshot rows = live keys, dedup marks ≤
+    * keys × clients, and the only retained payload that grows with the
+    * log is the KV state the appends genuinely built. Growing the log 4×
+    * with the same key/client working set must leave every non-state
+    * byte of the snapshot unchanged.
+    */
+  test("snapshot size is bounded by state, not by discarded log length") {
+    import spark.implicits._
+    val keys = Seq("a", "b", "c", "d", "e")
+    val clients = 4
+    def log(nOps: Int): Seq[KvOp] = {
+      val r = new scala.util.Random(13)
+      (0 until nOps).map { i =>
+        KvOp(i.toLong, r.nextInt(clients).toLong, i.toLong, "append",
+          keys(r.nextInt(keys.size)), r.alphanumeric.take(3).mkString)
+      }
+    }
+    def measure(ops: Seq[KvOp]): (Long, Long, Long, Long) = {
+      val snaps = KvOps.snapshot(spark.createDataset(ops)).collect()
+      val rows = snaps.length.toLong
+      val marks = snaps.map(_.clientMarks.size.toLong).sum
+      val stateBytes = snaps.map(_.value.length.toLong).sum
+      // every retained byte that is NOT the live KV state: keys, counts,
+      // and the per-client watermarks (16 bytes per (id, seq) entry)
+      val overhead = snaps.map(s =>
+        s.key.length.toLong + 8L + 16L * s.clientMarks.size).sum
+      (rows, marks, stateBytes, overhead)
+    }
+    val (rows1, marks1, state1, over1) = measure(log(500))
+    val (rows4, marks4, state4, over4) = measure(log(2000))
+    assert(rows1 == keys.size.toLong && rows4 == keys.size.toLong,
+      "snapshot rows must equal live keys, independent of log length")
+    assert(marks1 <= keys.size.toLong * clients && marks4 <= keys.size.toLong * clients,
+      "dedup watermarks must stay O(keys x clients)")
+    assert(over4 == over1,
+      s"non-state snapshot bytes grew with the log: $over1 -> $over4")
+    // the state itself grows with applied appends — that is the data,
+    // not compaction overhead; the discipline is overhead << discarded
+    // log (the reference's 8x headroom, met here by orders of magnitude)
+    val discardedLogBytes4 = log(2000).map(o =>
+      o.key.length + o.value.length + 24L).sum
+    assert(over4 * 8 <= discardedLogBytes4,
+      s"retained overhead $over4 not within 1/8 of discarded log $discardedLogBytes4")
+    assert(state4 > state1, "sanity: more appends build more state")
+  }
+
   test("dedup drops re-deliveries: an append applies exactly once") {
     import spark.implicits._
     val ops = Seq(

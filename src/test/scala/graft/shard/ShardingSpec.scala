@@ -74,6 +74,86 @@ class ShardingSpec extends AnyFunSuite {
     assert(query(h, 99) == h.last)
   }
 
+  /** Concurrent-clerk analogue of the reference's TestMulti
+    * (shardmaster/test_test.go:252-380): N clerk threads issue
+    * interleaved Join/Leave/Move through ONE sequenced config log (the
+    * synchronized append is this repo's driver-sequencing contract —
+    * the shardmaster's raft log in the reference). Every epoch of the
+    * resulting history must satisfy the config invariants, and
+    * replaying the serialized op sequence cold must reproduce the
+    * history byte-for-byte (the log IS the serialization).
+    */
+  test("interleaved Join/Leave/Move from concurrent clerks hold every epoch's invariants") {
+    import Sharding._
+    sealed trait Op
+    case class J(groups: Map[Int, Seq[String]]) extends Op
+    case class L(gids: Seq[Int]) extends Op
+    case class M(shard: Int, gid: Int) extends Op
+    val history = scala.collection.mutable.ArrayBuffer(initial)
+    val log = scala.collection.mutable.ArrayBuffer.empty[Op]
+    val lock = new Object
+    def clerk(t: Int): Runnable = () => {
+      val gidA = 10 + t * 2
+      val gidB = 11 + t * 2
+      def issue(op: Op): Unit = lock.synchronized {
+        val cur = history.last
+        val next = op match {
+          case J(g) => join(cur, g)
+          case L(g) => leave(cur, g)
+          case M(sh, g) => move(cur, sh, g)
+        }
+        history += next
+        log += op
+      }
+      issue(J(Map(gidA -> Seq(s"srv$gidA-a", s"srv$gidA-b"))))
+      issue(J(Map(gidB -> Seq(s"srv$gidB-a"))))
+      // move targets this clerk's OWN still-live group — mirrors the
+      // reference clerks moving shards among gids they know are joined
+      issue(M(t % NShards, gidA))
+      issue(L(Seq(gidB)))
+    }
+    val threads = (0 until 6).map(t => new Thread(clerk(t)))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+
+    assert(history.size == 1 + 6 * 4)
+    // per-epoch invariants (the reference's check(), per config)
+    history.zipWithIndex.foreach { case (c, i) =>
+      assert(c.num == i, s"config nums must be dense: ${c.num} at epoch $i")
+      assert(c.shards.size == NShards)
+      if (c.groups.isEmpty) assert(c.shards.forall(_ == 0))
+      else assert(c.shards.forall(c.groups.keySet),
+        s"orphan shard at epoch $i: ${c.shards} vs ${c.groups.keySet}")
+    }
+    // balance max-min <= 1 after every REBALANCING epoch (join/leave);
+    // move epochs deliberately break balance until the next rebalance
+    (log.zipWithIndex).foreach { case (op, k) =>
+      val c = history(k + 1)
+      op match {
+        case J(_) | L(_) if c.groups.nonEmpty =>
+          val counts = c.groups.keySet.toSeq.map(g => c.shards.count(_ == g))
+          assert(counts.max - counts.min <= 1,
+            s"unbalanced after epoch ${k + 1} ($op): ${c.shards}")
+        case M(sh, g) =>
+          assert(c.shards(sh) == g, s"move did not stick at epoch ${k + 1}")
+        case _ => ()
+      }
+    }
+    // final membership: every clerk's A group survives, every B left
+    val finalGroups = history.last.groups.keySet
+    assert(finalGroups == (0 until 6).map(t => 10 + t * 2).toSet)
+    // determinism: cold replay of the serialized log reproduces history
+    val replayed = log.foldLeft(Vector(initial)) { (h, op) =>
+      h :+ (op match {
+        case J(g) => join(h.last, g)
+        case L(g) => leave(h.last, g)
+        case M(sh, g) => move(h.last, sh, g)
+      })
+    }
+    assert(replayed == history.toVector,
+      "replaying the sequenced op log must reproduce the history exactly")
+  }
+
   test("key2shard parity with the reference: first byte mod 10") {
     assert(key2shard("a") == 97 % 10)
     assert(key2shard("") == 0)
