@@ -39,9 +39,12 @@ object Bench {
     // graft.core.Staging): production queries consume STORED indexes built
     // once per corpus generation by the index-build job, so the bench
     // times that steady state — an uncharged one-off here when the stage
-    // store is cold, a footer read when warm
-    try StageIndexes.stageAll(spark, sfDir)
-    catch { case scala.util.control.NonFatal(_) => () }
+    // store is cold, a footer read when warm. SPARK_GRAFT_PRESTAGE=0
+    // skips the full stageAll (e.g. probing ONE query on a huge replica
+    // corpus, where queries stage exactly what they touch)
+    if (!sys.env.get("SPARK_GRAFT_PRESTAGE").contains("0"))
+      try StageIndexes.stageAll(spark, sfDir)
+      catch { case scala.util.control.NonFatal(_) => () }
     // a failing query reports -1, never its time-to-failure; fatal errors
     // (OOM etc.) propagate and fail the bench loudly instead of scoring -1
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
