@@ -15,10 +15,12 @@ import org.apache.spark.sql.SparkSession
   */
 object StageIndexes {
 
-  /** Stage every dedup + ANN artifact for `dir`. */
+  /** Stage every dedup + ANN + text-accounting + media artifact for `dir`. */
   def stageAll(s: SparkSession, dir: String): Unit = {
     graft.queries.Dedup.stageIndexes(s, dir)
     graft.queries.Similarity.stageIndexes(s, dir)
+    graft.queries.TextAnalysis.stageIndexes(s, dir)
+    graft.multimodal.Multimodal.mediaTable(s, dir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -337,9 +337,16 @@ object Multimodal {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dataset[MediaRecord]]
 
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] =
-    mediaCache.getOrElseUpdate((s, dir),
-      buildMediaTable(s, dir).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    mediaCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      // durable: the encoded payload bytes ARE the stored input corpus
+      // of a production media pipeline — synthesize once per corpus
+      // generation, read parquet after (graft.core.Staging)
+      graft.core.Staging.readElseBuild(s, dir, "media_table", Seq("documents")) {
+        buildMediaTable(s, dir).toDF()
+      }.as[MediaRecord].persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Drop the staged media tables (needed if a corpus dir is rewritten
     * in-session — same contract as the Dedup/Similarity caches).

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Staging, Tables}
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
   * the `documents` table (TESTDATA.md). The reference's data plane is
@@ -42,10 +42,11 @@ object TextAnalysis {
   private def tokenCounts(s: SparkSession, dir: String): DataFrame =
     tokCountCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      Tables(s, dir).documents
-        .select($"doc_id", $"lang",
-          size(wsTokens($"text")).cast("long").as("m"))
-        .persist()
+      Staging.readElseBuild(s, dir, "token_counts", Seq("documents")) {
+        Tables(s, dir).documents
+          .select($"doc_id", $"lang",
+            size(wsTokens($"text")).cast("long").as("m"))
+      }.persist()
     })
 
   /** Session-scoped memo of the CURATED survivor token counts
@@ -57,7 +58,8 @@ object TextAnalysis {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def curationSurvivors(s: SparkSession, dir: String): DataFrame =
-    survivorCache.getOrElseUpdate((s, dir), {
+    survivorCache.getOrElseUpdate((s, dir), Staging.readElseBuild(
+      s, dir, "curation_survivors", Seq("documents")) {
       import s.implicits._
       val toks = $"toks"
       val docs = Tables(s, dir).documents
@@ -73,8 +75,16 @@ object TextAnalysis {
             + least(lit(1.0), $"n_stop".cast("double") * 10.0 / $"m") * 0.5, 4)
             >= 0.7)
         .select($"doc_id", $"m")
-        .persist()
-    })
+    }.persist())
+
+  /** Force-build the text family's durable staged artifacts for `dir`
+    * ([[graft.core.Staging]]): the token-accounting table and the
+    * curated-survivor table.
+    */
+  def stageIndexes(s: SparkSession, dir: String): Unit = {
+    tokenCounts(s, dir)
+    curationSurvivors(s, dir)
+  }
 
   /** Drop and unpersist the memoized token counts (inputs rewritten). */
   def clearCaches(): Unit = {
