@@ -218,6 +218,7 @@ object Dedup {
     bandCache.values.foreach(_.unpersist())
     hotCache.values.foreach(_.unpersist())
     setsCache.values.foreach(_.unpersist())
+    simhashCache.values.foreach(_.unpersist())
     // cluster labels are localCheckpoint-backed: no live plan references
     // them once the memo is dropped, so the blocks can be freed outright
     clusterCache.values.foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
@@ -231,6 +232,7 @@ object Dedup {
     bandCache.clear()
     hotCache.clear()
     setsCache.clear()
+    simhashCache.clear()
   }
 
   /** Anchor-sampling modulus for dedup_lsh_recall_sampled: 1-in-m docs
@@ -267,6 +269,7 @@ object Dedup {
     windowIndex(s, dir)
     prefixIndex(s, dir)
     clusterLabels(s, dir)
+    simhashBands0(s, dir)
   }
 
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
@@ -957,7 +960,22 @@ object Dedup {
     * sums in a single HashAggregate (partial + final — map-side combine
     * on doc_id), instead of 32 interpreted passes per token array.
     */
-  private def simhashBands0(s: SparkSession, dir: String): DataFrame = {
+  /** Session memo + durable staging for the pre-cap band table: it is
+    * the expensive half of BOTH simhash queries (32 conditional sums
+    * over every token), and a per-corpus stored artifact in production
+    * exactly like the MinHash band index.
+    */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def simhashBands0(s: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate((s, dir), {
+      Staging.readElseBuild(s, dir, "simhash_bands", Seq("documents")) {
+        simhashBands0Uncached(s, dir)
+      }.persist()
+    })
+
+  private def simhashBands0Uncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = wsTokens($"text")
     val perTok = Tables(s, dir).documents
@@ -1009,9 +1027,9 @@ object Dedup {
   def simhashDropStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // three consumers below (hot-bucket agg, dropped join, per-doc
-    // distinct) — materialize the expensive band pipeline once instead
-    // of re-running tokenize+hash per branch
-    val bands0 = simhashBands0(s, dir).localCheckpoint()
+    // distinct) — the band pipeline is staged + persisted, so the
+    // branches share one materialization
+    val bands0 = simhashBands0(s, dir)
     val hot = simhashHotBuckets(s, dir, bands0)
     val dropped = bands0.join(broadcast(hot), Seq("band", "key"))
     val perDoc = bands0.select($"doc_id").distinct()

@@ -61,6 +61,38 @@ class StagingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("concurrent builders race to one staged artifact with identical values") {
+    assume(Staging.enabled, "staging disabled in this JVM")
+    val dir = Files.createTempDirectory("staging_race").toString
+    writeCorpus(dir, (0L until 30L).map(i => (i, s"race doc number $i body")))
+    try {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def run(): Unit =
+        try results.add(
+          Staging.readElseBuild(spark, dir, "race_probe", Seq("documents")) {
+            spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id")
+          }.collect().map(_.getLong(0)).toSet)
+        catch { case t: Throwable => errors.add(t) }
+      val threads = (1 to 2).map(_ => new Thread(() => run()))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"racing builder threw: ${errors.peek()}")
+      import scala.jdk.CollectionConverters._
+      val rs = results.asScala.toSeq
+      assert(rs.size == 2 && rs.forall(_ == (0L until 30L).toSet))
+      // exactly one committed artifact, no leftover temp dirs
+      val slug = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+        .replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "").take(80)
+      val gen = Files.list(java.nio.file.Paths.get(Staging.root)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(slug + "-")).toSeq
+      assert(gen.size == 1)
+      val entries = Files.list(gen.head).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(entries.count(_ == "race_probe") == 1)
+      assert(!entries.exists(_.contains(".tmp-")), s"leftover temp: $entries")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("staged dedup artifacts reproduce the unstaged query results") {
     assume(Staging.enabled, "staging disabled in this JVM")
     // same corpus staged under two distinct dirs: one queried straight
