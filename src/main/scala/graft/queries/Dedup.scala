@@ -270,6 +270,9 @@ object Dedup {
     prefixIndex(s, dir)
     clusterLabels(s, dir)
     simhashBands0(s, dir)
+    interIndex(s, dir)
+    prefixCandidates(s, dir)
+    prefixInter(s, dir)
   }
 
   /** Shared persisted pair-intersection table (ia < ib, shared-shingle
@@ -279,13 +282,14 @@ object Dedup {
   private def interIndex(s: SparkSession, dir: String): DataFrame =
     interCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val (kept, _) = shingleIndex(s, dir)
-      kept.toDF("ia", "sh")
-        .join(kept.toDF("ib", "sh"), "sh").filter($"ia" < $"ib")
-        .groupBy($"ia", $"ib")
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("inter"))
-        .persist()
+      Staging.readElseBuild(s, dir, "inter_index", Seq("documents")) {
+        val (kept, _) = shingleIndex(s, dir)
+        kept.toDF("ia", "sh")
+          .join(kept.toDF("ib", "sh"), "sh").filter($"ia" < $"ib")
+          .groupBy($"ia", $"ib")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("inter"))
+      }.persist()
     })
 
   /** Session-scoped memo of the MinHash band index (doc_id, band, key):
@@ -910,14 +914,15 @@ object Dedup {
   private def prefixCandidates(s: SparkSession, dir: String): DataFrame =
     prefixCandCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val p = prefixIndex(s, dir)
-      p.toDF("ia", "sh", "na").join(p.toDF("ib", "sh", "nb"), "sh")
-        .filter($"ia" < $"ib")
-        .filter($"na" * PrefT_den >= $"nb" * PrefT_num &&
-          $"nb" * PrefT_den >= $"na" * PrefT_num)
-        .select($"ia", $"ib")
-        .dropDuplicates("ia", "ib")
-        .persist()
+      Staging.readElseBuild(s, dir, "prefix_candidates", Seq("documents")) {
+        val p = prefixIndex(s, dir)
+        p.toDF("ia", "sh", "na").join(p.toDF("ib", "sh", "nb"), "sh")
+          .filter($"ia" < $"ib")
+          .filter($"na" * PrefT_den >= $"nb" * PrefT_num &&
+            $"nb" * PrefT_den >= $"na" * PrefT_num)
+          .select($"ia", $"ib")
+          .dropDuplicates("ia", "ib")
+      }.persist()
     })
 
   /** Exact shared-shingle counts restricted to the prefix-admitted
@@ -934,12 +939,13 @@ object Dedup {
   private def prefixInter(s: SparkSession, dir: String): DataFrame =
     prefixInterCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val (kept, _) = shingleIndex(s, dir)
-      prefixCandidates(s, dir)
-        .join(kept.toDF("ia", "sh"), "ia")
-        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
-        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
-        .persist()
+      Staging.readElseBuild(s, dir, "prefix_inter", Seq("documents")) {
+        val (kept, _) = shingleIndex(s, dir)
+        prefixCandidates(s, dir)
+          .join(kept.toDF("ia", "sh"), "ia")
+          .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
+          .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      }.persist()
     })
 
   /** Floor of the SimHash band-bucket cap. The effective cap is
