@@ -122,7 +122,14 @@ object Staging {
     try {
       val gen = dest.getParent
       pruneStaleGenerations(gen)
+      pruneOrphanGenerations()
       Files.createDirectories(gen)
+      // record the corpus path so generations whose corpus is GONE (e.g.
+      // spec-created temp dirs, deleted after the suite) can be swept —
+      // their unique paths mean the same-slug prune never fires for them
+      try Files.writeString(gen.resolve(".corpus"),
+        Paths.get(dir).toAbsolutePath.normalize.toString)
+      catch { case NonFatal(_) => () }
       val tmp = gen.resolve(s".${name}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       df.write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
@@ -153,6 +160,29 @@ object Staging {
           // same slug, different fingerprint = a superseded generation
           .filter(_.getFileName.toString.length == gen.getFileName.toString.length)
           .foreach(deleteRecursively)
+      }
+    } catch { case NonFatal(_) => () }
+
+  /** Sweep generations whose recorded corpus dir no longer exists —
+    * typically staged copies of test-suite temp corpora. Best-effort,
+    * piggybacked on artifact writes (never on the read path).
+    */
+  private def pruneOrphanGenerations(): Unit =
+    try {
+      val rootP = Paths.get(root)
+      if (Files.isDirectory(rootP)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(rootP).iterator().asScala
+          .filter(Files.isDirectory(_))
+          .foreach { gen =>
+            val marker = gen.resolve(".corpus")
+            if (Files.isRegularFile(marker)) {
+              val corpus = try Files.readString(marker).trim
+                catch { case NonFatal(_) => "" }
+              if (corpus.nonEmpty && !Files.exists(Paths.get(corpus)))
+                deleteRecursively(gen)
+            }
+          }
       }
     } catch { case NonFatal(_) => () }
 

@@ -93,26 +93,56 @@ class StagingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("staged dedup artifacts reproduce the unstaged query results") {
+  test("staged artifacts reproduce the unstaged results across every family") {
     assume(Staging.enabled, "staging disabled in this JVM")
-    // same corpus staged under two distinct dirs: one queried straight
-    // through the staging layer twice (cold build+write, then warm read)
-    // — warm results must equal cold results value-for-value
+    // one corpus queried twice through the staging layer: cold
+    // (build+write) then — after dropping every session memo but keeping
+    // disk — warm (read-back). Warm results must equal cold results
+    // value-for-value for a query from each staged family: minhash
+    // bands, prefix pair tables, simhash bands, window index, cluster
+    // labels, token accounting, curation survivors, media table.
     val dir = Files.createTempDirectory("staging_dedup").toString
-    val docs = (0L until 40L).map { i =>
-      val base = s"the quick brown fox jumps over lazy dog number ${i % 7} again and again"
-      (i, if (i % 3 == 0) base else base + s" tail $i")
+    // full driver-table schema: tx_* needs lang, mm_* needs source
+    locally {
+      (0L until 40L).map { i =>
+        val base = s"the quick brown fox jumps over lazy dog number ${i % 7} again and again"
+        val text = if (i % 3 == 0) base else base + s" tail $i"
+        (i, text, if (i % 5 == 0) "de" else "en", s"src${i % 3}", text.length)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
-    writeCorpus(dir, docs)
-    try {
-      def run() = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
-        .collect().map(_.toString).sorted.toSeq
-      val cold = run()
-      graft.queries.Dedup.clearCaches() // drop session memos, keep disk
-      val warm = run()
-      assert(cold == warm, "staged read-back changed dedup_minhash_lsh results")
-    } finally {
+    // small embeddings table so the ANN/PQ family participates
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = new scala.util.Random(5)
+      (0L until 64L).map { i =>
+        (i, Array.tabulate(256)(d => (r.nextGaussian() + (i % 4) * 2.0).toFloat), (i % 4).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val families = Seq("dedup_minhash_lsh", "dedup_jaccard_prefix",
+      "dedup_simhash", "dedup_substring", "dedup_clusters",
+      "tx_curation_packed", "tx_pack", "mm_features", "ann_pq_codes")
+    def clearAll(): Unit = {
       graft.queries.Dedup.clearCaches()
+      graft.queries.Similarity.clearCaches()
+      graft.queries.TextAnalysis.clearCaches()
+      graft.multimodal.Multimodal.clearCaches()
+    }
+    try {
+      clearAll()
+      val cold = families.map(q =>
+        q -> graft.SparkEntry.queries(q)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq).toMap
+      clearAll() // drop session memos, keep disk
+      families.foreach { q =>
+        val warm = graft.SparkEntry.queries(q)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        assert(cold(q) == warm, s"staged read-back changed $q results")
+        assert(warm.nonEmpty || cold(q).isEmpty)
+      }
+    } finally {
+      clearAll()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
