@@ -43,8 +43,14 @@ object Bench {
     // skips the full stageAll (e.g. probing ONE query on a huge replica
     // corpus, where queries stage exactly what they touch)
     if (!sys.env.get("SPARK_GRAFT_PRESTAGE").contains("0"))
-      try StageIndexes.stageAll(spark, sfDir)
-      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        val t0 = System.nanoTime()
+        StageIndexes.stageAll(spark, sfDir)
+        val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+        // surfaced so the artifact shows what the index-build job cost
+        // (cold store) or that the store was warm (~seconds)
+        println(s"""{"metric":"stage_indexes","value":$sec,"unit":"sec","sf":"$sfDir"}""")
+      } catch { case scala.util.control.NonFatal(_) => () }
     // a failing query reports -1, never its time-to-failure; fatal errors
     // (OOM etc.) propagate and fail the bench loudly instead of scoring -1
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
