@@ -331,5 +331,12 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"sweep": "pq", "nprobe": $nprobe, "shortlist": $shortlist, "recall_at5": $recall%.3f, "cand_rows": $candRows, "sec": $sec%.2f}""")
     }
+    for (w <- Seq(2, 3, 4, 5)) {
+      val t0 = System.nanoTime()
+      val (recall, candRows) =
+        graft.queries.Similarity.imiServingMeter(spark, dir, 25, w)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"sweep": "imi", "w": $w, "recall_at5": $recall%.3f, "cand_rows": $candRows, "sec": $sec%.2f}""")
+    }
   }
 }

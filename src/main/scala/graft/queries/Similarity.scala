@@ -963,20 +963,39 @@ object Similarity {
           .as("icell"))
   }
 
-  /** The IMI search shared by ann_imi_topk (probes < 50) and the recall
-    * meter (probes < 25): per-half top-2 centroids via the bounded heap,
-    * candidates restricted to the ≤4 product cells, exact cosine, top-5.
+  /** Per-half probe width of the IMI search: each probe takes its top-w
+    * centroids per half and scans the ≤ w² product cells. The serving
+    * dial of the IMI tier — scanned fraction (and thus recall on a
+    * near-uniform corpus) grows ~w², cost grows with the scanned rows;
+    * [[imiServingMeter]] measures the frontier per corpus
+    * (SCALING.md round-10 table) so the default is priced, not guessed.
+    * Moved 2 → 5 in round 10: w=2 read 0.168 recall@5 at sf0.1 (2,059
+    * candidate rows) — the weakest serving number on the board; w=5
+    * reads 0.544 at 12,512 rows, a better recall-per-scanned-row point
+    * than the PQ tier's nprobe=4 (0.536 at 20,156). The oracle CTEs
+    * interpolate this constant, so the engines cannot desync.
     */
-  private def imiTopk(s: SparkSession, dir: String, probeLimit: Int): DataFrame = {
+  private[queries] val ImiHalfProbe = 5
+
+  /** The IMI search shared by ann_imi_topk (probes < 50) and the recall
+    * meter (probes < 25): per-half top-[[ImiHalfProbe]] centroids via
+    * the bounded heap, candidates restricted to the ≤ w² product cells,
+    * exact cosine, top-5.
+    */
+  private def imiTopk(s: SparkSession, dir: String, probeLimit: Int): DataFrame =
+    imiTopk(s, dir, probeLimit, ImiHalfProbe)
+
+  private def imiTopk(s: SparkSession, dir: String, probeLimit: Int,
+      w: Int): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val v = vecs(s, dir)
     val hd = imiDists(s, dir).filter($"vec_id" < probeLimit)
     val p1 = hd.groupBy($"vec_id")
-      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d1", $"clabel".cast("long"), 2).as("t1"))
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d1", $"clabel".cast("long"), w).as("t1"))
       .select($"vec_id", explode($"t1.id").as("c1"))
     val p2 = hd.groupBy($"vec_id")
-      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d2", $"clabel".cast("long"), 2).as("t2"))
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d2", $"clabel".cast("long"), w).as("t2"))
       .select($"vec_id", explode($"t2.id").as("c2"))
     val pcells = p1.join(p2, "vec_id")
       .select($"vec_id".as("probe"), ($"c1" * 1000000L + $"c2").as("pcell"))
@@ -988,6 +1007,40 @@ object Similarity {
       .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
       .select($"probe", $"vec_id".as("neighbor"), $"cos")
     topk(pairs, 5)
+  }
+
+  /** Serving-knob meter for the IMI tier (the pqServingMeter contract):
+    * recall@5 against the exact brute force at per-half width `w`, plus
+    * the candidate-scan row count (Σ scanned product-cell occupancy).
+    */
+  def imiServingMeter(s: SparkSession, dir: String, probeLimit: Int,
+      w: Int): (Double, Long) = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val v = vecs(s, dir)
+    val probes = v.filter($"vec_id" < probeLimit)
+      .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+    val exactPairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
+      .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+      .select($"probe", $"vec_id".as("neighbor"), $"cos")
+    val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
+    val im5 = imiTopk(s, dir, probeLimit, w).select($"probe", $"neighbor")
+    val common = ex5.join(im5, Seq("probe", "neighbor"), "left_semi").count()
+    val total = ex5.count()
+    // candidate rows: occupancy of the scanned product cells per probe
+    val hd = imiDists(s, dir).filter($"vec_id" < probeLimit)
+    val p1 = hd.groupBy($"vec_id")
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d1", $"clabel".cast("long"), w).as("t1"))
+      .select($"vec_id", explode($"t1.id").as("c1"))
+    val p2 = hd.groupBy($"vec_id")
+      .agg(graft.functions.GroupedTopK.groupedTopK(-$"d2", $"clabel".cast("long"), w).as("t2"))
+      .select($"vec_id", explode($"t2.id").as("c2"))
+    val pcells = p1.join(p2, "vec_id")
+      .select($"vec_id".as("probe"), ($"c1" * 1000000L + $"c2").as("pcell"))
+    val occ = imiAssignments(s, dir).groupBy($"icell").agg(count(lit(1)).as("c"))
+    val candRows = pcells.join(occ, $"pcell" === $"icell")
+      .agg(coalesce(sum($"c"), lit(0L))).head.getLong(0)
+    (common.toDouble / math.max(total, 1L), candRows)
   }
 
   /** Cell-geometry meter for the IMI product cells (the [[embCellStats]]
@@ -1788,11 +1841,11 @@ object Similarity {
          |pt1 AS (SELECT vec_id, clabel AS c1 FROM (
          |  SELECT vec_id, clabel,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d1, clabel) AS rn
-         |  FROM hdist WHERE vec_id < 50) WHERE rn <= 2),
+         |  FROM hdist WHERE vec_id < 50) WHERE rn <= $ImiHalfProbe),
          |pt2 AS (SELECT vec_id, clabel AS c2 FROM (
          |  SELECT vec_id, clabel,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
-         |  FROM hdist WHERE vec_id < 50) WHERE rn <= 2),
+         |  FROM hdist WHERE vec_id < 50) WHERE rn <= $ImiHalfProbe),
          |pcell AS (
          |  SELECT pt1.vec_id AS probe,
          |    CAST(pt1.c1 AS BIGINT) * 1000000 + CAST(pt2.c2 AS BIGINT) AS pcell
@@ -1891,11 +1944,11 @@ object Similarity {
          |pt1 AS (SELECT vec_id, clabel AS c1 FROM (
          |  SELECT vec_id, clabel,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d1, clabel) AS rn
-         |  FROM hdist WHERE vec_id < 25) WHERE rn <= 2),
+         |  FROM hdist WHERE vec_id < 25) WHERE rn <= $ImiHalfProbe),
          |pt2 AS (SELECT vec_id, clabel AS c2 FROM (
          |  SELECT vec_id, clabel,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
-         |  FROM hdist WHERE vec_id < 25) WHERE rn <= 2),
+         |  FROM hdist WHERE vec_id < 25) WHERE rn <= $ImiHalfProbe),
          |pcell AS (
          |  SELECT pt1.vec_id AS probe,
          |    CAST(pt1.c1 AS BIGINT) * 1000000 + CAST(pt2.c2 AS BIGINT) AS pcell

@@ -39,4 +39,13 @@ class ImiSpec extends SparkSpec {
     // least one other vector at this SF, so all 50 probes must answer
     assert(res == (0L until 50L).toSet, s"missing probes: ${(0L until 50L).toSet -- res}")
   }
+
+  test("IMI recall@5 at the serving default stays above the floor") {
+    // the w=5 round-10 default reads 0.544 at sf0.1 (SCALING.md frontier);
+    // this floor catches a serving regression, not corpus noise
+    val (rec, rows) = Similarity.imiServingMeter(
+      spark, "/root/testdata/sf0.01", 25, Similarity.ImiHalfProbe)
+    info(f"IMI recall@5 = $rec%.3f over $rows candidate rows (w = ${Similarity.ImiHalfProbe})")
+    assert(rec >= 0.3, f"IMI serving recall collapsed: $rec%.3f")
+  }
 }
