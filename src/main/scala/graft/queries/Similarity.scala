@@ -134,6 +134,40 @@ object Similarity {
       topk(pairs, 5)
     },
 
+    // Observed sign-LSH recall against the exact brute force — closes
+    // the metered-recall contract for the last unmetered approximate
+    // tier (simhash drops, LSH-jaccard, IVF cells, IMI, PQ all carry
+    // one). Single 8-bit bucket: the coarsest/cheapest tier — the meter
+    // is what tells a user when one hyperplane byte is not enough.
+    "ann_lsh_recall" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val v = vecs(s, dir)
+      val probes = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"bucket".as("pbucket"),
+          $"embedding".as("pe"), $"norm2".as("pn"))
+      val exactPairs = v.join(broadcast(probes.drop("pbucket")), $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
+      val lshPairs = v.join(broadcast(probes),
+        $"bucket" === $"pbucket" && $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      val l5 = topk(lshPairs, 5).select($"probe", $"neighbor")
+      val nExact = ex5.groupBy($"probe").agg(count(lit(1)).as("n_exact"))
+      val nLsh = l5.groupBy($"probe").agg(count(lit(1)).as("n_lsh"))
+      val nCommon = ex5.join(l5, Seq("probe", "neighbor"), "left_semi")
+        .groupBy($"probe").agg(count(lit(1)).as("n_common"))
+      nExact.join(nLsh, Seq("probe"), "left")
+        .join(nCommon, Seq("probe"), "left")
+        .select($"probe",
+          $"n_exact",
+          coalesce($"n_lsh", lit(0L)).as("n_lsh"),
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"probe")
+    },
+
     "ann_centroids" -> { (s, dir) => centroids(s, dir) },
 
     // The IVF cell-geometry METER as a first-class, oracle-checked query
@@ -1997,6 +2031,44 @@ object Similarity {
     "ann_topk" -> oracleFor(25, "TRUE", 10),
     "ann_ivf_topk" -> oracleFor(50, "v.label = p.plabel", 5),
     "ann_lsh_topk" -> oracleFor(50, "v.bucket = p.pbucket", 5),
+
+    "ann_lsh_recall" ->
+      s"""$VecCte,
+         |probes AS (SELECT vec_id AS probe, bucket AS pbucket,
+         |                  embedding AS pe, norm2 AS pn
+         |           FROM v WHERE vec_id < 25),
+         |epairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN probes p ON v.vec_id <> p.probe),
+         |ex5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM epairs) WHERE rank <= 5),
+         |lpairs AS (
+         |  SELECT e.probe, e.neighbor, e.cos FROM epairs e
+         |  JOIN v ON v.vec_id = e.neighbor
+         |  JOIN probes p2 ON p2.probe = e.probe
+         |  WHERE v.bucket = p2.pbucket),
+         |l5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM lpairs) WHERE rank <= 5),
+         |ne AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_exact FROM ex5 GROUP BY probe),
+         |nl AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_lsh FROM l5 GROUP BY probe),
+         |nc AS (
+         |  SELECT e.probe, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ex5 e JOIN l5 l ON l.probe = e.probe AND l.neighbor = e.neighbor
+         |  GROUP BY e.probe)
+         |SELECT ne.probe, ne.n_exact,
+         |  COALESCE(nl.n_lsh, CAST(0 AS BIGINT)) AS n_lsh,
+         |  COALESCE(nc.n_common, CAST(0 AS BIGINT)) AS n_common
+         |FROM ne LEFT JOIN nl ON nl.probe = ne.probe
+         |LEFT JOIN nc ON nc.probe = ne.probe
+         |ORDER BY ne.probe""".stripMargin,
 
     "ann_ivf2_topk" ->
       s"""$VecCte,
