@@ -466,16 +466,31 @@ object Similarity {
     // 100 TB case. Same candidate discipline: pairs only within a cell.
     "dedup_emb_cos_ivf" -> { (s, dir) =>
       import s.implicits._
-      val va = Tables(s, dir).embeddings
-        .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
-        .join(assignments(s, dir), "vec_id")
-      va.select($"vec_id".as("ia"), $"embedding".as("ea"), $"norm2".as("na"), $"alabel")
-        .join(va.select($"vec_id".as("ib"), $"embedding".as("eb"), $"norm2".as("nb"), $"alabel"), "alabel")
-        .filter($"ia" < $"ib")
-        .withColumn("cos", dot($"ea", $"eb") / sqrt($"na" * $"nb"))
-        .filter($"cos" >= 0.4)
+      ivfCosPairs(s, dir)
         .select($"ia", $"ib", round($"cos", 6).as("cos"))
         .orderBy($"ia", $"ib")
+    },
+
+    // SEMANTIC DEDUPLICATION (SemDeDup — Abbas et al. 2023, "SemDeDup:
+    // Data-efficient learning at web-scale through semantic
+    // deduplication"; public): within each trained quantizer cell, a
+    // vector is DROPPED when any lower-id vector of the same cell sits
+    // above the cosine gate; the emitted row is the drop DECISION —
+    // (vec_id, kept_id = smallest such anchor, n_earlier, max_cos).
+    // Keep-smallest-id is the family's keep-first convention
+    // (dedup_drop_list's analogue for embeddings), the standard
+    // transitive-free approximation of the paper's per-cluster greedy.
+    // Shares [[ivfCosPairs]] with dedup_emb_cos_ivf — same staged
+    // assignment artifact, same within-cell candidate discipline, so
+    // the scale posture is inherited: never all-pairs, cells ∝ √n.
+    "dedup_semantic" -> { (s, dir) =>
+      import s.implicits._
+      ivfCosPairs(s, dir)
+        .groupBy($"ib")
+        .agg(min($"ia").as("kept_id"), count(lit(1)).as("n_earlier"),
+          round(max($"cos"), 6).as("max_cos"))
+        .select($"ib".as("vec_id"), $"kept_id", $"n_earlier", $"max_cos")
+        .orderBy($"vec_id")
     },
 
     // INCREMENTAL (delta) embedding dedup — the vector-modality twin of
@@ -502,6 +517,24 @@ object Similarity {
         .orderBy($"new_id")
     }
   )
+
+  /** All within-cell (trained assignment) cosine pairs at the family's
+    * ≥ 0.4 gate — the shared pair set behind dedup_emb_cos_ivf and
+    * dedup_semantic. Norms are computed once per vector before the
+    * join; `cos` leaves unrounded (consumers round at emission).
+    */
+  private[graft] def ivfCosPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val va = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("norm2"))
+      .join(assignments(s, dir), "vec_id")
+    va.select($"vec_id".as("ia"), $"embedding".as("ea"), $"norm2".as("na"), $"alabel")
+      .join(va.select($"vec_id".as("ib"), $"embedding".as("eb"), $"norm2".as("nb"), $"alabel"), "alabel")
+      .filter($"ia" < $"ib")
+      .withColumn("cos", dot($"ea", $"eb") / sqrt($"na" * $"nb"))
+      .filter($"cos" >= 0.4)
+      .select($"ia", $"ib", $"cos")
+  }
 
   /** The existing-corpus (vec_id % 5 != 0) side of the incremental
     * embedding split, with norms and trained-cell assignments — the
@@ -2187,6 +2220,25 @@ object Similarity {
          |  JOIN asg sb ON sb.vec_id = b.vec_id AND sb.alabel = sa.alabel)
          |SELECT ia, ib, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
          |ORDER BY ia, ib""".stripMargin,
+
+    // Same pair CTE as dedup_emb_cos_ivf, rolled up per higher-id
+    // vector into the keep-first drop decision.
+    "dedup_semantic" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(a.embedding) + 1),
+         |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(a.norm2 * b.norm2) AS cos
+         |  FROM v a JOIN asg sa ON sa.vec_id = a.vec_id
+         |  JOIN v b ON a.vec_id < b.vec_id
+         |  JOIN asg sb ON sb.vec_id = b.vec_id AND sb.alabel = sa.alabel)
+         |SELECT ib AS vec_id, min(ia) AS kept_id,
+         |  CAST(count(*) AS BIGINT) AS n_earlier,
+         |  round(max(cos), 6) AS max_cos
+         |FROM p WHERE cos >= 0.4 GROUP BY ib ORDER BY vec_id""".stripMargin,
 
     // Same VecCte/TrainedAsgCte as dedup_emb_cos_ivf; only the pairing
     // is asymmetric (new % 5 == 0 vs existing) and the output is the

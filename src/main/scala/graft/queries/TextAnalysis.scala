@@ -77,13 +77,90 @@ object TextAnalysis {
         .select($"doc_id", $"m")
     }.persist())
 
+  /** Session memo of the per-(doc, word) TERM-FREQUENCY table over
+    * lowercased whitespace tokens — staged as `term_freqs` (doc_id,
+    * lang, word, n). The tokenize+explode+count front end runs once per
+    * corpus generation; the LM-scoring family (tx_unigram_logprob,
+    * tx_ccnet_buckets, tx_entropy) reads this artifact. Size is
+    * Σ per-doc distinct words — strictly smaller than the token stream.
+    */
+  private val tfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def termFreqs(s: SparkSession, dir: String): DataFrame =
+    tfCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Staging.readElseBuild(s, dir, "term_freqs", Seq("documents")) {
+        Tables(s, dir).documents
+          .select($"doc_id", $"lang",
+            explode(wsTokens(lower($"text"))).as("word"))
+          .groupBy($"doc_id", $"lang", $"word")
+          .agg(count(lit(1)).as("n"))
+      }.persist()
+    })
+
+  /** Session memo of the corpus UNIGRAM LANGUAGE MODEL — staged as
+    * `unigram_lm` (word, cnt): global word counts, the model the
+    * CCNet-style fluency filter scores against. Broadcast-sized here;
+    * at 100 TB the vocabulary is still bounded (≤ ~1e8 word types), so
+    * the score join degrades gracefully from broadcast to a shuffle
+    * equi-join on `word` — never anything pairwise.
+    */
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def unigramLm(s: SparkSession, dir: String): DataFrame =
+    vocabCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Staging.readElseBuild(s, dir, "unigram_lm", Seq("documents")) {
+        termFreqs(s, dir).groupBy($"word").agg(sum($"n").as("cnt"))
+      }.persist()
+    })
+
+  /** Per-document average unigram log-probability (doc_id, lang, n_tok,
+    * avg_logprob) — the CCNet-style perplexity proxy (Wenzek et al.
+    * 2020: score each document under a corpus LM; low-probability docs
+    * are tail quality). Session-memoized: tx_unigram_logprob emits it
+    * and tx_ccnet_buckets buckets over it.
+    *
+    * Determinism: the per-doc sum of `n · (ln cnt − ln N)` is folded
+    * over the word-SORTED term list with `aggregate` (sequential
+    * left-fold double — the FloatDot discipline), never a groupBy-sum
+    * of doubles, so the IEEE addition order is identical in the oracle
+    * (`list_reduce` over `list(... ORDER BY word)`).
+    */
+  private val lpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def docLogprob(s: SparkSession, dir: String): DataFrame =
+    lpCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val tot = unigramLm(s, dir).agg(sum($"cnt").as("n_total"))
+      termFreqs(s, dir)
+        .join(broadcast(unigramLm(s, dir)), "word")
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"n").as("m"),
+          sort_array(collect_list(struct($"word", $"n", $"cnt"))).as("terms"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", aggregate($"terms", lit(0.0),
+          (acc, t) => acc + t.getField("n").cast("double")
+            * (log(t.getField("cnt").cast("double"))
+              - log($"n_total".cast("double")))))
+        .select($"doc_id", $"lang", $"m".cast("long").as("n_tok"),
+          round($"lp" / $"m", 4).as("avg_logprob"))
+        .persist()
+    })
+
   /** Force-build the text family's durable staged artifacts for `dir`
-    * ([[graft.core.Staging]]): the token-accounting table and the
-    * curated-survivor table.
+    * ([[graft.core.Staging]]): the token-accounting table, the
+    * curated-survivor table, the term-frequency table, and the unigram
+    * language model.
     */
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     tokenCounts(s, dir)
     curationSurvivors(s, dir)
+    termFreqs(s, dir)
+    unigramLm(s, dir)
   }
 
   /** Drop and unpersist the memoized token counts (inputs rewritten). */
@@ -92,6 +169,12 @@ object TextAnalysis {
     tokCountCache.clear()
     survivorCache.values.foreach(_.unpersist())
     survivorCache.clear()
+    tfCache.values.foreach(_.unpersist())
+    tfCache.clear()
+    vocabCache.values.foreach(_.unpersist())
+    vocabCache.clear()
+    lpCache.values.foreach(_.unpersist())
+    lpCache.clear()
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
@@ -628,6 +711,67 @@ object TextAnalysis {
           ($"r_wc" * $"r_mwl" * $"r_sym" * $"r_bullet" * $"r_ell"
             * $"r_alpha" * $"r_stop").as("keep"))
         .orderBy($"doc_id")
+    },
+
+    // CCNet-style LM fluency scoring (Wenzek et al. 2020, "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data" — public): score every document by its average token
+    // log-probability under the corpus's own unigram LM (the
+    // perplexity proxy; CCNet uses a KenLM 5-gram, the plan shape is
+    // identical). Two artifacts are staged once per corpus — the
+    // term-frequency table and the unigram model — then scoring is one
+    // broadcast join + one doc_id shuffle. Docs with zero tokens carry
+    // no distribution and are absent, like tx_decontaminate.
+    "tx_unigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      docLogprob(s, dir)
+        .select($"doc_id", $"n_tok", $"avg_logprob")
+        .orderBy($"doc_id")
+    },
+
+    // The CCNet head/middle/tail split: per language, rank documents by
+    // LM score (desc — head is the most fluent third) and cut into
+    // three ntile buckets; emit per-bucket accounting. This is the
+    // actual CCNet data-release layout (each language ships as
+    // head/middle/tail shards). Bucket assignment orders by the
+    // ROUNDED score (gate-pinned by tx_unigram_logprob) with doc_id
+    // tie-break, so the cut is deterministic on both engines; bucket
+    // stats are count/int-sum/min/max — all order-independent.
+    "tx_ccnet_buckets" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"avg_logprob".desc, $"doc_id")
+      docLogprob(s, dir)
+        .withColumn("b", ntile(3).over(w))
+        .withColumn("bucket",
+          when($"b" === 1, "head").when($"b" === 2, "middle").otherwise("tail"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"),
+          min($"avg_logprob").as("min_lp"), max($"avg_logprob").as("max_lp"))
+        .orderBy($"lang", $"bucket")
+    },
+
+    // Token-distribution Shannon entropy per document (bits) — the
+    // gibberish/boilerplate quality signal (near-zero entropy = one
+    // token repeated; the complement of tx_repetition's n-gram view).
+    // H = ln m − (Σ n·ln n)/m, in ln-2 units: the Σ n·ln n term folds
+    // over the word-sorted term list (deterministic IEEE order), the
+    // rest is per-row arithmetic. One doc_id shuffle over the staged
+    // term-frequency table; nothing pairwise, nothing corpus-global.
+    "tx_entropy" -> { (s, dir) =>
+      import s.implicits._
+      termFreqs(s, dir)
+        .groupBy($"doc_id")
+        .agg(sum($"n").as("m"), count(lit(1)).as("n_distinct"),
+          sort_array(collect_list(struct($"word", $"n"))).as("terms"))
+        .withColumn("ssum", aggregate($"terms", lit(0.0),
+          (acc, t) => acc + t.getField("n").cast("double")
+            * log(t.getField("n").cast("double"))))
+        .select($"doc_id", $"m".as("n_tok"),
+          $"n_distinct".cast("long").as("n_distinct"),
+          round((log($"m".cast("double")) - $"ssum" / $"m") / log(lit(2.0)), 4)
+            .as("entropy_bits"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -711,7 +855,74 @@ object TextAnalysis {
       |FROM shared s JOIN sz z ON z.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Term-frequency CTE over lowercased whitespace tokens — the oracle
+    * twin of [[termFreqs]], shared by the LM-scoring family.
+    */
+  private val TfCte =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, lang, word, count(*) AS n
+      |       FROM tok GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Unigram-LM scoring CTE chain (appended after [[TfCte]]): the
+    * oracle twin of [[docLogprob]]. The fold replays Spark's
+    * word-sorted sequential double sum exactly (`list_reduce` over
+    * `list(... ORDER BY word)` with a prepended 0.0).
+    */
+  private val LpCte =
+    s"""$TfCte,
+       |vocab AS (SELECT word, CAST(sum(n) AS BIGINT) AS cnt
+       |          FROM tf GROUP BY word),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+       |terms AS (
+       |  SELECT tf.doc_id, tf.lang, CAST(sum(tf.n) AS BIGINT) AS m,
+       |    list(struct_pack(word := tf.word, n := tf.n, cnt := v.cnt)
+       |         ORDER BY tf.word) AS terms
+       |  FROM tf JOIN vocab v USING (word) GROUP BY tf.doc_id, tf.lang),
+       |lp AS (
+       |  SELECT doc_id, lang, m AS n_tok,
+       |    round(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(terms, t -> t.n::DOUBLE
+       |        * (ln(t.cnt::DOUBLE) - ln(tot.n_total::DOUBLE)))),
+       |      (a, b) -> a + b) / m, 4) AS avg_logprob
+       |  FROM terms CROSS JOIN tot)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "tx_unigram_logprob" ->
+      s"""$LpCte
+         |SELECT doc_id, n_tok, avg_logprob FROM lp ORDER BY doc_id""".stripMargin,
+
+    "tx_ccnet_buckets" ->
+      s"""$LpCte,
+         |b AS (
+         |  SELECT lang, n_tok, avg_logprob,
+         |    ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY avg_logprob DESC, doc_id) AS b
+         |  FROM lp)
+         |SELECT lang,
+         |  CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+         |FROM b GROUP BY lang, b ORDER BY lang, bucket""".stripMargin,
+
+    "tx_entropy" ->
+      s"""$TfCte,
+         |e AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS m,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    list(struct_pack(word := word, n := n) ORDER BY word) AS terms
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, m AS n_tok, n_distinct,
+         |  round((ln(m::DOUBLE) - list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(terms, t -> t.n::DOUBLE * ln(t.n::DOUBLE))),
+         |    (a, b) -> a + b) / m) / ln(2.0::DOUBLE), 4) AS entropy_bits
+         |FROM e ORDER BY doc_id""".stripMargin,
+
     "tx_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
