@@ -151,6 +151,19 @@ object TextAnalysis {
         .persist()
     })
 
+  /** Driver-side copy of the staged unigram LM plus the corpus token
+    * total — the task-shipped artifact the streaming scorer
+    * ([[graft.streaming.LmScoreStream]]) rides. Broadcast-sized at the
+    * gate corpora; a 100 TB vocabulary (~1e8 types) switches to a
+    * task-local hashmap loaded per partition from the staged parquet —
+    * same stateless per-row shape.
+    */
+  private[graft] def unigramLmMap(s: SparkSession, dir: String): (Map[String, Long], Long) = {
+    val rows = unigramLm(s, dir).collect()
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m, m.values.sum)
+  }
+
   /** Force-build the text family's durable staged artifacts for `dir`
     * ([[graft.core.Staging]]): the token-accounting table, the
     * curated-survivor table, the term-frequency table, and the unigram
@@ -751,6 +764,26 @@ object TextAnalysis {
         .orderBy($"lang", $"bucket")
     },
 
+    // Corpus vocabulary accounting over the staged unigram LM — the
+    // summary a curation run reports per snapshot: type/token counts,
+    // hapax mass (OOV-rate proxy), and how much of the corpus the 100
+    // most frequent types cover (Zipf head mass). All statistics are
+    // integer counts or one exact integer ratio, so no float-sum
+    // portability risk; the top-100 cut is a global TakeOrdered
+    // (cnt desc, word tie-break — deterministic), never a full sort.
+    "tx_vocab_stats" -> { (s, dir) =>
+      import s.implicits._
+      val v = unigramLm(s, dir)
+      val top = v.orderBy($"cnt".desc, $"word").limit(100)
+        .agg(sum($"cnt").as("top100"))
+      v.agg(count(lit(1)).as("n_types"), sum($"cnt").as("n_tokens"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("hapax_types"),
+        max($"cnt").as("max_cnt"))
+        .crossJoin(broadcast(top))
+        .select($"n_types", $"n_tokens", $"hapax_types", $"max_cnt",
+          round($"top100".cast("double") / $"n_tokens", 6).as("top100_mass"))
+    },
+
     // Token-distribution Shannon entropy per document (bits) — the
     // gibberish/boilerplate quality signal (near-zero entropy = one
     // token repeated; the complement of tx_repetition's n-gram view).
@@ -909,6 +942,21 @@ object TextAnalysis {
          |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
          |  min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
          |FROM b GROUP BY lang, b ORDER BY lang, bucket""".stripMargin,
+
+    "tx_vocab_stats" ->
+      s"""$TfCte,
+         |vocab AS (SELECT word, CAST(sum(n) AS BIGINT) AS cnt
+         |          FROM tf GROUP BY word),
+         |top AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS top100 FROM (
+         |    SELECT cnt FROM vocab ORDER BY cnt DESC, word LIMIT 100))
+         |SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+         |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |  round(CAST((SELECT top100 FROM top) AS DOUBLE)
+         |        / CAST(sum(cnt) AS BIGINT), 6) AS top100_mass
+         |FROM vocab""".stripMargin,
 
     "tx_entropy" ->
       s"""$TfCte,

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextAnalysis
+
+/** Streaming twin of `tx_unigram_logprob`: score a continuous ingest of
+  * documents under a STATIC corpus's staged unigram LM — the always-on
+  * form of the CCNet-style fluency gate a crawl pipeline applies at the
+  * door (score at ingest, route to head/middle/tail or drop, never
+  * rescan the corpus).
+  *
+  * The whole pipeline is a stateless per-row projection — no shuffle,
+  * no watermark, no stateful operator — so it runs in append mode and
+  * each document's score is complete within its own micro-batch:
+  *
+  *  1. tokenize (lowercased whitespace tokens, the batch tokenizer),
+  *  2. per-row fold over the SORTED distinct-term list: each term adds
+  *     `n · (ln cnt − ln N)` with `cnt` looked up in the shipped LM map
+  *     and `n` counted from the row's own token array. The fold replays
+  *     the batch side's word-sorted sequential double sum exactly, so
+  *     scores are bit-identical to `tx_unigram_logprob`
+  *     (LmScoreStreamSpec's parity pin).
+  *
+  * Out-of-vocabulary terms (impossible in the batch parity set, whose
+  * documents built the LM) contribute 0 — the production deployment
+  * would reserve a smoothed OOV mass instead; one `coalesce` constant.
+  *
+  * The LM ships as a map literal (broadcast-sized at the gate corpora);
+  * at a 100 TB vocabulary the same per-row shape loads a task-local
+  * hashmap from the staged parquet inside `mapPartitions`.
+  */
+object LmScoreStream {
+
+  /** Per-arriving-document (doc_id, n_tok, avg_logprob) — append-safe. */
+  def scores(newDocs: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    val (lm, nTotal) = TextAnalysis.unigramLmMap(s, dir)
+    val lnN = math.log(nTotal.toDouble)
+    val lmCol: Column = typedlit(lm)
+    newDocs
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .withColumn("m", size(col("toks")))
+      .filter(col("m") > 0)
+      .withColumn("lp", aggregate(
+        array_sort(array_distinct(col("toks"))), lit(0.0),
+        (acc, w) => acc + coalesce(
+          size(filter(col("toks"), x => x === w)).cast("double")
+            * (log(element_at(lmCol, w).cast("double")) - lit(lnN)),
+          lit(0.0))))
+      .select(col("doc_id"), col("m").cast("long").as("n_tok"),
+        round(col("lp") / col("m"), 4).as("avg_logprob"))
+  }
+}
