@@ -36,6 +36,22 @@ object Similarity {
   private def dot(x: Column, y: Column): Column =
     graft.functions.FloatDot.floatDot(x, y)
 
+  /** Metadata-filter modulus for the filtered-search family
+    * (ann_filtered_topk / ann_filtered_ivf / ann_postfilter_recall):
+    * allowed(vector) ⇔ vec_id % AnnFilterMod == 0 — a ~25%-selective
+    * predicate UNCORRELATED with cell geometry by construction, standing
+    * in for an arbitrary metadata filter (source / date / licence). One
+    * definition; the oracle SQL interpolates the same constant.
+    */
+  private[graft] val AnnFilterMod = 4
+
+  /** Unfiltered shortlist size for the post-filter route measured by
+    * ann_postfilter_recall (the route real systems fall back to when the
+    * index cannot push the predicate down). Same constant interpolated
+    * into the oracle.
+    */
+  private[graft] val PostFilterShortlist = 20
+
   /** Sign-LSH bucket of dims 1..8: Σ 2^(i-1)·[e_i > 0]. */
   private def signBucket(e: Column): Column = aggregate(
     transform(sequence(lit(1), lit(8)),
@@ -515,6 +531,96 @@ object Similarity {
         .select($"ni".as("new_id"), $"pick.oi".as("dup_of"),
           round(-$"pick.ncos", 6).as("cos"))
         .orderBy($"new_id")
+    },
+
+    // ——— Filtered vector search (metadata predicate + top-k) ———
+    // allowed(neighbor) ⇔ vec_id % AnnFilterMod == 0 (see the constant's
+    // doc). Three routes: exact pre-filter truth, pre-filter through the
+    // trained IVF index, and the post-filter recall meter.
+
+    // PRE-filter exact baseline: the predicate is applied to the corpus
+    // side BEFORE the distance join — at 100 TB it reaches the parquet
+    // scan as a pushed filter, so the scan itself shrinks by the filter
+    // selectivity and the top-k is exact over the allowed subset. This
+    // is the truth the approximate / post-filter routes are judged
+    // against.
+    "ann_filtered_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = vecs(s, dir)
+      val probes = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+      val pairs = v.filter($"vec_id" % AnnFilterMod === 0)
+        .join(broadcast(probes), $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      topk(pairs, 5)
+    },
+
+    // PRE-filter through the trained IVF index (nprobe=2): candidates =
+    // (probe's 2 nearest cells) ∩ (allowed) — the predicate lands BELOW
+    // the distance computation, so the index bounds the scan and the
+    // filter bounds the ranking independently. This is the production
+    // shape for filtered vector search; because the predicate is
+    // uncorrelated with cell geometry, candidate counts shrink ~4× with
+    // no systematic recall bias (FilteredAnnSpec reports the recall).
+    "ann_filtered_ivf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = vecs(s, dir)
+      val va = v.join(assignments(s, dir), "vec_id")
+      val pcells = centroidDists(s, dir).filter($"vec_id" < 25)
+        .groupBy($"vec_id")
+        .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), 2).as("top"))
+        .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
+      val probes = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+        .join(pcells, "probe")
+      val pairs = va.filter($"vec_id" % AnnFilterMod === 0)
+        .join(broadcast(probes), $"alabel" === $"pcell" && $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      topk(pairs, 5)
+    },
+
+    // PRE vs POST meter: the post-filter route takes the UNFILTERED
+    // exact top-PostFilterShortlist shortlist, then applies the
+    // predicate, then keeps the first 5 survivors in shortlist order —
+    // what a system does when the filter cannot be pushed into the
+    // index. Output per probe: n_true (allowed truth size), n_post
+    // (survivors kept), n_common (overlap with the pre-filter truth).
+    // With a ~25% filter a 20-deep shortlist keeps ~5 survivors and
+    // loses part of the true top-5 — the measured argument for
+    // pre-filtering (the number real vector stores call "filtered
+    // recall").
+    "ann_postfilter_recall" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = vecs(s, dir)
+      val probes = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+      val pairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      val truth = topk(pairs.filter($"neighbor" % AnnFilterMod === 0), 5)
+        .select($"probe", $"neighbor")
+      val post = topk(pairs, PostFilterShortlist)
+        .filter($"neighbor" % AnnFilterMod === 0)
+        // first 5 survivors in shortlist order: keep the SMALLEST ranks
+        .groupBy($"probe")
+        .agg(graft.functions.GroupedTopK.groupedTopK(
+          -$"rank".cast("double"), $"neighbor", 5).as("top"))
+        .select($"probe", explode($"top.id").as("neighbor"))
+      val nt = truth.groupBy($"probe").agg(count(lit(1)).as("n_true"))
+      val np = post.groupBy($"probe").agg(count(lit(1)).as("n_post"))
+      val nc = truth.join(post, Seq("probe", "neighbor"))
+        .groupBy($"probe").agg(count(lit(1)).as("n_common"))
+      nt.join(np, Seq("probe"), "left")
+        .join(nc, Seq("probe"), "left")
+        .select($"probe", $"n_true",
+          coalesce($"n_post", lit(0L)).as("n_post"),
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"probe")
     }
   )
 
@@ -2128,6 +2234,84 @@ object Similarity {
          |  FROM pairs)
          |SELECT probe, rank, neighbor, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    // Pre-filter exact truth: same shape as ann_topk's oracle with the
+    // allowed-predicate (one AnnFilterMod definition, interpolated) on
+    // the corpus side of the join.
+    "ann_filtered_topk" -> oracleFor(25, s"v.vec_id % $AnnFilterMod = 0", 5),
+
+    // ann_ivf2_topk's oracle with 25 probes and the allowed predicate
+    // inside the candidate join — filter below the distance fold, like
+    // the Scala side.
+    "ann_filtered_ivf" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |pcell AS (
+         |  SELECT vec_id AS probe, clabel AS pcell FROM (
+         |    SELECT vec_id, clabel,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+         |    FROM dist WHERE vec_id < 25) WHERE rn <= 2),
+         |probes AS (
+         |  SELECT p.probe, p.pcell, v.embedding AS pe, v.norm2 AS pn
+         |  FROM pcell p JOIN v ON v.vec_id = p.probe),
+         |pairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN asg a ON a.vec_id = v.vec_id
+         |  JOIN probes p ON a.alabel = p.pcell AND v.vec_id <> p.probe
+         |  WHERE v.vec_id % $AnnFilterMod = 0),
+         |ranked AS (
+         |  SELECT probe, neighbor, cos,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM pairs)
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    // Post-filter recall meter: unfiltered top-PostFilterShortlist →
+    // predicate → first 5 in shortlist order, counted against the
+    // pre-filter truth. Constants interpolated from the single Scala
+    // definitions.
+    "ann_postfilter_recall" ->
+      s"""$VecCte,
+         |probes AS (SELECT vec_id AS probe, embedding AS pe, norm2 AS pn
+         |           FROM v WHERE vec_id < 25),
+         |pairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN probes p ON v.vec_id <> p.probe),
+         |short AS (
+         |  SELECT probe, neighbor, rank FROM (
+         |    SELECT probe, neighbor, cos,
+         |      row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |    FROM pairs) WHERE rank <= $PostFilterShortlist),
+         |postk AS (
+         |  SELECT probe, neighbor FROM (
+         |    SELECT probe, neighbor,
+         |      row_number() OVER (PARTITION BY probe ORDER BY rank) AS prn
+         |    FROM short WHERE neighbor % $AnnFilterMod = 0) WHERE prn <= 5),
+         |truthk AS (
+         |  SELECT probe, neighbor FROM (
+         |    SELECT probe, neighbor,
+         |      row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rn
+         |    FROM pairs WHERE neighbor % $AnnFilterMod = 0) WHERE rn <= 5),
+         |nt AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_true FROM truthk GROUP BY probe),
+         |np AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_post FROM postk GROUP BY probe),
+         |nc AS (
+         |  SELECT t.probe, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM truthk t JOIN postk q ON q.probe = t.probe AND q.neighbor = t.neighbor
+         |  GROUP BY t.probe)
+         |SELECT nt.probe, nt.n_true,
+         |  COALESCE(np.n_post, CAST(0 AS BIGINT)) AS n_post,
+         |  COALESCE(nc.n_common, CAST(0 AS BIGINT)) AS n_common
+         |FROM nt LEFT JOIN np ON np.probe = nt.probe
+         |LEFT JOIN nc ON nc.probe = nt.probe
+         |ORDER BY nt.probe""".stripMargin,
 
     "ann_quantized_topk" ->
       s"""$VecCte,
