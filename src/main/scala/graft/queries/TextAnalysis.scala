@@ -151,6 +151,57 @@ object TextAnalysis {
         .persist()
     })
 
+  /** Target domain for DSIR importance weighting (tx_dsir_weights /
+    * tx_dsir_select): English documents stand in for the
+    * formal-target-corpus half of the estimator. One definition; the
+    * oracle SQL interpolates the same constant.
+    */
+  private[graft] val DsirTargetLang = "en"
+
+  /** Selection size for tx_dsir_select (top-K by importance weight). */
+  private[graft] val DsirSelectK = 100
+
+  /** Per-document DSIR importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * log w(d) = Σ_f n_d(f) · (ln p_target(f) − ln p_raw(f)) over
+    * unigram word features with add-one smoothing — the deterministic
+    * core of importance resampling (the published method adds Gumbel
+    * noise before the top-K cut; ranking by the weight itself is its
+    * deterministic analogue). Target LM = documents with
+    * lang = [[DsirTargetLang]]; raw LM = the staged corpus unigram LM.
+    *
+    * Determinism: both smoothed log-ratios expand to ln-differences and
+    * the per-doc sum folds over the word-SORTED term list (sequential
+    * left-fold double — the docLogprob discipline), so IEEE order is
+    * identical in the oracle. Scale: vocab-sized joins only (broadcast
+    * here; equi-join on `word` at 100 TB), one doc_id shuffle — never
+    * anything pairwise.
+    */
+  private def dsirWeightsRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = termFreqs(s, dir)
+    val tvocab = tf.filter($"lang" === DsirTargetLang)
+      .groupBy($"word").agg(sum($"n").as("tcnt"))
+    val ratio = unigramLm(s, dir).join(tvocab, Seq("word"), "left")
+      .select($"word", $"cnt", coalesce($"tcnt", lit(0L)).as("tcnt"))
+    val geo = ratio.agg(
+      sum($"cnt").as("n_raw"), count(lit(1)).as("v_size"),
+      sum($"tcnt").as("n_tgt"))
+    tf.join(broadcast(ratio), "word")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"n").as("m"),
+        sort_array(collect_list(struct($"word", $"n", $"tcnt", $"cnt"))).as("terms"))
+      .crossJoin(broadcast(geo))
+      .withColumn("lw", aggregate($"terms", lit(0.0),
+        (acc, t) => acc + t.getField("n").cast("double") *
+          ((log(t.getField("tcnt").cast("double") + 1.0)
+            - log(($"n_tgt" + $"v_size").cast("double")))
+            - (log(t.getField("cnt").cast("double") + 1.0)
+              - log(($"n_raw" + $"v_size").cast("double"))))))
+      .select($"doc_id", $"lang", $"m".cast("long").as("n_tok"),
+        ($"lw" / $"m").as("avg_raw"))
+  }
+
   /** Driver-side copy of the staged unigram LM plus the corpus token
     * total — the task-shipped artifact the streaming scorer
     * ([[graft.streaming.LmScoreStream]]) rides. Broadcast-sized at the
@@ -771,6 +822,40 @@ object TextAnalysis {
     // integer counts or one exact integer ratio, so no float-sum
     // portability risk; the top-100 cut is a global TakeOrdered
     // (cnt desc, word tie-break — deterministic), never a full sort.
+    // DSIR importance weights per document: positive avg_logw = the
+    // document looks more like the target domain (lang = DsirTargetLang)
+    // than like the raw corpus under smoothed unigram LMs. The data-
+    // selection half of the pretraining pipeline (cf. tx_mix, which
+    // reweights AFTER selection).
+    "tx_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      dsirWeightsRaw(s, dir)
+        .select($"doc_id", $"lang", $"n_tok",
+          // + 0.0 canonicalizes IEEE -0.0 (DuckDB round keeps the sign,
+          // Spark's BigDecimal round cannot represent it)
+          (round($"avg_raw", 4) + 0.0).as("avg_logw"))
+        .orderBy($"doc_id")
+    },
+
+    // The selection itself: global top-DsirSelectK by (weight desc,
+    // doc_id) via a single bounded-heap GroupedTopK — each map task
+    // ships at most K rows, no global sort; the K winners broadcast-join
+    // back for their attributes. Rank is computed on the UNROUNDED
+    // weight (ties → smaller doc_id), the emitted weight is rounded.
+    "tx_dsir_select" -> { (s, dir) =>
+      import s.implicits._
+      val w = dsirWeightsRaw(s, dir)
+      val top = w.groupBy(lit(1).as("g"))
+        .agg(graft.functions.GroupedTopK.groupedTopK(
+          $"avg_raw", $"doc_id", DsirSelectK).as("top"))
+        .select(posexplode($"top").as(Seq("pos", "t")))
+        .select(($"pos" + 1).as("rank"), $"t.id".as("doc_id"))
+      top.join(w, "doc_id")
+        .select($"doc_id", $"rank", $"lang",
+          (round($"avg_raw", 4) + 0.0).as("avg_logw"))
+        .orderBy($"rank")
+    },
+
     "tx_vocab_stats" -> { (s, dir) =>
       import s.implicits._
       val v = unigramLm(s, dir)
@@ -923,6 +1008,38 @@ object TextAnalysis {
        |      (a, b) -> a + b) / m, 4) AS avg_logprob
        |  FROM terms CROSS JOIN tot)""".stripMargin
 
+  /** Oracle twin of [[dsirWeightsRaw]]: smoothed target/raw unigram
+    * log-ratio per word, folded over the word-sorted per-doc term list
+    * with the exact parenthesization of the Scala fold.
+    */
+  private val DwCte =
+    s"""$TfCte,
+       |vocab AS (SELECT word, CAST(sum(n) AS BIGINT) AS cnt
+       |          FROM tf GROUP BY word),
+       |tvocab AS (SELECT word, CAST(sum(n) AS BIGINT) AS tcnt
+       |           FROM tf WHERE lang = '$DsirTargetLang' GROUP BY word),
+       |ratio AS (
+       |  SELECT v.word, v.cnt, COALESCE(t.tcnt, CAST(0 AS BIGINT)) AS tcnt
+       |  FROM vocab v LEFT JOIN tvocab t USING (word)),
+       |geo AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_raw,
+       |               CAST(count(*) AS BIGINT) AS v_size,
+       |               CAST(sum(tcnt) AS BIGINT) AS n_tgt
+       |        FROM ratio),
+       |dterms AS (
+       |  SELECT tf.doc_id, tf.lang, CAST(sum(tf.n) AS BIGINT) AS m,
+       |    list(struct_pack(word := tf.word, n := tf.n,
+       |                     tcnt := r.tcnt, cnt := r.cnt)
+       |         ORDER BY tf.word) AS terms
+       |  FROM tf JOIN ratio r USING (word) GROUP BY tf.doc_id, tf.lang),
+       |dw AS (
+       |  SELECT doc_id, lang, m AS n_tok,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(terms, t -> t.n::DOUBLE *
+       |        ((ln((t.tcnt + 1)::DOUBLE) - ln((geo.n_tgt + geo.v_size)::DOUBLE))
+       |         - (ln((t.cnt + 1)::DOUBLE) - ln((geo.n_raw + geo.v_size)::DOUBLE))))),
+       |      (a, b) -> a + b) / m AS avg_raw
+       |  FROM dterms CROSS JOIN geo)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "tx_unigram_logprob" ->
       s"""$LpCte
@@ -942,6 +1059,23 @@ object TextAnalysis {
          |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
          |  min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
          |FROM b GROUP BY lang, b ORDER BY lang, bucket""".stripMargin,
+
+    // Oracle twin of dsirWeightsRaw: identical ln-difference expansion
+    // and word-sorted sequential fold; constants (target lang, K)
+    // interpolated from the single Scala definitions.
+    "tx_dsir_weights" ->
+      s"""$DwCte
+         |SELECT doc_id, lang, n_tok, round(avg_raw, 4) + 0.0 AS avg_logw
+         |FROM dw ORDER BY doc_id""".stripMargin,
+
+    "tx_dsir_select" ->
+      s"""$DwCte,
+         |sel AS (
+         |  SELECT doc_id, lang, avg_raw,
+         |    row_number() OVER (ORDER BY avg_raw DESC, doc_id) AS rank
+         |  FROM dw)
+         |SELECT doc_id, rank, lang, round(avg_raw, 4) + 0.0 AS avg_logw
+         |FROM sel WHERE rank <= $DsirSelectK ORDER BY rank""".stripMargin,
 
     "tx_vocab_stats" ->
       s"""$TfCte,
