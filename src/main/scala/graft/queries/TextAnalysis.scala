@@ -161,6 +161,16 @@ object TextAnalysis {
   /** Selection size for tx_dsir_select (top-K by importance weight). */
   private[graft] val DsirSelectK = 100
 
+  /** Feature-space size for the hashed-bigram DSIR variant
+    * (tx_dsir_hashed) — md5-hashed word bigrams fold into this many
+    * buckets, so the estimator's state is FIXED-SIZE regardless of
+    * vocabulary: the property that lets it run at 100 TB (the
+    * word-feature variant's vocab table grows with the corpus; this one
+    * never exceeds B rows). Smoothing uses B as the add-one denominator
+    * mass in place of the vocab size.
+    */
+  private[graft] val DsirHashBuckets = 4096
+
   /** Per-document DSIR importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"):
     * log w(d) = Σ_f n_d(f) · (ln p_target(f) − ln p_raw(f)) over
@@ -199,6 +209,56 @@ object TextAnalysis {
             - (log(t.getField("cnt").cast("double") + 1.0)
               - log(($"n_raw" + $"v_size").cast("double"))))))
       .select($"doc_id", $"lang", $"m".cast("long").as("n_tok"),
+        ($"lw" / $"m").as("avg_raw"))
+  }
+
+  /** Per-(doc, bucket) counts of md5-hashed word-bigram features — the
+    * fixed-size front end of tx_dsir_hashed. Bigrams come from the
+    * zip of the token list with its own tail (empty and 1-token docs
+    * produce no features on either engine); the portable tokHash folds
+    * them into [[DsirHashBuckets]] buckets.
+    */
+  private def hashedBigramCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id", $"lang", wsTokens(lower($"text")).as("toks"))
+      .select($"doc_id", $"lang",
+        explode(zip_with(
+          slice($"toks", lit(1), greatest(size($"toks") - 1, lit(0))),
+          slice($"toks", lit(2), greatest(size($"toks") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("feat"))
+      .select($"doc_id", $"lang",
+        (tokHash($"feat") % DsirHashBuckets).as("bucket"))
+      .groupBy($"doc_id", $"lang", $"bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[dsirWeightsRaw]] over the hashed-bigram feature space: identical
+    * smoothed log-ratio estimator and fold discipline, with the fixed
+    * bucket count as the smoothing mass. See [[DsirHashBuckets]] for
+    * why this is the at-scale form.
+    */
+  private def dsirHashedRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bf = hashedBigramCounts(s, dir)
+    val tcnt = bf.filter($"lang" === DsirTargetLang)
+      .groupBy($"bucket").agg(sum($"n").as("tcnt"))
+    val ratio = bf.groupBy($"bucket").agg(sum($"n").as("cnt"))
+      .join(tcnt, Seq("bucket"), "left")
+      .select($"bucket", $"cnt", coalesce($"tcnt", lit(0L)).as("tcnt"))
+    val geo = ratio.agg(sum($"cnt").as("n_raw"), sum($"tcnt").as("n_tgt"))
+    bf.join(broadcast(ratio), "bucket")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"n").as("m"),
+        sort_array(collect_list(struct($"bucket", $"n", $"tcnt", $"cnt"))).as("terms"))
+      .crossJoin(broadcast(geo))
+      .withColumn("lw", aggregate($"terms", lit(0.0),
+        (acc, t) => acc + t.getField("n").cast("double") *
+          ((log(t.getField("tcnt").cast("double") + 1.0)
+            - log(($"n_tgt" + lit(DsirHashBuckets.toLong)).cast("double")))
+            - (log(t.getField("cnt").cast("double") + 1.0)
+              - log(($"n_raw" + lit(DsirHashBuckets.toLong)).cast("double"))))))
+      .select($"doc_id", $"lang", $"m".cast("long").as("n_big"),
         ($"lw" / $"m").as("avg_raw"))
   }
 
@@ -856,6 +916,17 @@ object TextAnalysis {
         .orderBy($"rank")
     },
 
+    // The at-scale DSIR form: hashed bigram features (fixed 4096-bucket
+    // space) instead of the unbounded word vocabulary. Docs with fewer
+    // than 2 tokens carry no features and drop out on both engines.
+    "tx_dsir_hashed" -> { (s, dir) =>
+      import s.implicits._
+      dsirHashedRaw(s, dir)
+        .select($"doc_id", $"lang", $"n_big",
+          (round($"avg_raw", 4) + 0.0).as("avg_logw"))
+        .orderBy($"doc_id")
+    },
+
     "tx_vocab_stats" -> { (s, dir) =>
       import s.implicits._
       val v = unigramLm(s, dir)
@@ -1076,6 +1147,50 @@ object TextAnalysis {
          |  FROM dw)
          |SELECT doc_id, rank, lang, round(avg_raw, 4) + 0.0 AS avg_logw
          |FROM sel WHERE rank <= $DsirSelectK ORDER BY rank""".stripMargin,
+
+    // Oracle twin of dsirHashedRaw: same filtered tokenization, same
+    // tail-zip bigrams, same 8-hex md5 bucket hash, same fold.
+    "tx_dsir_hashed" ->
+      s"""WITH btok AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |bfeat AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i + 1])) AS feat
+         |  FROM btok),
+         |bf AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % $DsirHashBuckets AS bucket,
+         |    count(*) AS n
+         |  FROM bfeat GROUP BY 1, 2, 3),
+         |tcnt AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS tcnt
+         |         FROM bf WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+         |hratio AS (
+         |  SELECT g.bucket, g.cnt, COALESCE(t.tcnt, CAST(0 AS BIGINT)) AS tcnt
+         |  FROM (SELECT bucket, CAST(sum(n) AS BIGINT) AS cnt
+         |        FROM bf GROUP BY bucket) g
+         |  LEFT JOIN tcnt t USING (bucket)),
+         |hgeo AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_raw,
+         |                CAST(sum(tcnt) AS BIGINT) AS n_tgt FROM hratio),
+         |hterms AS (
+         |  SELECT bf.doc_id, bf.lang, CAST(sum(bf.n) AS BIGINT) AS m,
+         |    list(struct_pack(bucket := bf.bucket, n := bf.n,
+         |                     tcnt := r.tcnt, cnt := r.cnt)
+         |         ORDER BY bf.bucket) AS terms
+         |  FROM bf JOIN hratio r USING (bucket) GROUP BY bf.doc_id, bf.lang),
+         |hdw AS (
+         |  SELECT doc_id, lang, m AS n_big,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(terms, t -> t.n::DOUBLE *
+         |        ((ln((t.tcnt + 1)::DOUBLE) - ln((hgeo.n_tgt + $DsirHashBuckets)::DOUBLE))
+         |         - (ln((t.cnt + 1)::DOUBLE) - ln((hgeo.n_raw + $DsirHashBuckets)::DOUBLE))))),
+         |      (a, b) -> a + b) / m AS avg_raw
+         |  FROM hterms CROSS JOIN hgeo)
+         |SELECT doc_id, lang, n_big, round(avg_raw, 4) + 0.0 AS avg_logw
+         |FROM hdw ORDER BY doc_id""".stripMargin,
 
     "tx_vocab_stats" ->
       s"""$TfCte,

@@ -26,6 +26,19 @@ class DsirSpec extends SparkSpec {
       "importance weights must favor the target domain on average")
   }
 
+  test("tx_dsir_hashed: fixed feature space reproduces the target preference") {
+    assume(ready, s"$dir not present")
+    val rows = TextAnalysis.queries("tx_dsir_hashed")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val (tgt, rest) = rows.partition(_.getString(1) == TextAnalysis.DsirTargetLang)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    val meanTgt = tgt.map(_.getDouble(3)).sum / tgt.length
+    val meanRest = rest.map(_.getDouble(3)).sum / rest.length
+    info(f"hashed-bigram mean avg_logw: target=$meanTgt%.4f rest=$meanRest%.4f")
+    assert(meanTgt > meanRest,
+      "the 4096-bucket estimator must preserve the target-domain preference")
+  }
+
   test("tx_dsir_select: dense ranks, target language dominates the selection") {
     assume(ready, s"$dir not present")
     val sel = TextAnalysis.queries("tx_dsir_select")(spark, dir).collect()
