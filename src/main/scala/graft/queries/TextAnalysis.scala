@@ -262,6 +262,25 @@ object TextAnalysis {
         ($"lw" / $"m").as("avg_raw"))
   }
 
+  /** Driver-side copy of the DSIR word-ratio table (word → (target
+    * count, raw count)) plus its totals and vocab size — the
+    * task-shipped artifact [[graft.streaming.DsirStream]] rides. Same
+    * broadcast-now / staged-parquet-per-partition-at-100 TB tradeoff as
+    * [[unigramLmMap]].
+    */
+  private[graft] def dsirRatioMap(s: SparkSession, dir: String)
+      : (Map[String, (Long, Long)], Long, Long, Long) = {
+    import s.implicits._
+    val tvocab = termFreqs(s, dir).filter($"lang" === DsirTargetLang)
+      .groupBy($"word").agg(sum($"n").as("tcnt"))
+    val rows = unigramLm(s, dir).join(tvocab, Seq("word"), "left")
+      .select($"word", $"cnt", coalesce($"tcnt", lit(0L)).as("tcnt"))
+      .collect()
+    val m = rows.map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
+    (m, m.valuesIterator.map(_._1).sum, m.valuesIterator.map(_._2).sum,
+      m.size.toLong)
+  }
+
   /** Driver-side copy of the staged unigram LM plus the corpus token
     * total — the task-shipped artifact the streaming scorer
     * ([[graft.streaming.LmScoreStream]]) rides. Broadcast-sized at the
