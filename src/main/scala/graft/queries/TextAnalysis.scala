@@ -161,6 +161,13 @@ object TextAnalysis {
   /** Selection size for tx_dsir_select (top-K by importance weight). */
   private[graft] val DsirSelectK = 100
 
+  /** Sampling temperature for tx_mix_temperature: share_l ∝ lang_tok^α.
+    * α = 1 is natural proportions, α = 0 is uniform; 0.3 is the
+    * published multilingual-pretraining default. One definition; the
+    * oracle SQL interpolates the same constant.
+    */
+  private[graft] val MixTemperatureAlpha = 0.3
+
   /** Feature-space size for the hashed-bigram DSIR variant
     * (tx_dsir_hashed) — md5-hashed word bigrams fold into this many
     * buckets, so the estimator's state is FIXED-SIZE regardless of
@@ -752,6 +759,38 @@ object TextAnalysis {
 
     // Domain mixing, UPSAMPLING posture: every language is brought UP to
     // the largest language's token budget (the low-resource-language
+    // Temperature-scaled mixture weights (the multilingual-pretraining
+    // standard between tx_mix's equalize-down and tx_mix_upsample's
+    // equalize-up): sampling share per language ∝ lang_tok^α with
+    // α = MixTemperatureAlpha, so scarce languages are boosted toward —
+    // but not all the way to — parity. A per-language meter: natural
+    // share, temperature share, and the boost factor a sampler applies.
+    // The Σ n^α fold runs over the lang-SORTED list (deterministic IEEE
+    // order, same as the oracle's list_reduce); n_total is an exact
+    // integer sum.
+    "tx_mix_temperature" -> { (s, dir) =>
+      import s.implicits._
+      val tot = tokenCounts(s, dir).groupBy($"lang").agg(sum($"m").as("lang_tok"))
+      tot.agg(sort_array(collect_list(struct($"lang", $"lang_tok"))).as("ls"))
+        .select($"ls",
+          aggregate($"ls", lit(0L),
+            (a, t) => a + t.getField("lang_tok")).as("n_total"),
+          aggregate($"ls", lit(0.0),
+            (a, t) => a + pow(t.getField("lang_tok").cast("double"),
+              lit(MixTemperatureAlpha))).as("pow_total"))
+        .select(explode($"ls").as("t"), $"n_total", $"pow_total")
+        .select($"t.lang".as("lang"), $"t.lang_tok".as("lang_tok"),
+          round($"t.lang_tok".cast("double") / $"n_total".cast("double"), 4)
+            .as("nat_share"),
+          round(pow($"t.lang_tok".cast("double"), lit(MixTemperatureAlpha))
+            / $"pow_total", 4).as("temp_share"),
+          round((pow($"t.lang_tok".cast("double"), lit(MixTemperatureAlpha))
+            / $"pow_total")
+            / ($"t.lang_tok".cast("double") / $"n_total".cast("double")), 4)
+            .as("boost"))
+        .orderBy($"lang")
+    },
+
     // recipe — multiple epochs over scarce data rather than discarding
     // abundant data). factor = max_total/total ≥ 1 splits into
     // floor(factor) full copies per doc plus one fractional copy
@@ -1467,6 +1506,32 @@ object TextAnalysis {
         |  CAST(sum(least(off + m, (s + 1) * 512) - greatest(off, s * 512)) AS BIGINT) AS n_tok,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM x GROUP BY s ORDER BY seq_id""".stripMargin,
+
+    // Oracle twin of tx_mix_temperature: same lang-sorted Σ n^α fold,
+    // same division structure for the shares and boost.
+    "tx_mix_temperature" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS m
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(sum(m) AS BIGINT) AS lang_tok FROM t GROUP BY lang),
+         |l AS (
+         |  SELECT list(struct_pack(lang := lang, lt := lang_tok) ORDER BY lang) AS ls,
+         |         CAST(sum(lang_tok) AS BIGINT) AS n_total
+         |  FROM tot),
+         |p AS (
+         |  SELECT ls, n_total,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(ls, x -> pow(x.lt::DOUBLE, $MixTemperatureAlpha))),
+         |      (a, b) -> a + b) AS pow_total
+         |  FROM l),
+         |sel AS (SELECT unnest(ls) AS u, n_total, pow_total FROM p)
+         |SELECT u.lang AS lang, CAST(u.lt AS BIGINT) AS lang_tok,
+         |  round(u.lt::DOUBLE / n_total::DOUBLE, 4) AS nat_share,
+         |  round(pow(u.lt::DOUBLE, $MixTemperatureAlpha) / pow_total, 4) AS temp_share,
+         |  round((pow(u.lt::DOUBLE, $MixTemperatureAlpha) / pow_total)
+         |        / (u.lt::DOUBLE / n_total::DOUBLE), 4) AS boost
+         |FROM sel ORDER BY lang""".stripMargin,
 
     "tx_mix_upsample" ->
       """WITH t AS (
