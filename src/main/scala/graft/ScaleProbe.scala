@@ -217,7 +217,9 @@ object ScaleProbe {
     // 100×; the first ann_pq_topk run pays the full index training
     // (cold), the second reads the staged index (warm)
     for ((name, tag) <- Seq(("ann_ivf2_topk", "cold"), ("ann_imi_topk", "cold"),
-      ("ann_pq_topk", "cold"), ("ann_pq_topk", "warm"))) {
+      ("ann_pq_topk", "cold"), ("ann_pq_topk", "warm"),
+      ("ann_filtered_topk", "cold"), ("ann_filtered_ivf", "warm"),
+      ("ann_postfilter_recall", "warm"))) {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -252,7 +254,8 @@ object ScaleProbe {
     graft.queries.TextAnalysis.clearCaches()
 
     Seq("dedup_exact", "dedup_simhash", "tx_fingerprint", "tx_tfidf",
-      "tx_pack", "tx_mix", "tx_curation_packed")
+      "tx_pack", "tx_mix", "tx_mix_temperature", "tx_curation_packed",
+      "tx_dsir_weights", "tx_dsir_hashed", "tx_dsir_select")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
