@@ -529,6 +529,60 @@ object Multimodal {
       media_id: Long, frame_idx: Long, width: Long, height: Long,
       fingerprint: String)
 
+  /** Per-image perceptual average-hash, packed as four 16-bit bands
+    * (row-major bits 0-15, 16-31, 32-47, 48-63).
+    */
+  final case class AHash(media_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** REAL perceptual hash (aHash): decode the PNG, squash the raster to
+    * a FIXED 8×8 grid with the same integer-area box filter as
+    * [[boxFilterResize]] — deliberately NOT aspect-preserving, because
+    * the normalization is what makes hashes of different geometries
+    * comparable — then bit k (row-major) = [64·box_k > Σ boxes], an
+    * integer cross-multiplication instead of a float mean. All-integer →
+    * deterministic → oracle-replayable. The four 16-bit bands support
+    * the pigeonhole-exact hamming ≤ 3 candidate join downstream
+    * (mm_ahash_dedup): ≤ 3 flipped bits cannot touch all 4 bands.
+    *
+    * Scale: one decode + one O(w·h) pass per image in the decode
+    * partition stage, 4 longs of state per image — the banded self-join
+    * is the only shuffle, identical to the simhash discipline.
+    */
+  def aHashes(media: Dataset[MediaRecord]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").mapPartitions { it =>
+      val dec = new PngDecoder
+      it.map { r =>
+        val img = dec.read(r.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val sums = Array.ofDim[Long](64)
+        val cnts = Array.ofDim[Long](64)
+        var y = 0
+        while (y < h) {
+          val j = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val idx = j * 8 + x * 8 / w
+            sums(idx) += raster.getSample(x, y, 0)
+            cnts(idx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val boxes = Array.tabulate(64)(k => sums(k) / cnts(k))
+        val total = boxes.sum
+        val bands = Array.ofDim[Long](4)
+        var k = 0
+        while (k < 64) {
+          if (boxes(k) * 64 > total) bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        AHash(r.media_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
   /** Fingerprint every really-decoded frame of every video: demux, decode
     * each PNG, canonicalize the raster as row-major "v,v,…", md5 it.
     * Downstream exact frame-dedup is then a plain hash shuffle on the

@@ -69,8 +69,40 @@ object MultimodalQueries {
           min($"media_id").as("first_media_id"))
         .filter($"n_frames" > 1)
         .orderBy($"fingerprint")
+    },
+
+    // PERCEPTUAL image near-dup: really-decoded aHash (8×8 box squash,
+    // integer mean-threshold bits) banded into 4×16 bits; candidates
+    // share ≥1 band — pigeonhole-EXACT for hamming ≤ AHashHamMax = 3,
+    // the same guarantee discipline as dedup_simhash — then verified by
+    // popcount of the band XORs. Where mm_frame_dedup needs pixel-exact
+    // content, this catches brightness-shifted / re-rendered variants
+    // across DIFFERENT geometries (the 8×8 normalization is the
+    // comparability contract).
+    "mm_ahash_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val hs = Multimodal.aHashes(Multimodal.mediaTable(s, dir)).toDF()
+      val a = hs.select($"media_id".as("ia"), $"b0".as("a0"),
+        $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      val b = hs.select($"media_id".as("ib"), $"b0".as("c0"),
+        $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+      val cands = (0 until 4).map { k =>
+        a.join(b, col(s"a$k") === col(s"c$k") && $"ia" < $"ib")
+      }.reduce(_ unionByName _).distinct()
+      cands
+        .withColumn("hamming", expr(
+          "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+        .filter($"hamming" <= AHashHamMax)
+        .select($"ia", $"ib", $"hamming")
+        .orderBy($"ia", $"ib")
     }
   )
+
+  /** Hamming radius of mm_ahash_dedup; 4 bands make the band join exact
+    * for this radius (pigeonhole). Interpolated into the oracle.
+    */
+  private[graft] val AHashHamMax = 3
 
   /** Media-table base: modality round-robin, payload digest (= md5 of
     * the UTF-8 text for every modality — each encoder derives its
@@ -259,6 +291,43 @@ object MultimodalQueries {
          |  CAST(SUM(v * v) AS BIGINT) AS energy
          |FROM ast GROUP BY media_id, n
          |ORDER BY media_id""".stripMargin,
+
+    // replay the aHash: 8×8 integer-area boxes over the regenerated
+    // pixel grid, integer mean-threshold bits, 16-bit band packing,
+    // any-band candidate OR, popcount verify.
+    "mm_ahash_dedup" ->
+      s"""$MediaCte,
+         |$PixelCte,
+         |ab AS (
+         |  SELECT media_id,
+         |    ((y * 8) // height) * 8 + (x * 8) // width AS k,
+         |    CAST(SUM(v) AS BIGINT) // COUNT(*) AS box
+         |  FROM pv GROUP BY media_id, ((y * 8) // height) * 8 + (x * 8) // width),
+         |abt AS (SELECT media_id, CAST(SUM(box) AS BIGINT) AS total
+         |        FROM ab GROUP BY media_id),
+         |abbits AS (
+         |  SELECT ab.media_id, ab.k,
+         |    CASE WHEN ab.box * 64 > t.total THEN 1 ELSE 0 END AS bit
+         |  FROM ab JOIN abt t USING (media_id)),
+         |abband AS (
+         |  SELECT media_id, k // 16 AS band,
+         |    CAST(SUM(bit * CAST(2 ** (k % 16) AS BIGINT)) AS BIGINT) AS bv
+         |  FROM abbits GROUP BY media_id, k // 16),
+         |ahs AS (
+         |  SELECT media_id,
+         |    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+         |    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+         |    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+         |    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+         |  FROM abband GROUP BY media_id),
+         |ap AS (
+         |  SELECT a.media_id AS ia, b.media_id AS ib,
+         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+         |  FROM ahs a JOIN ahs b ON a.media_id < b.media_id
+         |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+         |SELECT ia, ib, CAST(hamming AS BIGINT) AS hamming
+         |FROM ap WHERE hamming <= $AHashHamMax ORDER BY ia, ib""".stripMargin,
 
     // duplicate frame classes: md5 of the canonical row-major pixel
     // string per regenerated frame, grouped on content.

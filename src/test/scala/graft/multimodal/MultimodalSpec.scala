@@ -142,6 +142,32 @@ class MultimodalSpec extends SparkSpec {
       px00 = 35L))
   }
 
+  test("aHash: brightness shift preserves the hash; structural change flips bits") {
+    import spark.implicits._
+    // a 16×16 gradient, its +40 brightness-shifted twin (no mod-256
+    // wrap: max 15+15+40 = 70), and a structurally different checker
+    def grid(f: (Int, Int) => Int) =
+      Array.tabulate(16, 16)((y, x) => f(x, y)).map(_.toArray)
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", png(grid((x, y) => x + y)), "s"),
+      MediaRecord(2L, "image", png(grid((x, y) => x + y + 40)), "s"),
+      MediaRecord(3L, "image", png(grid((x, y) => (x + y) % 2 * 255)), "s")))
+    val hs = aHashes(media).collect().map(h => h.media_id -> h).toMap
+    // aHash bits compare each box to the global mean — a uniform
+    // brightness shift moves both equally, so the hash is invariant
+    assert(hs(1L) == hs(2L).copy(media_id = 1L),
+      "brightness-shifted twin must hash identically")
+    val hamming = Seq(
+      (hs(1L).b0, hs(3L).b0), (hs(1L).b1, hs(3L).b1),
+      (hs(1L).b2, hs(3L).b2), (hs(1L).b3, hs(3L).b3))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    info(s"gradient vs checker hamming = $hamming")
+    assert(hamming > 3, "structurally different content must exceed the radius")
+    // hand-check one bit: 16×16 into 8×8 → each box is a 2×2 floor-mean;
+    // box (0,0) of the gradient = (0+1+1+2)/4 = 1, well below the mean
+    assert((hs(1L).b0 & 1L) == 0L, "top-left gradient box sits below the mean")
+  }
+
   test("resize planning fits into the box preserving aspect ratio") {
     import spark.implicits._
     val feats = Seq(
