@@ -521,6 +521,54 @@ object Multimodal {
     }
   }
 
+  /** Per-clip perceptual audio signature: 16 energy-threshold bits
+    * packed as two 8-bit bands.
+    */
+  final case class AudioSig(media_id: Long, n_samples: Long, s0: Long, s1: Long)
+
+  /** REAL perceptual audio signature (a chromaprint-style energy
+    * profile, radically simplified): decode the WAV, split the waveform
+    * into 16 equal-index windows (sample i → window i·16/n), bit_w =
+    * [16·E_w > ΣE] with E_w the window's Σv² — an integer
+    * cross-multiplication, no float mean. Invariant to uniform volume
+    * scaling (all window energies scale together), sensitive to WHERE
+    * the energy sits — the audio analogue of [[aHashes]]' brightness
+    * invariance. Two 8-bit bands make the any-band candidate join
+    * pigeonhole-exact for hamming ≤ 1.
+    */
+  def audioSignatures(media: Dataset[MediaRecord]): Dataset[AudioSig] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "audio").mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = pcm.length / 2
+        val e = Array.ofDim[Long](16)
+        var i = 0
+        while (i < n) {
+          val v = bb.getShort(2 * i).toLong
+          e(i * 16 / n) += v * v
+          i += 1
+        }
+        val total = e.sum
+        val bands = Array.ofDim[Long](2)
+        var w = 0
+        while (w < 16) {
+          // exact in Long: E_w ≤ n·32768² ≤ 2^40, so 16·E_w ≤ 2^44
+          if (e(w) * 16 > total) bands(w / 8) |= 1L << (w % 8)
+          w += 1
+        }
+        AudioSig(r.media_id, n.toLong, bands(0), bands(1))
+      }
+    }
+  }
+
   /** One decoded frame's content fingerprint: md5 of the canonical
     * row-major comma-joined pixel string — a PORTABLE digest both
     * engines can compute over the same text.

@@ -96,8 +96,41 @@ object MultimodalQueries {
         .filter($"hamming" <= AHashHamMax)
         .select($"ia", $"ib", $"hamming")
         .orderBy($"ia", $"ib")
+    },
+
+    // PERCEPTUAL audio near-dup: 16 energy-profile bits over the really-
+    // decoded waveform (volume-invariant — the audio analogue of
+    // mm_ahash_dedup's brightness invariance), banded 2×8 so the
+    // any-band join is pigeonhole-exact for hamming ≤ AudioSigHamMax=1.
+    // Output is the per-clip keep-first DROP DECISION (kept_id =
+    // earliest matching clip), not the raw pair table: energy profiles
+    // form LARGE equivalence classes on monotone content, and a pair
+    // emission is quadratic in class size where the decision stays
+    // linear — the dedup_semantic discipline applied to media.
+    "mm_audio_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val hs = Multimodal.audioSignatures(Multimodal.mediaTable(s, dir)).toDF()
+      val a = hs.select($"media_id".as("ia"), $"s0".as("a0"), $"s1".as("a1"))
+      val b = hs.select($"media_id".as("ib"), $"s0".as("c0"), $"s1".as("c1"))
+      val cands = (0 until 2).map { k =>
+        a.join(b, col(s"a$k") === col(s"c$k") && $"ia" < $"ib")
+      }.reduce(_ unionByName _).distinct()
+      cands
+        .withColumn("hamming",
+          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1)").cast("long"))
+        .filter($"hamming" <= AudioSigHamMax)
+        .groupBy($"ib".as("media_id"))
+        .agg(min($"ia").as("kept_id"),
+          count(lit(1)).as("n_earlier"),
+          min($"hamming").as("min_hamming"))
+        .orderBy($"media_id")
     }
   )
+
+  /** Hamming radius of mm_audio_dedup; 2 bands make the band join exact
+    * for this radius (pigeonhole). Interpolated into the oracle.
+    */
+  private[graft] val AudioSigHamMax = 1
 
   /** Hamming radius of mm_ahash_dedup; 4 bands make the band join exact
     * for this radius (pigeonhole). Interpolated into the oracle.
@@ -328,6 +361,42 @@ object MultimodalQueries {
          |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
          |SELECT ia, ib, CAST(hamming AS BIGINT) AS hamming
          |FROM ap WHERE hamming <= $AHashHamMax ORDER BY ia, ib""".stripMargin,
+
+    // replay the audio energy signature: 16 equal-index windows over
+    // the regenerated waveform, integer energy-threshold bits, 8-bit
+    // band packing, any-band candidate OR, popcount verify.
+    "mm_audio_dedup" ->
+      s"""$MediaCte,
+         |$AudioCte,
+         |aw AS (
+         |  SELECT media_id, (i * 16) // n AS w,
+         |    CAST(SUM(v * v) AS BIGINT) AS e
+         |  FROM av GROUP BY media_id, (i * 16) // n),
+         |awt AS (SELECT media_id, CAST(SUM(e) AS BIGINT) AS total
+         |        FROM aw GROUP BY media_id),
+         |awbits AS (
+         |  SELECT aw.media_id, aw.w,
+         |    CASE WHEN aw.e * 16 > t.total THEN 1 ELSE 0 END AS bit
+         |  FROM aw JOIN awt t USING (media_id)),
+         |awband AS (
+         |  SELECT media_id, w // 8 AS band,
+         |    CAST(SUM(bit * CAST(2 ** (w % 8) AS BIGINT)) AS BIGINT) AS bv
+         |  FROM awbits GROUP BY media_id, w // 8),
+         |asig AS (
+         |  SELECT media_id,
+         |    MAX(CASE WHEN band = 0 THEN bv END) AS s0,
+         |    MAX(CASE WHEN band = 1 THEN bv END) AS s1
+         |  FROM awband GROUP BY media_id),
+         |apair AS (
+         |  SELECT a.media_id AS ia, b.media_id AS ib,
+         |    bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS hamming
+         |  FROM asig a JOIN asig b ON a.media_id < b.media_id
+         |    AND (a.s0 = b.s0 OR a.s1 = b.s1))
+         |SELECT ib AS media_id, CAST(MIN(ia) AS BIGINT) AS kept_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_earlier,
+         |  CAST(MIN(hamming) AS BIGINT) AS min_hamming
+         |FROM apair WHERE hamming <= $AudioSigHamMax
+         |GROUP BY ib ORDER BY media_id""".stripMargin,
 
     // duplicate frame classes: md5 of the canonical row-major pixel
     // string per regenerated frame, grouped on content.

@@ -168,6 +168,38 @@ class MultimodalSpec extends SparkSpec {
     assert((hs(1L).b0 & 1L) == 0L, "top-left gradient box sits below the mean")
   }
 
+  test("audio signature: volume scaling preserves it; moved energy flips bits") {
+    import spark.implicits._
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val bytes = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(v => bytes.putShort(v.toShort))
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes.array()), fmt, samples.length)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // energy concentrated up front / the same clip at half volume /
+    // the mirror image with the energy at the tail
+    val front = Array.tabulate(64)(i => if (i < 16) 10000 else 100)
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "audio", wav(front), "s"),
+      MediaRecord(2L, "audio", wav(front.map(_ / 2)), "s"),
+      MediaRecord(3L, "audio", wav(front.reverse), "s")))
+    val sig = audioSignatures(media).collect().map(h => h.media_id -> h).toMap
+    assert(sig(1L).n_samples == 64)
+    // window energies all scale by 1/4 → every 16·E_w vs ΣE compare is unchanged
+    assert((sig(1L).s0, sig(1L).s1) == (sig(2L).s0, sig(2L).s1),
+      "half-volume clip must produce the identical signature")
+    val hamming = java.lang.Long.bitCount(sig(1L).s0 ^ sig(3L).s0) +
+      java.lang.Long.bitCount(sig(1L).s1 ^ sig(3L).s1)
+    info(s"front-heavy vs tail-heavy hamming = $hamming")
+    assert(hamming > 1, "moved energy must exceed the dedup radius")
+  }
+
   test("resize planning fits into the box preserving aspect ratio") {
     import spark.implicits._
     val feats = Seq(
