@@ -533,6 +533,43 @@ object Similarity {
         .orderBy($"new_id")
     },
 
+    // INDEX-MAINTENANCE meter: where does an arriving batch land in the
+    // trained cells, and how far would it pull each centroid? Existing =
+    // vec_id % 5 != 0, new = the incremental batch (the family's
+    // standing split). Per cell: occupancy of both populations plus the
+    // squared-L2 shift of the leading-4-dim cell mean between
+    // existing-only and existing+new (exact DECIMAL sums → double,
+    // pos-ordered 4-term fold — the ann_centroids discipline). This is
+    // the retrain trigger a production ingest loop watches: cells whose
+    // occupancy or mean drifts past a threshold re-run their Lloyd
+    // step; the rest keep serving the staged centroids.
+    "ann_centroid_drift" -> { (s, dir) =>
+      import s.implicits._
+      val va = Tables(s, dir).embeddings
+        .join(assignments(s, dir), "vec_id")
+        .select($"vec_id", $"alabel".as("cell"),
+          slice($"embedding", 1, 4).as("e4"))
+      val counts = va.groupBy($"cell").agg(
+        sum(when($"vec_id" % 5 =!= 0, 1L).otherwise(0L)).as("n_existing"),
+        sum(when($"vec_id" % 5 === 0, 1L).otherwise(0L)).as("n_new"))
+      def means(df: DataFrame, out: String) = df
+        .select($"cell", posexplode($"e4").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as(out))
+      val drift = means(va, "m_all")
+        .join(means(va.filter($"vec_id" % 5 =!= 0), "m_exist"), Seq("cell", "pos"))
+        .groupBy($"cell")
+        .agg(sort_array(collect_list(struct($"pos", $"m_all", $"m_exist"))).as("ds"))
+        .withColumn("drift4", aggregate($"ds", lit(0.0),
+          (acc, t) => acc + (t.getField("m_all") - t.getField("m_exist"))
+            * (t.getField("m_all") - t.getField("m_exist"))))
+      counts.join(drift, "cell")
+        .select($"cell".cast("long").as("cell"), $"n_existing", $"n_new",
+          round($"drift4" * 1e6, 4).as("drift4_ppm"))
+        .orderBy($"cell")
+    },
+
     // ——— Filtered vector search (metadata predicate + top-k) ———
     // allowed(neighbor) ⇔ vec_id % AnnFilterMod == 0 (see the constant's
     // doc). Three routes: exact pre-filter truth, pre-filter through the
@@ -2234,6 +2271,48 @@ object Similarity {
          |  FROM pairs)
          |SELECT probe, rank, neighbor, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    // Oracle twin of ann_centroid_drift: same exact-DECIMAL means over
+    // the leading 4 dims, same pos-ordered squared-difference fold.
+    "ann_centroid_drift" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |vc AS (
+         |  SELECT a.vec_id, a.alabel AS cell, v.embedding
+         |  FROM asg a JOIN v USING (vec_id)),
+         |cnts AS (
+         |  SELECT cell,
+         |    CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
+         |    CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |  FROM vc GROUP BY cell),
+         |eall AS (
+         |  SELECT cell, i - 1 AS pos, embedding[i]::DOUBLE AS x
+         |  FROM vc, (SELECT unnest(range(1, 5)) AS i) p),
+         |mall AS (
+         |  SELECT cell, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m_all
+         |  FROM eall GROUP BY cell, pos),
+         |eex AS (
+         |  SELECT cell, i - 1 AS pos, embedding[i]::DOUBLE AS x
+         |  FROM vc, (SELECT unnest(range(1, 5)) AS i) p
+         |  WHERE vec_id % 5 <> 0),
+         |mex AS (
+         |  SELECT cell, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m_exist
+         |  FROM eex GROUP BY cell, pos),
+         |dj AS (
+         |  SELECT cell,
+         |    list(struct_pack(pos := m1.pos, ma := m1.m_all, me := m2.m_exist)
+         |         ORDER BY m1.pos) AS ds
+         |  FROM mall m1 JOIN mex m2 USING (cell, pos) GROUP BY cell),
+         |dr AS (
+         |  SELECT cell, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(ds, t -> (t.ma - t.me) * (t.ma - t.me))),
+         |    (a, b) -> a + b) AS drift4
+         |  FROM dj)
+         |SELECT CAST(c.cell AS BIGINT) AS cell, c.n_existing, c.n_new,
+         |  round(dr.drift4 * 1000000, 4) AS drift4_ppm
+         |FROM cnts c JOIN dr USING (cell) ORDER BY cell""".stripMargin,
 
     // Pre-filter exact truth: same shape as ann_topk's oracle with the
     // allowed-predicate (one AnnFilterMod definition, interpolated) on
