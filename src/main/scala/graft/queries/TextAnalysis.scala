@@ -194,13 +194,29 @@ object TextAnalysis {
     * here; equi-join on `word` at 100 TB), one doc_id shuffle — never
     * anything pairwise.
     */
+  /** Session memo of the DSIR word-ratio table — staged as `dsir_ratio`
+    * (word, cnt, tcnt): the trained importance model, one derivation per
+    * corpus generation (the same durable-artifact posture as the
+    * unigram LM it extends).
+    */
+  private val dsirRatioCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dsirRatio(s: SparkSession, dir: String): DataFrame =
+    dsirRatioCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Staging.readElseBuild(s, dir, "dsir_ratio", Seq("documents")) {
+        val tvocab = termFreqs(s, dir).filter($"lang" === DsirTargetLang)
+          .groupBy($"word").agg(sum($"n").as("tcnt"))
+        unigramLm(s, dir).join(tvocab, Seq("word"), "left")
+          .select($"word", $"cnt", coalesce($"tcnt", lit(0L)).as("tcnt"))
+      }.persist()
+    })
+
   private def dsirWeightsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tf = termFreqs(s, dir)
-    val tvocab = tf.filter($"lang" === DsirTargetLang)
-      .groupBy($"word").agg(sum($"n").as("tcnt"))
-    val ratio = unigramLm(s, dir).join(tvocab, Seq("word"), "left")
-      .select($"word", $"cnt", coalesce($"tcnt", lit(0L)).as("tcnt"))
+    val ratio = dsirRatio(s, dir)
     val geo = ratio.agg(
       sum($"cnt").as("n_raw"), count(lit(1)).as("v_size"),
       sum($"tcnt").as("n_tgt"))
@@ -277,12 +293,7 @@ object TextAnalysis {
     */
   private[graft] def dsirRatioMap(s: SparkSession, dir: String)
       : (Map[String, (Long, Long)], Long, Long, Long) = {
-    import s.implicits._
-    val tvocab = termFreqs(s, dir).filter($"lang" === DsirTargetLang)
-      .groupBy($"word").agg(sum($"n").as("tcnt"))
-    val rows = unigramLm(s, dir).join(tvocab, Seq("word"), "left")
-      .select($"word", $"cnt", coalesce($"tcnt", lit(0L)).as("tcnt"))
-      .collect()
+    val rows = dsirRatio(s, dir).collect()
     val m = rows.map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
     (m, m.valuesIterator.map(_._1).sum, m.valuesIterator.map(_._2).sum,
       m.size.toLong)
@@ -311,6 +322,7 @@ object TextAnalysis {
     curationSurvivors(s, dir)
     termFreqs(s, dir)
     unigramLm(s, dir)
+    dsirRatio(s, dir)
   }
 
   /** Drop and unpersist the memoized token counts (inputs rewritten). */
@@ -325,6 +337,8 @@ object TextAnalysis {
     vocabCache.clear()
     lpCache.values.foreach(_.unpersist())
     lpCache.clear()
+    dsirRatioCache.values.foreach(_.unpersist())
+    dsirRatioCache.clear()
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
