@@ -52,11 +52,37 @@ object Similarity {
     */
   private[graft] val PostFilterShortlist = 20
 
-  /** Sign-LSH bucket of dims 1..8: Σ 2^(i-1)·[e_i > 0]. */
-  private def signBucket(e: Column): Column = aggregate(
+  /** Number of sign-LSH tables in the multi-table tier (ann_lsh_multi):
+    * table t reads the signs of dims 8t+1..8t+8, so 4 tables consume
+    * dims 1..32 of the 64-dim corpus. One definition; the oracle SQL
+    * interpolates the same constant. Multi-table OR'ing is the standard
+    * remedy for the single-table tier's low recall (the S-curve: P[all
+    * T tables miss] = (1 − s^8)^T), at T× the index size.
+    */
+  private[graft] val LshTables = 4
+
+  /** Sign-LSH bucket of dims off+1..off+8: Σ 2^(i-1)·[e_{off+i} > 0]. */
+  private def signBucketAt(e: Column, off: Int): Column = aggregate(
     transform(sequence(lit(1), lit(8)),
-      i => when(element_at(e, i) > 0f, pow(lit(2), i - 1).cast("long")).otherwise(0L)),
+      i => when(element_at(e, i + lit(off)) > 0f,
+        pow(lit(2), i - 1).cast("long")).otherwise(0L)),
     lit(0L), (acc, v) => acc + v)
+
+  /** Sign-LSH bucket of dims 1..8: Σ 2^(i-1)·[e_i > 0]. */
+  private def signBucket(e: Column): Column = signBucketAt(e, 0)
+
+  /** (vec_id, embedding, norm2, t, bucket) — each vector exploded into
+    * its [[LshTables]] per-table sign buckets; the multi-table index.
+    */
+  private def multiBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vecs(s, dir).select($"vec_id", $"embedding", $"norm2",
+      explode(array((0 until LshTables).map(t =>
+        struct(lit(t).as("t"),
+          signBucketAt($"embedding", t * 8).as("bucket"))): _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"norm2",
+        $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+  }
 
   /** [[vecs]] plus the int8 code book: per-vector absolute max and the
     * rounded 127/vmax quantization — the PARITY-CRITICAL front end shared
@@ -531,6 +557,61 @@ object Similarity {
         .select($"ni".as("new_id"), $"pick.oi".as("dup_of"),
           round(-$"pick.ncos", 6).as("cos"))
         .orderBy($"new_id")
+    },
+
+    // Multi-table sign-LSH serving: candidates share ANY of the 4
+    // tables' buckets with the probe (union-distinct of 4 equi-joins —
+    // never pairwise). The standard fix for the single-table tier's
+    // S-curve miss rate, bought with 4× index rows; ann_lsh_multi_recall
+    // meters what it bought.
+    "ann_lsh_multi" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val mb = multiBuckets(s, dir)
+      val probes = mb.filter($"vec_id" < 50)
+        .select($"vec_id".as("probe"), $"t".as("pt"), $"bucket".as("pbucket"),
+          $"embedding".as("pe"), $"norm2".as("pn"))
+      val pairs = mb.join(broadcast(probes),
+        $"t" === $"pt" && $"bucket" === $"pbucket" && $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+        .distinct()
+      topk(pairs, 5)
+    },
+
+    // The meter: exact top-5 vs multi-table top-5 per probe — directly
+    // comparable with ann_lsh_recall's single-table numbers (same
+    // probes, same truth).
+    "ann_lsh_multi_recall" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = vecs(s, dir)
+      val probes = v.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
+      val exactPairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
+      val mb = multiBuckets(s, dir)
+      val mprobes = mb.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"t".as("pt"), $"bucket".as("pbucket"),
+          $"embedding".as("pe"), $"norm2".as("pn"))
+      val lshPairs = mb.join(broadcast(mprobes),
+        $"t" === $"pt" && $"bucket" === $"pbucket" && $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+        .distinct()
+      val l5 = topk(lshPairs, 5).select($"probe", $"neighbor")
+      val nExact = ex5.groupBy($"probe").agg(count(lit(1)).as("n_exact"))
+      val nLsh = l5.groupBy($"probe").agg(count(lit(1)).as("n_lsh"))
+      val nCommon = ex5.join(l5, Seq("probe", "neighbor"), "left_semi")
+        .groupBy($"probe").agg(count(lit(1)).as("n_common"))
+      nExact.join(nLsh, Seq("probe"), "left")
+        .join(nCommon, Seq("probe"), "left")
+        .select($"probe", $"n_exact",
+          coalesce($"n_lsh", lit(0L)).as("n_lsh"),
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"probe")
     },
 
     // INDEX-MAINTENANCE meter: where does an arriving batch land in the
@@ -1673,6 +1754,19 @@ object Similarity {
       |      (x, y) -> x + y) AS bucket
       |  FROM embeddings)""".stripMargin
 
+  /** Oracle twin of [[multiBuckets]] (appended after [[VecCte]]): each
+    * vector's [[LshTables]] per-table sign buckets over dims 8t+1..8t+8.
+    */
+  private val MultiBucketCte =
+    s"""mb AS (
+       |  SELECT v.vec_id, tt.t,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, 9),
+       |        i -> CASE WHEN v.embedding[8 * tt.t + i] > 0
+       |             THEN CAST(2**(i-1) AS BIGINT) ELSE 0::BIGINT END)),
+       |      (x, y) -> x + y) AS bucket
+       |  FROM v, (SELECT unnest(range(0, $LshTables)) AS t) tt)""".stripMargin
+
   /** Oracle twin of [[quantizedVecs]] (appended after [[VecCte]]): the
     * int8 code book — vmax then rounded 127/vmax codes. One copy for
     * both quantized oracles, mirroring the single Scala-side copy.
@@ -2271,6 +2365,74 @@ object Similarity {
          |  FROM pairs)
          |SELECT probe, rank, neighbor, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    // Multi-table LSH serving oracle: per-table sign buckets of dims
+    // 8t+1..8t+8, any-table candidate union, exact rank of the
+    // candidates. LshTables interpolated from the one Scala constant.
+    "ann_lsh_multi" ->
+      s"""$VecCte,
+         |$MultiBucketCte,
+         |probes AS (SELECT vec_id AS probe, embedding AS pe, norm2 AS pn
+         |           FROM v WHERE vec_id < 50),
+         |cand AS (
+         |  SELECT DISTINCT p.probe, a.vec_id AS neighbor
+         |  FROM mb a JOIN mb pb ON pb.t = a.t AND pb.bucket = a.bucket
+         |  JOIN probes p ON p.probe = pb.vec_id AND a.vec_id <> p.probe),
+         |pairs AS (
+         |  SELECT c.probe, c.neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM cand c JOIN probes p ON p.probe = c.probe
+         |  JOIN v ON v.vec_id = c.neighbor),
+         |ranked AS (
+         |  SELECT probe, neighbor, cos,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM pairs)
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    // ann_lsh_recall's meter shape with the multi-table candidate set.
+    "ann_lsh_multi_recall" ->
+      s"""$VecCte,
+         |$MultiBucketCte,
+         |probes AS (SELECT vec_id AS probe, embedding AS pe, norm2 AS pn
+         |           FROM v WHERE vec_id < 25),
+         |epairs AS (
+         |  SELECT p.probe, v.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * v.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * v.norm2) AS cos
+         |  FROM v JOIN probes p ON v.vec_id <> p.probe),
+         |ex5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM epairs) WHERE rank <= 5),
+         |cand AS (
+         |  SELECT DISTINCT p.probe, a.vec_id AS neighbor
+         |  FROM mb a JOIN mb pb ON pb.t = a.t AND pb.bucket = a.bucket
+         |  JOIN probes p ON p.probe = pb.vec_id AND a.vec_id <> p.probe),
+         |lpairs AS (
+         |  SELECT e.probe, e.neighbor, e.cos
+         |  FROM epairs e JOIN cand c ON c.probe = e.probe AND c.neighbor = e.neighbor),
+         |l5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe ORDER BY cos DESC, neighbor) AS rank
+         |  FROM lpairs) WHERE rank <= 5),
+         |ne AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_exact FROM ex5 GROUP BY probe),
+         |nl AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_lsh FROM l5 GROUP BY probe),
+         |nc AS (
+         |  SELECT e.probe, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ex5 e JOIN l5 l ON l.probe = e.probe AND l.neighbor = e.neighbor
+         |  GROUP BY e.probe)
+         |SELECT ne.probe, ne.n_exact,
+         |  COALESCE(nl.n_lsh, CAST(0 AS BIGINT)) AS n_lsh,
+         |  COALESCE(nc.n_common, CAST(0 AS BIGINT)) AS n_common
+         |FROM ne LEFT JOIN nl ON nl.probe = ne.probe
+         |LEFT JOIN nc ON nc.probe = ne.probe
+         |ORDER BY ne.probe""".stripMargin,
 
     // Oracle twin of ann_centroid_drift: same exact-DECIMAL means over
     // the leading 4 dims, same pos-ordered squared-difference fold.
