@@ -168,6 +168,18 @@ object TextAnalysis {
     */
   private[graft] val MixTemperatureAlpha = 0.3
 
+  /** Weight-histogram granularity for tx_budget_select: weights bin at
+    * floor(w · BudgetBinScale). The histogram size is bounded by the
+    * VALUE RANGE of the weight (avg log-ratios are O(1) → ≤ ~2·scale
+    * bins), never by the corpus — that bound is what lets the
+    * threshold search run as a window over a tiny aggregate instead of
+    * a global sort of the corpus.
+    */
+  private[graft] val BudgetBinScale = 10000
+
+  /** tx_budget_select's budget: 1/BudgetDivisor of the corpus tokens. */
+  private[graft] val BudgetDivisor = 5
+
   /** Feature-space size for the hashed-bigram DSIR variant
     * (tx_dsir_hashed) — md5-hashed word bigrams fold into this many
     * buckets, so the estimator's state is FIXED-SIZE regardless of
@@ -988,6 +1000,37 @@ object TextAnalysis {
         .orderBy($"rank")
     },
 
+    // Greedy data selection under a TOKEN BUDGET (the recipe question
+    // "give me the best 20% of the corpus by target affinity"):
+    // histogram the DSIR weight at BudgetBinScale granularity, admit
+    // bins from the top until the next would overflow the budget, keep
+    // every doc at or above that threshold bin. NO global sort of the
+    // corpus — the only window runs over the value-range-bounded
+    // histogram (the tx_pack two-phase discipline applied to
+    // selection). Threshold granularity is the documented semantics:
+    // the boundary bin is admitted whole or not at all.
+    "tx_budget_select" -> { (s, dir) =>
+      import s.implicits._
+      val wb = dsirWeightsRaw(s, dir)
+        .select($"doc_id", $"lang", $"n_tok",
+          floor($"avg_raw" * BudgetBinScale).cast("long").as("bin"))
+      val tot = wb.agg(
+        floor(sum($"n_tok") / BudgetDivisor).cast("long").as("budget"))
+      val hist = wb.groupBy($"bin").agg(sum($"n_tok").as("mass"))
+      val cum = hist.withColumn("cmass",
+        sum($"mass").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"bin".desc)))
+      val thr = cum.crossJoin(broadcast(tot))
+        .filter($"cmass" <= $"budget")
+        .agg(min($"bin").as("thr_bin"))
+      wb.crossJoin(broadcast(thr)).filter($"bin" >= $"thr_bin")
+        .crossJoin(broadcast(tot))
+        .groupBy($"lang", $"budget", $"thr_bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_sel_tok"))
+        .select($"lang", $"n_docs", $"n_sel_tok", $"budget", $"thr_bin")
+        .orderBy($"lang")
+    },
+
     // The at-scale DSIR form: hashed bigram features (fixed 4096-bucket
     // space) instead of the unbounded word vocabulary. Docs with fewer
     // than 2 tokens carry no features and drop out on both engines.
@@ -1219,6 +1262,31 @@ object TextAnalysis {
          |  FROM dw)
          |SELECT doc_id, rank, lang, round(avg_raw, 4) + 0.0 AS avg_logw
          |FROM sel WHERE rank <= $DsirSelectK ORDER BY rank""".stripMargin,
+
+    // Oracle twin of tx_budget_select: same bin floor, descending
+    // cumulative over the histogram, min-admitted-bin threshold.
+    "tx_budget_select" ->
+      s"""$DwCte,
+         |wb AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST(floor(avg_raw * $BudgetBinScale) AS BIGINT) AS bin
+         |  FROM dw),
+         |btot AS (
+         |  SELECT CAST(floor(CAST(sum(n_tok) AS DOUBLE) / $BudgetDivisor) AS BIGINT)
+         |    AS budget FROM wb),
+         |bhist AS (SELECT bin, CAST(sum(n_tok) AS BIGINT) AS mass
+         |          FROM wb GROUP BY bin),
+         |bcum AS (
+         |  SELECT bin, CAST(sum(mass) OVER (ORDER BY bin DESC) AS BIGINT) AS cmass
+         |  FROM bhist),
+         |bthr AS (SELECT min(bin) AS thr_bin FROM bcum
+         |         WHERE cmass <= (SELECT budget FROM btot))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_sel_tok,
+         |  (SELECT budget FROM btot) AS budget,
+         |  (SELECT thr_bin FROM bthr) AS thr_bin
+         |FROM wb WHERE bin >= (SELECT thr_bin FROM bthr)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Oracle twin of dsirHashedRaw: same filtered tokenization, same
     // tail-zip bigrams, same 8-hex md5 bucket hash, same fold.

@@ -39,6 +39,18 @@ class DsirSpec extends SparkSpec {
       "the 4096-bucket estimator must preserve the target-domain preference")
   }
 
+  test("tx_budget_select: admitted token mass never exceeds the budget") {
+    assume(ready, s"$dir not present")
+    val rows = TextAnalysis.queries("tx_budget_select")(spark, dir).collect()
+    assert(rows.nonEmpty, "the threshold must admit at least one bin")
+    val budget = rows.head.getLong(3)
+    val selected = rows.map(_.getLong(2)).sum
+    info(s"selected $selected of budget $budget tokens " +
+      s"(thr_bin=${rows.head.getLong(4)})")
+    assert(selected <= budget, "greedy admission overflowed the budget")
+    assert(selected > 0)
+  }
+
   test("tx_dsir_select: dense ranks, target language dominates the selection") {
     assume(ready, s"$dir not present")
     val sel = TextAnalysis.queries("tx_dsir_select")(spark, dir).collect()
