@@ -324,10 +324,101 @@ object TextAnalysis {
     (m, m.values.sum)
   }
 
+  /** Interpolation weight on the conditional (bigram) term of the
+    * two-level LM tx_bigram_logprob scores under:
+    * P(w2 | w1) = λ · c12/c1 + (1 − λ) · (c2 + 1)/(N + V).
+    * One definition; the oracle SQL interpolates the same constant.
+    */
+  private[graft] val BigramLambda = 0.7
+
+  /** Per-(doc, w1, w2) occurrences of ADJACENT lowercased-token pairs —
+    * the tail-zip of [[hashedBigramCounts]] without the bucket fold
+    * (empty and 1-token docs produce no pairs on either engine).
+    */
+  private def bigramPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id", $"lang", wsTokens(lower($"text")).as("toks"))
+      .select($"doc_id", $"lang",
+        explode(zip_with(
+          slice($"toks", lit(1), greatest(size($"toks") - 1, lit(0))),
+          slice($"toks", lit(2), greatest(size($"toks") - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select($"doc_id", $"lang", $"b.w1", $"b.w2")
+  }
+
+  /** Session memo of the corpus BIGRAM LANGUAGE MODEL — staged as
+    * `bigram_lm` (w1, w2, cnt): corpus-wide counts of adjacent token
+    * pairs, the conditional half of the interpolated two-level LM
+    * (the KenLM-shaped upgrade of the CCNet unigram proxy). Row count
+    * is distinct ADJACENT pairs — far below V², and the score join is
+    * an equi-join on (w1, w2), so at 100 TB it degrades from broadcast
+    * to shuffle exactly like the unigram join, never anything pairwise.
+    */
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Staging.readElseBuild(s, dir, "bigram_lm", Seq("documents")) {
+        bigramPairs(s, dir).groupBy($"w1", $"w2")
+          .agg(count(lit(1)).as("cnt"))
+      }.persist()
+    })
+
+  /** Per-document mean interpolated bigram log-probability (doc_id,
+    * lang, n_big, avg_logprob): for each adjacent pair, ln of
+    * λ·c12/c1 + (1−λ)·(c2+1)/(N+V) — a Jelinek-Mercer mix of the
+    * corpus conditional with an add-one unigram floor. The
+    * conditioning mass c1 is the corpus unigram count of w1 (a model
+    * definition shared with the oracle; doc-boundary effects are
+    * identical on both engines). Determinism: the per-doc sum folds
+    * over the (w1, w2)-SORTED pair list (sequential left-fold double —
+    * the [[docLogprob]] discipline).
+    */
+  private val blpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def docBigramLogprob(s: SparkSession, dir: String): DataFrame =
+    blpCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val uni = unigramLm(s, dir)
+      val geo = uni.agg(sum($"cnt").as("n_total"), count(lit(1)).as("v_size"))
+      bigramPairs(s, dir)
+        .groupBy($"doc_id", $"lang", $"w1", $"w2")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(bigramLm(s, dir)), Seq("w1", "w2"))
+        .join(broadcast(uni.select($"word".as("w1"), $"cnt".as("c1"))), Seq("w1"))
+        .join(broadcast(uni.select($"word".as("w2"), $"cnt".as("c2"))), Seq("w2"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"n").as("m"),
+          sort_array(collect_list(
+            struct($"w1", $"w2", $"n", $"cnt", $"c1", $"c2"))).as("terms"))
+        .crossJoin(broadcast(geo))
+        .withColumn("lp", aggregate($"terms", lit(0.0),
+          (acc, t) => acc + t.getField("n").cast("double") *
+            log(lit(BigramLambda)
+                * (t.getField("cnt").cast("double") / t.getField("c1").cast("double"))
+              + (lit(1.0) - lit(BigramLambda))
+                * ((t.getField("c2") + lit(1L)).cast("double")
+                  / ($"n_total" + $"v_size").cast("double")))))
+        .select($"doc_id", $"lang", $"m".cast("long").as("n_big"),
+          round($"lp" / $"m", 4).as("avg_logprob"))
+        .persist()
+    })
+
+  /** Per-source document cap for tx_source_cap (RefinedWeb-style
+    * domain frequency cap): keep at most this many docs per source,
+    * selected by portable doc-id hash. One definition; the oracle SQL
+    * interpolates the same constant.
+    */
+  private[graft] val SourceCapK = 10
+
   /** Force-build the text family's durable staged artifacts for `dir`
     * ([[graft.core.Staging]]): the token-accounting table, the
     * curated-survivor table, the term-frequency table, and the unigram
-    * language model.
+    * and bigram language models.
     */
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     tokenCounts(s, dir)
@@ -335,6 +426,7 @@ object TextAnalysis {
     termFreqs(s, dir)
     unigramLm(s, dir)
     dsirRatio(s, dir)
+    bigramLm(s, dir)
   }
 
   /** Drop and unpersist the memoized token counts (inputs rewritten). */
@@ -351,6 +443,10 @@ object TextAnalysis {
     lpCache.clear()
     dsirRatioCache.values.foreach(_.unpersist())
     dsirRatioCache.clear()
+    bigramCache.values.foreach(_.unpersist())
+    bigramCache.clear()
+    blpCache.values.foreach(_.unpersist())
+    blpCache.clear()
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
@@ -959,6 +1055,61 @@ object TextAnalysis {
         .orderBy($"lang", $"bucket")
     },
 
+    // Interpolated bigram LM score — the KenLM-shaped upgrade of the
+    // unigram proxy: per doc, the mean over adjacent token pairs of
+    // ln(λ·P(w2|w1) + (1−λ)·P_addone(w2)), against the STAGED corpus
+    // bigram model. Docs with <2 tokens have no pairs and drop out on
+    // both engines.
+    "tx_bigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      docBigramLogprob(s, dir)
+        .select($"doc_id", $"lang", $"n_big", $"avg_logprob")
+        .orderBy($"doc_id")
+    },
+
+    // Per-source frequency cap (the RefinedWeb/C4 domain-cap shape):
+    // keep at most SourceCapK docs per source, chosen by portable
+    // doc-id hash so the sample is stable across runs and engines. One
+    // bounded-heap GroupedTopK per source — each map task ships ≤ K
+    // rows per source, so at 100 TB the shuffle is O(sources × K),
+    // never a per-source sort of the corpus.
+    "tx_source_cap" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"source", $"doc_id",
+          (-tokHash($"doc_id".cast("string")).cast("double")).as("ord"))
+        .groupBy($"source")
+        .agg(graft.functions.GroupedTopK.groupedTopK(
+          $"ord", $"doc_id", SourceCapK).as("top"))
+        .select($"source", posexplode($"top").as(Seq("pos", "t")))
+        .select($"source", ($"pos" + 1).as("rk"), $"t.id".as("doc_id"))
+        .orderBy($"source", $"rk")
+    },
+
+    // The corpus data card: per (source, lang) cell plus ROLLUP
+    // subtotals — doc counts, token counts (from the staged
+    // token-accounting table), and exact-dup counts (docs that lose
+    // their content-hash group to a smaller doc_id). The per-snapshot
+    // report a curation run publishes; one aggregation over
+    // pre-staged inputs, output bounded by sources × langs.
+    "tx_corpus_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"source", $"lang", md5($"text").as("fp"))
+      val keep = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+      docs.join(keep, Seq("fp"))
+        .select($"source", $"lang", $"doc_id",
+          ($"doc_id" =!= $"keep_id").cast("long").as("is_dup"))
+        .join(tokenCounts(s, dir).select($"doc_id", $"m"), Seq("doc_id"))
+        .rollup($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_tok"),
+          sum($"is_dup").as("n_exact_dup"))
+        .select(coalesce($"source", lit("ALL")).as("source"),
+          coalesce($"lang", lit("ALL")).as("lang"),
+          $"n_docs", $"n_tok", $"n_exact_dup")
+        .orderBy($"source", $"lang")
+    },
+
     // Corpus vocabulary accounting over the staged unigram LM — the
     // summary a curation run reports per snapshot: type/token counts,
     // hapax mass (OOV-rate proxy), and how much of the corpus the 100
@@ -1245,6 +1396,86 @@ object TextAnalysis {
          |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
          |  min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
          |FROM b GROUP BY lang, b ORDER BY lang, bucket""".stripMargin,
+
+    // Oracle twin of docBigramLogprob: same tail-zip pairs, same
+    // interpolation expression (λ interpolated from the one Scala
+    // constant), same (w1, w2)-sorted sequential fold.
+    "tx_bigram_logprob" ->
+      s"""$TfCte,
+         |uvocab AS (SELECT word, CAST(sum(n) AS BIGINT) AS cnt
+         |           FROM tf GROUP BY word),
+         |bgeo AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+         |                CAST(count(*) AS BIGINT) AS v_size FROM uvocab),
+         |btok AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |bpair AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+         |  FROM btok),
+         |bf AS (
+         |  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2, count(*) AS n
+         |  FROM bpair GROUP BY 1, 2, 3, 4),
+         |blm AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS cnt
+         |        FROM bf GROUP BY 1, 2),
+         |bterms AS (
+         |  SELECT bf.doc_id, bf.lang, CAST(sum(bf.n) AS BIGINT) AS m,
+         |    list(struct_pack(w1 := bf.w1, w2 := bf.w2, n := bf.n,
+         |                     cnt := l.cnt, c1 := u1.cnt, c2 := u2.cnt)
+         |         ORDER BY bf.w1, bf.w2) AS terms
+         |  FROM bf JOIN blm l ON l.w1 = bf.w1 AND l.w2 = bf.w2
+         |          JOIN uvocab u1 ON u1.word = bf.w1
+         |          JOIN uvocab u2 ON u2.word = bf.w2
+         |  GROUP BY bf.doc_id, bf.lang),
+         |blp AS (
+         |  SELECT doc_id, lang, m AS n_big,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(terms, t -> t.n::DOUBLE *
+         |        ln($BigramLambda::DOUBLE * (t.cnt::DOUBLE / t.c1::DOUBLE)
+         |           + (1.0::DOUBLE - $BigramLambda::DOUBLE)
+         |             * ((t.c2 + 1)::DOUBLE
+         |               / (bgeo.n_total + bgeo.v_size)::DOUBLE)))),
+         |      (a, b) -> a + b) / m, 4) AS avg_logprob
+         |  FROM bterms CROSS JOIN bgeo)
+         |SELECT doc_id, lang, n_big, avg_logprob FROM blp
+         |ORDER BY doc_id""".stripMargin,
+
+    // Oracle twin of tx_source_cap: same portable md5-prefix hash of
+    // the stringified doc_id, same (hash, doc_id) rank, same cap.
+    "tx_source_cap" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY hv, doc_id) AS rk
+         |  FROM h)
+         |SELECT source, rk, doc_id FROM r WHERE rk <= $SourceCapK
+         |ORDER BY source, rk""".stripMargin,
+
+    // Oracle twin of tx_corpus_report: same content-hash dup flag,
+    // same token counts, same ROLLUP with 'ALL' totals.
+    "tx_corpus_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, md5(text) AS fp,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS m
+        |  FROM documents),
+        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp)
+        |SELECT COALESCE(d.source, 'ALL') AS source,
+        |  COALESCE(d.lang, 'ALL') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.m) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_exact_dup
+        |FROM d JOIN keep k USING (fp)
+        |GROUP BY ROLLUP(d.source, d.lang)
+        |ORDER BY source, lang""".stripMargin,
 
     // Oracle twin of dsirWeightsRaw: identical ln-difference expansion
     // and word-sorted sequential fold; constants (target lang, K)
