@@ -451,6 +451,81 @@ object Dedup {
       }.persist()
     })
 
+  // ---- Incremental index MAINTENANCE (the write half of the ingest ----
+  // loop: dedup_incremental / DedupStream are the read half). Each
+  // staged artifact absorbs an ADMITTED batch as artifact(A) ∪
+  // delta(B) — cost O(batch), never a corpus rescan. The merge is
+  // EXACT while the batch leaves the stop-shingle list unchanged;
+  // [[hotShingleDrift]] measures exactly that and is the rebuild
+  // trigger (the shingle-family analogue of ann_centroid_drift).
+  // DeltaMergeSpec pins merged == rebuilt-from-union per artifact.
+
+  /** `dir`'s staged band index extended by a batch of (doc_id, text):
+    * batch rows come from the per-ROW band route against the staged
+    * stop-shingle list — the same formulation DedupStream probes with,
+    * so probe and maintenance can never disagree.
+    */
+  def mergedBandIndex(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    minhashBandIndex(s, dir).unionByName(
+      withBandStructs(batchKeptShingles(s, dir, batch), "shs")
+        .select(col("doc_id"), explode(col("_bands")).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")))
+
+  /** `dir`'s staged kept-shingle SETS extended by the batch (the
+    * exact-verify side of the probe path).
+    */
+  def mergedKeptSets(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    keptSets(s, dir).unionByName(
+      batchKeptShingles(s, dir, batch)
+        .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n_sh")))
+
+  /** `dir`'s staged passage window index extended by the batch — pure
+    * union: 5-token windows are a per-doc derivation with no
+    * corpus-dependent state, so this merge is unconditionally exact.
+    */
+  def mergedWindowIndex(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    windowIndex(s, dir).unionByName(
+      batch.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.wordGrams(col("toks"), 5)).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"), substring(md5(col("w")), 1, 16).as("fp")))
+  }
+
+  /** Per-doc kept-shingle arrays for a batch of (doc_id, text) against
+    * `dir`'s staged stop-shingle list (shipped as a literal — broadcast-
+    * sized by construction, df > MaxDf entries only).
+    */
+  private def batchKeptShingles(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    val hotArr = hotShingleList(s, dir)
+    batch.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_except(shingles(col("toks")), typedlit(hotArr.toSeq)).as("shs"))
+      .filter(size(col("shs")) > 0)
+  }
+
+  /** The REBUILD TRIGGER for the merge above: shingles the batch pushes
+    * over the df > MaxDf stop line (their banded signatures in the
+    * merged index still carry them; a rebuild would drop them). Rows:
+    * (sh, df_exist, df_batch) for each crossing — one aggregation over
+    * the batch plus an equi-join against per-shingle existing df;
+    * already-hot shingles are excluded (they were dropped on both
+    * sides already, no staleness).
+    */
+  def hotShingleDrift(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    val (kept, _) = shingleIndex(s, dir)
+    val dfExist = kept.toDF("doc_id", "sh")
+      .groupBy(col("sh")).agg(count(lit(1)).as("df_exist"))
+    batch.select(col("doc_id"), explode(shingles(wsTokens(col("text")))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df_batch"))
+      .join(dfExist, Seq("sh"), "left")
+      .withColumn("df_exist", coalesce(col("df_exist"), lit(0L)))
+      .filter(col("df_exist") + col("df_batch") > MaxDf)
+      .select(col("sh"), col("df_exist"), col("df_batch"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep the smallest doc_id.
     // At scale: a single shuffle on a 128-bit hash — no skew (hash keys
@@ -682,6 +757,35 @@ object Dedup {
     // output is the actionable per-new-doc DECISION — its best existing
     // match (highest jac, ties to the smallest existing id), i.e. the
     // incoming docs to drop and why.
+    // The stop-shingle DRIFT meter over the incremental split (batch =
+    // doc_id % 5 == 0, existing = the rest — the dedup_incremental
+    // convention): how many batch shingles cross the df > MaxDf stop
+    // line when the batch lands, i.e. exactly the staleness the O(batch)
+    // index merge ([[mergedBandIndex]]) accumulates before a rebuild.
+    // One summary row; two shingle-keyed aggregations + one equi-join —
+    // never pairwise. Inert (n_crossed = 0) at the gate corpora by the
+    // same df profile that keeps the stop list empty there; active at
+    // replica scale, and DeltaMergeSpec plants a crossing to pin the
+    // firing behavior.
+    "dedup_hot_drift" -> { (s, dir) =>
+      import s.implicits._
+      val occ = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", wsTokens($"text").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("sh"))
+      val dfE = occ.filter($"doc_id" % 5 =!= 0)
+        .groupBy($"sh").agg(count(lit(1)).as("df_exist"))
+      val dfB = occ.filter($"doc_id" % 5 === 0)
+        .groupBy($"sh").agg(count(lit(1)).as("df_batch"))
+      dfB.join(dfE, Seq("sh"), "left")
+        .withColumn("df_exist", coalesce($"df_exist", lit(0L)))
+        .agg(count(lit(1)).as("n_batch_shingles"),
+          sum(when($"df_exist" <= MaxDf && $"df_exist" + $"df_batch" > MaxDf,
+            1L).otherwise(0L)).as("n_crossed"),
+          sum(when($"df_exist" > MaxDf, 1L).otherwise(0L)).as("n_already_hot"),
+          max($"df_exist" + $"df_batch").as("max_df_after"))
+    },
+
     "dedup_incremental" -> { (s, dir) =>
       import s.implicits._
       incrementalMatches(s, dir)
@@ -1328,6 +1432,27 @@ object Dedup {
          |  FROM ji WHERE jac >= 0.5)
          |SELECT ni AS new_id, oi AS dup_of, round(jac, 6) AS jac
          |FROM pick WHERE rn = 1 ORDER BY new_id""".stripMargin,
+
+    // Oracle twin of dedup_hot_drift: same raw (unfiltered) per-side
+    // shingle dfs over the same %5 split, same crossing predicate.
+    "dedup_hot_drift" ->
+      s"""$ShingleCte,
+         |de AS (SELECT sh, CAST(count(*) AS BIGINT) AS df_exist
+         |       FROM ex0 WHERE doc_id % 5 <> 0 GROUP BY sh),
+         |db AS (SELECT sh, CAST(count(*) AS BIGINT) AS df_batch
+         |       FROM ex0 WHERE doc_id % 5 = 0 GROUP BY sh),
+         |dj AS (
+         |  SELECT db.sh, COALESCE(de.df_exist, CAST(0 AS BIGINT)) AS df_exist,
+         |    db.df_batch
+         |  FROM db LEFT JOIN de USING (sh))
+         |SELECT CAST(count(*) AS BIGINT) AS n_batch_shingles,
+         |  CAST(sum(CASE WHEN df_exist <= $MaxDf
+         |                 AND df_exist + df_batch > $MaxDf
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed,
+         |  CAST(sum(CASE WHEN df_exist > $MaxDf THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_already_hot,
+         |  CAST(max(df_exist + df_batch) AS BIGINT) AS max_df_after
+         |FROM dj""".stripMargin,
 
     "dedup_clusters" ->
       s"""$ClusterCte

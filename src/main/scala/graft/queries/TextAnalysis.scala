@@ -408,6 +408,33 @@ object TextAnalysis {
         .persist()
     })
 
+  /** Incremental LM maintenance (the [[Dedup.mergedBandIndex]]
+    * counterpart for the scoring family): `dir`'s staged unigram model
+    * extended by an admitted batch of (doc_id, text) — count tables
+    * merge by ADDITION, so this is unconditionally exact and costs
+    * O(batch ∪ vocab), never a corpus rescan. DeltaMergeSpec pins
+    * merged == rebuilt-from-union.
+    */
+  def mergedUnigramLm(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    unigramLm(s, dir).unionByName(
+      batch.select(explode(wsTokens(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+
+  /** [[mergedUnigramLm]] for the bigram model — same additive merge on
+    * (w1, w2) keys.
+    */
+  def mergedBigramLm(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    bigramLm(s, dir).unionByName(
+      batch.select(wsTokens(lower(col("text"))).as("toks"))
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt")))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
+
   /** Per-source document cap for tx_source_cap (RefinedWeb-style
     * domain frequency cap): keep at most this many docs per source,
     * selected by portable doc-id hash. One definition; the oracle SQL
