@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.{QueryFns, TextAnalysis}
+
+/** Publish path for a curated corpus snapshot: the survivors of the
+  * curation front end written as parquet PARTITIONED BY lang (the CCNet
+  * release layout — each language ships as its own shard set), with an
+  * order-independent manifest written LAST as the commit marker.
+  *
+  * Publish protocol (the E7/E4 sink discipline extended to the
+  * pipeline): data files first — each file itself committed atomically
+  * by Spark's FileCommitProtocol — then the manifest, recomputed FROM
+  * THE WRITTEN FILES (it certifies what landed on disk, not what the
+  * plan intended). A reader treats a snapshot without a manifest as
+  * unpublished, so a crashed publish is never consumed half-written.
+  * The manifest rows are exactly the oracle-checked
+  * tx_curation_manifest result (CorpusSinkSpec pins the equality): per
+  * lang, doc count, token count, and a COMMUTATIVE content checksum
+  * (sum of 48-bit md5 prefixes) that any file/partition layout of the
+  * same rows reproduces — at 100 TB validation is one scan of the
+  * snapshot with a per-partition sum, no ordering or single-reducer
+  * step anywhere.
+  */
+object CorpusSink {
+
+  /** Write `dir`'s curated survivors under `outDir` and commit with a
+    * manifest. `maxRecordsPerFile` bounds shard size (at 100 TB you
+    * bound by records; Spark splits files accordingly).
+    */
+  def publish(s: SparkSession, dir: String, outDir: String,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    Tables(s, dir).documents
+      .join(TextAnalysis.curationSurvivors(s, dir).select(col("doc_id")), "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang")
+      .parquet(s"$outDir/data")
+    manifestOf(s.read.parquet(s"$outDir/data"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+  }
+
+  /** The manifest of any (doc_id, text, lang, ...) corpus frame: per
+    * lang, (n_docs, n_tok, checksum) — the same derivation whether
+    * computed from the pre-write frame, the written files, or by the
+    * DuckDB oracle (tx_curation_manifest).
+    */
+  def manifestOf(df: DataFrame): DataFrame =
+    df.select(col("lang"), QueryFns.hash48(col("text")).as("h"),
+        size(QueryFns.wsTokens(col("text"))).cast("long").as("m"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("n_tok"),
+        sum(col("h")).as("checksum"))
+
+  /** True iff `outDir` holds a committed snapshot (manifest present). */
+  def isPublished(s: SparkSession, outDir: String): Boolean =
+    new java.io.File(s"$outDir/_manifest").exists() &&
+      new java.io.File(s"$outDir/data").exists()
+
+  /** Re-derive the manifest from the on-disk data files and compare to
+    * the committed manifest. Returns per-lang mismatch descriptions —
+    * empty means the snapshot validates. A missing manifest is a
+    * (single) mismatch, not an exception: callers poll this.
+    */
+  def validate(s: SparkSession, outDir: String): Seq[String] = {
+    if (!isPublished(s, outDir)) return Seq(s"$outDir: no committed manifest")
+    def keyed(df: DataFrame): Map[String, (Long, Long, Long)] =
+      df.collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("checksum")))).toMap
+    val committed = keyed(s.read.parquet(s"$outDir/_manifest"))
+    val actual = keyed(manifestOf(s.read.parquet(s"$outDir/data")))
+    val langs = (committed.keySet ++ actual.keySet).toSeq.sorted
+    langs.flatMap { l =>
+      (committed.get(l), actual.get(l)) match {
+        case (Some(c), Some(a)) if c == a => None
+        case (c, a) => Some(s"lang=$l: manifest=$c data=$a")
+      }
+    }
+  }
+}

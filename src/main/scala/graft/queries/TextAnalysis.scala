@@ -25,7 +25,7 @@ import graft.core.{Staging, Tables}
   */
 object TextAnalysis {
 
-  import QueryFns.{wsTokens, tokHash}
+  import QueryFns.{wsTokens, tokHash, hash48}
 
   /** Session-scoped memo of the persisted per-doc token-count table
     * (doc_id, lang, m) — the [[Dedup.indexCache]] staging pattern.
@@ -57,7 +57,7 @@ object TextAnalysis {
   private val survivorCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def curationSurvivors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def curationSurvivors(s: SparkSession, dir: String): DataFrame =
     survivorCache.getOrElseUpdate((s, dir), Staging.readElseBuild(
       s, dir, "curation_survivors", Seq("documents")) {
       import s.implicits._
@@ -1113,6 +1113,25 @@ object TextAnalysis {
         .orderBy($"source", $"rk")
     },
 
+    // The publish manifest of the curated corpus: per output partition
+    // (lang), doc count, token count, and an ORDER-INDEPENDENT content
+    // checksum (sum of per-doc 48-bit md5-prefix hashes — commutative,
+    // so any partition/file layout of the same rows certifies the same
+    // value; 2^48 × docs stays far under 2^63). graft.io.CorpusSink
+    // writes exactly these rows as the data's commit manifest, pinned
+    // row-for-row by CorpusSinkSpec — this query is the oracle-checked
+    // definition of what a published snapshot must contain.
+    "tx_curation_manifest" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"lang", hash48($"text").as("h"))
+        .join(curationSurvivors(s, dir).select($"doc_id", $"m"), "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_tok"),
+          sum($"h").as("checksum"))
+        .orderBy($"lang")
+    },
+
     // The corpus data card: per (source, lang) cell plus ROLLUP
     // subtotals — doc counts, token counts (from the staged
     // token-accounting table), and exact-dup counts (docs that lose
@@ -1484,6 +1503,31 @@ object TextAnalysis {
          |  FROM h)
          |SELECT source, rk, doc_id FROM r WHERE rk <= $SourceCapK
          |ORDER BY source, rk""".stripMargin,
+
+    // Oracle twin of tx_curation_manifest: same survivor set as the
+    // curation family (exact-dedup keep-min + m > 0 + quality ≥ 0.7),
+    // same 48-bit md5-prefix checksum sum.
+    "tx_curation_manifest" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, text, md5(text) AS fp FROM documents),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY fp),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.text,
+         |    list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS toks
+         |  FROM docs d JOIN keep k ON d.fp = k.fp AND d.doc_id = k.doc_id),
+         |mm AS (
+         |  SELECT doc_id, lang, text, len(toks) AS m,
+         |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS n_stop
+         |  FROM kept),
+         |sv AS (
+         |  SELECT * FROM mm WHERE m > 0
+         |    AND round(least(1.0, CAST(m AS DOUBLE) / 50.0) * 0.5
+         |      + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / m) * 0.5, 4) >= 0.7)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(m) AS BIGINT) AS n_tok,
+         |  CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT) AS BIGINT)
+         |    AS checksum
+         |FROM sv GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Oracle twin of tx_corpus_report: same content-hash dup flag,
     // same token counts, same ROLLUP with 'ALL' totals.
