@@ -435,6 +435,20 @@ object TextAnalysis {
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt")))
       .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Driver-side copy of the staged bigram LM (space-joined "w1 w2" →
+    * count) plus the unigram map, corpus token total, and vocab size —
+    * the task-shipped artifact [[graft.streaming.LmScoreStream]]'s
+    * bigram scorer rides. Same broadcast-now / task-local-hashmap-at-
+    * 100 TB tradeoff as [[unigramLmMap]].
+    */
+  private[graft] def bigramLmMap(s: SparkSession, dir: String)
+      : (Map[String, Long], Map[String, Long], Long, Long) = {
+    val big = bigramLm(s, dir).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2)).toMap
+    val (uni, n) = unigramLmMap(s, dir)
+    (big, uni, n, uni.size.toLong)
+  }
+
   /** Per-source document cap for tx_source_cap (RefinedWeb-style
     * domain frequency cap): keep at most this many docs per source,
     * selected by portable doc-id hash. One definition; the oracle SQL

@@ -52,4 +52,53 @@ object LmScoreStream {
       .select(col("doc_id"), col("m").cast("long").as("n_tok"),
         round(col("lp") / col("m"), 4).as("avg_logprob"))
   }
+
+  /** Streaming twin of `tx_bigram_logprob`: per-arriving-document
+    * (doc_id, n_big, avg_logprob) under the static corpus's staged
+    * bigram + unigram LMs — the same stateless per-row shape as
+    * [[scores]]. The fold replays the batch side's (w1, w2)-sorted
+    * sequential double sum over the row's DISTINCT adjacent pairs
+    * (struct sort — not a string sort of joined keys, which a
+    * sub-space control character in a token could reorder), with the
+    * same interpolation expression, so scores are bit-identical to the
+    * batch query (LmScoreStreamSpec's parity pin). Pairs absent from
+    * the shipped bigram LM are excluded from both the sum AND the
+    * pair count — exactly the batch side's inner-join semantics.
+    */
+  def bigramScores(newDocs: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    val (big, uni, nTotal, vSize) = TextAnalysis.bigramLmMap(s, dir)
+    val bigCol: Column = typedlit(big)
+    val uniCol: Column = typedlit(uni)
+    val floorDen = lit((nTotal + vSize).toDouble)
+    def key(p: Column): Column =
+      concat(p.getField("w1"), lit(" "), p.getField("w2"))
+    newDocs
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .withColumn("pairs", zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .withColumn("kept", filter(array_sort(array_distinct(col("pairs"))),
+        p => element_at(bigCol, key(p)).isNotNull))
+      // n(p) recounted from the row's own pair array; m = Σ n over KEPT
+      // pairs (the batch side's post-join sum(n))
+      .withColumn("m", aggregate(col("kept"), lit(0L), (acc, p) =>
+        acc + size(filter(col("pairs"),
+          x => x.getField("w1") === p.getField("w1")
+            && x.getField("w2") === p.getField("w2"))).cast("long")))
+      .filter(col("m") > 0)
+      .withColumn("lp", aggregate(col("kept"), lit(0.0), (acc, p) =>
+        acc + size(filter(col("pairs"),
+          x => x.getField("w1") === p.getField("w1")
+            && x.getField("w2") === p.getField("w2"))).cast("double")
+          * log(lit(TextAnalysis.BigramLambda)
+              * (element_at(bigCol, key(p)).cast("double")
+                / element_at(uniCol, p.getField("w1")).cast("double"))
+            + (lit(1.0) - lit(TextAnalysis.BigramLambda))
+              * ((element_at(uniCol, p.getField("w2")) + lit(1L)).cast("double")
+                / floorDen))))
+      .select(col("doc_id"), col("m").as("n_big"),
+        round(col("lp") / col("m"), 4).as("avg_logprob"))
+  }
 }

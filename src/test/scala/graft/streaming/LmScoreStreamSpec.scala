@@ -37,4 +37,27 @@ class LmScoreStreamSpec extends SparkSpec {
     assert(streaming == batch)
     assert(streaming.size == docs.size) // every doc scored, none dropped
   }
+
+  test("streaming bigram scores equal the batch query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = LmScoreStream.bigramScores(in.toDS().toDF("doc_id", "text"), spark, dir)
+      .writeStream.format("memory").queryName("bigram_stream")
+      .outputMode("append").start()
+    val cut = docs.length / 3
+    Seq(docs.take(cut), docs.drop(cut))
+      .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+
+    val streaming = spark.table("bigram_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.SparkEntry.queries("tx_bigram_logprob")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(streaming == batch)
+  }
 }
