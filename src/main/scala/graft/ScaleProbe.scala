@@ -48,6 +48,12 @@ object ScaleProbe {
     if (vectorsOnly) { vectorLadder(spark, m, out); spark.stop(); return }
     if (docsOnly) { docLadder(spark, m, out); spark.stop(); return }
     if (mediaOnly) { mediaLadder(spark, m, out); spark.stop(); return }
+    if (args.contains("merge")
+        && new java.io.File(s"$out/documents.parquet").exists()) {
+      // re-measure the maintenance meter on an already-built replica
+      graft.queries.Dedup.clearCaches()
+      mergeMeter(spark, m, out); spark.stop(); return
+    }
 
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
@@ -111,13 +117,21 @@ object ScaleProbe {
       "ann_ivf2_topk",
       "dedup_substring", "dedup_spans",
       "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill",
-      "tx_pack", "tx_mix", "ann_imi_topk", "ann_pq_topk", "q_asof_nearest")
+      "tx_pack", "tx_mix", "ann_imi_topk", "ann_pq_topk", "q_asof_nearest",
+      "tx_bigram_logprob", "dedup_hot_drift", "tx_curation_manifest",
+      "tx_source_cap", "tx_corpus_report")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"query": "$name", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
       }
+    // index-MAINTENANCE cost meter: with the band index built (memoized
+    // above by dedup_minhash_lsh), merging a 2% batch must cost O(batch)
+    // — the merged count re-reads the memoized index and adds only the
+    // batch's per-row band work, so merge_sec tracks the batch size, not
+    // the corpus multiple
+    mergeMeter(spark, m, out)
     // recall-loss meter for the simhash hot-bucket cap: report what the
     // skew guard discarded on this corpus (observed, not assumed)
     val drops = graft.queries.Dedup.simhashDropStats(spark, out).collect()(0)
@@ -173,6 +187,27 @@ object ScaleProbe {
     * decades (10× and 100×), and the PQ serving query is timed cold
     * (index training included) and warm (staged index) separately.
     */
+  /** Index-MAINTENANCE cost meter: with the band index and hot-shingle
+    * list in hand (in production: the staged store — warmed here so the
+    * meter times the merge, not an index build), merging a 2% batch
+    * must cost O(batch), and the drift trigger one pass per side.
+    */
+  private def mergeMeter(spark: SparkSession, m: Int, out: String): Unit = {
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$out/documents.parquet")
+      .filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + lit(100000000L)).as("doc_id"), $"text")
+    graft.queries.Dedup.minhashBandIndex(spark, out).count()
+    val t0 = System.nanoTime()
+    val mergedRows = graft.queries.Dedup.mergedBandIndex(spark, out, batch).count()
+    val mergeSec = (System.nanoTime() - t0) / 1e9
+    val d0 = System.nanoTime()
+    val driftRows = graft.queries.Dedup.hotShingleDrift(spark, out, batch).count()
+    val driftSec = (System.nanoTime() - d0) / 1e9
+    println(f"""{"meter": "delta_merge", "mult": $m, "merge_sec": $mergeSec%.2f, """ +
+      f""""merged_rows": $mergedRows, "drift_sec": $driftSec%.2f, "drift_rows": $driftRows}""")
+  }
+
   private def vectorLadder(spark: SparkSession, m: Int, out: String): Unit = {
     import spark.implicits._
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")

@@ -56,6 +56,55 @@ object CorpusSink {
       .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("n_tok"),
         sum(col("h")).as("checksum"))
 
+  /** Versioned publish: each call lands a NEW immutable generation
+    * under `outDir/gen=N` (data + manifest, the [[publish]] protocol),
+    * then flips the `_latest` pointer to it LAST with an atomic rename.
+    * Readers resolving through [[readLatest]] see either the previous
+    * snapshot or the new one in full — never a mix — and
+    * [[rollback]] is just pointing `_latest` back at an older, still
+    * intact generation. Returns the new generation number.
+    */
+  def publishVersioned(s: SparkSession, dir: String, outDir: String): Long = {
+    val next = latestGeneration(outDir).getOrElse(0L) + 1L
+    publish(s, dir, s"$outDir/gen=$next")
+    setLatest(outDir, next)
+    next
+  }
+
+  /** The committed generation `_latest` points at, if any. */
+  def latestGeneration(outDir: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(s"$outDir/_latest")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLongOption
+    else None
+  }
+
+  /** The current snapshot's data frame (fails if nothing is published). */
+  def readLatest(s: SparkSession, outDir: String): DataFrame = {
+    val gen = latestGeneration(outDir).getOrElse(
+      sys.error(s"$outDir: no published generation"))
+    s.read.parquet(s"$outDir/gen=$gen/data")
+  }
+
+  /** Point `_latest` back at `gen` (which must still be a committed,
+    * valid snapshot — rollback to a pruned or torn generation is an
+    * error, not a silent pointer flip).
+    */
+  def rollback(s: SparkSession, outDir: String, gen: Long): Unit = {
+    val problems = validate(s, s"$outDir/gen=$gen")
+    require(problems.isEmpty, s"rollback target gen=$gen invalid: $problems")
+    setLatest(outDir, gen)
+  }
+
+  private def setLatest(outDir: String, gen: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$outDir/_latest.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.writeString(tmp, gen.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$outDir/_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** True iff `outDir` holds a committed snapshot (manifest present). */
   def isPublished(s: SparkSession, outDir: String): Boolean =
     new java.io.File(s"$outDir/_manifest").exists() &&

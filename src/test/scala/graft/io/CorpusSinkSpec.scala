@@ -80,4 +80,38 @@ class CorpusSinkSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("versioned publish flips the pointer last; rollback restores a generation") {
+    val dir = java.nio.file.Files.createTempDirectory("cs_in3").toString
+    val out = java.nio.file.Files.createTempDirectory("cs_out3").toString
+    try {
+      val fluent = "the cat is in the house and it is a good day " * 5
+      writeDocs(dir, (0L until 4L).map(i => (i, fluent + i, "en")))
+      assert(CorpusSink.latestGeneration(out).isEmpty)
+      assert(CorpusSink.publishVersioned(spark, dir, out) == 1L)
+      assert(CorpusSink.readLatest(spark, out).count() == 4L)
+
+      // corpus grows; a second publish lands gen 2 without touching gen 1
+      graft.queries.TextAnalysis.clearCaches()
+      writeDocs(dir, (0L until 6L).map(i => (i, fluent + i, "en")))
+      assert(CorpusSink.publishVersioned(spark, dir, out) == 2L)
+      assert(CorpusSink.latestGeneration(out).contains(2L))
+      assert(CorpusSink.readLatest(spark, out).count() == 6L)
+      assert(CorpusSink.validate(spark, s"$out/gen=1").isEmpty,
+        "earlier generation must remain intact and valid")
+
+      // rollback flips the pointer back; a torn target is refused
+      CorpusSink.rollback(spark, out, 1L)
+      assert(CorpusSink.readLatest(spark, out).count() == 4L)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$out/gen=2/_manifest"))
+      intercept[IllegalArgumentException](CorpusSink.rollback(spark, out, 2L))
+      // no pointer temp file left behind by the atomic flip
+      assert(!new java.io.File(s"$out/_latest.tmp").exists())
+    } finally {
+      graft.queries.TextAnalysis.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }

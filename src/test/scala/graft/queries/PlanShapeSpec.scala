@@ -268,6 +268,31 @@ class PlanShapeSpec extends SparkSpec {
       "probe set should broadcast")
   }
 
+  test("tx_bigram_logprob: LM tables broadcast, fold in a projection, no window") {
+    val p = plan("tx_bigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bigram/unigram LM joins should broadcast at this SF: ${p.take(2000)}")
+    assert(!p.contains("Window"))
+  }
+
+  test("tx_source_cap: bounded-heap per source, not a per-source window sort") {
+    val p = plan("tx_source_cap")
+    assert(p.contains("grouped_topk"), p.take(2000))
+    assert(!p.contains("Window"))
+  }
+
+  test("tx_corpus_report: rollup expands, token table joins without cartesian") {
+    val p = plan("tx_corpus_report")
+    assert(p.contains("Expand"), s"rollup should plan an Expand: ${p.take(2000)}")
+    assert(!p.contains("Window"))
+  }
+
+  test("dedup_hot_drift: two df aggregations and one equi-join, no window") {
+    val p = plan("dedup_hot_drift")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Window"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
