@@ -651,6 +651,51 @@ object Similarity {
         .orderBy($"cell")
     },
 
+    // ——— PCA over the embedding corpus ———
+    // The dimensionality-reduction front end (PCA/OPQ rotation prelude)
+    // as a first-class, oracle-replayed artifact: the staged axis comes
+    // from PcaIters deterministic power-iteration rounds, and the
+    // oracle SQL re-trains it with the SAME generated round count
+    // (PcaCte — the PqLloydSteps discipline).
+
+    // Per-vector projection onto the trained top principal component:
+    // (x − μ)·v as a position-ordered sequential fold. One narrow pass
+    // over the corpus against a broadcast 2d-value artifact.
+    "ann_pca_project" -> { (s, dir) =>
+      import s.implicits._
+      val (mu, v) = pcaArrays(s, dir)
+      Tables(s, dir).embeddings
+        .select($"vec_id", $"label",
+          (round(aggregate(
+            zip_with(
+              zip_with($"embedding", typedlit(mu.toSeq),
+                (x, m) => x.cast("double") - m),
+              typedlit(v.toSeq), (a, b) => a * b),
+            lit(0.0), (acc, t) => acc + t), 4) + 0.0).as("proj"))
+        .orderBy($"vec_id")
+    },
+
+    // Variance-explained meter of the trained axis — Σ(r·v)² / Σ‖r‖²
+    // over the corpus, both sums DECIMAL-exact at (27,4) so the scaled
+    // value stays double-exact on both engines. The observability
+    // number that says whether one component is worth serving (planted
+    // low-rank corpora read ≳0.9; isotropic ones read ~1/d).
+    "ann_pca_var" -> { (s, dir) =>
+      import s.implicits._
+      val (mu, v) = pcaArrays(s, dir)
+      Tables(s, dir).embeddings
+        .select(zip_with($"embedding", typedlit(mu.toSeq),
+          (x, m) => x.cast("double") - m).as("r"))
+        .select(
+          aggregate(zip_with($"r", typedlit(v.toSeq), (a, b) => a * b),
+            lit(0.0), (acc, t) => acc + t).as("c"),
+          aggregate($"r", lit(0.0), (acc, t) => acc + t * t).as("n2"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(($"c" * $"c").cast("decimal(27,4)")).cast("double").as("sc"),
+          sum($"n2".cast("decimal(27,4)")).cast("double").as("sn"))
+        .select($"n_vectors", round($"sc" / $"sn", 6).as("var_explained"))
+    },
+
     // ——— Filtered vector search (metadata predicate + top-k) ———
     // allowed(neighbor) ⇔ vec_id % AnnFilterMod == 0 (see the constant's
     // doc). Three routes: exact pre-filter truth, pre-filter through the
@@ -1063,15 +1108,79 @@ object Similarity {
   private val distCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Power-iteration rounds for the PCA axis ([[pcaAxis]]). CTE-for-CTE
+    * the oracle replays the SAME count ([[PcaCte]] is generated from
+    * this constant) — tune the constant, never the SQL.
+    */
+  private[queries] val PcaIters = 3
+
+  /** The corpus's top PRINCIPAL COMPONENT — staged as `pca_axis`
+    * (pos, mu, v): the per-dimension DECIMAL-exact mean and the unit
+    * axis after [[PcaIters]] deterministic power-iteration rounds from
+    * the fixed start v₀ = 1/√d. Each round is ONE aggregation pass
+    * (per-row centered dot c = r·v as a sequential fold, then the
+    * per-dimension DECIMAL-exact sum of c·r — partial+final aggregate,
+    * shuffle O(d)), with the 256-value normalize on the driver — the
+    * clusterLabels driver-coordinated-loop pattern. Every sum that
+    * crosses rows goes through DECIMAL so partition order cannot
+    * perturb it; scales are sized so the DuckDB twin's scaled-int →
+    * DOUBLE cast stays under 2^53 (the q_corr lesson): means at
+    * (27,10), axis sums at (27,6), variance sums at (27,4).
+    *
+    * This is the dimensionality-reduction front end an embedding
+    * pipeline runs before indexing (PCA/OPQ rotation preludes); at
+    * 100 TB each round stays one O(n·d) pass with a d-row shuffle.
+    */
+  private def pcaAxis(s: SparkSession, dir: String): DataFrame =
+    pcaCache.getOrElseUpdate((s, dir), Staging.readElseBuild(
+      s, dir, "pca_axis", Seq("embeddings")) {
+      import s.implicits._
+      val de = Tables(s, dir).embeddings
+        .select(posexplode($"embedding").as(Seq("pos", "x")))
+      val mu = de.groupBy($"pos")
+        .agg((sum($"x".cast("double").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("mu"))
+        .orderBy($"pos").collect().map(_.getDouble(1))
+      val centered = Tables(s, dir).embeddings.select($"vec_id",
+        zip_with($"embedding", typedlit(mu.toSeq),
+          (x, m) => x.cast("double") - m).as("r"))
+      var v = Array.fill(mu.length)(1.0 / math.sqrt(mu.length.toDouble))
+      for (_ <- 1 to PcaIters) {
+        val vLit = typedlit(v.toSeq)
+        val w = centered
+          .select($"r", aggregate(zip_with($"r", vLit, (a, b) => a * b),
+            lit(0.0), (acc, t) => acc + t).as("c"))
+          .select(posexplode($"r").as(Seq("pos", "rx")), $"c")
+          .groupBy($"pos")
+          .agg(sum(($"c" * $"rx").cast("decimal(27,6)")).cast("double").as("w"))
+          .orderBy($"pos").collect().map(_.getDouble(1))
+        // driver normalize: the same pos-ordered left folds the oracle's
+        // list_reduce replays
+        val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+        v = w.map(_ / norm)
+      }
+      mu.indices.map(i => (i, mu(i), v(i))).toDF("pos", "mu", "v")
+    }.persist())
+
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Driver-side (mu, v) arrays of the staged PCA axis. */
+  private def pcaArrays(s: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    val rows = pcaAxis(s, dir).orderBy(col("pos")).collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
   /** Force-build the ANN family's durable staged artifacts for `dir`
-    * ([[graft.core.Staging]]): trained IVF centroids, PQ codebook, and
-    * per-vector PQ codes. Read-else-build — already-staged artifacts
-    * cost one parquet footer read.
+    * ([[graft.core.Staging]]): trained IVF centroids, PQ codebook,
+    * per-vector PQ codes, and the PCA axis. Read-else-build —
+    * already-staged artifacts cost one parquet footer read.
     */
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     trainedCentroids(s, dir)
     pqCodebook(s, dir)
     pqCodes(s, dir)
+    pcaAxis(s, dir)
   }
 
   /** Drop and unpersist memoized distance tables (inputs rewritten). */
@@ -1084,6 +1193,8 @@ object Similarity {
     seedCache.clear()
     centCache.clear()
     sizeCache.clear()
+    pcaCache.values.foreach(_.unpersist())
+    pcaCache.clear()
   }
 
   /** Squared L2 distance of every vector to every centroid of the given
@@ -1964,6 +2075,61 @@ object Similarity {
     ((header +: round0 +: lloyd) :+ finalCtes).mkString(",\n")
   }
 
+  /** Oracle CTE chain that RE-TRAINS the PCA axis: per-dimension
+    * DECIMAL-exact mean, centered vectors, then [[PcaIters]] generated
+    * power-iteration rounds (centered dot per vector → per-dimension
+    * DECIMAL(27,6) sum → pos-ordered norm fold → normalize) from the
+    * same fixed start 1/√d — the twin of [[pcaAxis]], generated with
+    * the SAME round count so an edit to [[PcaIters]] cannot desync the
+    * engines. `paxis` is the final axis table.
+    */
+  private val PcaCte: String = {
+    val header =
+      """WITH pde AS (
+        |  SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 2049)) AS i) p
+        |  WHERE i <= len(embedding)),
+        |pmu AS (
+        |  SELECT pos, CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+        |    / COUNT(*) AS mu
+        |  FROM pde GROUP BY pos),
+        |pmuarr AS (SELECT list(mu ORDER BY pos) AS mu FROM pmu),
+        |pdim AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM pmu),
+        |pr AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE - m.mu[i]) AS r
+        |  FROM embeddings e, pmuarr m),
+        |prde AS (
+        |  SELECT vec_id, i - 1 AS pos, r[i] AS rx
+        |  FROM pr, (SELECT unnest(range(1, 2049)) AS i) p
+        |  WHERE i <= len(r)),
+        |pv0 AS (
+        |  SELECT list_transform(range(1, d + 1),
+        |    i -> 1.0::DOUBLE / sqrt(d::DOUBLE)) AS v
+        |  FROM pdim)""".stripMargin
+    def round(t: Int) =
+      s"""pc$t AS (
+         |  SELECT p.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.r) + 1),
+         |        i -> p.r[i] * v.v[i])),
+         |      (a, b) -> a + b) AS c
+         |  FROM pr p, pv${t - 1} v),
+         |pw$t AS (
+         |  SELECT d.pos,
+         |    CAST(SUM(CAST(c.c * d.rx AS DECIMAL(27,6))) AS DOUBLE) AS w
+         |  FROM prde d JOIN pc$t c USING (vec_id) GROUP BY d.pos),
+         |pwarr$t AS (SELECT list(w ORDER BY pos) AS w FROM pw$t),
+         |pv$t AS (
+         |  SELECT list_transform(w, x -> x / sqrt(
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(w, y -> y * y)), (a, b) -> a + b))) AS v
+         |  FROM pwarr$t)""".stripMargin
+    (header +: (1 to PcaIters).map(round)).mkString(",\n") +
+      s",\npaxis AS (SELECT v FROM pv$PcaIters)"
+  }
+
   /** The PQ serving pass as oracle SQL, parameterized on the probe
     * limit (twin of [[pqTopk]]); `pq5` is the final top-5 table.
     */
@@ -2065,6 +2231,37 @@ object Similarity {
       |  FROM bits)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Oracle twins of the PCA family: PcaCte re-trains the axis with
+    // the same generated round count; projection and variance replay
+    // the same pos-ordered folds.
+    "ann_pca_project" ->
+      s"""$PcaCte,
+         |pproj AS (
+         |  SELECT p.vec_id, p.label,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.r) + 1),
+         |        i -> p.r[i] * a.v[i])),
+         |      (x, y) -> x + y), 4) + 0.0 AS proj
+         |  FROM pr p, paxis a)
+         |SELECT vec_id, label, proj FROM pproj ORDER BY vec_id""".stripMargin,
+
+    "ann_pca_var" ->
+      s"""$PcaCte,
+         |pcv AS (
+         |  SELECT
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.r) + 1),
+         |        i -> p.r[i] * a.v[i])),
+         |      (x, y) -> x + y) AS c,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(p.r, t -> t * t)), (x, y) -> x + y) AS n2
+         |  FROM pr p, paxis a)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(CAST(SUM(CAST(c * c AS DECIMAL(27,4))) AS DOUBLE)
+         |    / CAST(SUM(CAST(n2 AS DECIMAL(27,4))) AS DOUBLE), 6)
+         |    AS var_explained
+         |FROM pcv""".stripMargin,
+
     "ann_pq_topk" ->
       s"""$VecCte,
          |$TrainedAsgCte,
