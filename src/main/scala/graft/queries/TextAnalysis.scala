@@ -449,6 +449,95 @@ object TextAnalysis {
     (big, uni, n, uni.size.toLong)
   }
 
+  /** Merge rounds for the BPE trainer (tx_bpe_merges /
+    * tx_bpe_segment). CTE-for-CTE the oracle replays the SAME count
+    * ([[BpeCte]] is generated from it) — tune the constant, never the
+    * SQL.
+    */
+  private[graft] val BpeMerges = 10
+
+  /** Rows emitted by tx_bpe_segment (most frequent words first). */
+  private[graft] val BpeTopWords = 50
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) as a corpus job —
+    * the piece that turns a curated corpus into a tokenizer, run
+    * word-frequency-weighted at character level over the alphabetic
+    * vocabulary:
+    *
+    *  1. vocab = lowercased ^[a-z]+$ tokens with corpus counts (the
+    *     charset restriction keeps the symbol alphabet closed; at
+    *     production scale the alphabet is whatever the pre-tokenizer
+    *     emits),
+    *  2. [[BpeMerges]] rounds of: weighted adjacent-symbol-pair counts
+    *     (one explode + one aggregation over the VOCAB — bounded by
+    *     distinct words, not corpus size), deterministic argmax by
+    *     (count desc, pair asc) via one struct-min, then the GREEDY
+    *     left-to-right merge applied per word as a sequential
+    *     `aggregate` fold with an array accumulator (localCheckpoint
+    *     per round — the clusterLabels lineage discipline).
+    *
+    * The DuckDB oracle replays the same rounds on bracket-encoded
+    * symbol strings where `replace('[a][b]' → '[ab]')` IS the greedy
+    * non-overlapping merge (brackets make adjacent matches share no
+    * characters), generated with the same round count ([[BpeCte]]).
+    * Artifacts stage as `bpe_merges` (the learned table — rank, sym1,
+    * sym2, cnt) and `bpe_symbols` (per-word segmentation).
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def bpeArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeCache.getOrElseUpdate((s, dir), {
+      lazy val built = trainBpe(s, dir) // at most one loop even on double miss
+      val m = Staging.readElseBuild(s, dir, "bpe_merges", Seq("documents"))(built._1)
+      val y = Staging.readElseBuild(s, dir, "bpe_symbols", Seq("documents"))(built._2)
+      (m.persist(), y.persist())
+    })
+
+  private def trainBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val vocab = Tables(s, dir).documents
+      .select(explode(wsTokens(lower($"text"))).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    var syms = vocab
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMerges && !exhausted) {
+      val n = size($"syms")
+      val best = syms
+        .select($"cnt", explode(zip_with(
+          slice($"syms", lit(1), greatest(n - 1, lit(0))),
+          slice($"syms", lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"cnt").as("c"))
+        .agg(min(struct((-$"c").as("nc"), $"a", $"b")).as("best"))
+        .select($"best.a", $"best.b", (-$"best.nc").as("c"))
+        .collect()(0)
+      // a tiny vocabulary can run out of adjacent pairs before the
+      // round budget — stop, emitting the merges that exist (the
+      // oracle's per-round LEFT JOIN degrades identically)
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((k, a, b, c))
+        syms = syms.withColumn("syms",
+          aggregate($"syms", array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0
+                && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    (merges.result().toDF("rank", "sym1", "sym2", "cnt"), syms)
+  }
+
   /** Per-source document cap for tx_source_cap (RefinedWeb-style
     * domain frequency cap): keep at most this many docs per source,
     * selected by portable doc-id hash. One definition; the oracle SQL
@@ -468,6 +557,7 @@ object TextAnalysis {
     unigramLm(s, dir)
     dsirRatio(s, dir)
     bigramLm(s, dir)
+    bpeArtifacts(s, dir)
   }
 
   /** Drop and unpersist the memoized token counts (inputs rewritten). */
@@ -488,6 +578,8 @@ object TextAnalysis {
     bigramCache.clear()
     blpCache.values.foreach(_.unpersist())
     blpCache.clear()
+    bpeCache.values.foreach { case (m, y) => m.unpersist(); y.unpersist() }
+    bpeCache.clear()
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
@@ -1127,6 +1219,26 @@ object TextAnalysis {
         .orderBy($"source", $"rk")
     },
 
+    // The learned BPE merge table — the tokenizer-training half of the
+    // pipeline (the reference's analogue of a corpus-derived artifact;
+    // token COUNTING under a fixed tokenizer is tx_token_count). Each
+    // round costs one vocab-bounded aggregation, never a corpus pass.
+    "tx_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      bpeArtifacts(s, dir)._1.orderBy($"rank")
+    },
+
+    // The trained tokenizer applied: segmentation of the most frequent
+    // words after all merge rounds (deterministic top cut by
+    // count desc, word asc).
+    "tx_bpe_segment" -> { (s, dir) =>
+      import s.implicits._
+      bpeArtifacts(s, dir)._2
+        .select($"word", $"cnt", size($"syms").as("n_sym"),
+          array_join($"syms", " ").as("seg"))
+        .orderBy($"cnt".desc, $"word").limit(BpeTopWords)
+    },
+
     // The publish manifest of the curated corpus: per output partition
     // (lang), doc count, token count, and an ORDER-INDEPENDENT content
     // checksum (sum of per-doc 48-bit md5-prefix hashes — commutative,
@@ -1437,6 +1549,49 @@ object TextAnalysis {
        |      (a, b) -> a + b) / m AS avg_raw
        |  FROM dterms CROSS JOIN geo)""".stripMargin
 
+  /** Oracle CTE chain that RE-TRAINS the BPE merge table: alphabetic
+    * vocab with counts, each word bracket-encoded (`[t][h][e]`), then
+    * [[BpeMerges]] generated rounds of weighted pair count → argmax by
+    * (count desc, pair asc) → greedy merge via non-overlapping
+    * left-to-right `replace`. `bmerges` is the merge table, `bsfin`
+    * the final segmentations.
+    */
+  private val BpeCte: String = {
+    val header =
+      """WITH btokw AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS word
+        |  FROM documents),
+        |bw AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM btokw
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |bs0 AS (
+        |  SELECT word, cnt, regexp_replace(word, '(.)', '[\1]', 'g') AS s
+        |  FROM bw)""".stripMargin
+    def round(k: Int) =
+      s"""bt$k AS (
+         |  SELECT word, cnt,
+         |    string_split(substr(s, 2, len(s) - 2), '][') AS t, s
+         |  FROM bs${k - 1}),
+         |bp$k AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM bt$k, (SELECT unnest(range(1, 201)) AS i) p
+         |  WHERE i < len(t) GROUP BY a, b),
+         |bb$k AS (SELECT a, b, c FROM bp$k ORDER BY c DESC, a, b LIMIT 1),
+         |bs$k AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN b.a IS NULL THEN t.s
+         |         ELSE replace(t.s, '[' || b.a || '][' || b.b || ']',
+         |           '[' || b.a || b.b || ']') END AS s
+         |  FROM bt$k t LEFT JOIN bb$k b ON TRUE),
+         |bm$k AS (SELECT $k AS rank, a AS sym1, b AS sym2, c AS cnt
+         |         FROM bb$k)""".stripMargin
+    (header +: (1 to BpeMerges).map(round)).mkString(",\n") +
+      s",\nbmerges AS (${(1 to BpeMerges)
+        .map(k => s"SELECT * FROM bm$k").mkString(" UNION ALL ")}),\n" +
+      s"bsfin AS (SELECT word, cnt, s FROM bs$BpeMerges)"
+  }
+
   def oracle: Map[String, String] = Map(
     "tx_unigram_logprob" ->
       s"""$LpCte
@@ -1517,6 +1672,22 @@ object TextAnalysis {
          |  FROM h)
          |SELECT source, rk, doc_id FROM r WHERE rk <= $SourceCapK
          |ORDER BY source, rk""".stripMargin,
+
+    // Oracle twins of the BPE trainer: BpeCte re-trains the merge table
+    // with the same generated round count; bracket-encoded greedy
+    // replace ≡ the Spark array fold (brackets make adjacent matches
+    // share no characters, so non-overlapping left-to-right replace IS
+    // the greedy merge).
+    "tx_bpe_merges" ->
+      s"""$BpeCte
+         |SELECT rank, sym1, sym2, cnt FROM bmerges ORDER BY rank""".stripMargin,
+
+    "tx_bpe_segment" ->
+      s"""$BpeCte
+         |SELECT word, cnt,
+         |  len(string_split(substr(s, 2, len(s) - 2), '][')) AS n_sym,
+         |  replace(substr(s, 2, len(s) - 2), '][', ' ') AS seg
+         |FROM bsfin ORDER BY cnt DESC, word LIMIT $BpeTopWords""".stripMargin,
 
     // Oracle twin of tx_curation_manifest: same survivor set as the
     // curation family (exact-dedup keep-min + m > 0 + quality ≥ 0.7),
