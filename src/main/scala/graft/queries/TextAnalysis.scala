@@ -1239,6 +1239,26 @@ object TextAnalysis {
         .orderBy($"cnt".desc, $"word").limit(BpeTopWords)
     },
 
+    // Token accounting under the TRAINED tokenizer — what the budget /
+    // packing / mixing queries would consume if they billed in BPE
+    // tokens instead of whitespace tokens: per doc, whitespace tokens
+    // that segment (alphabetic → their symbol count via one equi-join
+    // against the staged segmentation vocab, broadcast at gate scale)
+    // plus passthrough tokens billed at 1. The join is on the WORD, so
+    // at 100 TB it degrades to a shuffle equi-join like every LM join.
+    "tx_bpe_token_count" -> { (s, dir) =>
+      import s.implicits._
+      val segs = bpeArtifacts(s, dir)._2
+        .select($"word", size($"syms").cast("long").as("n_sym"))
+      Tables(s, dir).documents
+        .select($"doc_id", explode(wsTokens(lower($"text"))).as("word"))
+        .join(broadcast(segs), Seq("word"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_ws"),
+          sum(coalesce($"n_sym", lit(1L))).as("n_bpe"))
+        .orderBy($"doc_id")
+    },
+
     // The publish manifest of the curated corpus: per output partition
     // (lang), doc count, token count, and an ORDER-INDEPENDENT content
     // checksum (sum of per-doc 48-bit md5-prefix hashes — commutative,
@@ -1688,6 +1708,23 @@ object TextAnalysis {
          |  len(string_split(substr(s, 2, len(s) - 2), '][')) AS n_sym,
          |  replace(substr(s, 2, len(s) - 2), '][', ' ') AS seg
          |FROM bsfin ORDER BY cnt DESC, word LIMIT $BpeTopWords""".stripMargin,
+
+    "tx_bpe_token_count" ->
+      s"""$BpeCte,
+         |bsym AS (
+         |  SELECT word,
+         |    CAST(len(string_split(substr(s, 2, len(s) - 2), '][')) AS BIGINT)
+         |      AS n_sym
+         |  FROM bsfin),
+         |bdt AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '')) AS word
+         |  FROM documents)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |  CAST(sum(COALESCE(y.n_sym, 1)) AS BIGINT) AS n_bpe
+         |FROM bdt d LEFT JOIN bsym y USING (word)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Oracle twin of tx_curation_manifest: same survivor set as the
     // curation family (exact-dedup keep-min + m > 0 + quality ≥ 0.7),
