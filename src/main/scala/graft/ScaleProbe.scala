@@ -119,7 +119,8 @@ object ScaleProbe {
       "q_interval_join", "q_funnel", "q_cohort", "q_hopping", "q_gapfill",
       "tx_pack", "tx_mix", "ann_imi_topk", "ann_pq_topk", "q_asof_nearest",
       "tx_bigram_logprob", "dedup_hot_drift", "tx_curation_manifest",
-      "tx_source_cap", "tx_corpus_report")
+      "tx_source_cap", "tx_corpus_report",
+      "tx_bpe_merges", "tx_bpe_token_count", "ann_pca_project", "ann_pca_var")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
