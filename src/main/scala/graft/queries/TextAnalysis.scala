@@ -435,6 +435,17 @@ object TextAnalysis {
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt")))
       .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Driver-side copy of the trained BPE segmentation vocabulary
+    * (word → symbol count) — the task-shipped artifact
+    * [[graft.streaming.LmScoreStream.bpeTokenCounts]] rides.
+    */
+  private[graft] def bpeSegmentMap(s: SparkSession, dir: String): Map[String, Long] = {
+    import s.implicits._
+    bpeArtifacts(s, dir)._2
+      .select($"word", size($"syms").cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Driver-side copy of the staged bigram LM (space-joined "w1 w2" →
     * count) plus the unigram map, corpus token total, and vocab size —
     * the task-shipped artifact [[graft.streaming.LmScoreStream]]'s

@@ -101,4 +101,22 @@ object LmScoreStream {
       .select(col("doc_id"), col("m").as("n_big"),
         round(col("lp") / col("m"), 4).as("avg_logprob"))
   }
+
+  /** Streaming twin of `tx_bpe_token_count`: per-arriving-document
+    * (doc_id, n_ws, n_bpe) under the static corpus's TRAINED tokenizer
+    * — token budgeting at ingest. Stateless per-row fold over the
+    * token array against the shipped segmentation vocabulary
+    * (alphabetic words bill their symbol count, everything else 1),
+    * append-safe; batch parity pinned by LmScoreStreamSpec.
+    */
+  def bpeTokenCounts(newDocs: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    val segCol: Column = typedlit(TextAnalysis.bpeSegmentMap(s, dir))
+    newDocs
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_ws"),
+        aggregate(col("toks"), lit(0L), (acc, w) =>
+          acc + coalesce(element_at(segCol, w), lit(1L))).as("n_bpe"))
+  }
 }

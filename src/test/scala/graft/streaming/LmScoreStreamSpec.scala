@@ -60,4 +60,27 @@ class LmScoreStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
     assert(streaming == batch)
   }
+
+  test("streaming BPE token counts equal the batch query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = LmScoreStream.bpeTokenCounts(in.toDS().toDF("doc_id", "text"), spark, dir)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    val cut = docs.length / 4
+    Seq(docs.take(cut), docs.drop(cut))
+      .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+
+    val streaming = spark.table("bpe_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("tx_bpe_token_count")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streaming == batch)
+  }
 }
