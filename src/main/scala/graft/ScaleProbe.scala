@@ -291,7 +291,9 @@ object ScaleProbe {
 
     Seq("dedup_exact", "dedup_simhash", "tx_fingerprint", "tx_tfidf",
       "tx_pack", "tx_mix", "tx_mix_temperature", "tx_curation_packed",
-      "tx_dsir_weights", "tx_dsir_hashed", "tx_dsir_select")
+      "tx_dsir_weights", "tx_dsir_hashed", "tx_dsir_select",
+      "tx_bigram_logprob", "tx_bpe_merges", "tx_bpe_token_count",
+      "tx_source_cap", "tx_corpus_report", "tx_curation_manifest")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()

@@ -658,42 +658,57 @@ object Similarity {
     // oracle SQL re-trains it with the SAME generated round count
     // (PcaCte — the PqLloydSteps discipline).
 
-    // Per-vector projection onto the trained top principal component:
-    // (x − μ)·v as a position-ordered sequential fold. One narrow pass
-    // over the corpus against a broadcast 2d-value artifact.
+    // Per-vector projection onto the trained top TWO principal
+    // components (the 2-D sketch of the corpus): proj1 = r·v₁ as a
+    // position-ordered sequential fold; proj2 = r₂·v₂ over the
+    // deflated residual r₂ = r − proj1·v₁. One narrow pass over the
+    // corpus against a broadcast 3d-value artifact.
     "ann_pca_project" -> { (s, dir) =>
       import s.implicits._
-      val (mu, v) = pcaArrays(s, dir)
+      val (mu, v1, v2) = pcaArrays(s, dir)
+      val v1L = typedlit(v1.toSeq)
       Tables(s, dir).embeddings
         .select($"vec_id", $"label",
-          (round(aggregate(
-            zip_with(
-              zip_with($"embedding", typedlit(mu.toSeq),
-                (x, m) => x.cast("double") - m),
-              typedlit(v.toSeq), (a, b) => a * b),
-            lit(0.0), (acc, t) => acc + t), 4) + 0.0).as("proj"))
+          zip_with($"embedding", typedlit(mu.toSeq),
+            (x, m) => x.cast("double") - m).as("r"))
+        .withColumn("c1", aggregate(zip_with($"r", v1L, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t))
+        .withColumn("c2", aggregate(zip_with(
+            zip_with($"r", v1L, (a, b) => a - $"c1" * b),
+            typedlit(v2.toSeq), (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t))
+        .select($"vec_id", $"label",
+          (round($"c1", 4) + 0.0).as("proj1"),
+          (round($"c2", 4) + 0.0).as("proj2"))
         .orderBy($"vec_id")
     },
 
-    // Variance-explained meter of the trained axis — Σ(r·v)² / Σ‖r‖²
-    // over the corpus, both sums DECIMAL-exact at (27,4) so the scaled
-    // value stays double-exact on both engines. The observability
-    // number that says whether one component is worth serving (planted
-    // low-rank corpora read ≳0.9; isotropic ones read ~1/d).
+    // Variance-explained meter of the trained axes — Σ(r·vᵢ)² / Σ‖r‖²
+    // per component over the corpus, all sums DECIMAL-exact at (27,4)
+    // so the scaled value stays double-exact on both engines. The
+    // observability numbers that say how many components are worth
+    // serving (a planted rank-2 corpus reads var1+var2 ≳ 0.95;
+    // isotropic ones read ~1/d each).
     "ann_pca_var" -> { (s, dir) =>
       import s.implicits._
-      val (mu, v) = pcaArrays(s, dir)
+      val (mu, v1, v2) = pcaArrays(s, dir)
+      val v1L = typedlit(v1.toSeq)
       Tables(s, dir).embeddings
         .select(zip_with($"embedding", typedlit(mu.toSeq),
           (x, m) => x.cast("double") - m).as("r"))
-        .select(
-          aggregate(zip_with($"r", typedlit(v.toSeq), (a, b) => a * b),
-            lit(0.0), (acc, t) => acc + t).as("c"),
-          aggregate($"r", lit(0.0), (acc, t) => acc + t * t).as("n2"))
+        .withColumn("c1", aggregate(zip_with($"r", v1L, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t))
+        .withColumn("c2", aggregate(zip_with(
+            zip_with($"r", v1L, (a, b) => a - $"c1" * b),
+            typedlit(v2.toSeq), (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t))
+        .withColumn("n2", aggregate($"r", lit(0.0), (acc, t) => acc + t * t))
         .agg(count(lit(1)).as("n_vectors"),
-          sum(($"c" * $"c").cast("decimal(27,4)")).cast("double").as("sc"),
+          sum(($"c1" * $"c1").cast("decimal(27,4)")).cast("double").as("s1"),
+          sum(($"c2" * $"c2").cast("decimal(27,4)")).cast("double").as("s2"),
           sum($"n2".cast("decimal(27,4)")).cast("double").as("sn"))
-        .select($"n_vectors", round($"sc" / $"sn", 6).as("var_explained"))
+        .select($"n_vectors", round($"s1" / $"sn", 6).as("var1"),
+          round($"s2" / $"sn", 6).as("var2"))
     },
 
     // ——— Filtered vector search (metadata predicate + top-k) ———
@@ -1133,7 +1148,7 @@ object Similarity {
     */
   private def pcaAxis(s: SparkSession, dir: String): DataFrame =
     pcaCache.getOrElseUpdate((s, dir), Staging.readElseBuild(
-      s, dir, "pca_axis", Seq("embeddings")) {
+      s, dir, "pca_axes", Seq("embeddings")) {
       import s.implicits._
       val de = Tables(s, dir).embeddings
         .select(posexplode($"embedding").as(Seq("pos", "x")))
@@ -1144,31 +1159,52 @@ object Similarity {
       val centered = Tables(s, dir).embeddings.select($"vec_id",
         zip_with($"embedding", typedlit(mu.toSeq),
           (x, m) => x.cast("double") - m).as("r"))
-      var v = Array.fill(mu.length)(1.0 / math.sqrt(mu.length.toDouble))
-      for (_ <- 1 to PcaIters) {
-        val vLit = typedlit(v.toSeq)
-        val w = centered
-          .select($"r", aggregate(zip_with($"r", vLit, (a, b) => a * b),
-            lit(0.0), (acc, t) => acc + t).as("c"))
-          .select(posexplode($"r").as(Seq("pos", "rx")), $"c")
-          .groupBy($"pos")
-          .agg(sum(($"c" * $"rx").cast("decimal(27,6)")).cast("double").as("w"))
-          .orderBy($"pos").collect().map(_.getDouble(1))
-        // driver normalize: the same pos-ordered left folds the oracle's
-        // list_reduce replays
-        val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
-        v = w.map(_ / norm)
-      }
-      mu.indices.map(i => (i, mu(i), v(i))).toDF("pos", "mu", "v")
+      val v1 = powerIterate(centered, mu.length)
+      // DEFLATE and re-iterate for the second component: r₂ = r − (r·v₁)v₁
+      // (per-row sequential fold for the coefficient, elementwise
+      // subtraction — iterates over r₂ stay ⊥ v₁ up to fp precision)
+      val v1Lit = typedlit(v1.toSeq)
+      val deflated = centered
+        .withColumn("c1", aggregate(zip_with($"r", v1Lit, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t))
+        .select($"vec_id",
+          zip_with($"r", v1Lit, (a, b) => a - $"c1" * b).as("r"))
+      val v2 = powerIterate(deflated, mu.length)
+      mu.indices.map(i => (i, mu(i), v1(i), v2(i)))
+        .toDF("pos", "mu", "v1", "v2")
     }.persist())
+
+  /** [[PcaIters]] power-iteration rounds over a (vec_id, r) frame from
+    * the fixed 1/√d start — one aggregation pass per round, driver-side
+    * normalize with the same pos-ordered left folds the oracle's
+    * list_reduce replays.
+    */
+  private def powerIterate(rdf: DataFrame, d: Int): Array[Double] = {
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to PcaIters) {
+      val vLit = typedlit(v.toSeq)
+      val w = rdf
+        .select(col("r"), aggregate(zip_with(col("r"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t).as("c"))
+        .select(posexplode(col("r")).as(Seq("pos", "rx")), col("c"))
+        .groupBy(col("pos"))
+        .agg(sum((col("c") * col("rx")).cast("decimal(27,6)"))
+          .cast("double").as("w"))
+        .orderBy(col("pos")).collect().map(_.getDouble(1))
+      val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      v = w.map(_ / norm)
+    }
+    v
+  }
 
   private val pcaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Driver-side (mu, v) arrays of the staged PCA axis. */
-  private def pcaArrays(s: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+  /** Driver-side (mu, v1, v2) arrays of the staged PCA axes. */
+  private def pcaArrays(s: SparkSession, dir: String)
+      : (Array[Double], Array[Double], Array[Double]) = {
     val rows = pcaAxis(s, dir).orderBy(col("pos")).collect()
-    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), rows.map(_.getDouble(3)))
   }
 
   /** Force-build the ANN family's durable staged artifacts for `dir`
@@ -2108,26 +2144,53 @@ object Similarity {
         |  SELECT list_transform(range(1, d + 1),
         |    i -> 1.0::DOUBLE / sqrt(d::DOUBLE)) AS v
         |  FROM pdim)""".stripMargin
-    def round(t: Int) =
-      s"""pc$t AS (
+    def round(pfx: String, src: String, srcDe: String)(t: Int) =
+      s"""$pfx$t AS (
          |  SELECT p.vec_id,
          |    list_reduce(list_prepend(0.0::DOUBLE,
          |      list_transform(range(1, len(p.r) + 1),
          |        i -> p.r[i] * v.v[i])),
          |      (a, b) -> a + b) AS c
-         |  FROM pr p, pv${t - 1} v),
-         |pw$t AS (
+         |  FROM $src p, ${pfx}v${t - 1} v),
+         |${pfx}w$t AS (
          |  SELECT d.pos,
          |    CAST(SUM(CAST(c.c * d.rx AS DECIMAL(27,6))) AS DOUBLE) AS w
-         |  FROM prde d JOIN pc$t c USING (vec_id) GROUP BY d.pos),
-         |pwarr$t AS (SELECT list(w ORDER BY pos) AS w FROM pw$t),
-         |pv$t AS (
+         |  FROM $srcDe d JOIN $pfx$t c USING (vec_id) GROUP BY d.pos),
+         |${pfx}warr$t AS (SELECT list(w ORDER BY pos) AS w FROM ${pfx}w$t),
+         |${pfx}v$t AS (
          |  SELECT list_transform(w, x -> x / sqrt(
          |    list_reduce(list_prepend(0.0::DOUBLE,
          |      list_transform(w, y -> y * y)), (a, b) -> a + b))) AS v
-         |  FROM pwarr$t)""".stripMargin
-    (header +: (1 to PcaIters).map(round)).mkString(",\n") +
-      s",\npaxis AS (SELECT v FROM pv$PcaIters)"
+         |  FROM ${pfx}warr$t)""".stripMargin
+    // deflation for the second component: c1 with the FINAL v1, then
+    // r₂ = r − c1·v₁ (same elementwise expression as the Spark side)
+    val deflate =
+      s"""paxis1 AS (SELECT v FROM pcv$PcaIters),
+         |pcf AS (
+         |  SELECT p.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.r) + 1),
+         |        i -> p.r[i] * a.v[i])),
+         |      (x, y) -> x + y) AS c1
+         |  FROM pr p, paxis1 a),
+         |pr2 AS (
+         |  SELECT p.vec_id, p.label,
+         |    list_transform(range(1, len(p.r) + 1),
+         |      i -> p.r[i] - f.c1 * a.v[i]) AS r
+         |  FROM pr p JOIN pcf f USING (vec_id), paxis1 a),
+         |prde2 AS (
+         |  SELECT vec_id, i - 1 AS pos, r[i] AS rx
+         |  FROM pr2, (SELECT unnest(range(1, 2049)) AS i) p
+         |  WHERE i <= len(r)),
+         |pdfv0 AS (
+         |  SELECT list_transform(range(1, d + 1),
+         |    i -> 1.0::DOUBLE / sqrt(d::DOUBLE)) AS v
+         |  FROM pdim)""".stripMargin
+    val v1Rounds = (1 to PcaIters).map(round("pc", "pr", "prde"))
+    val v2Rounds = (1 to PcaIters).map(round("pdf", "pr2", "prde2"))
+    ((header.replace("pv0 AS", "pcv0 AS") +: v1Rounds) ++
+      (deflate +: v2Rounds)).mkString(",\n") +
+      s",\npaxis2 AS (SELECT v FROM pdfv$PcaIters)"
   }
 
   /** The PQ serving pass as oracle SQL, parameterized on the probe
@@ -2238,29 +2301,34 @@ object Similarity {
       s"""$PcaCte,
          |pproj AS (
          |  SELECT p.vec_id, p.label,
+         |    round(f.c1, 4) + 0.0 AS proj1,
          |    round(list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(range(1, len(p.r) + 1),
-         |        i -> p.r[i] * a.v[i])),
-         |      (x, y) -> x + y), 4) + 0.0 AS proj
-         |  FROM pr p, paxis a)
-         |SELECT vec_id, label, proj FROM pproj ORDER BY vec_id""".stripMargin,
+         |      list_transform(range(1, len(q.r) + 1),
+         |        i -> q.r[i] * b.v[i])),
+         |      (x, y) -> x + y), 4) + 0.0 AS proj2
+         |  FROM pr p JOIN pcf f USING (vec_id)
+         |            JOIN pr2 q USING (vec_id), paxis2 b)
+         |SELECT vec_id, label, proj1, proj2 FROM pproj
+         |ORDER BY vec_id""".stripMargin,
 
     "ann_pca_var" ->
       s"""$PcaCte,
-         |pcv AS (
-         |  SELECT
+         |pvv AS (
+         |  SELECT f.c1,
          |    list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(range(1, len(p.r) + 1),
-         |        i -> p.r[i] * a.v[i])),
-         |      (x, y) -> x + y) AS c,
+         |      list_transform(range(1, len(q.r) + 1),
+         |        i -> q.r[i] * b.v[i])),
+         |      (x, y) -> x + y) AS c2,
          |    list_reduce(list_prepend(0.0::DOUBLE,
          |      list_transform(p.r, t -> t * t)), (x, y) -> x + y) AS n2
-         |  FROM pr p, paxis a)
+         |  FROM pr p JOIN pcf f USING (vec_id)
+         |            JOIN pr2 q USING (vec_id), paxis2 b)
          |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-         |  round(CAST(SUM(CAST(c * c AS DECIMAL(27,4))) AS DOUBLE)
-         |    / CAST(SUM(CAST(n2 AS DECIMAL(27,4))) AS DOUBLE), 6)
-         |    AS var_explained
-         |FROM pcv""".stripMargin,
+         |  round(CAST(SUM(CAST(c1 * c1 AS DECIMAL(27,4))) AS DOUBLE)
+         |    / CAST(SUM(CAST(n2 AS DECIMAL(27,4))) AS DOUBLE), 6) AS var1,
+         |  round(CAST(SUM(CAST(c2 * c2 AS DECIMAL(27,4))) AS DOUBLE)
+         |    / CAST(SUM(CAST(n2 AS DECIMAL(27,4))) AS DOUBLE), 6) AS var2
+         |FROM pvv""".stripMargin,
 
     "ann_pq_topk" ->
       s"""$VecCte,

@@ -56,6 +56,55 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("deflation recovers a planted second direction") {
+    val dir = java.nio.file.Files.createTempDirectory("pca_r2").toString
+    try {
+      val d = 16
+      // orthogonal planted pair, both with nonzero overlap with the
+      // fixed 1/sqrt(d) start
+      val u1 = Array.tabulate(d)(i => if (i % 2 == 0) 1.0 else 0.0)
+        .map(_ / math.sqrt(8.0))
+      val u2 = Array.tabulate(d)(i => if (i % 2 == 1) 1.0 else 0.0)
+        .map(_ / math.sqrt(8.0))
+      val r = new scala.util.Random(13)
+      val coefs = (0L until 240L).map { i =>
+        val a = (i % 7).toDouble - 3.0        // dominant component
+        val b = ((i % 5).toDouble - 2.0) / 2  // weaker second component
+        (i, a, b)
+      }
+      writeVecs(dir, coefs.map { case (i, a, b) =>
+        (i, Array.tabulate(d)(j =>
+          (a * u1(j) + b * u2(j) + 0.02 * r.nextGaussian()).toFloat),
+          (i % 4).toInt)
+      })
+      val varRow = graft.SparkEntry.queries("ann_pca_var")(spark, dir).collect()(0)
+      val (v1, v2) = (varRow.getDouble(1), varRow.getDouble(2))
+      assert(v1 > v2 && v2 > 0.05, s"rank-2 split expected: $varRow")
+      assert(v1 + v2 > 0.95, s"two components must carry a rank-2 corpus: $varRow")
+      val proj = graft.SparkEntry.queries("ann_pca_project")(spark, dir)
+        .collect().map(r2 => r2.getLong(0) -> (r2.getDouble(2), r2.getDouble(3))).toMap
+      def corr(x: Seq[Double], y: Seq[Double]): Double = {
+        val n = x.length
+        val (mx, my) = (x.sum / n, y.sum / n)
+        val cov = x.zip(y).map { case (a0, b0) => (a0 - mx) * (b0 - my) }.sum
+        cov / (math.sqrt(x.map(v => (v - mx) * (v - mx)).sum)
+          * math.sqrt(y.map(v => (v - my) * (v - my)).sum))
+      }
+      val ids = coefs.map(_._1)
+      val p1 = ids.map(i => proj(i)._1)
+      val p2 = ids.map(i => proj(i)._2)
+      assert(math.abs(corr(coefs.map(_._2), p1)) > 0.99,
+        "proj1 must recover the dominant coefficient")
+      assert(math.abs(corr(coefs.map(_._3), p2)) > 0.99,
+        "proj2 must recover the deflated second coefficient")
+      assert(math.abs(corr(p1, p2)) < 0.1,
+        "the two projections must be decorrelated")
+    } finally {
+      Similarity.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("an isotropic corpus reads variance explained near 1/d") {
     val dir = java.nio.file.Files.createTempDirectory("pca_iso").toString
     try {
