@@ -711,6 +711,63 @@ object Similarity {
           round($"s2" / $"sn", 6).as("var2"))
     },
 
+    // PCA-grid ANN tier: candidates share the probe's 3×3 neighborhood
+    // on the 2-D projection lattice — the trained-sketch analogue of
+    // the sign-LSH bucket (data-adaptive where the hyperplane byte is
+    // fixed). Equi-join on (cx, cy), exact-cosine verify, bounded-heap
+    // top-5; at 100 TB the cell id is a partition-prunable key like
+    // every IVF tier's.
+    "ann_pca_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val cells = pcaCells(s, dir)
+      val probed = cells.filter($"vec_id" < 50)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"),
+          $"norm2".as("pn"), $"cx".as("pcx"), $"cy".as("pcy"))
+        .withColumn("d", explode(typedlit(PcaNeighborhood)))
+        .select($"probe", $"pe", $"pn",
+          ($"pcx" + $"d._1").as("cx"), ($"pcy" + $"d._2").as("cy"))
+      val pairs = cells.join(broadcast(probed), Seq("cx", "cy"))
+        .filter($"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      topk(pairs, 5)
+    },
+
+    // Observed PCA-grid recall against the exact brute force — the
+    // metered-recall contract applied to the new tier (every
+    // approximate tier on the board carries one).
+    "ann_pca_recall" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val cells = pcaCells(s, dir)
+      val probes = cells.filter($"vec_id" < 25)
+        .select($"vec_id".as("probe"), $"embedding".as("pe"),
+          $"norm2".as("pn"), $"cx".as("pcx"), $"cy".as("pcy"))
+      val exactPairs = cells
+        .join(broadcast(probes.drop("pcx", "pcy")), $"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
+      val probed = probes
+        .withColumn("d", explode(typedlit(PcaNeighborhood)))
+        .select($"probe", $"pe", $"pn",
+          ($"pcx" + $"d._1").as("cx"), ($"pcy" + $"d._2").as("cy"))
+      val gridPairs = cells.join(broadcast(probed), Seq("cx", "cy"))
+        .filter($"vec_id" =!= $"probe")
+        .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
+        .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      val g5 = topk(gridPairs, 5).select($"probe", $"neighbor")
+      ex5.groupBy($"probe").agg(count(lit(1)).as("n_exact"))
+        .join(g5.groupBy($"probe").agg(count(lit(1)).as("n_grid")), "probe")
+        .join(ex5.join(g5, Seq("probe", "neighbor"))
+          .groupBy($"probe").agg(count(lit(1)).as("n_common")),
+          Seq("probe"), "left")
+        .select($"probe", $"n_exact", $"n_grid",
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"probe")
+    },
+
     // ——— Filtered vector search (metadata predicate + top-k) ———
     // allowed(neighbor) ⇔ vec_id % AnnFilterMod == 0 (see the constant's
     // doc). Three routes: exact pre-filter truth, pre-filter through the
@@ -1199,6 +1256,48 @@ object Similarity {
 
   private val pcaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Cells per side of the PCA-grid index (ann_pca_topk): the 2-D
+    * projection sketch bucketed into a PcaGrid × PcaGrid lattice over
+    * the observed projection range. One definition; the oracle SQL
+    * interpolates the same constant.
+    */
+  private[queries] val PcaGrid = 16
+
+  /** Per-vector PCA-grid cell assignment (vec_id, embedding, norm2,
+    * cx, cy): both projections computed per row (position-ordered
+    * folds), lattice bounds from one 4-value aggregate attached by
+    * broadcast. The 2-D analogue of the sign-LSH bucket — cheap to
+    * compute, data-adaptive via the trained axes.
+    */
+  private def pcaCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (mu, v1, v2) = pcaArrays(s, dir)
+    val v1L = typedlit(v1.toSeq)
+    val proj = vecs(s, dir)
+      .select($"vec_id", $"embedding", $"norm2",
+        zip_with($"embedding", typedlit(mu.toSeq),
+          (x, m) => x.cast("double") - m).as("r"))
+      .withColumn("c1", aggregate(zip_with($"r", v1L, (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("c2", aggregate(zip_with(
+          zip_with($"r", v1L, (a, b) => a - $"c1" * b),
+          typedlit(v2.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t))
+      .drop("r")
+    val b = proj.agg(min($"c1").as("mn1"), max($"c1").as("mx1"),
+      min($"c2").as("mn2"), max($"c2").as("mx2"))
+    proj.crossJoin(broadcast(b))
+      .select($"vec_id", $"embedding", $"norm2",
+        least(floor(($"c1" - $"mn1") / (($"mx1" - $"mn1") / PcaGrid)),
+          lit(PcaGrid - 1).cast("long")).as("cx"),
+        least(floor(($"c2" - $"mn2") / (($"mx2" - $"mn2") / PcaGrid)),
+          lit(PcaGrid - 1).cast("long")).as("cy"))
+  }
+
+  /** The 9 (dx, dy) neighbor offsets a probe searches. */
+  private val PcaNeighborhood: Seq[(Int, Int)] =
+    for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
 
   /** Driver-side (mu, v1, v2) arrays of the staged PCA axes. */
   private def pcaArrays(s: SparkSession, dir: String)
@@ -2293,7 +2392,93 @@ object Similarity {
       |      AS BIGINT) AS cell
       |  FROM bits)""".stripMargin
 
+  /** Oracle twin of the PCA-grid tier (appended after [[PcaCte]]):
+    * per-vector norms + both projections, lattice bounds, cell
+    * assignment with the same least/floor expression, the probe's 3×3
+    * neighborhood as two unnested offset tables, exact-cosine verify,
+    * rank ≤ 5. `gc` is the celled corpus, `gp` the probes, `g5` the
+    * served top-5.
+    */
+  private def pcaGridCtes(probeLimit: Int): String =
+    s"""gv AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(e.embedding) + 1),
+       |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+       |      (x, y) -> x + y) AS norm2,
+       |    f.c1,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(q.r) + 1),
+       |        i -> q.r[i] * b.v[i])),
+       |      (x, y) -> x + y) AS c2
+       |  FROM embeddings e JOIN pcf f ON f.vec_id = e.vec_id
+       |       JOIN pr2 q ON q.vec_id = e.vec_id, paxis2 b),
+       |gb AS (SELECT min(c1) AS mn1, max(c1) AS mx1,
+       |              min(c2) AS mn2, max(c2) AS mx2 FROM gv),
+       |gc AS (
+       |  SELECT vec_id, embedding, norm2,
+       |    CAST(least(floor((c1 - b.mn1) / ((b.mx1 - b.mn1) / $PcaGrid)),
+       |      ${PcaGrid - 1}) AS BIGINT) AS cx,
+       |    CAST(least(floor((c2 - b.mn2) / ((b.mx2 - b.mn2) / $PcaGrid)),
+       |      ${PcaGrid - 1}) AS BIGINT) AS cy
+       |  FROM gv, gb b),
+       |gp AS (SELECT vec_id AS probe, embedding AS pe, norm2 AS pn,
+       |              cx AS pcx, cy AS pcy
+       |       FROM gc WHERE vec_id < $probeLimit),
+       |gn AS (SELECT probe, pe, pn, pcx + dx.o AS cx, pcy + dy.o AS cy
+       |       FROM gp, (SELECT unnest([-1, 0, 1]) AS o) dx,
+       |            (SELECT unnest([-1, 0, 1]) AS o) dy),
+       |gpair AS (
+       |  SELECT n.probe, c.vec_id AS neighbor,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(n.pe) + 1),
+       |        i -> n.pe[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+       |      (x, y) -> x + y) / sqrt(n.pn * c.norm2) AS cos
+       |  FROM gc c JOIN gn n ON c.cx = n.cx AND c.cy = n.cy
+       |       AND c.vec_id <> n.probe),
+       |g5 AS (SELECT probe, rank, neighbor, cos FROM (
+       |  SELECT probe, neighbor, cos,
+       |    row_number() OVER (PARTITION BY probe
+       |      ORDER BY cos DESC, neighbor) AS rank
+       |  FROM gpair) WHERE rank <= 5)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ann_pca_topk" ->
+      s"""$PcaCte,
+         |${pcaGridCtes(50)}
+         |SELECT probe, rank, neighbor, round(cos, 6) AS cos
+         |FROM g5 ORDER BY probe, rank""".stripMargin,
+
+    "ann_pca_recall" ->
+      s"""$PcaCte,
+         |${pcaGridCtes(25)},
+         |gex AS (
+         |  SELECT p.probe, c.vec_id AS neighbor,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.pe) + 1),
+         |        i -> p.pe[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(p.pn * c.norm2) AS cos
+         |  FROM gc c JOIN gp p ON c.vec_id <> p.probe),
+         |gex5 AS (SELECT probe, neighbor FROM (
+         |  SELECT probe, neighbor,
+         |    row_number() OVER (PARTITION BY probe
+         |      ORDER BY cos DESC, neighbor) AS rank
+         |  FROM gex) WHERE rank <= 5),
+         |gne AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_exact
+         |        FROM gex5 GROUP BY probe),
+         |gng AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_grid
+         |        FROM g5 GROUP BY probe),
+         |gnc AS (
+         |  SELECT e.probe, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM gex5 e JOIN g5 g
+         |    ON g.probe = e.probe AND g.neighbor = e.neighbor
+         |  GROUP BY e.probe)
+         |SELECT gne.probe, gne.n_exact, gng.n_grid,
+         |  COALESCE(gnc.n_common, CAST(0 AS BIGINT)) AS n_common
+         |FROM gne JOIN gng ON gng.probe = gne.probe
+         |LEFT JOIN gnc ON gnc.probe = gne.probe
+         |ORDER BY gne.probe""".stripMargin,
+
     // Oracle twins of the PCA family: PcaCte re-trains the axis with
     // the same generated round count; projection and variance replay
     // the same pos-ordered folds.

@@ -99,6 +99,17 @@ class PcaSpec extends SparkSpec {
         "proj2 must recover the deflated second coefficient")
       assert(math.abs(corr(p1, p2)) < 0.1,
         "the two projections must be decorrelated")
+      // when two components carry the geometry, the PCA-grid tier's
+      // 3×3 neighborhood holds most true neighbors (observed 0.712
+      // here, vs 0.176 on the near-uniform sf0.1 corpus). Not 1.0 by
+      // NATURE of the metric mismatch the meter exists to expose:
+      // cosine is angular, the lattice is euclidean — collinear clumps
+      // at different radii share a direction but not a cell.
+      val rec = graft.SparkEntry.queries("ann_pca_recall")(spark, dir)
+        .collect().map(r2 => (r2.getLong(1), r2.getLong(3)))
+      val recall = rec.map(_._2).sum.toDouble / rec.map(_._1).sum
+      assert(recall > 0.6,
+        s"grid recall on a rank-2 corpus should be substantial, got $recall")
     } finally {
       Similarity.clearCaches()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
