@@ -120,7 +120,8 @@ object ScaleProbe {
       "tx_pack", "tx_mix", "ann_imi_topk", "ann_pq_topk", "q_asof_nearest",
       "tx_bigram_logprob", "dedup_hot_drift", "tx_curation_manifest",
       "tx_source_cap", "tx_corpus_report",
-      "tx_bpe_merges", "tx_bpe_token_count", "ann_pca_project", "ann_pca_var")
+      "tx_bpe_merges", "tx_bpe_token_count", "ann_pca_project", "ann_pca_var",
+      "ann_pca_topk", "ann_pca_recall")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
