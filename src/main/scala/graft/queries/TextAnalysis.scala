@@ -435,6 +435,24 @@ object TextAnalysis {
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt")))
       .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-doc token accounting under the trained tokenizer (doc_id,
+    * n_ws, n_bpe): alphabetic tokens bill their segmentation length via
+    * one word-keyed equi-join (broadcast at the gates), everything
+    * else passes through at 1. Shared by tx_bpe_token_count and
+    * tx_bpe_pack.
+    */
+  private def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = bpeArtifacts(s, dir)._2
+      .select($"word", size($"syms").cast("long").as("n_sym"))
+    Tables(s, dir).documents
+      .select($"doc_id", explode(wsTokens(lower($"text"))).as("word"))
+      .join(broadcast(segs), Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ws"),
+        sum(coalesce($"n_sym", lit(1L))).as("n_bpe"))
+  }
+
   /** Driver-side copy of the trained BPE segmentation vocabulary
     * (word → symbol count) — the task-shipped artifact
     * [[graft.streaming.LmScoreStream.bpeTokenCounts]] rides.
@@ -1259,15 +1277,38 @@ object TextAnalysis {
     // at 100 TB it degrades to a shuffle equi-join like every LM join.
     "tx_bpe_token_count" -> { (s, dir) =>
       import s.implicits._
-      val segs = bpeArtifacts(s, dir)._2
-        .select($"word", size($"syms").cast("long").as("n_sym"))
-      Tables(s, dir).documents
-        .select($"doc_id", explode(wsTokens(lower($"text"))).as("word"))
-        .join(broadcast(segs), Seq("word"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_ws"),
-          sum(coalesce($"n_sym", lit(1L))).as("n_bpe"))
-        .orderBy($"doc_id")
+      bpeDocCounts(s, dir).orderBy($"doc_id")
+    },
+
+    // Sequence packing billed in TRAINED-tokenizer tokens — the tx_pack
+    // two-phase block prefix sum with per-doc BPE counts as the
+    // lengths: what the training-prep layout actually looks like once a
+    // tokenizer exists (whitespace-billed packing over- or under-fills
+    // sequences by the segmentation ratio). Same plan shape: block
+    // totals + broadcast offsets, no full-corpus single-partition
+    // window.
+    "tx_bpe_pack" -> { (s, dir) =>
+      import s.implicits._
+      val S = 512L
+      val w = org.apache.spark.sql.expressions.Window
+      val d = bpeDocCounts(s, dir)
+        .select($"doc_id", $"n_bpe".as("m"))
+        .filter($"m" > 0)
+        .withColumn("blk", expr("doc_id div 64"))
+      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
+        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
+        .select($"blk", $"boff")
+      d.join(broadcast(blkOff), "blk")
+        .withColumn("off",
+          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"doc_id")) - $"m")
+        .withColumn("seq_id",
+          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
+        .withColumn("piece",
+          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"seq_id")
     },
 
     // The publish manifest of the curated corpus: per output partition
@@ -1736,6 +1777,40 @@ object TextAnalysis {
          |  CAST(sum(COALESCE(y.n_sym, 1)) AS BIGINT) AS n_bpe
          |FROM bdt d LEFT JOIN bsym y USING (word)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // tx_pack's cumsum with per-doc BPE counts as the lengths
+    "tx_bpe_pack" ->
+      s"""$BpeCte,
+         |bsym AS (
+         |  SELECT word,
+         |    CAST(len(string_split(substr(s, 2, len(s) - 2), '][')) AS BIGINT)
+         |      AS n_sym
+         |  FROM bsfin),
+         |bdt AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '')) AS word
+         |  FROM documents),
+         |bdc AS (
+         |  SELECT d.doc_id, CAST(sum(COALESCE(y.n_sym, 1)) AS BIGINT) AS m
+         |  FROM bdt d LEFT JOIN bsym y USING (word)
+         |  GROUP BY d.doc_id),
+         |bo AS (
+         |  SELECT doc_id, m,
+         |    CAST(COALESCE(SUM(m) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off
+         |  FROM bdc WHERE m > 0),
+         |bx AS (
+         |  SELECT doc_id, m, off,
+         |    unnest(range(off // 512, (off + m - 1) // 512 + 1)) AS s
+         |  FROM bo)
+         |SELECT CAST(s AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(off + m, (s + 1) * 512) - greatest(off, s * 512))
+         |    AS BIGINT) AS n_tok,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM bx GROUP BY s ORDER BY seq_id""".stripMargin,
 
     // Oracle twin of tx_curation_manifest: same survivor set as the
     // curation family (exact-dedup keep-min + m > 0 + quality ≥ 0.7),
