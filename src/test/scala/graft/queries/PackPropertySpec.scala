@@ -76,4 +76,42 @@ class PackPropertySpec extends SparkSpec {
     assert(wantIdOrder.values.map(_._2).sum == wantShuffled.values.map(_._2).sum)
     TextAnalysis.clearCaches()
   }
+
+  test("BPE-billed packing conserves the trained-tokenizer token stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pack_bpe").toString
+    try {
+      // words long enough that BPE billing differs from whitespace
+      // billing (10 merges leave multi-symbol segmentations)
+      val rnd = new scala.util.Random(23)
+      val vocabWords = Seq("internationalization", "tokenization", "the",
+        "reproducibility", "cat", "deterministic")
+      val docs = (0L until 120L).map { id =>
+        val m = 20 + rnd.nextInt(120)
+        (id, Seq.fill(m)(vocabWords(rnd.nextInt(vocabWords.length)))
+          .mkString(" "))
+      }
+      docs.map { case (id, text) => (id, text, "xx", "gen", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      TextAnalysis.clearCaches()
+
+      val perDoc = graft.SparkEntry.queries("tx_bpe_token_count")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val packed = graft.SparkEntry.queries("tx_bpe_pack")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      // conservation: every BPE token of every doc lands in exactly one
+      // sequence piece
+      assert(packed.map(_._2).sum == perDoc.map(_._3).sum)
+      // layout: all sequences full except possibly the last
+      val full = packed.sortBy(_._1).dropRight(1)
+      assert(full.forall(_._2 == 512L),
+        s"non-final sequence underfilled: ${full.filter(_._2 != 512L).take(3).toSeq}")
+      // billing really differs from whitespace (the reason the query exists)
+      assert(perDoc.map(_._3).sum > perDoc.map(_._2).sum)
+    } finally {
+      TextAnalysis.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
