@@ -531,6 +531,21 @@ object Dedup {
       .select(col("sh"), col("df_exist"), col("df_batch"))
   }
 
+  /** Per-doc 12-permutation MinHash signatures (doc_id, m) — the
+    * groupBy route's intermediate, exposed for the calibration meter
+    * (dedup_minhash_est). Same affine family/constants as the staged
+    * band index.
+    */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (kept, _) = shingleIndex(s, dir)
+    val hashed = kept.select($"doc_id", (hash48($"sh") % MinhashP).as("h"))
+    val aggs = (0 to 11).map(i =>
+      min(($"h" * permA(i) + permB(i)) % MinhashP).as(s"m$i"))
+    hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", array((0 to 11).map(i => col(s"m$i")): _*).as("m"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep the smallest doc_id.
     // At scale: a single shuffle on a 128-bit hash — no skew (hash keys
@@ -762,6 +777,49 @@ object Dedup {
     // output is the actionable per-new-doc DECISION — its best existing
     // match (highest jac, ties to the smallest existing id), i.e. the
     // incoming docs to drop and why.
+    // MinHash CALIBRATION meter: over every LSH candidate pair
+    // (including zero-overlap collisions), the signature-agreement
+    // Jaccard estimate (agreeing permutations / 12) against the exact
+    // value — mean estimate, mean truth, mean absolute error in one
+    // row. The "are 12 permutations enough on THIS corpus" instrument,
+    // next to the recall meters (which ask the complementary "are 4
+    // bands enough"). Cross-row means are DECIMAL-exact sums; cost is
+    // the candidate-restricted verify plus one signature equi-join.
+    "dedup_minhash_est" -> { (s, dir) =>
+      import s.implicits._
+      val (kept, sizes) = shingleIndex(s, dir)
+      val bands = minhashBandIndex(s, dir)
+      val cand = bands.toDF("ia", "band", "key")
+        .join(bands.toDF("ib", "band", "key"), Seq("band", "key"))
+        .filter($"ia" < $"ib")
+        .select($"ia", $"ib")
+        .dropDuplicates("ia", "ib")
+      val inter = cand.join(kept.toDF("ia", "sh"), "ia")
+        .join(kept.toDF("ib", "sh"), Seq("ib", "sh"))
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      val sig = minhashSignatures(s, dir)
+      cand
+        .join(inter, Seq("ia", "ib"), "left")
+        .withColumn("inter", coalesce($"inter", lit(0L)))
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .withColumn("jac",
+          $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .join(sig.toDF("ia", "ma"), "ia")
+        .join(sig.toDF("ib", "mb"), "ib")
+        .withColumn("est",
+          size(filter(zip_with($"ma", $"mb", (a, b) => a === b), x => x))
+            .cast("double") / 12.0)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"est".cast("decimal(27,6)")).cast("double").as("se"),
+          sum($"jac".cast("decimal(27,6)")).cast("double").as("sj"),
+          sum(abs($"est" - $"jac").cast("decimal(27,6)")).cast("double").as("sa"))
+        .select($"n_pairs",
+          round($"se" / $"n_pairs", 6).as("mean_est"),
+          round($"sj" / $"n_pairs", 6).as("mean_jac"),
+          round($"sa" / $"n_pairs", 6).as("mean_abs_err"))
+    },
+
     // The stop-shingle DRIFT meter over the incremental split (batch =
     // doc_id % 5 == 0, existing = the rest — the dedup_incremental
     // convention): how many batch shingles cross the df > MaxDf stop
@@ -1437,6 +1495,27 @@ object Dedup {
          |  FROM ji WHERE jac >= 0.5)
          |SELECT ni AS new_id, oi AS dup_of, round(jac, 6) AS jac
          |FROM pick WHERE rn = 1 ORDER BY new_id""".stripMargin,
+
+    // Oracle twin of dedup_minhash_est: same candidate set (including
+    // zero-overlap collisions — MinhashCte's j keeps them at jac 0),
+    // same per-pair agreement fraction, same DECIMAL-exact means.
+    "dedup_minhash_est" ->
+      s"""$ShingleCte,
+         |$MinhashCte,
+         |sigp AS (
+         |  SELECT j.jac,
+         |    len(list_filter(range(1, 13),
+         |      i -> a.m[i] = b.m[i]))::DOUBLE / 12.0 AS est
+         |  FROM j JOIN mh a ON a.doc_id = j.ia
+         |         JOIN mh b ON b.doc_id = j.ib)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(SUM(CAST(est AS DECIMAL(27,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_est,
+         |  round(CAST(SUM(CAST(jac AS DECIMAL(27,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_jac,
+         |  round(CAST(SUM(CAST(abs(est - jac) AS DECIMAL(27,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_abs_err
+         |FROM sigp""".stripMargin,
 
     // Oracle twin of dedup_hot_drift: same raw (unfiltered) per-side
     // shingle dfs over the same %5 split, same crossing predicate.
