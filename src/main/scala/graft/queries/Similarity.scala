@@ -734,6 +734,20 @@ object Similarity {
       topk(pairs, 5)
     },
 
+    // Cell-geometry meter for the PCA grid (the embCellStats/imiCells
+    // pattern): occupied lattice cells, the largest, and the candidate
+    // volume a probe of the worst cell would scan — grid blowup is
+    // observed, not assumed.
+    "ann_pca_cells" -> { (s, dir) =>
+      import s.implicits._
+      pcaCells(s, dir)
+        .groupBy($"cx", $"cy").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("cells_used"),
+          max($"c").as("max_cell"),
+          sum($"c").as("n_vectors"),
+          (sum($"c" * ($"c" - 1)) / 2).cast("long").as("within_cell_pairs"))
+    },
+
     // Observed PCA-grid recall against the exact brute force — the
     // metered-recall contract applied to the new tier (every
     // approximate tier on the board carries one).
@@ -2443,6 +2457,16 @@ object Similarity {
        |  FROM gpair) WHERE rank <= 5)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "ann_pca_cells" ->
+      s"""$PcaCte,
+         |${pcaGridCtes(25)},
+         |pcellc AS (SELECT cx, cy, count(*) AS c FROM gc GROUP BY cx, cy)
+         |SELECT CAST(count(*) AS BIGINT) AS cells_used,
+         |  CAST(max(c) AS BIGINT) AS max_cell,
+         |  CAST(sum(c) AS BIGINT) AS n_vectors,
+         |  CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS within_cell_pairs
+         |FROM pcellc""".stripMargin,
+
     "ann_pca_topk" ->
       s"""$PcaCte,
          |${pcaGridCtes(50)}
