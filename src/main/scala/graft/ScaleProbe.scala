@@ -256,7 +256,9 @@ object ScaleProbe {
     for ((name, tag) <- Seq(("ann_ivf2_topk", "cold"), ("ann_imi_topk", "cold"),
       ("ann_pq_topk", "cold"), ("ann_pq_topk", "warm"),
       ("ann_filtered_topk", "cold"), ("ann_filtered_ivf", "warm"),
-      ("ann_postfilter_recall", "warm"))) {
+      ("ann_postfilter_recall", "warm"),
+      ("ann_pca_project", "cold"), ("ann_pca_topk", "warm"),
+      ("ann_pca_cells", "warm"))) {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
