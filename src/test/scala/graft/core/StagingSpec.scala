@@ -123,8 +123,8 @@ class StagingSpec extends SparkSpec {
     val families = Seq("dedup_minhash_lsh", "dedup_jaccard_prefix",
       "dedup_simhash", "dedup_substring", "dedup_clusters",
       "tx_curation_packed", "tx_pack", "tx_unigram_logprob",
-      "tx_dsir_weights", "tx_bigram_logprob", "mm_features", "ann_pq_codes",
-      "ann_pca_project")
+      "tx_dsir_weights", "tx_bigram_logprob", "tx_bpe_segment",
+      "mm_features", "ann_pq_codes", "ann_pca_project")
     def clearAll(): Unit = {
       graft.queries.Dedup.clearCaches()
       graft.queries.Similarity.clearCaches()
