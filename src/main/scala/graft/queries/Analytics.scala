@@ -721,19 +721,24 @@ object Analytics {
     // up to its successor (lead + sequence), so there is no second
     // bounds pass over events (a spine-join formulation measurably
     // re-scanned the corpus: the pruned spine subtree defeats
-    // ReuseExchange). The global-order window runs over the ROLLUP,
-    // whose size is bounded by the time span (hours, not rows) — the
-    // part that must never be a corpus-wide window.
+    // ReuseExchange). The successor lookup runs over the ROLLUP, whose
+    // size is bounded by the time span (hours, not rows) — so it folds
+    // into ONE array row and reads the next element with a HOF instead
+    // of an unpartitioned `lead().over(orderBy)` window: same values,
+    // zero single-partition window operators in the plan.
     "q_gapfill" -> { (s, dir) =>
       import s.implicits._
       val hourly = Tables(s, dir).events
         .groupBy(date_trunc("hour", $"ts").as("hour"))
         .agg(count(lit(1)).as("n"))
       hourly
-        .withColumn("nxt", lead($"hour", 1).over(Window.orderBy($"hour")))
-        .select($"hour".as("h0"), $"n", explode(sequence(
-          $"hour",
-          coalesce($"nxt" - expr("INTERVAL 1 HOUR"), $"hour"),
+        .agg(sort_array(collect_list(struct($"hour", $"n"))).as("hs"))
+        .select(explode(expr(
+          "transform(hs, (x, i) -> struct(x.hour as h0, x.n as n, " +
+            "if(i + 1 < size(hs), hs[i + 1].hour, null) as nxt))")).as("o"))
+        .select($"o.h0".as("h0"), $"o.n".as("n"), explode(sequence(
+          $"o.h0",
+          coalesce($"o.nxt" - expr("INTERVAL 1 HOUR"), $"o.h0"),
           expr("INTERVAL 1 HOUR"))).as("hour"))
         .select($"hour",
           when($"hour" === $"h0", $"n").otherwise(0L).as("n"))

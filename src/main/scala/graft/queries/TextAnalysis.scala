@@ -77,6 +77,65 @@ object TextAnalysis {
         .select($"doc_id", $"m")
     }.persist())
 
+  /** Fixed-count order-preserving block key for the two-phase corpus
+    * prefix sum: `blk = doc_id div ceil((max_doc+1)/256)`. Dividing by a
+    * per-corpus constant is monotone, so blocks are contiguous doc_id
+    * ranges and block order == document order — but unlike the previous
+    * `doc_id div 64` key the block COUNT is ≤ 256 at ANY corpus size
+    * (div-64 grew the block table, and the single-task pass over it,
+    * linearly with the corpus: ~1.5e8 block rows at 1e10 docs). The
+    * 1-row max enters the plan as a broadcast scalar aggregate — parquet
+    * footer stats at 100 TB, never a driver action.
+    */
+  private def withFixedBlocks(d0: DataFrame): DataFrame = {
+    val bw = d0.agg((expr("max(doc_id) div 256") + 1).as("bw"))
+    d0.crossJoin(broadcast(bw)).withColumn("blk", expr("doc_id div bw"))
+  }
+
+  /** Exclusive prefix sum over the tiny block-total table (≤256 rows)
+    * with NO window at all: fold the table into ONE array row sorted by
+    * block key, expand per-element prefix sums with HOFs (O(blocks²)
+    * long adds — trivial at 256), explode back to (blk, boff). Replaces
+    * the unpartitioned `sum().over(orderBy(blk))` — numerically the
+    * same, but WindowExec-with-no-partition is the one plan shape this
+    * engine must never emit (it sorts all rows in a single task and
+    * warns exactly that); with the fold, every window in the pack
+    * family is partitioned.
+    */
+  private def blockOffsets(blkTotals: DataFrame): DataFrame =
+    blkTotals
+      .agg(sort_array(collect_list(struct(col("blk"), col("bm")))).as("bs"))
+      .select(explode(expr(
+        "transform(bs, (x, i) -> struct(x.blk as blk, " +
+          "aggregate(slice(bs, 1, i), 0L, (a, e) -> a + e.bm) as boff))"
+      )).as("o"))
+      .select(col("o.blk").as("blk"), col("o.boff").as("boff"))
+
+  /** The shared sequence-packing tail: given (doc_id, m, blk [, ordering
+    * cols]) with m > 0, compute each doc's global token offset via the
+    * two-phase prefix sum — per-block totals (partition-parallel) →
+    * window-free block offsets ([[blockOffsets]]) broadcast back → a
+    * PARTITIONED within-block cumsum — then cut the laid-out stream
+    * every S tokens. Integer arithmetic throughout, so the offsets are
+    * bit-identical to the direct global cumsum the DuckDB oracle runs.
+    */
+  private def packSequences(d: DataFrame, S: Long, ord: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val blkOff = blockOffsets(d.groupBy(col("blk")).agg(sum(col("m")).as("bm")))
+    d.join(broadcast(blkOff), "blk")
+      .withColumn("off",
+        col("boff") + sum(col("m")).over(w.partitionBy(col("blk")).orderBy(ord: _*)) - col("m"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
+      .withColumn("piece",
+        least(col("off") + col("m"), (col("seq_id") + 1) * S)
+          - greatest(col("off"), col("seq_id") * S))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("piece")).as("n_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
   /** Session memo of the per-(doc, word) TERM-FREQUENCY table over
     * lowercased whitespace tokens — staged as `term_freqs` (doc_id,
     * lang, word, n). The tokenize+explode+count front end runs once per
@@ -801,25 +860,8 @@ object TextAnalysis {
     // prefix-sum phases read it, and the tokenize+quality front end
     // runs once.
     "tx_curation_packed" -> { (s, dir) =>
-      import s.implicits._
-      val S = 512L
-      val w = org.apache.spark.sql.expressions.Window
-      val d = curationSurvivors(s, dir)
-        .withColumn("blk", expr("doc_id div 64"))
-      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
-        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
-        .select($"blk", $"boff")
-      d.join(broadcast(blkOff), "blk")
-        .withColumn("off",
-          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"doc_id")) - $"m")
-        .withColumn("seq_id",
-          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
-        .withColumn("piece",
-          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
-        .groupBy($"seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy($"seq_id")
+      packSequences(withFixedBlocks(curationSurvivors(s, dir)), 512L,
+        col("doc_id"))
     },
 
     // Document fingerprinting: md5 of whitespace-normalized text + a
@@ -947,35 +989,17 @@ object TextAnalysis {
     // side). Needs each doc's global token OFFSET — a prefix sum. The
     // naive window (`sum over (orderBy doc_id)` with no partition) is a
     // single-partition sort at 100 TB, so this runs the classic
-    // two-phase scan instead: per-block subtotals (block = 64 docs,
-    // partition-parallel) → cumsum over the 64×-smaller block table →
-    // broadcast block offsets back + a PARTITIONED within-block cumsum.
-    // The one unpartitioned window left touches n_docs/64 single-value
-    // rows (recurse the same trick at extreme n). Integer arithmetic
-    // throughout, so the result is bit-identical to the oracle's direct
-    // global cumsum.
+    // two-phase scan instead: per-block subtotals over ≤256 FIXED
+    // order-preserving blocks ([[withFixedBlocks]], partition-parallel)
+    // → window-free block-offset fold ([[blockOffsets]]) → broadcast
+    // block offsets back + a PARTITIONED within-block cumsum. Integer
+    // arithmetic throughout, so the result is bit-identical to the
+    // oracle's direct global cumsum.
     "tx_pack" -> { (s, dir) =>
       import s.implicits._
-      val S = 512L
-      val w = org.apache.spark.sql.expressions.Window
-      val d = tokenCounts(s, dir)
-        .select($"doc_id", $"m")
-        .filter($"m" > 0)
-        .withColumn("blk", expr("doc_id div 64"))
-      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
-        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
-        .select($"blk", $"boff")
-      d.join(broadcast(blkOff), "blk")
-        .withColumn("off",
-          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"doc_id")) - $"m")
-        .withColumn("seq_id",
-          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
-        .withColumn("piece",
-          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
-        .groupBy($"seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy($"seq_id")
+      packSequences(withFixedBlocks(
+        tokenCounts(s, dir).select($"doc_id", $"m").filter($"m" > 0)),
+        512L, $"doc_id")
     },
 
     // Sequence packing over the SHUFFLED corpus order — real training
@@ -985,30 +1009,15 @@ object TextAnalysis {
     // prefix sum survives it because the block key is the md5's leading
     // byte: hex-digit order matches numeric order, so blocks are exactly
     // contiguous 1/256 slices of the global (md5, doc_id) order and the
-    // block-offset trick applies unchanged. 256 fixed blocks also means
-    // the unpartitioned block window is O(1) rows at any corpus size.
+    // block-offset trick applies unchanged — 256 fixed blocks at any
+    // corpus size, block offsets via the same window-free fold.
     "tx_pack_shuffled" -> { (s, dir) =>
       import s.implicits._
-      val S = 512L
-      val w = org.apache.spark.sql.expressions.Window
       val d = tokenCounts(s, dir)
         .select($"doc_id", $"m", md5($"doc_id".cast("string")).as("h"))
         .filter($"m" > 0)
         .withColumn("blk", conv(substring($"h", 1, 2), 16, 10).cast("long"))
-      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
-        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
-        .select($"blk", $"boff")
-      d.join(broadcast(blkOff), "blk")
-        .withColumn("off",
-          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"h", $"doc_id")) - $"m")
-        .withColumn("seq_id",
-          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
-        .withColumn("piece",
-          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
-        .groupBy($"seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy($"seq_id")
+      packSequences(d, 512L, $"h", $"doc_id")
     },
 
     // Domain MIXING — deterministic per-language downsampling to a
@@ -1284,31 +1293,14 @@ object TextAnalysis {
     // two-phase block prefix sum with per-doc BPE counts as the
     // lengths: what the training-prep layout actually looks like once a
     // tokenizer exists (whitespace-billed packing over- or under-fills
-    // sequences by the segmentation ratio). Same plan shape: block
-    // totals + broadcast offsets, no full-corpus single-partition
-    // window.
+    // sequences by the segmentation ratio). Same plan shape: ≤256 fixed
+    // blocks, window-free block offsets, partitioned within-block
+    // cumsum.
     "tx_bpe_pack" -> { (s, dir) =>
       import s.implicits._
-      val S = 512L
-      val w = org.apache.spark.sql.expressions.Window
-      val d = bpeDocCounts(s, dir)
-        .select($"doc_id", $"n_bpe".as("m"))
-        .filter($"m" > 0)
-        .withColumn("blk", expr("doc_id div 64"))
-      val blkOff = d.groupBy($"blk").agg(sum($"m").as("bm"))
-        .withColumn("boff", sum($"bm").over(w.orderBy($"blk")) - $"bm")
-        .select($"blk", $"boff")
-      d.join(broadcast(blkOff), "blk")
-        .withColumn("off",
-          $"boff" + sum($"m").over(w.partitionBy($"blk").orderBy($"doc_id")) - $"m")
-        .withColumn("seq_id",
-          explode(sequence(expr(s"off div $S"), expr(s"(off + m - 1) div $S"))))
-        .withColumn("piece",
-          least($"off" + $"m", ($"seq_id" + 1) * S) - greatest($"off", $"seq_id" * S))
-        .groupBy($"seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum($"piece").as("n_tok"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy($"seq_id")
+      packSequences(withFixedBlocks(
+        bpeDocCounts(s, dir).select($"doc_id", $"n_bpe".as("m")).filter($"m" > 0)),
+        512L, $"doc_id")
     },
 
     // The publish manifest of the curated corpus: per output partition
@@ -1411,13 +1403,19 @@ object TextAnalysis {
           floor($"avg_raw" * BudgetBinScale).cast("long").as("bin"))
       val tot = wb.agg(
         floor(sum($"n_tok") / BudgetDivisor).cast("long").as("budget"))
+      // Cumulative mass from the top bin down, folded over ONE array row
+      // (bins are score-granularity-bounded, not corpus-sized) — same
+      // numbers as the former `sum().over(orderBy(bin.desc))` but with
+      // no unpartitioned window anywhere in the plan.
       val hist = wb.groupBy($"bin").agg(sum($"n_tok").as("mass"))
-      val cum = hist.withColumn("cmass",
-        sum($"mass").over(org.apache.spark.sql.expressions.Window
-          .orderBy($"bin".desc)))
-      val thr = cum.crossJoin(broadcast(tot))
-        .filter($"cmass" <= $"budget")
-        .agg(min($"bin").as("thr_bin"))
+      val thr = hist.crossJoin(broadcast(tot))
+        .agg(reverse(sort_array(collect_list(struct($"bin", $"mass")))).as("bs"),
+          first($"budget").as("budget"))
+        .select(expr(
+          "array_min(transform(filter(transform(bs, (x, i) -> " +
+            "struct(x.bin as bin, aggregate(slice(bs, 1, i + 1), 0L, " +
+            "(a, e) -> a + e.mass) as cmass)), " +
+            "y -> y.cmass <= budget), z -> z.bin))").as("thr_bin"))
       wb.crossJoin(broadcast(thr)).filter($"bin" >= $"thr_bin")
         .crossJoin(broadcast(tot))
         .groupBy($"lang", $"budget", $"thr_bin")
