@@ -20,8 +20,9 @@ import graft.queries.{QueryFns, TextAnalysis}
   * The manifest rows are exactly the oracle-checked
   * tx_curation_manifest result (CorpusSinkSpec pins the equality): per
   * lang, doc count, token count, and a COMMUTATIVE content checksum
-  * (sum of 48-bit md5 prefixes) that any file/partition layout of the
-  * same rows reproduces — at 100 TB validation is one scan of the
+  * (modular sum of 48-bit md5 prefixes mod 2^61-1,
+  * [[graft.queries.QueryFns.checksumAgg]]) that any file/partition
+  * layout of the same rows reproduces — at 100 TB validation is one scan of the
   * snapshot with a per-partition sum, no ordering or single-reducer
   * step anywhere.
   */
@@ -33,6 +34,17 @@ object CorpusSink {
     */
   def publish(s: SparkSession, dir: String, outDir: String,
       maxRecordsPerFile: Long = 1000000L): Unit = {
+    // Manifest-last only commits correctly if no STALE manifest can
+    // survive a crash mid-rewrite: when `outDir` already holds a
+    // snapshot, retract it FIRST (delete `_manifest`), so a failure
+    // between the data overwrite and the new manifest leaves the
+    // directory unpublished rather than published-with-mismatched-data.
+    // (publishVersioned never hits this — each generation dir is fresh.)
+    val oldManifest = java.nio.file.Paths.get(s"$outDir/_manifest")
+    if (java.nio.file.Files.exists(oldManifest))
+      java.nio.file.Files.walk(oldManifest)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
     Tables(s, dir).documents
       .join(TextAnalysis.curationSurvivors(s, dir).select(col("doc_id")), "doc_id")
       .write.mode("overwrite")
@@ -54,7 +66,7 @@ object CorpusSink {
         size(QueryFns.wsTokens(col("text"))).cast("long").as("m"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("n_tok"),
-        sum(col("h")).as("checksum"))
+        QueryFns.checksumAgg(col("h")).as("checksum"))
 
   /** Versioned publish: each call lands a NEW immutable generation
     * under `outDir/gen=N` (data + manifest, the [[publish]] protocol),

@@ -523,7 +523,11 @@ object Dedup {
     val (kept, _) = shingleIndex(s, dir)
     val dfExist = kept.toDF("doc_id", "sh")
       .groupBy(col("sh")).agg(count(lit(1)).as("df_exist"))
-    batch.select(col("doc_id"), explode(shingles(wsTokens(col("text")))).as("sh"))
+    // Two-step projection per the shingles() contract: materialize toks
+    // first — inlining wsTokens(text) into the shingle lambda would
+    // re-split the whole document once per shingle element (O(tokens²)).
+    batch.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("df_batch"))
       .join(dfExist, Seq("sh"), "left")
       .withColumn("df_exist", coalesce(col("df_exist"), lit(0L)))

@@ -547,6 +547,16 @@ object TextAnalysis {
   /** Rows emitted by tx_bpe_segment (most frequent words first). */
   private[graft] val BpeTopWords = 50
 
+  /** Longest word admitted to the BPE training vocabulary, enforced on
+    * BOTH engines. The oracle CTE counts symbol pairs with a positional
+    * unnest bounded by this constant (`range(1, BpeMaxWordLen + 1)`),
+    * so an uncapped Spark trainer would silently diverge on any
+    * alphabetic word longer than the bound; capping the vocab
+    * identically on both sides makes the bound explicit (and >200-char
+    * "words" are noise tokens no tokenizer wants weighted anyway).
+    */
+  private[graft] val BpeMaxWordLen = 200
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016) as a corpus job —
     * the piece that turns a curated corpus into a tokenizer, run
     * word-frequency-weighted at character level over the alphabetic
@@ -586,7 +596,7 @@ object TextAnalysis {
     import s.implicits._
     val vocab = Tables(s, dir).documents
       .select(explode(wsTokens(lower($"text"))).as("word"))
-      .filter($"word".rlike("^[a-z]+$"))
+      .filter($"word".rlike("^[a-z]+$") && length($"word") <= BpeMaxWordLen)
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
     var syms = vocab
       .withColumn("syms",
@@ -1305,12 +1315,15 @@ object TextAnalysis {
 
     // The publish manifest of the curated corpus: per output partition
     // (lang), doc count, token count, and an ORDER-INDEPENDENT content
-    // checksum (sum of per-doc 48-bit md5-prefix hashes — commutative,
-    // so any partition/file layout of the same rows certifies the same
-    // value; 2^48 × docs stays far under 2^63). graft.io.CorpusSink
-    // writes exactly these rows as the data's commit manifest, pinned
-    // row-for-row by CorpusSinkSpec — this query is the oracle-checked
-    // definition of what a published snapshot must contain.
+    // checksum (modular sum of per-doc 48-bit md5-prefix hashes mod
+    // 2^61-1, QueryFns.checksumAgg — commutative, so any partition/file
+    // layout of the same rows certifies the same value, and the
+    // explicit modulus keeps the definition engine-portable at ANY doc
+    // count: a plain BIGINT sum wraps past ~2^15 docs/lang on Spark
+    // while DuckDB sums in HUGEINT). graft.io.CorpusSink writes exactly
+    // these rows as the data's commit manifest, pinned row-for-row by
+    // CorpusSinkSpec — this query is the oracle-checked definition of
+    // what a published snapshot must contain.
     "tx_curation_manifest" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -1318,7 +1331,7 @@ object TextAnalysis {
         .join(curationSurvivors(s, dir).select($"doc_id", $"m"), "doc_id")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_tok"),
-          sum($"h").as("checksum"))
+          QueryFns.checksumAgg($"h").as("checksum"))
         .orderBy($"lang")
     },
 
@@ -1634,10 +1647,12 @@ object TextAnalysis {
         |  FROM documents),
         |bw AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM btokw
-        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |  WHERE regexp_matches(word, '^[a-z]+$')
+        |    AND len(word) <= MAXWORDLEN GROUP BY word),
         |bs0 AS (
         |  SELECT word, cnt, regexp_replace(word, '(.)', '[\1]', 'g') AS s
         |  FROM bw)""".stripMargin
+        .replace("MAXWORDLEN", BpeMaxWordLen.toString)
     def round(k: Int) =
       s"""bt$k AS (
          |  SELECT word, cnt,
@@ -1645,7 +1660,7 @@ object TextAnalysis {
          |  FROM bs${k - 1}),
          |bp$k AS (
          |  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
-         |  FROM bt$k, (SELECT unnest(range(1, 201)) AS i) p
+         |  FROM bt$k, (SELECT unnest(range(1, ${BpeMaxWordLen + 1})) AS i) p
          |  WHERE i < len(t) GROUP BY a, b),
          |bb$k AS (SELECT a, b, c FROM bp$k ORDER BY c DESC, a, b LIMIT 1),
          |bs$k AS (
@@ -1831,8 +1846,8 @@ object TextAnalysis {
          |      + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / m) * 0.5, 4) >= 0.7)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(m) AS BIGINT) AS n_tok,
-         |  CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT) AS BIGINT)
-         |    AS checksum
+         |  CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT)
+         |    % ${QueryFns.ChecksumMod} AS BIGINT) AS checksum
          |FROM sv GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Oracle twin of tx_corpus_report: same content-hash dup flag,

@@ -55,6 +55,51 @@ class CorpusSinkSpec extends SparkSpec {
     }
   }
 
+  test("re-publish into a live snapshot retracts the old manifest first") {
+    val dir = java.nio.file.Files.createTempDirectory("cs_in4").toString
+    val out = java.nio.file.Files.createTempDirectory("cs_out4").toString
+    try {
+      val fluent = "the cat is in the house and it is a good day " * 5
+      writeDocs(dir, (0L until 3L).map(i => (i, fluent + i, "en")))
+      CorpusSink.publish(spark, dir, out)
+      assert(CorpusSink.validate(spark, out).isEmpty)
+      // second publish over the SAME dir: corpus changed, so a crash
+      // between the data rewrite and the new manifest must leave the
+      // snapshot unpublished, not published-with-stale-manifest — the
+      // committed publish() deletes _manifest before touching data.
+      graft.queries.TextAnalysis.clearCaches()
+      writeDocs(dir, (0L until 5L).map(i => (i, fluent + i, "en")))
+      CorpusSink.publish(spark, dir, out)
+      assert(CorpusSink.isPublished(spark, out))
+      assert(CorpusSink.validate(spark, out).isEmpty)
+      assert(spark.read.parquet(s"$out/data").count() == 5L)
+    } finally {
+      graft.queries.TextAnalysis.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("manifest checksum is the modular sum — no 64-bit wrap at high doc counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2^17 synthetic 48-bit hashes sum past 2^63 only at extreme counts,
+    // but the DEFINITION must be modular: pin checksumAgg == the exact
+    // BigInt sum reduced mod 2^61-1 on a frame whose plain long sum is
+    // near the wrap boundary.
+    val h = (0 until 1000).map(i => (java.lang.Long.MAX_VALUE >> 3) - i.toLong)
+    val got = h.toDF("h").agg(graft.queries.QueryFns.checksumAgg($"h"))
+      .collect()(0).getLong(0)
+    val want = (h.map(BigInt(_)).sum
+      .mod(BigInt(graft.queries.QueryFns.ChecksumMod))).toLong
+    assert(got == want)
+    // sanity: the exact sum exceeds 64-bit range, so a plain BIGINT sum
+    // wraps on this input (the old bug) — the wrapped value is not the
+    // modular checksum
+    assert(h.map(BigInt(_)).sum > BigInt(java.lang.Long.MAX_VALUE))
+    assert(h.sum != want)
+  }
+
   test("validation fails after tamper; missing manifest means unpublished") {
     val dir = java.nio.file.Files.createTempDirectory("cs_in2").toString
     val out = java.nio.file.Files.createTempDirectory("cs_out2").toString
