@@ -155,6 +155,65 @@ object KvQueries {
         .orderBy($"config_num", $"gid")
     },
 
+    // Migrated-shard state GC (the TestChallenge1Delete analogue,
+    // ref: shardkv/test_test.go:663-742): a group that loses a shard
+    // must DELETE that shard's state, so total memory across groups
+    // tracks live ownership — state lives at exactly one owner per
+    // config. The Spark side constructs the per-group owner views
+    // INCREMENTALLY, the way a real reconfiguration runs: epoch 0 seeds
+    // each group with the keys of its owned shards; each transition
+    // hands changed shards' state to the new owner and the loser drops
+    // its copy (the GC step — without it the loser's view would keep
+    // the rows and every later snapshot would double-count them); new
+    // arrivals land at the current owner. The oracle computes the
+    // DIRECT definition — keys of shards owned at c_n — so a hash
+    // match proves the incremental migrate+delete fold leaves zero
+    // residue at every config. Output per (config_num, gid): resident
+    // keys, resident shards, and keys the group GC'd at that
+    // transition (a group that left serves nothing but still reports
+    // its deletions — the memory-release half of the test).
+    // Scale: the key-state table is the big side everywhere; configs
+    // are 10-row broadcasts; the 4-deep union is 4 metadata-sized
+    // aggregates (at a real 100 TB deployment each epoch view is a
+    // staged table and this plan is one job per reconfiguration).
+    "kv_gc" -> { (s, dir) =>
+      import s.implicits._
+      val hist = Sharding.scriptedHistory.drop(1)
+      val cfgs = configEpochs(s)
+      val fe = routedOps(s, dir).filter($"op" =!= "get")
+        .groupBy($"key", $"shard").agg(min($"epoch").as("fe"))
+      def snap(view: DataFrame, gcPer: DataFrame, num: Int): DataFrame = {
+        val ks = view.groupBy($"gid").agg(count(lit(1)).as("n_keys"),
+          countDistinct($"shard").as("n_shards"))
+        val gids = ks.select($"gid").union(gcPer.select($"gid")).distinct()
+        gids.join(broadcast(ks), Seq("gid"), "left")
+          .join(broadcast(gcPer), Seq("gid"), "left")
+          .select(lit(num).as("config_num"), $"gid",
+            coalesce($"n_keys", lit(0L)).as("n_keys"),
+            coalesce($"n_shards", lit(0L)).as("n_shards"),
+            coalesce($"n_gc", lit(0L)).as("n_gc"))
+      }
+      var view = fe.filter($"fe" <= 0)
+        .join(broadcast(cfgs.filter($"epoch" === 0).select($"shard", $"gid")), "shard")
+        .select($"key", $"shard", $"gid")
+      var out = snap(view, Seq.empty[(Int, Long)].toDF("gid", "n_gc"), hist.head.num)
+      for (e <- 1 until hist.size) {
+        val cur = cfgs.filter($"epoch" === e).select($"shard", $"gid".as("new_gid"))
+        val joined = view.join(broadcast(cur), "shard")
+        // what the LOSING group deletes this transition — the GC meter
+        val gcPer = joined.filter($"gid" =!= $"new_gid")
+          .groupBy($"gid").agg(count(lit(1)).as("n_gc"))
+        // handoff: changed shards re-home to the new owner, the old
+        // copy is dropped (stay-put shards pass through unchanged)
+        val carried = joined.select($"key", $"shard", $"new_gid".as("gid"))
+        val arrived = fe.filter($"fe" === e).join(broadcast(cur), "shard")
+          .select($"key", $"shard", $"new_gid".as("gid"))
+        view = carried.union(arrived)
+        out = out.union(snap(view, gcPer, hist(e).num))
+      }
+      out.orderBy($"config_num", $"gid")
+    },
+
     // K6 state handoff: per-key final owner after the config evolution.
     // The key's replayed state (the typed secondary-sort fold) survives
     // every ownership change — what the reference's shard migration
@@ -332,6 +391,42 @@ object KvQueries {
          |FROM keys k
          |LEFT JOIN srv s ON s.config_num = k.config_num AND s.gid = k.gid
          |LEFT JOIN wr w ON w.config_num = k.config_num AND w.gid = k.gid
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Direct-definition twin of kv_gc: the resident view at config c_n
+    // IS the keys of shards owned at c_n (zero residue), and the GC
+    // column counts the previous owner's deletions at each transition.
+    "kv_gc" ->
+      s"""$OpsCte,
+         |mx AS (SELECT max(clientSeq) AS mx FROM a),
+         |$CfgCte,
+         |fe AS (
+         |  SELECT key, ascii(substring(key, 1, 1)) % ${Sharding.NShards} AS shard,
+         |    min(least(3, (clientSeq * 4) // ((SELECT mx FROM mx) + 1))) AS fe
+         |  FROM a WHERE op <> 'get' GROUP BY 1, 2),
+         |res AS (
+         |  SELECT cfg.config_num, cfg.gid, k.key, k.shard
+         |  FROM fe k JOIN cfg ON cfg.shard = k.shard AND k.fe <= cfg.epoch),
+         |ks AS (
+         |  SELECT config_num, gid, CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+         |  FROM res GROUP BY 1, 2),
+         |gc AS (
+         |  SELECT cur.config_num, prev.gid, CAST(count(*) AS BIGINT) AS n_gc
+         |  FROM fe k
+         |  JOIN cfg prev ON prev.shard = k.shard AND k.fe <= prev.epoch
+         |  JOIN cfg cur ON cur.shard = k.shard AND cur.epoch = prev.epoch + 1
+         |  WHERE cur.gid <> prev.gid
+         |  GROUP BY 1, 2),
+         |gids AS (SELECT config_num, gid FROM ks
+         |         UNION SELECT config_num, gid FROM gc)
+         |SELECT g.config_num, g.gid,
+         |  CAST(COALESCE(ks.n_keys, 0) AS BIGINT) AS n_keys,
+         |  CAST(COALESCE(ks.n_shards, 0) AS BIGINT) AS n_shards,
+         |  CAST(COALESCE(gc.n_gc, 0) AS BIGINT) AS n_gc
+         |FROM gids g
+         |LEFT JOIN ks ON ks.config_num = g.config_num AND ks.gid = g.gid
+         |LEFT JOIN gc ON gc.config_num = g.config_num AND gc.gid = g.gid
          |ORDER BY 1, 2""".stripMargin,
 
     "kv_migration_owner" ->

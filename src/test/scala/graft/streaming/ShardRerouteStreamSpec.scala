@@ -124,6 +124,68 @@ class ShardRerouteStreamSpec extends SparkSpec {
       RouteUpdate(3, 2, 2, rerouted = false))) // clerk refreshed; no hop
   }
 
+  test("unaffected shards progress through a migration exactly as if it never happened") {
+    // TestChallenge2Unaffected analogue (ref: shardkv/test_test.go:
+    // 817-885): ops on shards whose owner did NOT change between c_n and
+    // c_n+1 must not stall, reroute, or change outcome because some
+    // OTHER shard's migration is in flight. Run the same op sequence
+    // through two streams — one whose config churn moves shard 0, one
+    // whose "churn" moves nothing — and require the unaffected shard 1's
+    // emitted rows to be identical, with zero reroutes, in both.
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(name: String, movedGidAtC2: Int): Seq[RouteUpdate] = {
+      val in = MemoryStream[ShardEvent]
+      val q = ShardStream.updates(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      // c1: shard 0 → gid 1, shard 1 → gid 2; ops on both shards
+      in.addData(
+        ShardEvent(0, -100L, "cfg", 1, 1, 0L, 0L),
+        ShardEvent(1, -100L, "cfg", 1, 2, 0L, 0L),
+        ShardEvent(0, 1L, "op", 0, 0, 7L, 1L),
+        ShardEvent(1, 2L, "op", 0, 0, 8L, 1L))
+      q.processAllAvailable()
+      // c2: shard 0 moves (or doesn't — the control run); shard 1 stays
+      // with gid 2 in BOTH runs. Its ops ride through the c2 transition.
+      in.addData(
+        ShardEvent(0, -99L, "cfg", 2, movedGidAtC2, 0L, 0L),
+        ShardEvent(1, -99L, "cfg", 2, 2, 0L, 0L),
+        ShardEvent(1, 3L, "op", 0, 0, 8L, 2L),
+        ShardEvent(0, 4L, "op", 0, 0, 7L, 2L),
+        ShardEvent(1, 5L, "op", 0, 0, 8L, 3L))
+      q.processAllAvailable()
+      // c3: no further movement; one more op per shard
+      in.addData(
+        ShardEvent(0, -98L, "cfg", 3, movedGidAtC2, 0L, 0L),
+        ShardEvent(1, -98L, "cfg", 3, 2, 0L, 0L),
+        ShardEvent(1, 6L, "op", 0, 0, 8L, 4L),
+        ShardEvent(0, 7L, "op", 0, 0, 7L, 3L))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[RouteUpdate].collect().toSeq
+    }
+
+    val withMigration = run("unaffected_mig", movedGidAtC2 = 3)
+    val control = run("unaffected_ctl", movedGidAtC2 = 1)
+
+    // shard 1 is owned by gid 2 throughout both runs — its rows are the
+    // gid 2 rows. They must never reroute and must be IDENTICAL whether
+    // or not shard 0's migration happened.
+    val unaffectedMig = withMigration.filter(_.gid == 2)
+    val unaffectedCtl = control.filter(_.gid == 2)
+    assert(unaffectedMig.forall(!_.rerouted),
+      s"ops on the unchanged shard took the ErrWrongGroup hop: $unaffectedMig")
+    assert(unaffectedMig == unaffectedCtl,
+      s"migration changed the unaffected shard's service: $unaffectedMig vs $unaffectedCtl")
+    assert(unaffectedMig.map(_.configNum).distinct.sorted == Seq(1, 2, 3),
+      "the unaffected shard must make progress in EVERY config epoch")
+    // sanity: the migration run did move shard 0 (one reroute there)
+    assert(withMigration.exists(u => u.gid == 3 && u.rerouted),
+      "the migration run never exercised a shard move")
+    assert(!control.exists(_.rerouted), "the control run must be churn-free")
+  }
+
   test("ops before the first config activation buffer, then land under it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[ShardEvent]
