@@ -97,6 +97,22 @@ object Staging {
     (slug, fp)
   }
 
+  /** True iff the store already holds at least one committed artifact
+    * for `dir`'s CURRENT corpus generation — the warm/cold signal the
+    * bench records so a reviewer can tell a cold index-build run from a
+    * steady-state one without re-running anything.
+    */
+  def isWarm(dir: String): Boolean =
+    enabled && (try {
+      val (slug, fp) = generationDir(dir)
+      val gen = Paths.get(root, s"$slug-$fp")
+      Files.isDirectory(gen) && {
+        import scala.jdk.CollectionConverters._
+        Files.list(gen).iterator().asScala
+          .exists(p => Files.exists(p.resolve("_SUCCESS")))
+      }
+    } catch { case NonFatal(_) => false })
+
   /** Read the named artifact for this corpus generation if staged, else
     * run `build`, stage its result, and return a scan of the staged
     * copy. The returned frame is always a plain parquet scan on a hit
