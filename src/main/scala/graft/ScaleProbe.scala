@@ -38,6 +38,7 @@ object ScaleProbe {
     import spark.implicits._
 
     if (args.headOption.contains("sweep")) { pqSweep(spark); spark.stop(); return }
+    if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val vectorsOnly = args.contains("vectors")
     val docsOnly = args.contains("docs")
@@ -381,6 +382,25 @@ object ScaleProbe {
         graft.queries.Similarity.imiServingMeter(spark, dir, 25, w)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"sweep": "imi", "w": $w, "recall_at5": $recall%.3f, "cand_rows": $candRows, "sec": $sec%.2f}""")
+    }
+  }
+
+  /** Exact-ranking POOL CEILING per nprobe on the sf0.1 gate corpus:
+    * recall@5 when every candidate in the probed cells is ranked at full
+    * precision (shortlist larger than any cell population, so the ADC
+    * never drops anyone). This is the number that adjudicates codebook
+    * work: no quantizer change can lift recall above its nprobe's
+    * ceiling — if a recall target exceeds the ceiling, the lever is
+    * nprobe (or the coarse quantizer), not the codebook.
+    */
+  private def pqCeiling(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    for (nprobe <- Seq(2, 3, 4, 5, 6)) {
+      val t0 = System.nanoTime()
+      val (recall, candRows) =
+        graft.queries.Similarity.pqServingMeter(spark, dir, 25, nprobe, 1000000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"sweep": "pq_ceiling", "nprobe": $nprobe, "recall_at5": $recall%.3f, "cand_rows": $candRows, "sec": $sec%.2f}""")
     }
   }
 }

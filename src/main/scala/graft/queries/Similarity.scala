@@ -1615,44 +1615,60 @@ object Similarity {
 
   // ===== Product-quantization tier (round 5) =====
 
-  /** PQ geometry: M subspaces × K = 2^PqBits codes per subspace — 16 × 16
-    * = 256 codebook rows, 16 codes (8 bytes at 4 bits/code) per vector
-    * vs 256 raw float bytes: 32× compression. Chosen by a measured sweep
-    * at sf0.1 (M=4/K=4 → 6% recall@5; M=16/K=16 → 30%, vs the 38%
-    * nprobe=2 exact-ranking ceiling — see SCALING.md). Deliberately
+  /** PQ geometry: M subspaces, 2^PqBits sign-seed orthants per subspace
+    * (d=64, M=16 → 4-dim subspaces whose 4 leading signs ARE the full
+    * orthant map), K up to 2^(PqBits+PqMagBits) after the radial
+    * splits — 16 × ≤128 codebook rows, 16 codes (14 bytes at 7
+    * bits/code) per vector vs 256 raw float bytes: ~18× compression.
+    * Geometry measured at sf0.1 (M=4/K=4 → 6% recall@5; M=16/K=16 →
+    * 54%; M=8/K=64 → 40% — partial sign maps of 8-dim subspaces lose to
+    * full 4-dim orthants; M=16/K=128+Lloyd → 61% vs the 62% nprobe=4
+    * exact-ranking ceiling — see SCALING.md round 11). Deliberately
     * independent of n: at scale the codebook trains on a sample (the
-    * sampledCentroids posture) and K grows to 256, but the dataflow
-    * (train means → argmin codes → ADC lookup join) is unchanged.
+    * sampledCentroids posture); the dataflow (train means → argmin
+    * codes → ADC lookup join) is unchanged at any K.
     */
   private val PqM = 16
   private val PqBits = 4
 
-  /** Lloyd refinement rounds past the sign seeding: each round
-    * re-assigns codes by argmin against the current codebook, then
-    * re-trains the codebook as the exact-DECIMAL mean of its assigned
-    * residual subvectors. The oracle replays the SAME number of rounds
-    * CTE-for-CTE ([[PqCte]] is generated from this constant), so a
-    * non-zero setting stays fully hash-checked — 2-step training passed
-    * the sf0.01 gate when measured.
-    *
-    * MEASURED to 0 (round 10): with 2 rounds, variance explained stayed
-    * 0.652 vs 0.650, sf0.1 gate recall moved 0.352 → 0.344 and the
-    * clustered-corpus recall 0.912 → 0.888 — the leading-sign orthant
-    * means are already a local optimum of the subspace distortion on
-    * both corpus shapes, so refinement only reshuffles near-ties. The
-    * recall lever that actually binds at nprobe=2 is the candidate-pool
-    * ceiling (exact in-cell ranking = 0.376 at sf0.1); see [[PqNprobe]].
+  /** Extra RADIAL seed bits per subspace (0 = pure orthant seeding):
+    * each bit splits every current seed group at its DECIMAL-exact mean
+    * ||sub||², so K doubles per bit (16 → 128 at 3). This, not a
+    * rotation, is the codebook lever that bites on this corpus: the
+    * covariance spectrum is near-flat (top eigenvalue 2.1% vs 1.6%
+    * mean), so OPQ/PCA rotations have nothing to concentrate —
+    * measured, the round-11 radial ladder reads (4,50) recall 0.536 (K=16)
+    * → 0.560 (K=32) → 0.576 (K=64) → 0.600 (K=128) → 0.600 (K=256,
+    * saturated), against the 0.616 nprobe=4 pool ceiling.
     */
-  private[queries] val PqLloydSteps = 0
+  private val PqMagBits = 3
+
+  /** Lloyd refinement rounds past the seeding: each round re-assigns
+    * codes by argmin against the current codebook, then re-trains the
+    * codebook as the exact-DECIMAL mean of its assigned residual
+    * subvectors. The oracle replays the SAME number of rounds
+    * CTE-for-CTE ([[PqCte]] is generated from this constant), so any
+    * setting stays fully hash-checked.
+    *
+    * MEASURED to 1 (round 11): on pure-orthant seeds (round 10) Lloyd
+    * was a no-op — orthant means are a local optimum of subspace
+    * distortion, 2 rounds moved sf0.1 gate recall 0.352 → 0.344. The
+    * radial splits change that: their mean-||sub||² cut planes are NOT
+    * distortion-optimal, and one argmin re-assignment repairs the
+    * boundaries — (4,50) recall 0.600 → 0.608, (4,20) 0.496 → 0.568,
+    * clustered corpus 0.912 → 0.992. A second round reshuffles
+    * near-ties only (0.608 → 0.608, measured).
+    */
+  private[queries] val PqLloydSteps = 1
 
   /** Serving default: cells probed per query. Moved 2 → 4 in round 10:
     * at nprobe=2 the EXACT-ranking ceiling within the probed cells is
     * 0.376 recall@5 on the sf0.1 near-uniform worst case — no codebook
-    * improvement can clear 0.5 there. The measured frontier (ScaleProbe
-    * sweep, SCALING.md) prices the move: (4, 50) = 0.536 recall@5 at
-    * 20,156 candidate rows vs (2, 50) = 0.352 at 10,102 — 2× the ADC
-    * scan, still probe-bounded (candidates ∝ nprobe·n/nlist, immune to
-    * corpus growth at fixed occupancy).
+    * improvement can clear 0.5 there. The measured ceiling ladder
+    * (`ScaleProbe ceiling`): nprobe 2/3/4/5/6 → 0.376/0.520/0.616/
+    * 0.704/0.800 exact. At (4, 50) the round-11 codebook serves 0.608 —
+    * 98.7% of its 0.616 pool ceiling at 20,156 candidate rows; the next
+    * recall unit must come from nprobe, not the codebook.
     */
   private[queries] val PqNprobe = 4
 
@@ -1680,15 +1696,31 @@ object Similarity {
       // assignment, AND the error meter all fold over these rows — the
       // residual join + slicing would otherwise run three times cold
       import s.implicits._
-      pqResiduals(s, dir)
+      val base = pqResiduals(s, dir)
         .withColumn("h", floor(size($"r") / PqM).cast("int"))
         .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
         .withColumn("sub", slice($"r", $"m" * $"h" + 1, $"h"))
         .withColumn("seed", (0 until PqBits).map(j =>
           when(element_at($"sub", j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
           .reduce(_ + _))
-        .select($"vec_id", $"m", $"seed", $"sub")
-        .persist()
+        .withColumn("n2", aggregate(zip_with($"sub", $"sub", (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+      // radial splits: PqMagBits extra seed bits per subspace — each
+      // round splits every current seed group at its DECIMAL-exact mean
+      // ||sub||². The orthant mean captures the sign pattern; the
+      // magnitude bits halve the radial spread within each orthant (the
+      // measured recall lever on this near-isotropic corpus, where
+      // rotations have nothing to concentrate — see SCALING.md round 11).
+      (1 to PqMagBits).foldLeft(base) { (acc, j) =>
+        val thr = acc.groupBy($"m", $"seed")
+          .agg((sum($"n2".cast("decimal(27,10)")).cast("double")
+            / count(lit(1))).as("thr"))
+        acc.join(broadcast(thr), Seq("m", "seed"))
+          .withColumn("seed",
+            $"seed" + when($"n2" > $"thr",
+              lit(1 << (PqBits + j - 1))).otherwise(lit(0)))
+          .drop("thr")
+      }.select($"vec_id", $"m", $"seed", $"sub").persist()
     })
 
   /** Session memo for the PQ index (codebook + codes) — consumed by the
@@ -2188,8 +2220,27 @@ object Similarity {
          |  FROM bde$t GROUP BY m, code, pos),
          |book$t AS (SELECT m, code, list(c ORDER BY pos) AS cvq
          |           FROM bm$t GROUP BY m, code)""".stripMargin
+    // radial-split chain, generated from PqMagBits exactly like the
+    // Lloyd rounds are from PqLloydSteps: each round splits every
+    // current seed group at its DECIMAL-exact mean ||sub||² and sets
+    // the next power-of-two bit — the oracle twin of the Spark fold in
+    // [[pqSubvectors]] (same sequential n2 fold, same DECIMAL mean,
+    // same strict > comparison).
+    val magChain = (1 to PqMagBits).map { j =>
+      s"""magthr$j AS (
+         |  SELECT m, seed,
+         |    CAST(SUM(CAST(n2 AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS thr
+         |  FROM subg${j - 1} GROUP BY m, seed),
+         |subg$j AS (
+         |  SELECT g.vec_id, g.m, g.sub,
+         |    g.seed + CASE WHEN g.n2 > t.thr
+         |      THEN ${1 << (PqBits + j - 1)} ELSE 0 END AS seed,
+         |    g.n2
+         |  FROM subg${j - 1} g JOIN magthr$j t
+         |    ON t.m = g.m AND t.seed = g.seed)""".stripMargin
+    }
     val header =
-      """res AS (
+      ("""res AS (
         |  SELECT v.vec_id, a.alabel,
         |    list_transform(range(1, len(v.embedding) + 1),
         |      i -> v.embedding[i]::DOUBLE - c.cv[i]) AS r
@@ -2199,14 +2250,19 @@ object Similarity {
         |  SELECT vec_id, m,
         |    list_slice(r, m * (len(r) // 16) + 1, (m + 1) * (len(r) // 16)) AS sub
         |  FROM res, (SELECT unnest(range(0, 16)) AS m) ms),
-        |subg AS (
+        |subg0 AS (
         |  SELECT vec_id, m, sub,
         |    (CASE WHEN sub[1] >= 0 THEN 1 ELSE 0 END
         |     + CASE WHEN sub[2] >= 0 THEN 2 ELSE 0 END
         |     + CASE WHEN sub[3] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN sub[4] >= 0 THEN 8 ELSE 0 END) AS seed
-        |  FROM ssub),
-        |seedasg AS (SELECT vec_id, m, seed AS code FROM subg)""".stripMargin
+        |     + CASE WHEN sub[4] >= 0 THEN 8 ELSE 0 END) AS seed,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(sub, x -> x * x)), (a, b) -> a + b) AS n2
+        |  FROM ssub)""".stripMargin +:
+        magChain :+
+        s"""subg AS (SELECT vec_id, m, sub, seed FROM subg$PqMagBits),
+           |seedasg AS (SELECT vec_id, m, seed AS code FROM subg)""".stripMargin)
+        .mkString(",\n")
     val round0 = train(0, "seedasg")
     val lloyd = (1 to PqLloydSteps).map { t =>
       s"""asgd$t AS (

@@ -18,10 +18,16 @@ class PqSpec extends SparkSpec {
   test("codebook geometry and quantization error on the gate corpus") {
     assume(present, s"$dir not present")
     val r = Similarity.queries("ann_pq_codes")(spark, dir).collect()(0)
-    assert(r.getAs[Long]("codebook_rows") === 256L) // M=16 × K=16
-    assert(r.getAs[Long]("codes_used") <= 256L)
-    // measured 163.8 vs 478.7 (34%) — a meaningful regression (e.g. the
-    // sign seeding or the Lloyd step breaking) pushes this past half
+    // M=16 × K ≤ 2^(4 sign bits + 3 radial bits) = 128; rows above the
+    // 16-orthant floor prove the radial splits actually produced groups,
+    // rows at/below the cap prove no code id escaped the bit budget
+    assert(r.getAs[Long]("codebook_rows") > 256L,
+      "radial-split seeding produced no extra codebook rows")
+    assert(r.getAs[Long]("codebook_rows") <= 16L * 128L)
+    assert(r.getAs[Long]("codes_used") <= 16L * 128L)
+    // round-5 orthant codebook measured 163.8 vs 478.7 (34%); the
+    // round-11 radial-split + 1-Lloyd codebook must stay strictly
+    // better than the old half-energy bar
     assert(r.getAs[Double]("quant_error") <
       r.getAs[Double]("resid_energy") * 0.5,
       "PQ codes must explain at least half the residual energy")
