@@ -41,7 +41,7 @@ object Staging {
     * constants, band shape, quantizer structure, PQ dims, …) — the cheap
     * global alternative to per-artifact schema hashes.
     */
-  val FormatVersion = "r10-3" // r10-3: PQ Lloyd steps measured back to 0
+  val FormatVersion = "r11-1" // r11-1: PQ radial-split codebook (PqMagBits=3, 1 Lloyd round)
 
   @volatile private var disabledInProcess = false
 
