@@ -1906,6 +1906,37 @@ object Similarity {
   private[graft] def pqCodesView(s: SparkSession, dir: String): DataFrame =
     pqCodes(s, dir)
 
+  /** Static serving-index table for the streaming serving twin
+    * ([[graft.streaming.AnnStream.pqServe]]): one row per corpus vector
+    * carrying everything the online scorer needs — the IVF cell (the
+    * stream-static join key), the staged squared norm, the M PQ codes in
+    * subspace order, and the raw embedding for the full-precision
+    * rescore of the shortlist. All pieces are the SAME staged batch
+    * artifacts the batch `ann_pq_topk` serves from, joined on vec_id —
+    * the index is built once per corpus generation; the query stream
+    * never touches raw corpus text. At 100 TB this table is written
+    * partitioned by cell so the per-batch stream-static join prunes to
+    * the probed cells.
+    */
+  def pqServingIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vecs(s, dir).select($"vec_id", $"embedding", $"norm2")
+      .join(assignments(s, dir), "vec_id")
+      .join(
+        pqCodes(s, dir).groupBy($"vec_id")
+          .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
+            x => x.getField("code").cast("int")).as("codes")),
+        "vec_id")
+      .select($"vec_id", $"alabel".cast("long").as("cell"), $"norm2",
+        $"codes", $"embedding")
+  }
+
+  /** The (nprobe, shortlist) the batch `ann_pq_topk` serves with —
+    * exposed so the streaming twin and its parity spec score under the
+    * SAME knobs rather than re-declaring them.
+    */
+  def pqServingDefaults: (Int, Int) = (PqNprobe, 50)
+
   /** Serving-knob meter (ScaleProbe-only diagnostic): recall@5 of the
     * PQ pass against the exact brute force at explicit (nprobe,
     * shortlist), plus the candidate-scan row count (Σ probed-cell

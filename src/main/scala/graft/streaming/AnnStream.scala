@@ -181,4 +181,164 @@ object AnnStream {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(
         applyCellPq(codebook, centroidOf))
   }
+
+  // ===== Streaming SERVING twin (the query side of the index) =====
+
+  /** One streamed top-k query. `(src, seq)` is the same at-least-once
+    * dedup key as [[VecEvent]]; `probe` is the query's identity in the
+    * result stream.
+    */
+  final case class QueryEvent(src: Long, seq: Long, probe: Long, embedding: Array[Float])
+
+  /** One row of the static serving index — the schema
+    * [[graft.queries.Similarity.pqServingIndex]] produces: the vector's
+    * IVF cell (join key), staged squared norm, M PQ codes in subspace
+    * order, and the raw embedding for the shortlist rescore.
+    */
+  final case class IndexRow(vec_id: Long, cell: Long, norm2: Double,
+      codes: Array[Int], embedding: Array[Float])
+
+  /** Per-probe serve state: per-source high-water of already-served
+    * seqs — a re-delivered query emits nothing (the K4 at-least-once
+    * contract, same as ingest).
+    */
+  final case class ServeState(lastSeq: Map[Long, Long])
+
+  /** One served neighbor — identical shape and arithmetic to the batch
+    * `ann_pq_topk` output rows (probe, rank, neighbor, cos rounded to
+    * 6 decimals, rank ordered cos desc / neighbor asc).
+    */
+  final case class ServeResult(probe: Long, rank: Int, neighbor: Long, cos: Double)
+
+  /** Sequential left-fold double dot — [[graft.functions.FloatDot]]'s
+    * exact summation order, the arithmetic contract every distance in
+    * this file shares with the batch engine and the oracle.
+    */
+  private def dotFF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** dot(pe[off ..< off+b.length], b) — the batch `slice` + `zip_with`
+    * fold for the subspace and centroid terms.
+    */
+  private def dotFD(a: Array[Float], off: Int, b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < b.length) { acc += a(off + i).toDouble * b(i); i += 1 }
+    acc
+  }
+
+  /** The batch probe-cell selection, replicated per record: squared-L2
+    * to every trained centroid (sequential double fold — the
+    * centroidDists order), top-nprobe by (d asc, clabel asc) — the
+    * `GroupedTopK(-d, clabel)` tie contract.
+    */
+  def probedCells(emb: Array[Float], centroids: Array[(Long, Array[Double])],
+      nprobe: Int): Array[Long] =
+    centroids.map { case (label, cv) =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) {
+        val diff = emb(i).toDouble - cv(i)
+        acc += diff * diff
+        i += 1
+      }
+      (acc, label)
+    }.sortBy(identity).take(nprobe).map(_._2)
+
+  private def serveGroup(
+      centroidOf: Map[Long, Array[Double]],
+      codebook: Array[Array[Array[Double]]],
+      shortlist: Int, k: Int)(
+      probe: Long,
+      rows: Iterator[(QueryEvent, IndexRow)],
+      state: GroupState[ServeState]): Iterator[ServeResult] = {
+    var st = state.getOption.getOrElse(ServeState(Map.empty))
+    val all = rows.toSeq
+    val fresh = all.filter { case (q, _) =>
+      q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue) }
+    if (fresh.isEmpty) return Iterator.empty
+    fresh.map(_._1).distinct.foreach { q =>
+      if (q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
+        st = ServeState(st.lastSeq + (q.src -> q.seq))
+    }
+    state.update(st)
+    // every delivery of one probe carries the same embedding and joins
+    // the same candidate rows — serve once, from one delivery's rows
+    val q0 = fresh.head._1
+    val cands = fresh.collect {
+      case (q, ix) if q.src == q0.src && q.seq == q0.seq => ix }
+    val pe = q0.embedding
+    val pn = dotFF(pe, pe)
+    val m = codebook.length
+    val h = pe.length / m
+    // per-(subspace, code) ADC lookup table for THIS query — the batch
+    // `td` broadcast, computed once: M × K ≤ 2048 sub-dots
+    val sd = Array.tabulate(m) { mi =>
+      val book = codebook(mi)
+      Array.tabulate(book.length) { c =>
+        if (book(c) == null) Double.NaN else dotFD(pe, mi * h, book(c))
+      }
+    }
+    // base term per probed cell: dot(query, centroid) — the batch `bq`
+    val bq = scala.collection.mutable.Map.empty[Long, Double]
+    val scored = cands.map { ix =>
+      val b = bq.getOrElseUpdate(ix.cell, dotFD(pe, 0, centroidOf(ix.cell)))
+      var sdsum = 0.0
+      var mi = 0
+      while (mi < m) { sdsum += sd(mi)(ix.codes(mi)); mi += 1 }
+      (ix, (b + sdsum) / math.sqrt(pn * ix.norm2))
+    }
+    // shortlist by (approx desc, vec_id asc), then full-precision
+    // rescore of those alone — the two-stage batch contract
+    val top = scored.sortBy { case (ix, a) => (-a, ix.vec_id) }.take(shortlist)
+      .map { case (ix, _) =>
+        (ix.vec_id, dotFF(pe, ix.embedding) / math.sqrt(pn * ix.norm2)) }
+      .sortBy { case (id, cos) => (-cos, id) }.take(k)
+    top.iterator.zipWithIndex.map { case ((id, cos), r) =>
+      ServeResult(probe, r + 1, id,
+        java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+  }
+
+  /** Online IVF-PQ top-k serving: a STREAM of query vectors answered
+    * against the STATIC staged index — the query side of the production
+    * vector store, completing the twin pair with [[pqIngest]] (the
+    * write side). Per micro-batch: each query picks its nprobe trained
+    * cells in-record, a stream-static equi-join on `cell` fetches the
+    * candidate index rows (at 100 TB the index is parquet partitioned
+    * by cell, so the join prunes to probed cells — candidates ∝
+    * nprobe · n/nlist per query, never the corpus), and the per-probe
+    * state machine scores them: ADC approximate inner product from the
+    * task-local codebook, bounded shortlist, full-precision rescore,
+    * top-k — bit-for-bit the batch `ann_pq_topk` arithmetic (same
+    * folds, same tie-breaks, same rounding), which `AnnServeSpec` pins
+    * on the real gate corpus. State is O(probes × sources) dedup
+    * high-waters; centroids + codebook ride along task-local
+    * (broadcast-scale, the batch pass ships the same tables).
+    */
+  def pqServe(
+      queries: Dataset[QueryEvent],
+      index: Dataset[IndexRow],
+      centroids: Array[(Long, Array[Double])],
+      codebook: Array[Array[Array[Double]]],
+      nprobe: Int,
+      shortlist: Int,
+      k: Int = 5): Dataset[ServeResult] = {
+    import queries.sparkSession.implicits._
+    val probed = queries.flatMap(q =>
+      probedCells(q.embedding, centroids, nprobe).map(c => (c, q)))
+    probed.joinWith(index, probed("_1") === index("cell"))
+      .filter(t => t._2.vec_id != t._1._2.probe)
+      .map { case ((_, q), ix) => (q, ix) }
+      .groupByKey(_._1.probe)
+      .flatMapGroupsWithState[ServeState, ServeResult](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        serveGroup(centroids.toMap, codebook, shortlist, k))
+  }
 }

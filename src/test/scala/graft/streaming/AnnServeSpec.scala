@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.queries.Similarity
+
+/** Batch/stream parity for the ANN SERVING side: query vectors fed
+  * through [[AnnStream.pqServe]] against the static staged index —
+  * shuffled arrival, several micro-batches, re-deliveries — must emit
+  * exactly the batch `ann_pq_topk` rows: same neighbors, same ranks,
+  * same rounded cosines (the in-stream scorer replicates the ADC +
+  * shortlist + rescore arithmetic fold-for-fold, so the comparison is
+  * equality, not tolerance).
+  */
+class AnnServeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Feed the dir's batch probe set through the streaming scorer and
+    * pin exact equality with the batch `ann_pq_topk` rows.
+    */
+  private def checkServeParity(dir: String, queryName: String): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = Similarity.queries("ann_pq_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Number]("probe").longValue(),
+        r.getAs[Number]("rank").intValue(),
+        r.getAs[Number]("neighbor").longValue(),
+        r.getAs[Double]("cos"))).toSet
+    assert(batch.nonEmpty)
+
+    val centroids = Similarity.trainedCentroidArrays(spark, dir)
+    val codebook = Similarity.pqCodebookArrays(spark, dir)
+    val (nprobe, shortlist) = Similarity.pqServingDefaults
+    val index = Similarity.pqServingIndex(spark, dir).as[AnnStream.IndexRow]
+
+    // the batch query's probe set (vec_id < 50), shuffled arrival order
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy { case (id, _) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).map(b => f"$b%02x").mkString
+      }
+    val events = qs.zipWithIndex.map { case ((id, emb), i) =>
+      AnnStream.QueryEvent(src = i % 3, seq = i.toLong, probe = id, embedding = emb)
+    }
+
+    val in = MemoryStream[AnnStream.QueryEvent]
+    val q = AnnStream.pqServe(in.toDS(), index, centroids, codebook, nprobe, shortlist)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update()).start()
+    val rounds = events.grouped(math.max(1, events.length / 3)).toSeq
+    rounds.zipWithIndex.foreach { case (round, i) =>
+      in.addData(round.toIndexedSeq)
+      // at-least-once: re-deliver a slice of an earlier round; the serve
+      // state's per-source high-water must drop every one of them
+      if (i > 0) in.addData(rounds(i - 1).take(5).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val served = spark.table(queryName).as[AnnStream.ServeResult].collect()
+    // re-deliveries emitted nothing: exactly one row per (probe, rank)
+    assert(served.map(r => (r.probe, r.rank)).distinct.length === served.length,
+      "re-delivered queries were served twice")
+    val got = served.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    val missing = batch -- got
+    val extra = got -- batch
+    assert(missing.isEmpty && extra.isEmpty,
+      s"stream/batch serving diverged — missing ${missing.take(3)}, extra ${extra.take(3)}")
+  }
+
+  test("streaming IVF-PQ serving equals batch ann_pq_topk on the gate corpus") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    checkServeParity(dir, "ann_pq_serve")
+  }
+
+  test("streaming serving equals batch past the quantizer floor (b = 1)") {
+    // the AnnStreamSpec synthetic corpus shape (3000 vectors, 10
+    // labels, b = 1) at the REAL corpus geometry dim 64 (the batch
+    // sign seeding reads 4 leading elements per subvector, so h = d/16
+    // must be ≥ 4 — the ingest spec's dim-8 corpus never trains PQ).
+    // Probed cells come from residual-split centroids that diverge
+    // from the labels, so the in-record cell selection and the
+    // per-cell base terms are exercised where they differ from the
+    // seed geometry
+    val n = 3000
+    val dim = 64
+    val rows = (0 until n).map { i =>
+      val label = i % 10
+      val emb = Array.tabulate(dim)(d =>
+        (label * 10.0 + ((i / 10 + d * 3) % 7) * 0.3).toFloat)
+      (i.toLong, emb, label)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("annserve").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    try checkServeParity(dir, "ann_pq_serve_split")
+    finally {
+      Similarity.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
