@@ -369,7 +369,7 @@ object ScaleProbe {
     */
   private def pqSweep(spark: SparkSession): Unit = {
     val dir = "/root/testdata/sf0.1"
-    for (nprobe <- Seq(2, 3, 4); shortlist <- Seq(20, 50)) {
+    for (nprobe <- Seq(2, 3, 4, 5, 6); shortlist <- Seq(20, 50)) {
       val t0 = System.nanoTime()
       val (recall, candRows) =
         graft.queries.Similarity.pqServingMeter(spark, dir, 25, nprobe, shortlist)
