@@ -79,6 +79,69 @@ class AnnServeSpec extends SparkSpec {
     checkServeParity(dir, "ann_pq_serve")
   }
 
+  test("serving state survives a checkpoint restart: no double-serve, no loss") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val batch = Similarity.queries("ann_pq_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Number]("probe").longValue(),
+        r.getAs[Number]("rank").intValue(),
+        r.getAs[Number]("neighbor").longValue(),
+        r.getAs[Double]("cos"))).toSet
+    val centroids = Similarity.trainedCentroidArrays(spark, dir)
+    val codebook = Similarity.pqCodebookArrays(spark, dir)
+    val (nprobe, shortlist) = Similarity.pqServingDefaults
+    val index = Similarity.pqServingIndex(spark, dir).as[AnnStream.IndexRow]
+
+    val root = java.nio.file.Files.createTempDirectory("graft_serve_ckpt").toString
+    val (in, chk) = (s"$root/in", s"$root/chk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    def eventsOf(slice: Array[(Long, Array[Float])], seq0: Int) =
+      slice.zipWithIndex.map { case ((id, emb), i) =>
+        AnnStream.QueryEvent(src = i % 3, seq = (seq0 + i).toLong,
+          probe = id, embedding = emb) }
+    val (qa, qb) = qs.splitAt(25)
+    def writeBatch(events: Array[AnnStream.QueryEvent]): Unit =
+      events.toSeq.toDF().coalesce(1).write.mode("append").parquet(in)
+
+    def runOnce(): Seq[AnnStream.ServeResult] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[AnnStream.ServeResult]
+      val src = spark.readStream
+        .schema("src LONG, seq LONG, probe LONG, embedding ARRAY<FLOAT>")
+        .parquet(in).as[AnnStream.QueryEvent]
+      val fn: (org.apache.spark.sql.Dataset[AnnStream.ServeResult], Long) => Unit =
+        (df, _) => buf.synchronized { buf ++= df.collect(); () }
+      val q = AnnStream.pqServe(src, index, centroids, codebook, nprobe, shortlist)
+        .writeStream
+        .foreachBatch(fn)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Update()).start()
+      q.processAllAvailable()
+      q.stop()
+      buf.toSeq
+    }
+
+    writeBatch(eventsOf(qa, 0))
+    val r1 = runOnce()
+    assert(r1.map(_.probe).toSet === qa.map(_._1).toSet)
+    // restart from the checkpoint: re-deliver ALL of round 1 (same
+    // (probe, src, seq)) plus the fresh second half — the restored
+    // per-probe high-waters must drop every re-delivery and serve
+    // exactly the new probes
+    writeBatch(eventsOf(qa, 0))
+    writeBatch(eventsOf(qb, 1000))
+    val r2 = runOnce()
+    assert(r2.map(_.probe).toSet === qb.map(_._1).toSet,
+      "restart lost serve state: re-deliveries were served again or new probes dropped")
+    val got = (r1 ++ r2).map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    assert(got === batch, "united restart output diverged from the batch rows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming serving equals batch past the quantizer floor (b = 1)") {
     // the AnnStreamSpec synthetic corpus shape (3000 vectors, 10
     // labels, b = 1) at the REAL corpus geometry dim 64 (the batch
