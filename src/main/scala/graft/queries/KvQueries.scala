@@ -192,9 +192,19 @@ object KvQueries {
             coalesce($"n_shards", lit(0L)).as("n_shards"),
             coalesce($"n_gc", lit(0L)).as("n_gc"))
       }
+      // each epoch view is MATERIALIZED (localCheckpoint — metadata
+      // rows) before the next transition reads it: snapshot e and the
+      // e+1 handoff both consume view_e, and without the cut the final
+      // 4-way union recomputes every earlier epoch's joins once per
+      // branch (quadratic lineage, ~20 broadcast exchanges for a
+      // 26-row table). This is also the 100 TB shape — a real
+      // reconfiguration persists each epoch's owner view as a staged
+      // table and runs one job per transition, not one lineage from
+      // genesis.
       var view = fe.filter($"fe" <= 0)
         .join(broadcast(cfgs.filter($"epoch" === 0).select($"shard", $"gid")), "shard")
         .select($"key", $"shard", $"gid")
+        .localCheckpoint()
       var out = snap(view, Seq.empty[(Int, Long)].toDF("gid", "n_gc"), hist.head.num)
       for (e <- 1 until hist.size) {
         val cur = cfgs.filter($"epoch" === e).select($"shard", $"gid".as("new_gid"))
@@ -207,7 +217,7 @@ object KvQueries {
         val carried = joined.select($"key", $"shard", $"new_gid".as("gid"))
         val arrived = fe.filter($"fe" === e).join(broadcast(cur), "shard")
           .select($"key", $"shard", $"new_gid".as("gid"))
-        view = carried.union(arrived)
+        view = carried.union(arrived).localCheckpoint()
         out = out.union(snap(view, gcPer, hist(e).num))
       }
       out.orderBy($"config_num", $"gid")
