@@ -39,6 +39,10 @@ object ScaleProbe {
 
     if (args.headOption.contains("sweep")) { pqSweep(spark); spark.stop(); return }
     if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
+    if (args.headOption.contains("serve")) {
+      serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val vectorsOnly = args.contains("vectors")
     val docsOnly = args.contains("docs")
@@ -382,6 +386,104 @@ object ScaleProbe {
         graft.queries.Similarity.imiServingMeter(spark, dir, 25, w)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"sweep": "imi", "w": $w, "recall_at5": $recall%.3f, "cand_rows": $candRows, "sec": $sec%.2f}""")
+    }
+  }
+
+  /** Streaming-serving latency ladder: per-micro-batch wall time of the
+    * TWO serving forms at 1× and m× corpus — the measurement behind the
+    * [[graft.streaming.AnnStream.pqServe]] scale-limit docstring.
+    * Protocol per (form, corpus): one warmup batch, then 3 timed
+    * batches of 25 queries (fresh probe ids per batch so the dedup
+    * state admits them); the reported number is the MEDIAN batch. The
+    * stream-static form's static side is planned once and re-read per
+    * batch (no dynamic partition pruning in streaming), so its batch
+    * latency must grow with the corpus; the pruned foreachBatch form
+    * reads only the probed cells' partition dirs and must stay ~flat.
+    * The one-off cell-partitioned index write (the index-build job's
+    * last step) is timed separately.
+    */
+  private def serveProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/root/testdata/sf0.1"
+    val rep = s"/tmp/graft_scale${m}v"
+    if (!new java.io.File(s"$rep/embeddings.parquet").exists()) {
+      val embBase = spark.read.parquet(s"$base/embeddings.parquet")
+      val en = embBase.count()
+      (0 until m).map { k =>
+        embBase.select(
+          ($"vec_id" + lit(k * en)).as("vec_id"),
+          (if (k == 0) $"embedding"
+           else transform($"embedding", x => x + lit(k * 0.001f))).as("embedding"),
+          $"label")
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$rep/embeddings.parquet")
+      println(s"""{"built": "$rep", "vectors": ${en * m}}""")
+    }
+    for ((tag, dir) <- Seq(("1", base), (m.toString, rep))) {
+      graft.queries.Similarity.clearCaches()
+      val centroids = graft.queries.Similarity.trainedCentroidArrays(spark, dir)
+      val codebook = graft.queries.Similarity.pqCodebookArrays(spark, dir)
+      val (nprobe, shortlist) = graft.queries.Similarity.pqServingDefaults
+      val idxPath = s"/tmp/graft_serve_idx_$tag"
+      val tw0 = System.nanoTime()
+      graft.queries.Similarity.writeServingIndex(spark, dir, idxPath)
+      val wSec = (System.nanoTime() - tw0) / 1e9
+      println(f"""{"serve": "index_write", "mult": $tag, "sec": $wSec%.2f}""")
+      // request batches of 5: small enough that the union of probed
+      // cells stays well under nlist (the regime where pruning has
+      // anything to prune — a batch that probes every cell reads the
+      // whole index under either form)
+      val qvecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"vec_id" < 5)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      def batchEvents(b: Int) = qvecs.zipWithIndex.map { case ((_, emb), i) =>
+        graft.streaming.AnnStream.QueryEvent(
+          src = 0, seq = (b.toLong << 16) + i,
+          probe = b * 100000L + i, embedding = emb)
+      }.toIndexedSeq
+      def timeBatches(run: (IndexedSeq[graft.streaming.AnnStream.QueryEvent] => Unit)): Double = {
+        run(batchEvents(0)) // warmup: plan + codegen + state store
+        run(batchEvents(1))
+        val times = (2 to 4).map { b =>
+          val t0 = System.nanoTime()
+          run(batchEvents(b))
+          (System.nanoTime() - t0) / 1e9
+        }
+        times.sorted.apply(1) // median of 3
+      }
+
+      // pruned foreachBatch form
+      locally {
+        val in = MemoryStream[graft.streaming.AnnStream.QueryEvent]
+        var served = 0L
+        val q = graft.streaming.AnnStream.pqServePruned(
+          in.toDS(), idxPath, centroids, codebook, nprobe, shortlist) { ds =>
+          served += ds.count() }
+          .start()
+        val sec = timeBatches { evs => in.addData(evs); q.processAllAvailable() }
+        q.stop()
+        println(f"""{"serve": "pruned", "mult": $tag, "batch_sec": $sec%.2f, "served": $served}""")
+      }
+      // stream-static join form
+      locally {
+        val index = spark.read.parquet(idxPath)
+          .select($"vec_id", $"cell".cast("long").as("cell"), $"norm2",
+            $"codes", $"embedding")
+          .as[graft.streaming.AnnStream.IndexRow]
+        val in = MemoryStream[graft.streaming.AnnStream.QueryEvent]
+        val q = graft.streaming.AnnStream.pqServe(
+          in.toDS(), index, centroids, codebook, nprobe, shortlist)
+          .writeStream.format("memory").queryName(s"serve_ss_$tag")
+          .outputMode(OutputMode.Update()).start()
+        val sec = timeBatches { evs => in.addData(evs); q.processAllAvailable() }
+        q.stop()
+        val served = spark.table(s"serve_ss_$tag").count()
+        println(f"""{"serve": "stream_static", "mult": $tag, "batch_sec": $sec%.2f, "served": $served}""")
+      }
     }
   }
 

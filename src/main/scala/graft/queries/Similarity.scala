@@ -1937,6 +1937,17 @@ object Similarity {
     */
   def pqServingDefaults: (Int, Int) = (PqNprobe, 50)
 
+  /** Write the serving index CELL-PARTITIONED — the on-disk layout
+    * [[graft.streaming.AnnStream.pqServePruned]] partition-prunes
+    * against (one hive-style directory per IVF cell; each micro-batch
+    * reads only its probed cells' files). This is the index-build job's
+    * final step in the at-scale serving story; the flat
+    * [[pqServingIndex]] frame remains the stream-static-join form's
+    * input.
+    */
+  def writeServingIndex(s: SparkSession, dir: String, path: String): Unit =
+    pqServingIndex(s, dir).write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** Serving-knob meter (ScaleProbe-only diagnostic): recall@5 of the
     * PQ pass against the exact brute force at explicit (nprobe,
     * shortlist), plus the candidate-scan row count (Σ probed-cell

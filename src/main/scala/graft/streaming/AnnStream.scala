@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the ANN ingest path: new vectors arrive in a
@@ -272,7 +273,23 @@ object AnnStream {
     val q0 = fresh.head._1
     val cands = fresh.collect {
       case (q, ix) if q.src == q0.src && q.seq == q0.seq => ix }
-    val pe = q0.embedding
+    score(q0, cands, centroidOf, codebook, shortlist, k)
+  }
+
+  /** The per-query scoring core shared by both serving forms: ADC
+    * approximate inner product from the task-local codebook, bounded
+    * shortlist by (approx desc, id asc), full-precision rescore of the
+    * shortlist alone, top-k by (cos desc, id asc) with HALF_UP
+    * 6-decimal rounding — bit-for-bit the batch `ann_pq_topk`
+    * arithmetic (same folds, same tie-breaks, same rounding).
+    */
+  private def score(
+      q: QueryEvent,
+      cands: Seq[IndexRow],
+      centroidOf: Map[Long, Array[Double]],
+      codebook: Array[Array[Array[Double]]],
+      shortlist: Int, k: Int): Iterator[ServeResult] = {
+    val pe = q.embedding
     val pn = dotFF(pe, pe)
     val m = codebook.length
     val h = pe.length / m
@@ -300,7 +317,7 @@ object AnnStream {
         (ix.vec_id, dotFF(pe, ix.embedding) / math.sqrt(pn * ix.norm2)) }
       .sortBy { case (id, cos) => (-cos, id) }.take(k)
     top.iterator.zipWithIndex.map { case ((id, cos), r) =>
-      ServeResult(probe, r + 1, id,
+      ServeResult(q.probe, r + 1, id,
         java.math.BigDecimal.valueOf(cos)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
     }
@@ -311,16 +328,21 @@ object AnnStream {
     * vector store, completing the twin pair with [[pqIngest]] (the
     * write side). Per micro-batch: each query picks its nprobe trained
     * cells in-record, a stream-static equi-join on `cell` fetches the
-    * candidate index rows (at 100 TB the index is parquet partitioned
-    * by cell, so the join prunes to probed cells — candidates ∝
-    * nprobe · n/nlist per query, never the corpus), and the per-probe
-    * state machine scores them: ADC approximate inner product from the
-    * task-local codebook, bounded shortlist, full-precision rescore,
-    * top-k — bit-for-bit the batch `ann_pq_topk` arithmetic (same
-    * folds, same tie-breaks, same rounding), which `AnnServeSpec` pins
-    * on the real gate corpus. State is O(probes × sources) dedup
-    * high-waters; centroids + codebook ride along task-local
-    * (broadcast-scale, the batch pass ships the same tables).
+    * candidate index rows, and the per-probe state machine scores them
+    * through [[score]]. State is O(probes × sources) dedup high-waters;
+    * centroids + codebook ride along task-local (broadcast-scale, the
+    * batch pass ships the same tables). `AnnServeSpec` pins exact batch
+    * parity on the real gate corpus.
+    *
+    * SCALE LIMIT, measured (`ScaleProbe serve`, SCALING.md round 11):
+    * the static side of a continuous stream-static join is planned
+    * ONCE — Spark has no dynamic partition pruning for streaming
+    * queries, so every micro-batch re-reads the full index regardless
+    * of on-disk layout, and per-batch latency grows with the corpus.
+    * This form is right for an index that fits a broadcast or for
+    * high-fanout batches that touch most cells; the corpus-scale form
+    * is [[pqServePruned]], where each batch's probed cells become
+    * LITERAL partition filters.
     */
   def pqServe(
       queries: Dataset[QueryEvent],
@@ -340,5 +362,99 @@ object AnnStream {
       .flatMapGroupsWithState[ServeState, ServeResult](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(
         serveGroup(centroids.toMap, codebook, shortlist, k))
+  }
+
+  /** The deduped query stream shared by [[pqServePruned]]: one
+    * QueryEvent per probe per micro-batch, re-deliveries dropped by the
+    * per-probe high-water state — the same at-least-once contract as
+    * [[pqServe]], applied BEFORE the index is touched.
+    */
+  private def dedupedQueries(queries: Dataset[QueryEvent]): Dataset[QueryEvent] = {
+    import queries.sparkSession.implicits._
+    queries.groupByKey(_.probe)
+      .flatMapGroupsWithState[ServeState, QueryEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[QueryEvent], state: GroupState[ServeState]) =>
+          var st = state.getOption.getOrElse(ServeState(Map.empty))
+          val fresh = evs.toSeq.filter(q =>
+            q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            fresh.foreach { q =>
+              if (q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
+                st = ServeState(st.lastSeq + (q.src -> q.seq))
+            }
+            state.update(st)
+            Iterator.single(fresh.minBy(q => (q.seq, q.src)))
+          }
+      }
+  }
+
+  /** Corpus-scale serving: the deduped query batch's probed cells
+    * become LITERAL partition filters on a CELL-PARTITIONED on-disk
+    * index (written by [[graft.queries.Similarity.writeServingIndex]]),
+    * so each micro-batch reads candidates ∝ batch · nprobe · n/nlist —
+    * never the corpus. A continuous stream-static join cannot plan
+    * this (no dynamic partition pruning in streaming); foreachBatch
+    * CAN, because the batch side is driver-visible when the per-batch
+    * plan is built: collect the (bounded, request-sized) query batch,
+    * push `cell IN (probed)` into the parquet scan, fan candidates to
+    * their probes with a task-local cell→probes map, group per probe,
+    * and run the SAME [[score]] core. Candidate shuffle is
+    * O(batch · nprobe · n/nlist); results append to `sink` per batch.
+    * Start it like any foreachBatch query:
+    * `pqServePruned(...).option("checkpointLocation", c).start()`.
+    */
+  def pqServePruned(
+      queries: Dataset[QueryEvent],
+      indexPath: String,
+      centroids: Array[(Long, Array[Double])],
+      codebook: Array[Array[Array[Double]]],
+      nprobe: Int,
+      shortlist: Int,
+      k: Int = 5)(
+      sink: Dataset[ServeResult] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[QueryEvent] = {
+    val centroidOf = centroids.toMap
+    val fn: (Dataset[QueryEvent], Long) => Unit = { (batch, _) =>
+      val s = batch.sparkSession
+      import s.implicits._
+      // the query batch is the request side — bounded by construction
+      // (a serving tier answers requests in bounded batches); collecting
+      // it is what lets the per-batch plan carry literal cell filters
+      val qs = batch.collect()
+      if (qs.nonEmpty) {
+        val cellProbes: Map[Long, Array[(Long, Array[Float])]] = qs
+          .flatMap(q => probedCells(q.embedding, centroids, nprobe)
+            .map(c => (c, (q.probe, q.embedding))))
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+        val qMap: Map[Long, QueryEvent] = qs.map(q => q.probe -> q).toMap
+        val cells = cellProbes.keys.toSeq.sorted
+        val idx = s.read.parquet(indexPath)
+        // literal type matched to the INFERRED partition-column type
+        // (hive-style partition dirs read back as INT when values fit) —
+        // a type-exact IN list keeps the filter a clean partition-prune,
+        // with no cast wrapped around the partition attribute
+        val inList: Seq[Any] =
+          if (idx.schema("cell").dataType == org.apache.spark.sql.types.IntegerType)
+            cells.map(_.toInt)
+          else cells
+        val cand = idx
+          .where(col("cell").isin(inList: _*))
+          .select($"vec_id", $"cell".cast("long").as("cell"), $"norm2",
+            $"codes", $"embedding")
+          .as[IndexRow]
+        val results = cand
+          .flatMap(ix => cellProbes.getOrElse(ix.cell, Array.empty)
+            .collect { case (p, _) if p != ix.vec_id => (p, ix) })
+          .groupByKey(_._1)
+          .flatMapGroups { (probe: Long, it: Iterator[(Long, IndexRow)]) =>
+            score(qMap(probe), it.map(_._2).toSeq, centroidOf, codebook,
+              shortlist, k)
+          }
+        sink(results)
+      }
+    }
+    dedupedQueries(queries).writeStream.foreachBatch(fn)
+      .outputMode(OutputMode.Update())
   }
 }

@@ -142,6 +142,60 @@ class AnnServeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("pruned serving: cell-partitioned index, literal partition filters, batch parity") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Similarity.queries("ann_pq_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Number]("probe").longValue(),
+        r.getAs[Number]("rank").intValue(),
+        r.getAs[Number]("neighbor").longValue(),
+        r.getAs[Double]("cos"))).toSet
+    val centroids = Similarity.trainedCentroidArrays(spark, dir)
+    val codebook = Similarity.pqCodebookArrays(spark, dir)
+    val (nprobe, shortlist) = Similarity.pqServingDefaults
+
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_serve_idx").toString
+    Similarity.writeServingIndex(spark, dir, idxPath)
+    // the partitioned layout really prunes: a literal IN on the cell
+    // column must surface as PartitionFilters on the parquet scan (and
+    // the read must return only those cells' rows)
+    val someCells = Seq(0, 1)
+    val prunedScan = spark.read.parquet(idxPath)
+      .where(org.apache.spark.sql.functions.col("cell").isin(someCells: _*))
+    val planStr = prunedScan.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
+      s"cell IN (...) did not become a partition filter:\n$planStr")
+    assert(prunedScan.select("cell").distinct().collect()
+      .map(_.getAs[Number]("cell").intValue()).toSet.subsetOf(someCells.toSet))
+
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val events = qs.zipWithIndex.map { case ((id, emb), i) =>
+      AnnStream.QueryEvent(src = i % 3, seq = i.toLong, probe = id, embedding = emb)
+    }
+    val in = MemoryStream[AnnStream.QueryEvent]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[AnnStream.ServeResult]
+    val q = AnnStream.pqServePruned(in.toDS(), idxPath, centroids, codebook,
+      nprobe, shortlist) { ds => buf.synchronized { buf ++= ds.collect(); () } }
+      .start()
+    val rounds = events.grouped(math.max(1, events.length / 3)).toSeq
+    rounds.zipWithIndex.foreach { case (round, i) =>
+      in.addData(round.toIndexedSeq)
+      if (i > 0) in.addData(rounds(i - 1).take(5).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(buf.map(r => (r.probe, r.rank)).distinct.length === buf.length,
+      "re-delivered queries were served twice")
+    val got = buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    assert(got === batch,
+      s"pruned serving diverged from batch — missing ${(batch -- got).take(3)}, extra ${(got -- batch).take(3)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
+  }
+
   test("streaming serving equals batch past the quantizer floor (b = 1)") {
     // the AnnStreamSpec synthetic corpus shape (3000 vectors, 10
     // labels, b = 1) at the REAL corpus geometry dim 64 (the batch
