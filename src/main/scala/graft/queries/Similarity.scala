@@ -476,7 +476,8 @@ object Similarity {
     // energy before vs after PQ reconstruction — the variance the codes
     // fail to explain IS the approximation error ADC ranking carries,
     // made queryable per corpus. Exact-DECIMAL sums keep the energies
-    // partition-order free.
+    // partition-order free. (Oracle twin of the ann_serving_index meter
+    // sits with the other PQ oracles below.)
     "ann_pq_codes" -> { (s, dir) =>
       import s.implicits._
       val book = pqCodebook(s, dir).agg(count(lit(1)).as("codebook_rows"))
@@ -499,6 +500,33 @@ object Similarity {
       energies.crossJoin(broadcast(book)).crossJoin(broadcast(used))
         .select($"codebook_rows", $"codes_used",
           $"resid_energy", $"quant_error")
+    },
+
+    // The SERVING-INDEX artifact under the hash gate: pqServingIndex is
+    // the exact frame the streaming serving twins consume (cell routing
+    // + per-vector code arrays + norms + embeddings), and this meter
+    // pins its derivation against the oracle's independently re-trained
+    // assignment + code chain — row count, cell count, code-array
+    // width, total code mass, a vec↔cell pairing checksum, and the
+    // DECIMAL-exact norm mass. A drift anywhere in the join (dropped
+    // vectors, misrouted cells, reordered code arrays) moves at least
+    // one column.
+    "ann_serving_index" -> { (s, dir) =>
+      import s.implicits._
+      pqServingIndex(s, dir)
+        .select($"vec_id", $"cell",
+          aggregate($"codes", lit(0L), (acc, x) => acc + x).as("cmass"),
+          size($"codes").cast("long").as("m_width"),
+          $"norm2")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"cell").as("n_cells"),
+          min($"m_width").as("m_min"),
+          max($"m_width").as("m_max"),
+          sum($"cmass").as("code_mass"),
+          sum(($"vec_id" % 997) * $"cell").as("route_mass"),
+          round(sum($"norm2".cast("decimal(27,6)")).cast("double"), 4)
+            .as("norm_mass"))
     },
 
     // Embedding near-dup blocked by the TRAINED centroid assignment
@@ -2697,6 +2725,26 @@ object Similarity {
          |  round(CAST(SUM(CAST(re AS DECIMAL(27,10))) AS DOUBLE), 6) AS resid_energy,
          |  round(CAST(SUM(CAST(qe AS DECIMAL(27,10))) AS DOUBLE), 6) AS quant_error
          |FROM err""".stripMargin,
+
+    "ann_serving_index" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |$PqCte,
+         |codemass AS (
+         |  SELECT vec_id, CAST(SUM(code) AS BIGINT) AS cmass,
+         |    CAST(count(*) AS BIGINT) AS m_width
+         |  FROM codes GROUP BY vec_id)
+         |SELECT
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT a.alabel) AS BIGINT) AS n_cells,
+         |  CAST(min(q.m_width) AS BIGINT) AS m_min,
+         |  CAST(max(q.m_width) AS BIGINT) AS m_max,
+         |  CAST(SUM(q.cmass) AS BIGINT) AS code_mass,
+         |  CAST(SUM((v.vec_id % 997) * a.alabel) AS BIGINT) AS route_mass,
+         |  round(CAST(SUM(CAST(v.norm2 AS DECIMAL(27,6))) AS DOUBLE), 4) AS norm_mass
+         |FROM v
+         |JOIN asg a ON a.vec_id = v.vec_id
+         |JOIN codemass q ON q.vec_id = v.vec_id""".stripMargin,
 
     "ann_imi_cells" ->
       s"""$VecCte,
