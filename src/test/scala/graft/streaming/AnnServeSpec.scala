@@ -196,6 +196,85 @@ class AnnServeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
   }
 
+  test("write-read loop: vectors ingested via pqIngest are served by pqServe") {
+    // the full production loop between index retrains: hold 10 vectors
+    // OUT of the trained corpus, write them through the streaming WRITE
+    // side (pqIngest: cell + codes in-stream, against the existing
+    // quantizer), append their index rows, and ask the READ side for
+    // each held-out embedding under a fresh probe id — the ingested
+    // vector must come back as the TOP-1 neighbor at cos 1.0 (identical
+    // embedding, and its assigned cell is by construction the query's
+    // first probed cell: assignCell and probedCells share the argmin)
+    val src = "/root/testdata/sf0.001"
+    assume(new java.io.File(src).isDirectory, s"$src not present")
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet(s"$src/embeddings.parquet")
+    val ids = all.select($"vec_id").orderBy($"vec_id".desc).limit(10)
+      .as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("annloop").toString
+    all.filter(!$"vec_id".isin(ids.toSeq: _*))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearCaches()
+    try {
+      val centroids = Similarity.trainedCentroidArrays(spark, dir)
+      val codebook = Similarity.pqCodebookArrays(spark, dir)
+      val (nprobe, shortlist) = Similarity.pqServingDefaults
+      val held = all.filter($"vec_id".isin(ids.toSeq: _*))
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+
+      // WRITE side: the held-out vectors arrive in-stream
+      val inW = MemoryStream[AnnStream.VecEvent]
+      val qw = AnnStream.pqIngest(inW.toDS(), centroids, codebook)
+        .writeStream.format("memory").queryName("loop_ingest")
+        .outputMode(OutputMode.Update()).start()
+      inW.addData(held.zipWithIndex.map { case ((id, emb), i) =>
+        AnnStream.VecEvent(src = 0, seq = i.toLong, vec_id = id, embedding = emb)
+      }.toIndexedSeq)
+      qw.processAllAvailable(); qw.stop()
+      val ingested = spark.table("loop_ingest")
+        .select($"vec_id", $"cell", $"codes")
+        .as[(Long, Long, Array[Int])].collect()
+      assert(ingested.length === held.length)
+
+      // append the ingested rows to the serving index (norm2 via the
+      // same FloatDot fold the batch index stores)
+      val embOf = held.toMap
+      val newRows = ingested.map { case (id, cell, codes) =>
+        val e = embOf(id)
+        var n2 = 0.0; var i = 0
+        while (i < e.length) { n2 += e(i).toDouble * e(i).toDouble; i += 1 }
+        AnnStream.IndexRow(id, cell, n2, codes, e)
+      }
+      val index = Similarity.pqServingIndex(spark, dir).as[AnnStream.IndexRow]
+        .union(newRows.toSeq.toDS())
+
+      // READ side: each held-out embedding under a fresh probe id
+      val inR = MemoryStream[AnnStream.QueryEvent]
+      val qr = AnnStream.pqServe(inR.toDS(), index, centroids, codebook,
+        nprobe, shortlist)
+        .writeStream.format("memory").queryName("loop_serve")
+        .outputMode(OutputMode.Update()).start()
+      inR.addData(held.zipWithIndex.map { case ((id, emb), i) =>
+        AnnStream.QueryEvent(src = 0, seq = i.toLong,
+          probe = id + 1000000L, embedding = emb)
+      }.toIndexedSeq)
+      qr.processAllAvailable(); qr.stop()
+      val top1 = spark.table("loop_serve").as[AnnStream.ServeResult]
+        .collect().filter(_.rank == 1).map(r => r.probe -> r).toMap
+      held.foreach { case (id, _) =>
+        val r = top1.get(id + 1000000L)
+        assert(r.isDefined, s"held-out vector $id: no serve result")
+        assert(r.get.neighbor === id,
+          s"held-out vector $id: top-1 is ${r.get.neighbor}, not the ingested vector")
+        assert(r.get.cos === 1.0,
+          s"held-out vector $id: top-1 cos ${r.get.cos} != 1.0")
+      }
+    } finally {
+      Similarity.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streaming serving equals batch past the quantizer floor (b = 1)") {
     // the AnnStreamSpec synthetic corpus shape (3000 vectors, 10
     // labels, b = 1) at the REAL corpus geometry dim 64 (the batch
