@@ -263,7 +263,7 @@ object ScaleProbe {
       ("ann_filtered_topk", "cold"), ("ann_filtered_ivf", "warm"),
       ("ann_postfilter_recall", "warm"),
       ("ann_pca_project", "cold"), ("ann_pca_topk", "warm"),
-      ("ann_pca_cells", "warm"))) {
+      ("ann_pca_cells", "warm"), ("ann_serving_index", "warm"))) {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
