@@ -78,11 +78,10 @@ object Staging {
       sig.append('|').append(t)
       if (Files.exists(p)) {
         // single file or directory-of-files: fold every regular file
-        import scala.jdk.CollectionConverters._
         val files =
           if (Files.isDirectory(p))
-            Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-              .sortBy(_.toString)
+            withStream(Files.walk(p))(
+              _.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString))
           else Seq(p)
         files.foreach { f =>
           sig.append(':').append(f.getFileName).append(':')
@@ -106,12 +105,20 @@ object Staging {
     enabled && (try {
       val (slug, fp) = generationDir(dir)
       val gen = Paths.get(root, s"$slug-$fp")
-      Files.isDirectory(gen) && {
-        import scala.jdk.CollectionConverters._
-        Files.list(gen).iterator().asScala
-          .exists(p => Files.exists(p.resolve("_SUCCESS")))
-      }
+      Files.isDirectory(gen) &&
+        withStream(Files.list(gen))(
+          _.exists(p => Files.exists(p.resolve("_SUCCESS"))))
     } catch { case NonFatal(_) => false })
+
+  /** Run `f` over a directory stream's iterator, always closing the
+    * stream — `Files.list`/`Files.walk` hold an open directory handle
+    * until closed, and the bench calls [[isWarm]] once per invocation.
+    */
+  private def withStream[A](s: java.util.stream.Stream[Path])(
+      f: Iterator[Path] => A): A = {
+    import scala.jdk.CollectionConverters._
+    try f(s.iterator().asScala) finally s.close()
+  }
 
   /** Read the named artifact for this corpus generation if staged, else
     * run `build`, stage its result, and return a scan of the staged
@@ -169,13 +176,12 @@ object Staging {
       val slug = gen.getFileName.toString.dropRight(17) // strip "-<16-hex fp>"
       val parent = gen.getParent
       if (slug.nonEmpty && Files.isDirectory(parent)) {
-        import scala.jdk.CollectionConverters._
-        Files.list(parent).iterator().asScala
-          .filter(p => p != gen && Files.isDirectory(p))
-          .filter(_.getFileName.toString.startsWith(slug + "-"))
-          // same slug, different fingerprint = a superseded generation
-          .filter(_.getFileName.toString.length == gen.getFileName.toString.length)
-          .foreach(deleteRecursively)
+        withStream(Files.list(parent))(
+          _.filter(p => p != gen && Files.isDirectory(p))
+            .filter(_.getFileName.toString.startsWith(slug + "-"))
+            // same slug, different fingerprint = a superseded generation
+            .filter(_.getFileName.toString.length == gen.getFileName.toString.length)
+            .foreach(deleteRecursively))
       }
     } catch { case NonFatal(_) => () }
 
@@ -187,26 +193,24 @@ object Staging {
     try {
       val rootP = Paths.get(root)
       if (Files.isDirectory(rootP)) {
-        import scala.jdk.CollectionConverters._
-        Files.list(rootP).iterator().asScala
-          .filter(Files.isDirectory(_))
-          .foreach { gen =>
-            val marker = gen.resolve(".corpus")
-            if (Files.isRegularFile(marker)) {
-              val corpus = try Files.readString(marker).trim
-                catch { case NonFatal(_) => "" }
-              if (corpus.nonEmpty && !Files.exists(Paths.get(corpus)))
-                deleteRecursively(gen)
-            }
-          }
+        withStream(Files.list(rootP))(
+          _.filter(Files.isDirectory(_))
+            .foreach { gen =>
+              val marker = gen.resolve(".corpus")
+              if (Files.isRegularFile(marker)) {
+                val corpus = try Files.readString(marker).trim
+                  catch { case NonFatal(_) => "" }
+                if (corpus.nonEmpty && !Files.exists(Paths.get(corpus)))
+                  deleteRecursively(gen)
+              }
+            })
       }
     } catch { case NonFatal(_) => () }
 
   private def deleteRecursively(p: Path): Unit =
     try {
-      import scala.jdk.CollectionConverters._
       if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(f => try Files.delete(f) catch { case NonFatal(_) => () })
+        withStream(Files.walk(p).sorted(java.util.Comparator.reverseOrder()))(
+          _.foreach(f => try Files.delete(f) catch { case NonFatal(_) => () }))
     } catch { case NonFatal(_) => () }
 }

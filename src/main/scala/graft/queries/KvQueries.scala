@@ -155,6 +155,103 @@ object KvQueries {
         .orderBy($"config_num", $"gid")
     },
 
+    // K6 MULTI-epoch-stale reroute (the TestMissChange analogue, ref:
+    // shardkv/test_test.go TestMissChange + the clerk's repeated
+    // re-Query loop, shardkv/client.go:102-130): kv_reroute models a
+    // clerk exactly ONE config stale; here clerks have missed SEVERAL
+    // reconfigurations — clerk lag = clientId mod 4 epochs (capped at
+    // config 0) — and walk FORWARD through the missed configs: attempt
+    // the owner under the cached config, on ErrWrongGroup fetch the
+    // next config and retry, until an attempt lands on the group that
+    // currently owns the shard (which may happen EARLY if the shard's
+    // owner didn't change across the missed configs — the chain stops
+    // at gid equality, not at the newest epoch). Output per (config,
+    // group): ops served, ops that arrived after ≥1 rejection, the
+    // longest rejection chain any served op walked, and wrong attempts
+    // this group itself bounced (a group serving nothing still rejects
+    // — the anchor-union discipline of kv_reroute).
+    // Scale: the chain table is driver-computed METADATA (epochs ×
+    // lags × shards = 160 rows, exactly like the clerk's cached
+    // config) broadcast against the deduped op log; no shuffle beyond
+    // the one metadata aggregation.
+    "kv_reroute_multi" -> { (s, dir) =>
+      import s.implicits._
+      val hist = Sharding.scriptedHistory.drop(1)
+      val nE = hist.size
+      def gidOf(e: Int, sh: Int): Int = hist(e).shards(sh)
+      val combos = for {
+        e <- 0 until nE; lag <- 0 until nE; sh <- 0 until Sharding.NShards
+      } yield {
+        val c0 = math.max(0, e - lag)
+        val cur = gidOf(e, sh)
+        val si = (c0 to e).find(i => gidOf(i, sh) == cur).get
+        (e, lag, sh, si, c0)
+      }
+      val serveDf = combos
+        .map { case (e, lag, sh, si, c0) => (e, lag, sh, (si - c0).toLong) }
+        .toDF("epoch", "lag", "shard", "n_wrong")
+      val rejectDf = combos
+        .flatMap { case (e, lag, sh, si, c0) =>
+          (c0 until si).map(i => (e, lag, sh, gidOf(i, sh))) }
+        .toDF("epoch", "lag", "shard", "reject_gid")
+      val ops = routedOps(s, dir)
+        .withColumn("lag", ($"clientId" % nE).cast("int"))
+        .join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
+      val served = ops.join(broadcast(serveDf), Seq("epoch", "lag", "shard"))
+        .groupBy($"config_num", $"gid")
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when($"n_wrong" > 0, 1L).otherwise(0L)).as("n_rerouted"),
+          max($"n_wrong").as("max_wrong"))
+      val rejected = ops.join(broadcast(rejectDf), Seq("epoch", "lag", "shard"))
+        .groupBy($"config_num", $"reject_gid".as("gid"))
+        .agg(count(lit(1)).as("n_wrong_rejected"))
+      val keys = served.select($"config_num", $"gid")
+        .union(rejected.select($"config_num", $"gid")).distinct()
+      keys.join(broadcast(served), Seq("config_num", "gid"), "left")
+        .join(broadcast(rejected), Seq("config_num", "gid"), "left")
+        .select($"config_num", $"gid",
+          coalesce($"n_ops", lit(0L)).as("n_ops"),
+          coalesce($"n_rerouted", lit(0L)).as("n_rerouted"),
+          coalesce($"max_wrong", lit(0L)).as("max_wrong"),
+          coalesce($"n_wrong_rejected", lit(0L)).as("n_wrong_rejected"))
+        .orderBy($"config_num", $"gid")
+    },
+
+    // Per-shard PARTIAL migration progress (the TestChallenge2Partial
+    // analogue, ref: shardkv/test_test.go:887): a reconfiguration's
+    // handoff applies per SHARD, not per epoch — ops on a shard are
+    // servable at its new owner as soon as THAT shard's batch arrives,
+    // while sibling shards' batches are still pending. The meter walks
+    // each transition's moved shards in arrival order (shard id) and
+    // reports, after each arrival step: the shard, its old and new
+    // owner, keys handed off, keys already servable at their new
+    // owners (cumulative), and keys still pending behind later
+    // arrivals. KvPartialMigrationSpec drives the actual per-shard
+    // DataFrame fold and pins early-service set equality at every
+    // intermediate step; this query pins the counts against the
+    // oracle's direct definition.
+    // Scale: per-shard key counts are one metadata aggregation; the
+    // cumulative window runs over ≤ NShards rows per transition.
+    "kv_partial_migration" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val movedDf = movedShards(s)
+      val fe = firstEpochs(s, dir)
+      val cnt = fe.join(broadcast(movedDf),
+          fe("shard") === movedDf("shard") && fe("fe") < movedDf("epoch"))
+        .groupBy($"config_num", $"step").agg(count(lit(1)).as("nk"))
+      val base = movedDf.join(broadcast(cnt), Seq("config_num", "step"), "left")
+        .withColumn("n_keys_moved", coalesce($"nk", lit(0L)))
+      val cum = Window.partitionBy($"config_num").orderBy($"step")
+      val tot = Window.partitionBy($"config_num")
+      base.select($"config_num", $"step", $"shard", $"from_gid", $"to_gid",
+          $"n_keys_moved",
+          sum($"n_keys_moved").over(cum).as("cum_servable"),
+          (sum($"n_keys_moved").over(tot) - sum($"n_keys_moved").over(cum))
+            .as("n_pending"))
+        .orderBy($"config_num", $"step")
+    },
+
     // Migrated-shard state GC (the TestChallenge1Delete analogue,
     // ref: shardkv/test_test.go:663-742): a group that loses a shard
     // must DELETE that shard's state, so total memory across groups
@@ -286,7 +383,35 @@ object KvQueries {
   private val feCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def firstEpochs(s: SparkSession, dir: String): DataFrame =
+  /** Drop and unpersist the memoized kv_gc key table (inputs rewritten)
+    * — same contract as Dedup/Similarity/TextAnalysis.clearCaches: a
+    * corpus regenerated at the same dir in-session must not read a
+    * stale persisted frame.
+    */
+  def clearCaches(): Unit = {
+    feCache.values.foreach(_.unpersist())
+    feCache.clear()
+  }
+
+  /** Each transition's moved shards in arrival order — (epoch,
+    * config_num, step, shard, from_gid, to_gid), step numbering within
+    * the transition by shard id (the deterministic arrival schedule the
+    * partial-migration meter and spec share). Driver-computed metadata,
+    * ≤ (epochs−1) × NShards rows.
+    */
+  private[queries] def movedShards(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val hist = Sharding.scriptedHistory.drop(1)
+    (1 until hist.size).flatMap { e =>
+      (0 until Sharding.NShards)
+        .filter(sh => hist(e - 1).shards(sh) != hist(e).shards(sh))
+        .sorted.zipWithIndex
+        .map { case (sh, i) =>
+          (e, hist(e).num, i + 1, sh, hist(e - 1).shards(sh), hist(e).shards(sh)) }
+    }.toDF("epoch", "config_num", "step", "shard", "from_gid", "to_gid")
+  }
+
+  private[queries] def firstEpochs(s: SparkSession, dir: String): DataFrame =
     feCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       routedOps(s, dir).filter($"op" =!= "get")
@@ -418,6 +543,99 @@ object KvQueries {
          |FROM keys k
          |LEFT JOIN srv s ON s.config_num = k.config_num AND s.gid = k.gid
          |LEFT JOIN wr w ON w.config_num = k.config_num AND w.gid = k.gid
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Direct-definition twin of kv_reroute_multi: the retry chain is
+    // re-derived relationally — serve epoch = min epoch in the clerk's
+    // walk window whose owner equals the current owner, wrong attempts
+    // = the epochs before it (with their owners as the rejecting gids).
+    "kv_reroute_multi" ->
+      s"""$OpsCte,
+         |mx AS (SELECT max(clientSeq) AS mx FROM a),
+         |$CfgCte,
+         |r AS (
+         |  SELECT key, CAST(clientId % 4 AS INTEGER) AS lag,
+         |    least(3, (clientSeq * 4) // ((SELECT mx FROM mx) + 1)) AS epoch,
+         |    ascii(substring(key, 1, 1)) % ${Sharding.NShards} AS shard
+         |  FROM a),
+         |lags(lag) AS (VALUES (0), (1), (2), (3)),
+         |sv AS (
+         |  SELECT cur.epoch, l.lag, cur.shard, cur.config_num, cur.gid,
+         |    CAST(min(ci.epoch) - greatest(0, cur.epoch - l.lag) AS BIGINT)
+         |      AS n_wrong
+         |  FROM cfg cur
+         |  CROSS JOIN lags l
+         |  JOIN cfg ci ON ci.shard = cur.shard
+         |    AND ci.epoch BETWEEN greatest(0, cur.epoch - l.lag) AND cur.epoch
+         |    AND ci.gid = cur.gid
+         |  GROUP BY cur.epoch, l.lag, cur.shard, cur.config_num, cur.gid),
+         |rj AS (
+         |  SELECT sv.epoch, sv.lag, sv.shard, ci.gid AS reject_gid
+         |  FROM sv JOIN cfg ci ON ci.shard = sv.shard
+         |    AND ci.epoch >= greatest(0, sv.epoch - sv.lag)
+         |    AND ci.epoch < greatest(0, sv.epoch - sv.lag) + sv.n_wrong),
+         |srv AS (
+         |  SELECT sv.config_num, sv.gid, count(*) AS n_ops,
+         |    CAST(sum(CASE WHEN sv.n_wrong > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rerouted,
+         |    CAST(max(sv.n_wrong) AS BIGINT) AS max_wrong
+         |  FROM r JOIN sv ON sv.epoch = r.epoch AND sv.lag = r.lag
+         |    AND sv.shard = r.shard
+         |  GROUP BY 1, 2),
+         |wr AS (
+         |  SELECT cfg.config_num, rj.reject_gid AS gid,
+         |    count(*) AS n_wrong_rejected
+         |  FROM r
+         |  JOIN cfg ON cfg.epoch = r.epoch AND cfg.shard = r.shard
+         |  JOIN rj ON rj.epoch = r.epoch AND rj.lag = r.lag
+         |    AND rj.shard = r.shard
+         |  GROUP BY 1, 2),
+         |keys AS (
+         |  SELECT config_num, gid FROM srv
+         |  UNION
+         |  SELECT config_num, gid FROM wr)
+         |SELECT k.config_num, k.gid,
+         |  COALESCE(s.n_ops, 0::BIGINT) AS n_ops,
+         |  COALESCE(s.n_rerouted, 0::BIGINT) AS n_rerouted,
+         |  COALESCE(s.max_wrong, 0::BIGINT) AS max_wrong,
+         |  COALESCE(w.n_wrong_rejected, 0::BIGINT) AS n_wrong_rejected
+         |FROM keys k
+         |LEFT JOIN srv s ON s.config_num = k.config_num AND s.gid = k.gid
+         |LEFT JOIN wr w ON w.config_num = k.config_num AND w.gid = k.gid
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Direct definition of the per-shard arrival ladder: moved shards
+    // per transition ordered by shard id, each step's handed-off keys
+    // counted from the pre-transition resident set (fe < epoch).
+    "kv_partial_migration" ->
+      s"""$OpsCte,
+         |mx AS (SELECT max(clientSeq) AS mx FROM a),
+         |$CfgCte,
+         |fe AS (
+         |  SELECT key, ascii(substring(key, 1, 1)) % ${Sharding.NShards} AS shard,
+         |    min(least(3, (clientSeq * 4) // ((SELECT mx FROM mx) + 1))) AS fe
+         |  FROM a WHERE op <> 'get' GROUP BY 1, 2),
+         |mv AS (
+         |  SELECT cur.config_num, cur.epoch, cur.shard,
+         |    prev.gid AS from_gid, cur.gid AS to_gid,
+         |    CAST(row_number() OVER (PARTITION BY cur.epoch ORDER BY cur.shard)
+         |      AS INTEGER) AS step
+         |  FROM cfg cur JOIN cfg prev ON prev.shard = cur.shard
+         |    AND prev.epoch = cur.epoch - 1
+         |  WHERE cur.gid <> prev.gid),
+         |cnt AS (
+         |  SELECT mv.config_num, mv.step,
+         |    CAST(count(k.key) AS BIGINT) AS n_keys_moved
+         |  FROM mv LEFT JOIN fe k ON k.shard = mv.shard AND k.fe < mv.epoch
+         |  GROUP BY 1, 2)
+         |SELECT mv.config_num, mv.step, mv.shard, mv.from_gid, mv.to_gid,
+         |  cnt.n_keys_moved,
+         |  CAST(sum(cnt.n_keys_moved) OVER (PARTITION BY mv.config_num
+         |    ORDER BY mv.step) AS BIGINT) AS cum_servable,
+         |  CAST(sum(cnt.n_keys_moved) OVER (PARTITION BY mv.config_num)
+         |    - sum(cnt.n_keys_moved) OVER (PARTITION BY mv.config_num
+         |        ORDER BY mv.step) AS BIGINT) AS n_pending
+         |FROM mv JOIN cnt ON cnt.config_num = mv.config_num AND cnt.step = mv.step
          |ORDER BY 1, 2""".stripMargin,
 
     // Direct-definition twin of kv_gc: the resident view at config c_n

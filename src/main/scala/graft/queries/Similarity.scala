@@ -523,8 +523,13 @@ object Similarity {
           countDistinct($"cell").as("n_cells"),
           min($"m_width").as("m_min"),
           max($"m_width").as("m_max"),
-          sum($"cmass").as("code_mass"),
-          sum(($"vec_id" % 997) * $"cell").as("route_mass"),
+          // modular convention (QueryFns.checksumAgg): Spark's BIGINT
+          // sum wraps where DuckDB's HUGEINT doesn't — accumulate in
+          // DECIMAL(38,0), reduce mod 2^61-1, so both engines agree at
+          // any corpus scale (~1e11 vectors with nlist ∝ √n overflows
+          // a plain 64-bit route_mass sum)
+          QueryFns.checksumAgg($"cmass").as("code_mass"),
+          QueryFns.checksumAgg(($"vec_id" % 997) * $"cell").as("route_mass"),
           round(sum($"norm2".cast("decimal(27,6)")).cast("double"), 4)
             .as("norm_mass"))
     },
@@ -2739,8 +2744,9 @@ object Similarity {
          |  CAST(count(DISTINCT a.alabel) AS BIGINT) AS n_cells,
          |  CAST(min(q.m_width) AS BIGINT) AS m_min,
          |  CAST(max(q.m_width) AS BIGINT) AS m_max,
-         |  CAST(SUM(q.cmass) AS BIGINT) AS code_mass,
-         |  CAST(SUM((v.vec_id % 997) * a.alabel) AS BIGINT) AS route_mass,
+         |  CAST(SUM(q.cmass) % ${QueryFns.ChecksumMod} AS BIGINT) AS code_mass,
+         |  CAST(SUM((v.vec_id % 997) * a.alabel) % ${QueryFns.ChecksumMod}
+         |    AS BIGINT) AS route_mass,
          |  round(CAST(SUM(CAST(v.norm2 AS DECIMAL(27,6))) AS DOUBLE), 4) AS norm_mass
          |FROM v
          |JOIN asg a ON a.vec_id = v.vec_id

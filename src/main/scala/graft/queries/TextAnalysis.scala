@@ -39,7 +39,7 @@ object TextAnalysis {
   private val tokCountCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+  private[queries] def tokenCounts(s: SparkSession, dir: String): DataFrame =
     tokCountCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       Staging.readElseBuild(s, dir, "token_counts", Seq("documents")) {
@@ -87,7 +87,7 @@ object TextAnalysis {
     * 1-row max enters the plan as a broadcast scalar aggregate — parquet
     * footer stats at 100 TB, never a driver action.
     */
-  private def withFixedBlocks(d0: DataFrame): DataFrame = {
+  private[queries] def withFixedBlocks(d0: DataFrame): DataFrame = {
     val bw = d0.agg((expr("max(doc_id) div 256") + 1).as("bw"))
     d0.crossJoin(broadcast(bw)).withColumn("blk", expr("doc_id div bw"))
   }
@@ -119,7 +119,7 @@ object TextAnalysis {
     * every S tokens. Integer arithmetic throughout, so the offsets are
     * bit-identical to the direct global cumsum the DuckDB oracle runs.
     */
-  private def packSequences(d: DataFrame, S: Long, ord: Column*): DataFrame = {
+  private[queries] def packSequences(d: DataFrame, S: Long, ord: Column*): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val blkOff = blockOffsets(d.groupBy(col("blk")).agg(sum(col("m")).as("bm")))
     d.join(broadcast(blkOff), "blk")

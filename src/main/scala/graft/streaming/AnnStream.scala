@@ -205,6 +205,36 @@ object AnnStream {
     */
   final case class ServeState(lastSeq: Map[Long, Long])
 
+  /** Default retention for a served probe's dedup state when eviction is
+    * enabled (the `stateRetention` parameter of [[pqServe]] /
+    * [[pqServePruned]]). Unlike the ingest state machines (keyed by CELL
+    * — O(nlist), bounded for the index's lifetime), the serving state is
+    * keyed by PROBE, and a long-running tier sees an unbounded stream of
+    * distinct probes — without eviction the state store grows linearly
+    * with lifetime queries. A probe's request lifecycle ends at its
+    * reply; the state only exists to drop re-deliveries, and
+    * re-deliveries arrive within the delivery-retry horizon, not hours
+    * later. With eviction on, the contract becomes the same as a
+    * watermarked dropDuplicates — a re-delivery INSIDE the retention
+    * window is dropped exactly; one arriving after eviction is RE-SERVED
+    * (at-least-once output, never loss). `ServeEvictionSpec` pins both
+    * halves (state rows drop to zero; post-eviction re-delivery serves
+    * again).
+    *
+    * Why opt-in rather than always-on: Spark runs a
+    * `flatMapGroupsWithState` with `ProcessingTimeTimeout`
+    * unconditionally batch-after-batch (`FlatMapGroupsWithStateExec
+    * .shouldRunAnotherBatch` is `true` whenever processing-time timeouts
+    * are enabled), so such a query never quiesces —
+    * `processAllAvailable()` blocks forever and a no-trigger query
+    * busy-loops empty batches. A PRODUCTION serving tier (continuous,
+    * with a processing-time trigger) should pass
+    * `Some(ServedStateRetention)`; drain-style runs (batch-parity
+    * replays, bounded probe sets) keep the `None` default and accept
+    * state ∝ distinct probes served.
+    */
+  val ServedStateRetention: String = "10 minutes"
+
   /** One served neighbor — identical shape and arithmetic to the batch
     * `ann_pq_topk` output rows (probe, rank, neighbor, cos rounded to
     * 6 decimals, rank ordered cos desc / neighbor asc).
@@ -254,20 +284,32 @@ object AnnStream {
   private def serveGroup(
       centroidOf: Map[Long, Array[Double]],
       codebook: Array[Array[Array[Double]]],
-      shortlist: Int, k: Int)(
+      shortlist: Int, k: Int,
+      retention: Option[String])(
       probe: Long,
       rows: Iterator[(QueryEvent, IndexRow)],
       state: GroupState[ServeState]): Iterator[ServeResult] = {
+    if (state.hasTimedOut) { // retention elapsed: evict the served probe
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(ServeState(Map.empty))
     val all = rows.toSeq
     val fresh = all.filter { case (q, _) =>
       q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue) }
-    if (fresh.isEmpty) return Iterator.empty
+    if (fresh.isEmpty) {
+      // pure re-delivery batch: keep the dedup state alive one more
+      // retention window (the timeout is cleared on every invocation —
+      // it must be re-armed each call or the state lives forever)
+      retention.foreach(r => if (state.exists) state.setTimeoutDuration(r))
+      return Iterator.empty
+    }
     fresh.map(_._1).distinct.foreach { q =>
       if (q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
         st = ServeState(st.lastSeq + (q.src -> q.seq))
     }
     state.update(st)
+    retention.foreach(state.setTimeoutDuration)
     // every delivery of one probe carries the same embedding and joins
     // the same candidate rows — serve once, from one delivery's rows
     val q0 = fresh.head._1
@@ -351,8 +393,12 @@ object AnnStream {
       codebook: Array[Array[Array[Double]]],
       nprobe: Int,
       shortlist: Int,
-      k: Int = 5): Dataset[ServeResult] = {
+      k: Int = 5,
+      stateRetention: Option[String] = None): Dataset[ServeResult] = {
     import queries.sparkSession.implicits._
+    val timeoutConf = stateRetention
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     val probed = queries.flatMap(q =>
       probedCells(q.embedding, centroids, nprobe).map(c => (c, q)))
     probed.joinWith(index, probed("_1") === index("cell"))
@@ -360,8 +406,8 @@ object AnnStream {
       .map { case ((_, q), ix) => (q, ix) }
       .groupByKey(_._1.probe)
       .flatMapGroupsWithState[ServeState, ServeResult](
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        serveGroup(centroids.toMap, codebook, shortlist, k))
+        OutputMode.Update, timeoutConf)(
+        serveGroup(centroids.toMap, codebook, shortlist, k, stateRetention))
   }
 
   /** The deduped query stream shared by [[pqServePruned]]: one
@@ -369,23 +415,36 @@ object AnnStream {
     * per-probe high-water state — the same at-least-once contract as
     * [[pqServe]], applied BEFORE the index is touched.
     */
-  private def dedupedQueries(queries: Dataset[QueryEvent]): Dataset[QueryEvent] = {
+  private def dedupedQueries(
+      queries: Dataset[QueryEvent],
+      retention: Option[String]): Dataset[QueryEvent] = {
     import queries.sparkSession.implicits._
+    val timeoutConf = retention
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     queries.groupByKey(_.probe)
       .flatMapGroupsWithState[ServeState, QueryEvent](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (_: Long, evs: Iterator[QueryEvent], state: GroupState[ServeState]) =>
-          var st = state.getOption.getOrElse(ServeState(Map.empty))
-          val fresh = evs.toSeq.filter(q =>
-            q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
-          if (fresh.isEmpty) Iterator.empty
-          else {
-            fresh.foreach { q =>
-              if (q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
-                st = ServeState(st.lastSeq + (q.src -> q.seq))
+          if (state.hasTimedOut) { // retention elapsed: evict
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(ServeState(Map.empty))
+            val fresh = evs.toSeq.filter(q =>
+              q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
+            if (fresh.isEmpty) {
+              retention.foreach(r => if (state.exists) state.setTimeoutDuration(r))
+              Iterator.empty
+            } else {
+              fresh.foreach { q =>
+                if (q.seq > st.lastSeq.getOrElse(q.src, Long.MinValue))
+                  st = ServeState(st.lastSeq + (q.src -> q.seq))
+              }
+              state.update(st)
+              retention.foreach(state.setTimeoutDuration)
+              Iterator.single(fresh.minBy(q => (q.seq, q.src)))
             }
-            state.update(st)
-            Iterator.single(fresh.minBy(q => (q.seq, q.src)))
           }
       }
   }
@@ -412,7 +471,8 @@ object AnnStream {
       codebook: Array[Array[Array[Double]]],
       nprobe: Int,
       shortlist: Int,
-      k: Int = 5)(
+      k: Int = 5,
+      stateRetention: Option[String] = None)(
       sink: Dataset[ServeResult] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[QueryEvent] = {
     val centroidOf = centroids.toMap
     val fn: (Dataset[QueryEvent], Long) => Unit = { (batch, _) =>
@@ -454,7 +514,7 @@ object AnnStream {
         sink(results)
       }
     }
-    dedupedQueries(queries).writeStream.foreachBatch(fn)
+    dedupedQueries(queries, stateRetention).writeStream.foreachBatch(fn)
       .outputMode(OutputMode.Update())
   }
 }

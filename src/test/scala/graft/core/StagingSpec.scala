@@ -130,6 +130,7 @@ class StagingSpec extends SparkSpec {
       graft.queries.Similarity.clearCaches()
       graft.queries.TextAnalysis.clearCaches()
       graft.multimodal.Multimodal.clearCaches()
+      graft.queries.KvQueries.clearCaches()
     }
     try {
       clearAll()
