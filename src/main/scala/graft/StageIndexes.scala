@@ -21,6 +21,7 @@ object StageIndexes {
     graft.queries.Similarity.stageIndexes(s, dir)
     graft.queries.TextAnalysis.stageIndexes(s, dir)
     graft.multimodal.Multimodal.mediaTable(s, dir)
+    graft.queries.MultimodalQueries.stageIndexes(s, dir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -131,6 +131,7 @@ class StagingSpec extends SparkSpec {
       graft.queries.TextAnalysis.clearCaches()
       graft.multimodal.Multimodal.clearCaches()
       graft.queries.KvQueries.clearCaches()
+      graft.queries.MultimodalQueries.clearCaches()
     }
     try {
       clearAll()
