@@ -340,12 +340,15 @@ object ScaleProbe {
     println(s"""{"built": "$out", "docs": ${n * m}}""")
     // the corpus at `out` was just (re)written — drop any staged media
     // table a previous run of this session holds for the same path
+    // (and the token-count tables mm_pack joins against)
     graft.multimodal.Multimodal.clearCaches()
+    graft.queries.MultimodalQueries.clearCaches()
+    graft.queries.TextAnalysis.clearCaches()
 
     // first query pays the one-time fixture encode (the staged media
     // table — production's stored corpus); the rest measure decode
     Seq("mm_features", "mm_resize", "mm_frame_sample", "mm_audio_stats",
-      "mm_frame_dedup")
+      "mm_frame_dedup", "mm_pack")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
@@ -469,6 +472,25 @@ object ScaleProbe {
         q.stop()
         println(f"""{"serve": "pruned", "mult": $tag, "batch_sec": $sec%.2f, "served": $served}""")
       }
+      // pruned form with every request buying nprobe=6 (the ceiling
+      // ladder's max measured tier) via the per-request QueryEvent
+      // override — candidate volume is 1.5× the default tier's, and the
+      // partition prune must keep the batch latency in the same flat
+      // regime (the claim that per-request recall purchase is safe to
+      // expose on a production tier)
+      locally {
+        val in = MemoryStream[graft.streaming.AnnStream.QueryEvent]
+        var served = 0L
+        val q = graft.streaming.AnnStream.pqServePruned(
+          in.toDS(), idxPath, centroids, codebook, nprobe, shortlist) { ds =>
+          served += ds.count() }
+          .start()
+        val sec = timeBatches { evs =>
+          in.addData(evs.map(_.copy(nprobe = 6, shortlist = 80)))
+          q.processAllAvailable() }
+        q.stop()
+        println(f"""{"serve": "pruned_np6", "mult": $tag, "batch_sec": $sec%.2f, "served": $served}""")
+      }
       // stream-static join form
       locally {
         val index = spark.read.parquet(idxPath)
@@ -484,6 +506,64 @@ object ScaleProbe {
         q.stop()
         val served = spark.table(s"serve_ss_$tag").count()
         println(f"""{"serve": "stream_static", "mult": $tag, "batch_sec": $sec%.2f, "served": $served}""")
+      }
+      // CHURN: the live production loop — pqIngest batches APPEND to the
+      // cell-partitioned on-disk index between served query batches (the
+      // drift-trigger regime: corpus growing under the trained quantizer,
+      // retrain not yet fired). Each cycle writes ~n_q ingested rows into
+      // their cell partition dirs, then times one pruned serve batch
+      // against the GROWN index — foreachBatch re-plans per batch, so the
+      // new files are visible immediately (a held-out vector is servable
+      // the cycle after its append). Per-cycle serve latency must stay in
+      // the pruned form's flat regime: the read cost is ∝ probed cells'
+      // row count, and each append grows a cell by O(batch/nlist) rows.
+      locally {
+        import graft.streaming.AnnStream
+        val embArr = qvecs.map(_._2)
+        val inW = MemoryStream[AnnStream.VecEvent]
+        val qw = AnnStream.pqIngest(inW.toDS(), centroids, codebook)
+          .writeStream.format("memory").queryName(s"churn_ingest_$tag")
+          .outputMode(OutputMode.Update()).start()
+        val inR = MemoryStream[AnnStream.QueryEvent]
+        var served = 0L
+        val qr = AnnStream.pqServePruned(
+          inR.toDS(), idxPath, centroids, codebook, nprobe, shortlist) { ds =>
+          served += ds.count() }
+          .start()
+        // warmup serve batch (plan + codegen + state store)
+        inR.addData(batchEvents(50)); qr.processAllAvailable()
+        val secs = (0 until 4).map { cycle =>
+          // WRITE: this cycle's arrivals = the probe vectors, perturbed,
+          // under fresh ids — assigned + coded in-stream, appended to
+          // their cell partitions
+          val base = 900000000L + cycle * 1000L
+          inW.addData(embArr.zipWithIndex.map { case (emb, i) =>
+            AnnStream.VecEvent(src = 1, seq = base + i,
+              vec_id = base + i,
+              embedding = emb.map(x => x + 0.002f * (cycle + 1)))
+          }.toIndexedSeq)
+          qw.processAllAvailable()
+          val newRows = spark.table(s"churn_ingest_$tag")
+            .filter($"vec_id" >= base && $"vec_id" < base + 1000L)
+            .select($"vec_id", $"cell", $"codes")
+            .as[(Long, Long, Array[Int])].collect()
+            .map { case (id, cell, codes) =>
+              val e = embArr((id - base).toInt).map(x => x + 0.002f * (cycle + 1))
+              var n2 = 0.0; var j = 0
+              while (j < e.length) { n2 += e(j).toDouble * e(j).toDouble; j += 1 }
+              AnnStream.IndexRow(id, cell, n2, codes, e)
+            }
+          newRows.toSeq.toDS().write.mode("append")
+            .partitionBy("cell").parquet(idxPath)
+          // READ: one timed pruned serve batch against the grown index
+          val t0 = System.nanoTime()
+          inR.addData(batchEvents(60 + cycle))
+          qr.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        qw.stop(); qr.stop()
+        val cyc = secs.map(t => f"$t%.2f").mkString("[", ",", "]")
+        println(f"""{"serve": "churn", "mult": $tag, "cycle_sec": $cyc, "served": $served}""")
       }
     }
   }

@@ -1970,6 +1970,16 @@ object Similarity {
     */
   def pqServingDefaults: (Int, Int) = (PqNprobe, 50)
 
+  /** Batch IVF-PQ top-k at EXPLICIT serving knobs — the parity oracle
+    * for per-request (nprobe, shortlist) in the streaming serving twin
+    * ([[graft.streaming.AnnStream.QueryEvent]] overrides): a request
+    * that buys nprobe=6 must get exactly the rows the batch engine
+    * produces at nprobe=6.
+    */
+  private[graft] def pqTopkAt(s: SparkSession, dir: String, probeLimit: Int,
+      nprobe: Int, shortlist: Int): DataFrame =
+    pqTopk(s, dir, probeLimit, nprobe, shortlist)
+
   /** Write the serving index CELL-PARTITIONED — the on-disk layout
     * [[graft.streaming.AnnStream.pqServePruned]] partition-prunes
     * against (one hive-style directory per IVF cell; each micro-batch

@@ -797,6 +797,79 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Per-LANGUAGE quality gating: the stopword term of the quality
+    // score uses the stopword list of each document's DETECTED language
+    // (the tx_lang_id voting heuristic) instead of pinning English — the
+    // multilingual form of tx_quality. All four language scores come
+    // from ONE tokenize + four codegen'd array filters in a single
+    // projection, and the detected language's stop count is exactly the
+    // vote maximum (`best`), so the lang-aware score costs nothing
+    // beyond what language-ID already computes: zero extra shuffles,
+    // zero extra passes over the text. Tokens are lowercased as in
+    // tx_lang_id (stopword matching is case-insensitive; token COUNT is
+    // unaffected). tx_quality / tx_corpus_report keep their original
+    // English-gated semantics — this is the multilingual twin, not a
+    // redefinition.
+    "tx_quality_lang" -> { (s, dir) =>
+      import s.implicits._
+      val toks = $"toks"
+      Tables(s, dir).documents
+        .select($"doc_id", wsTokens(lower($"text")).as("toks"))
+        .select($"doc_id", size(toks).cast("long").as("n_tok"),
+          scoreIn(toks, stop("de")).as("s_de"),
+          scoreIn(toks, stop("en")).as("s_en"),
+          scoreIn(toks, stop("es")).as("s_es"),
+          scoreIn(toks, stop("fr")).as("s_fr"))
+        .withColumn("best", greatest($"s_de", $"s_en", $"s_es", $"s_fr"))
+        .withColumn("pred_lang",
+          when($"s_de" === $"best", "de")
+            .when($"s_en" === $"best", "en")
+            .when($"s_es" === $"best", "es")
+            .otherwise("fr"))
+        .select(
+          $"doc_id", $"pred_lang", $"n_tok",
+          round($"best".cast("double") / nullif($"n_tok", lit(0)), 4).as("stop_ratio"),
+          round(
+            least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
+              + least(lit(1.0), $"best".cast("double") * 10.0 / nullif($"n_tok", lit(0))) * 0.5,
+            4).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // The curation pipeline gated per detected language: exact-dedup
+    // winners → lang-aware quality gate (each doc judged by ITS
+    // language's stopword list) → per-language survivor accounting.
+    // Same plan shape as tx_curation_pipeline — one dedup group-by, one
+    // final rollup; the language scores ride in the projection.
+    "tx_curation_lang" -> { (s, dir) =>
+      import s.implicits._
+      val toks = $"toks"
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"text", md5($"text").as("fp"))
+      val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+        .select($"doc_id", wsTokens(lower($"text")).as("toks"))
+        .select($"doc_id", size(toks).cast("long").as("n_tok"),
+          scoreIn(toks, stop("de")).as("s_de"),
+          scoreIn(toks, stop("en")).as("s_en"),
+          scoreIn(toks, stop("es")).as("s_es"),
+          scoreIn(toks, stop("fr")).as("s_fr"))
+        .withColumn("best", greatest($"s_de", $"s_en", $"s_es", $"s_fr"))
+        .withColumn("pred_lang",
+          when($"s_de" === $"best", "de")
+            .when($"s_en" === $"best", "en")
+            .when($"s_es" === $"best", "es")
+            .otherwise("fr"))
+        .filter($"n_tok" > 0)
+        .withColumn("quality",
+          round(least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
+            + least(lit(1.0), $"best".cast("double") * 10.0 / $"n_tok") * 0.5, 4))
+        .filter($"quality" >= 0.7)
+        .groupBy($"pred_lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tokens"))
+        .orderBy($"pred_lang")
+    },
+
     // Global heavy hitters via the custom TopKByCount sketch
     // (TypedImperativeAggregate): each map task ships one bounded
     // counter map, never raw words — shuffle is O(capacity × tasks).
@@ -2116,6 +2189,62 @@ object TextAnalysis {
          |  round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
          |        + least(1.0, CAST(n_stop AS DOUBLE) * 10.0 / nullif(n_tok, 0)) * 0.5, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_quality_lang" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks) AS n_tok,
+         |    len(list_filter(toks, t -> t IN ${stopList("de")})) AS s_de,
+         |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS s_en,
+         |    len(list_filter(toks, t -> t IN ${stopList("es")})) AS s_es,
+         |    len(list_filter(toks, t -> t IN ${stopList("fr")})) AS s_fr
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, n_tok,
+         |    greatest(s_de, s_en, s_es, s_fr) AS best,
+         |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM s)
+         |SELECT doc_id, pred_lang, n_tok,
+         |  round(CAST(best AS DOUBLE) / nullif(n_tok, 0), 4) AS stop_ratio,
+         |  round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
+         |        + least(1.0, CAST(best AS DOUBLE) * 10.0 / nullif(n_tok, 0)) * 0.5, 4) AS quality
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "tx_curation_lang" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, md5(text) AS fp FROM documents),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY fp),
+         |kept AS (
+         |  SELECT d.doc_id,
+         |    list_filter(string_split_regex(lower(d.text), '\\s+'), t -> t <> '') AS toks
+         |  FROM docs d JOIN keep k ON d.fp = k.fp AND d.doc_id = k.doc_id),
+         |s AS (
+         |  SELECT doc_id, len(toks) AS n_tok,
+         |    len(list_filter(toks, t -> t IN ${stopList("de")})) AS s_de,
+         |    len(list_filter(toks, t -> t IN ${stopList("en")})) AS s_en,
+         |    len(list_filter(toks, t -> t IN ${stopList("es")})) AS s_es,
+         |    len(list_filter(toks, t -> t IN ${stopList("fr")})) AS s_fr
+         |  FROM kept),
+         |p AS (
+         |  SELECT doc_id, n_tok,
+         |    greatest(s_de, s_en, s_es, s_fr) AS best,
+         |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM s WHERE n_tok > 0),
+         |q AS (
+         |  SELECT *, round(least(1.0, CAST(n_tok AS DOUBLE) / 50.0) * 0.5
+         |    + least(1.0, CAST(best AS DOUBLE) * 10.0 / n_tok) * 0.5, 4) AS quality
+         |  FROM p)
+         |SELECT pred_lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+         |FROM q WHERE quality >= 0.7 GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
 
     "tx_tfidf" ->
       """WITH tok AS (

@@ -187,9 +187,16 @@ object AnnStream {
 
   /** One streamed top-k query. `(src, seq)` is the same at-least-once
     * dedup key as [[VecEvent]]; `probe` is the query's identity in the
-    * result stream.
+    * result stream. `nprobe`/`shortlist` are OPTIONAL per-request
+    * serving knobs (0 = use the serving tier's defaults): the measured
+    * recall ceiling ladder says all marginal recall comes from probing
+    * more cells (+0.09 recall per +5k candidate rows at this corpus's
+    * geometry), so a production tier lets each REQUEST buy its own
+    * recall — a latency-sensitive caller keeps the default, an
+    * offline-eval caller sends nprobe=6 — without running two tiers.
     */
-  final case class QueryEvent(src: Long, seq: Long, probe: Long, embedding: Array[Float])
+  final case class QueryEvent(src: Long, seq: Long, probe: Long,
+      embedding: Array[Float], nprobe: Int = 0, shortlist: Int = 0)
 
   /** One row of the static serving index — the schema
     * [[graft.queries.Similarity.pqServingIndex]] produces: the vector's
@@ -315,7 +322,8 @@ object AnnStream {
     val q0 = fresh.head._1
     val cands = fresh.collect {
       case (q, ix) if q.src == q0.src && q.seq == q0.seq => ix }
-    score(q0, cands, centroidOf, codebook, shortlist, k)
+    score(q0, cands, centroidOf, codebook,
+      if (q0.shortlist > 0) q0.shortlist else shortlist, k)
   }
 
   /** The per-query scoring core shared by both serving forms: ADC
@@ -371,7 +379,11 @@ object AnnStream {
     * write side). Per micro-batch: each query picks its nprobe trained
     * cells in-record, a stream-static equi-join on `cell` fetches the
     * candidate index rows, and the per-probe state machine scores them
-    * through [[score]]. State is O(probes × sources) dedup high-waters;
+    * through [[score]]. The `nprobe`/`shortlist` parameters are the
+    * TIER defaults; a request that carries its own positive
+    * [[QueryEvent.nprobe]]/[[QueryEvent.shortlist]] overrides them for
+    * that query alone (per-request recall purchase — the ceiling
+    * ladder's lever). State is O(probes × sources) dedup high-waters;
     * centroids + codebook ride along task-local (broadcast-scale, the
     * batch pass ships the same tables). `AnnServeSpec` pins exact batch
     * parity on the real gate corpus.
@@ -400,7 +412,8 @@ object AnnStream {
       .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
       .getOrElse(GroupStateTimeout.NoTimeout)
     val probed = queries.flatMap(q =>
-      probedCells(q.embedding, centroids, nprobe).map(c => (c, q)))
+      probedCells(q.embedding, centroids,
+        if (q.nprobe > 0) q.nprobe else nprobe).map(c => (c, q)))
     probed.joinWith(index, probed("_1") === index("cell"))
       .filter(t => t._2.vec_id != t._1._2.probe)
       .map { case ((_, q), ix) => (q, ix) }
@@ -484,7 +497,8 @@ object AnnStream {
       val qs = batch.collect()
       if (qs.nonEmpty) {
         val cellProbes: Map[Long, Array[(Long, Array[Float])]] = qs
-          .flatMap(q => probedCells(q.embedding, centroids, nprobe)
+          .flatMap(q => probedCells(q.embedding, centroids,
+              if (q.nprobe > 0) q.nprobe else nprobe)
             .map(c => (c, (q.probe, q.embedding))))
           .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
         val qMap: Map[Long, QueryEvent] = qs.map(q => q.probe -> q).toMap
@@ -508,8 +522,9 @@ object AnnStream {
             .collect { case (p, _) if p != ix.vec_id => (p, ix) })
           .groupByKey(_._1)
           .flatMapGroups { (probe: Long, it: Iterator[(Long, IndexRow)]) =>
-            score(qMap(probe), it.map(_._2).toSeq, centroidOf, codebook,
-              shortlist, k)
+            val q = qMap(probe)
+            score(q, it.map(_._2).toSeq, centroidOf, codebook,
+              if (q.shortlist > 0) q.shortlist else shortlist, k)
           }
         sink(results)
       }

@@ -22,8 +22,9 @@ import graft.queries.Dedup
   *  3. band explode → stream-static equi-join against the existing
   *     corpus's staged band index on (band, key),
   *  4. `dropDuplicates(ni, oi)` to collapse multi-band collisions (the
-  *     one stateful step; a production deployment bounds its state with
-  *     `dropDuplicatesWithinWatermark` once doc ids carry event time),
+  *     one stateful step — bounded in the always-on form: pass
+  *     `ingestTsCol` and the collapse runs as a watermarked
+  *     `dropDuplicatesWithinWatermark` with retention-window eviction),
   *  5. stream-static join against the per-doc kept-shingle SETS and a
   *     per-row exact-Jaccard verify (`array_intersect` — no aggregation),
   *     emitting (new_id, dup_of, jac) matches ≥ 0.5 in append mode.
@@ -37,8 +38,25 @@ object DedupStream {
   /** All verified (new_id, dup_of, jac) matches of `newDocs` — a
     * streaming DataFrame with (doc_id, text) — against the existing
     * (doc_id % 5 != 0) side of `dir`'s staged dedup index. Append-safe.
+    *
+    * State bounding (the always-on form): when `ingestTsCol` names an
+    * event-time TIMESTAMP column on `newDocs`, the multi-band collision
+    * collapse runs as `dropDuplicatesWithinWatermark` under a
+    * `dedupRetention` watermark — (ni, oi) pair state is EVICTED once
+    * the watermark passes its ingest time by the retention, so the
+    * store tracks the recent ingest window, not lifetime pairs (the
+    * same bounded-state contract as
+    * [[AnnStream.ServedStateRetention]]: a band collision re-arriving
+    * INSIDE retention is collapsed exactly; one re-arriving after
+    * eviction re-emits its match — at-least-once output, never loss,
+    * and downstream drop-list application is idempotent on identical
+    * match rows). With `ingestTsCol = None` (bounded backfills, parity
+    * replays) the unwatermarked `dropDuplicates` keeps exact
+    * lifetime-run semantics and state ∝ distinct colliding pairs.
     */
-  def matches(newDocs: DataFrame, s: SparkSession, dir: String): DataFrame = {
+  def matches(newDocs: DataFrame, s: SparkSession, dir: String,
+      ingestTsCol: Option[String] = None,
+      dedupRetention: String = "10 minutes"): DataFrame = {
     import graft.queries.QueryFns.wsTokens
     // index-build artifacts (static sides)
     val hotArr = Dedup.hotShingleList(s, dir)
@@ -50,24 +68,29 @@ object DedupStream {
       .select(col("doc_id").as("oi"), col("shs").as("shs_old"),
         col("n_sh").as("n_old"))
 
+    val tsCols = ingestTsCol.map(col).toSeq
     val prepared = newDocs
-      .select(col("doc_id").as("ni"), wsTokens(col("text")).as("toks"))
-      .select(col("ni"),
-        array_except(Dedup.shingles(col("toks")), typedlit(hotArr.toSeq)).as("shs"))
+      .select(col("doc_id").as("ni") +: wsTokens(col("text")).as("toks") +: tsCols: _*)
+      .select(col("ni") +:
+        array_except(Dedup.shingles(col("toks")), typedlit(hotArr.toSeq)).as("shs") +:
+        tsCols: _*)
       .filter(size(col("shs")) > 0)
       .withColumn("n_new", size(col("shs")))
     val banded = Dedup.withBandStructs(prepared, "shs")
-      .select(col("ni"), col("shs"), col("n_new"), explode(col("_bands")).as("bk"))
-      .select(col("ni"), col("shs"), col("n_new"), col("bk.band"), col("bk.key"))
-    banded
-      .join(oldBands, Seq("band", "key"))
-      // TODO(unbounded-state): this streaming dropDuplicates keeps every
-      // (ni, oi) pair in state forever — fine for a bounded backfill, not
-      // for the documented always-on form. Switch to
-      // .withWatermark("ingest_ts", ...).dropDuplicatesWithinWatermark
-      // the moment ingested docs carry an event-time column; until then
-      // deployments must bound runs (restart per backfill window).
-      .dropDuplicates("ni", "oi")
+      .select(Seq(col("ni"), col("shs"), col("n_new"), explode(col("_bands")).as("bk")) ++ tsCols: _*)
+      .select(Seq(col("ni"), col("shs"), col("n_new"), col("bk.band"), col("bk.key")) ++ tsCols: _*)
+    val collided = banded.join(oldBands, Seq("band", "key"))
+    val deduped = ingestTsCol match {
+      case Some(ts) =>
+        collided.withWatermark(ts, dedupRetention)
+          .dropDuplicatesWithinWatermark("ni", "oi")
+          .drop(ts)
+      case None =>
+        // exact lifetime-run dedup; state ∝ distinct colliding pairs —
+        // right for bounded backfills, not the always-on deployment
+        collided.dropDuplicates("ni", "oi")
+    }
+    deduped
       .join(oldSets, "oi")
       .withColumn("inter", size(array_intersect(col("shs"), col("shs_old"))))
       .withColumn("jac",

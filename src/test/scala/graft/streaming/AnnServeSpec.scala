@@ -111,7 +111,7 @@ class AnnServeSpec extends SparkSpec {
     def runOnce(): Seq[AnnStream.ServeResult] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[AnnStream.ServeResult]
       val src = spark.readStream
-        .schema("src LONG, seq LONG, probe LONG, embedding ARRAY<FLOAT>")
+        .schema("src LONG, seq LONG, probe LONG, embedding ARRAY<FLOAT>, nprobe INT, shortlist INT")
         .parquet(in).as[AnnStream.QueryEvent]
       val fn: (org.apache.spark.sql.Dataset[AnnStream.ServeResult], Long) => Unit =
         (df, _) => buf.synchronized { buf ++= df.collect(); () }
@@ -193,6 +193,77 @@ class AnnServeSpec extends SparkSpec {
     val got = buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
     assert(got === batch,
       s"pruned serving diverged from batch — missing ${(batch -- got).take(3)}, extra ${(got -- batch).take(3)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
+  }
+
+  test("per-request nprobe/shortlist: each knob group equals the batch run at those knobs") {
+    // one stream, three knob regimes riding on the SAME serving tier:
+    // probes 0-16 keep the tier defaults (nprobe=0 sentinel), 17-33
+    // carry nprobe=5, 34-49 carry nprobe=6/shortlist=80 — each group's
+    // rows must equal the batch engine run at exactly those knobs
+    // (pqTopkAt), for BOTH serving forms
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    implicit val sqlCtx = spark.sqlContext
+    val centroids = Similarity.trainedCentroidArrays(spark, dir)
+    val codebook = Similarity.pqCodebookArrays(spark, dir)
+    val (dnp, dsl) = Similarity.pqServingDefaults
+    val index = Similarity.pqServingIndex(spark, dir).as[AnnStream.IndexRow]
+
+    def knobsOf(id: Long): (Int, Int) =
+      if (id < 17) (0, 0) else if (id < 34) (5, 0) else (6, 80)
+    def effective(id: Long): (Int, Int) = {
+      val (np, sl) = knobsOf(id)
+      (if (np > 0) np else dnp, if (sl > 0) sl else dsl)
+    }
+    val regimes = (0L until 50L).groupBy(effective)
+    val batchRows: Map[(Int, Int), Set[(Long, Int, Long, Double)]] =
+      regimes.map { case (knobs @ (np, sl), ids) =>
+        knobs -> Similarity.pqTopkAt(spark, dir, 50, np, sl).collect()
+          .map(r => (r.getAs[Number]("probe").longValue(),
+            r.getAs[Number]("rank").intValue(),
+            r.getAs[Number]("neighbor").longValue(),
+            r.getAs[Double]("cos")))
+          .filter(t => ids.contains(t._1)).toSet
+      }
+    assert(batchRows.values.forall(_.nonEmpty))
+    val expected = batchRows.values.reduce(_ ++ _)
+
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val events = qs.zipWithIndex.map { case ((id, emb), i) =>
+      val (np, sl) = knobsOf(id)
+      AnnStream.QueryEvent(src = i % 3, seq = i.toLong, probe = id,
+        embedding = emb, nprobe = np, shortlist = sl)
+    }
+
+    // stream-static form
+    val in = MemoryStream[AnnStream.QueryEvent]
+    val q = AnnStream.pqServe(in.toDS(), index, centroids, codebook, dnp, dsl)
+      .writeStream.format("memory").queryName("serve_knobs")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(events.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val gotSS = spark.table("serve_knobs").as[AnnStream.ServeResult].collect()
+      .map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    assert(gotSS === expected,
+      s"stream-static per-request knobs diverged — missing ${(expected -- gotSS).take(3)}, extra ${(gotSS -- expected).take(3)}")
+
+    // pruned form over the cell-partitioned on-disk index
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_knob_idx").toString
+    Similarity.writeServingIndex(spark, dir, idxPath)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[AnnStream.ServeResult]
+    val inP = MemoryStream[AnnStream.QueryEvent]
+    val qp = AnnStream.pqServePruned(inP.toDS(), idxPath, centroids, codebook,
+      dnp, dsl) { ds => buf.synchronized { buf ++= ds.collect(); () } }
+      .start()
+    inP.addData(events.toIndexedSeq)
+    qp.processAllAvailable(); qp.stop()
+    val gotPr = buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    assert(gotPr === expected,
+      s"pruned per-request knobs diverged — missing ${(expected -- gotPr).take(3)}, extra ${(gotPr -- expected).take(3)}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
   }
 

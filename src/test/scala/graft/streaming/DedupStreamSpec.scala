@@ -63,6 +63,71 @@ class DedupStreamSpec extends SparkSpec {
     decisions.foreach { case (ni, oi, jac) => assert(streaming.contains((ni, oi, jac))) }
   }
 
+  test("watermarked dedup: batch-equal matches, state evicted past retention, post-eviction re-emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.round
+    implicit val sqlCtx = spark.sqlContext
+    val newDocs = graft.core.Tables(spark, dir).documents
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 1700000000000L
+
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DedupStream.matches(
+        in.toDS().toDF("doc_id", "text", "ingest_ts"), spark, dir,
+        ingestTsCol = Some("ingest_ts"), dedupRetention = "10 seconds")
+      .writeStream.format("memory").queryName("incr_stream_wm")
+      .outputMode("append").start()
+    def stateRows(): Long = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+
+    // phase 1: the full ingest inside one retention window, chunked —
+    // including an in-window RE-DELIVERY of the first chunk, which the
+    // watermarked state must collapse exactly like the unwatermarked form
+    val cut = newDocs.length / 2
+    in.addData(newDocs.take(cut).map { case (id, tx) => (id, tx, ts(t0)) }: _*)
+    q.processAllAvailable()
+    in.addData((newDocs.drop(cut) ++ newDocs.take(3))
+      .map { case (id, tx) => (id, tx, ts(t0 + 1000)) }: _*)
+    q.processAllAvailable()
+    val streaming = spark.table("incr_stream_wm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.incrementalMatches(spark, dir)
+      .select($"ni", $"oi", round($"jac", 6).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+    val afterParity = spark.table("incr_stream_wm").count()
+    val statePhase1 = stateRows()
+    assert(statePhase1 > 0L, "watermarked dedup kept no state in-window")
+
+    // phase 2: event time jumps far past retention → watermark passes
+    // every phase-1 pair's ingest_ts + 10 s and the store evicts (two
+    // ticks: the batch that ADVANCES the watermark, then the batch that
+    // evicts under it). The ticking doc re-uses a real doc at fresh ts —
+    // its own rows may re-emit; the assertion is about STATE, and that
+    // the store tracks the recent window, not lifetime pairs.
+    val (tickId, tickTx) = newDocs.head
+    in.addData((tickId, tickTx, ts(t0 + 3600L * 1000))); q.processAllAvailable()
+    in.addData((tickId, tickTx, ts(t0 + 3600L * 1000 + 1000))); q.processAllAvailable()
+    val residual = stateRows()
+    assert(residual < statePhase1 / 2,
+      s"retention elapsed but $residual of $statePhase1 state rows remain (phase-1 pairs not evicted)")
+
+    // phase 3: a phase-1 doc re-delivered AFTER eviction re-emits its
+    // matches — at-least-once output past the retention window, never
+    // loss (pick a doc that is KNOWN to have matches)
+    val before = spark.table("incr_stream_wm").count()
+    val matchedIds = streaming.map(_._1)
+    val (reId, reTx) = newDocs.find(d => matchedIds.contains(d._1) && d._1 != tickId).get
+    in.addData((reId, reTx, ts(t0 + 3600L * 1000 + 2000))); q.processAllAvailable()
+    assert(spark.table("incr_stream_wm").count() > before,
+      "post-eviction re-delivery emitted nothing (matches lost)")
+    q.stop()
+  }
+
   test("streaming embedding ingest dedup equals the batch match set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
