@@ -692,6 +692,41 @@ object TextAnalysis {
   private def scoreIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** The per-LANGUAGE quality projection shared — expression for
+    * expression — by the batch query `tx_quality_lang` and the
+    * streaming ingest gate [[graft.streaming.CurationStream]]: per doc
+    * (pred_lang, n_tok, stop_ratio, quality) with the quality score's
+    * stopword term read under the DETECTED language's list (the
+    * tx_lang_id vote; the detected language's stop count IS the vote
+    * maximum, so the lang-aware score adds zero passes over the text).
+    * One tokenize, four codegen'd array filters, a single stateless
+    * projection — no shuffle, which is what makes the streaming twin a
+    * per-row append-mode map. Input needs (doc_id, text).
+    */
+  private[graft] def langQualityScores(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    docs
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+        scoreIn(toks, stop("de")).as("s_de"),
+        scoreIn(toks, stop("en")).as("s_en"),
+        scoreIn(toks, stop("es")).as("s_es"),
+        scoreIn(toks, stop("fr")).as("s_fr"))
+      .withColumn("best", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+      .withColumn("pred_lang",
+        when(col("s_de") === col("best"), "de")
+          .when(col("s_en") === col("best"), "en")
+          .when(col("s_es") === col("best"), "es")
+          .otherwise("fr"))
+      .select(
+        col("doc_id"), col("pred_lang"), col("n_tok"),
+        round(col("best").cast("double") / nullif(col("n_tok"), lit(0)), 4).as("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_tok").cast("double") / 50.0) * 0.5
+            + least(lit(1.0), col("best").cast("double") * 10.0 / nullif(col("n_tok"), lit(0))) * 0.5,
+          4).as("quality"))
+  }
+
   /** Crude BPE-ish pre-tokenizer pattern (GPT-2 style classes, no
     * lookahead so it is portable Java-regex ∩ RE2).
     */
@@ -812,28 +847,7 @@ object TextAnalysis {
     // redefinition.
     "tx_quality_lang" -> { (s, dir) =>
       import s.implicits._
-      val toks = $"toks"
-      Tables(s, dir).documents
-        .select($"doc_id", wsTokens(lower($"text")).as("toks"))
-        .select($"doc_id", size(toks).cast("long").as("n_tok"),
-          scoreIn(toks, stop("de")).as("s_de"),
-          scoreIn(toks, stop("en")).as("s_en"),
-          scoreIn(toks, stop("es")).as("s_es"),
-          scoreIn(toks, stop("fr")).as("s_fr"))
-        .withColumn("best", greatest($"s_de", $"s_en", $"s_es", $"s_fr"))
-        .withColumn("pred_lang",
-          when($"s_de" === $"best", "de")
-            .when($"s_en" === $"best", "en")
-            .when($"s_es" === $"best", "es")
-            .otherwise("fr"))
-        .select(
-          $"doc_id", $"pred_lang", $"n_tok",
-          round($"best".cast("double") / nullif($"n_tok", lit(0)), 4).as("stop_ratio"),
-          round(
-            least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
-              + least(lit(1.0), $"best".cast("double") * 10.0 / nullif($"n_tok", lit(0))) * 0.5,
-            4).as("quality"))
-        .orderBy($"doc_id")
+      langQualityScores(Tables(s, dir).documents).orderBy($"doc_id")
     },
 
     // The curation pipeline gated per detected language: exact-dedup

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextAnalysis
+
+/** Streaming twin of `tx_quality_lang`: language-detect and
+  * quality-score a continuous ingest of documents AT THE DOOR — the
+  * always-on form of the curation gate a crawl pipeline applies before
+  * anything else touches a document (gate first, so every downstream
+  * stage — dedup, LM scoring, packing — reads only survivors).
+  *
+  * The whole pipeline is the SAME stateless per-row projection as the
+  * batch query ([[TextAnalysis.langQualityScores]], shared expression
+  * for expression, so scores are bit-identical by construction —
+  * CurationStreamSpec pins it anyway): one tokenize, four codegen'd
+  * stopword filters, the detected language's count doubling as the
+  * quality score's stopword term. No shuffle, no watermark, no state —
+  * append mode, each doc's verdict complete within its own micro-batch,
+  * per-batch cost ∝ batch size at any corpus scale.
+  *
+  * Unlike the LM/DSIR ingest twins there is no trained artifact to
+  * ship: the stopword lists are compile-time constants, so this gate
+  * runs before a corpus generation even exists — it is the FIRST stage
+  * of the ingest chain, feeding [[DedupStream]] / [[LmScoreStream]].
+  */
+object CurationStream {
+
+  /** Per-arriving-document (doc_id, pred_lang, n_tok, stop_ratio,
+    * quality, admitted) — append-safe. `threshold` is the curation
+    * pipelines' quality gate (their shared 0.7 default).
+    */
+  def qualityGate(newDocs: DataFrame, threshold: Double = 0.7): DataFrame =
+    TextAnalysis.langQualityScores(newDocs)
+      .withColumn("admitted", col("quality") >= threshold)
+
+  /** Only the admitted documents, with their scores — the frame the
+    * rest of the ingest chain consumes.
+    */
+  def survivors(newDocs: DataFrame, threshold: Double = 0.7): DataFrame =
+    qualityGate(newDocs, threshold).filter(col("admitted")).drop("admitted")
+}

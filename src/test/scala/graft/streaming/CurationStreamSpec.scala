@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** The streaming quality gate must score every arriving doc exactly as
+  * the batch `tx_quality_lang` does — same language vote, same rounded
+  * score — however the ingest splits into micro-batches, and its
+  * admitted/dropped verdicts must match the curation pipelines' 0.7
+  * gate doc-for-doc.
+  */
+class CurationStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming quality gate equals batch tx_quality_lang across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = CurationStream.qualityGate(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    // uneven micro-batches, including a singleton
+    val cut1 = docs.length / 3
+    in.addData(docs.take(cut1): _*); q.processAllAvailable()
+    in.addData(docs.slice(cut1, cut1 + 1): _*); q.processAllAvailable()
+    in.addData(docs.drop(cut1 + 1): _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cur_stream")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Long]("n_tok"),
+          r.getAs[Double]("stop_ratio"), r.getAs[Double]("quality"),
+          r.getAs[Boolean]("admitted")))).toMap
+    val batch = graft.SparkEntry.queries("tx_quality_lang")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Long]("n_tok"),
+          r.getAs[Double]("stop_ratio"), r.getAs[Double]("quality")))).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (id, (lang, nTok, ratio, qual)) =>
+      val (sLang, sTok, sRatio, sQual, sAdm) = streamed(id)
+      assert((sLang, sTok, sRatio, sQual) == ((lang, nTok, ratio, qual)),
+        s"doc $id diverged: stream ${streamed(id)} vs batch ${batch(id)}")
+      assert(sAdm == (qual >= 0.7), s"doc $id admitted=$sAdm at quality $qual")
+    }
+    // the gate must do real work in both directions on the gate corpus
+    assert(streamed.values.exists(_._5) && streamed.values.exists(!_._5),
+      "gate corpus admitted/dropped split degenerate — threshold inert")
+
+    // survivors = admitted rows exactly
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = CurationStream.survivors(in2.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cur_stream_surv")
+      .outputMode("append").start()
+    in2.addData(docs: _*); q2.processAllAvailable(); q2.stop()
+    val survived = spark.table("cur_stream_surv")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survived == streamed.collect { case (id, t) if t._5 => id }.toSet)
+  }
+}
