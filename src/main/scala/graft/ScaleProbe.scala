@@ -302,7 +302,8 @@ object ScaleProbe {
       "tx_pack", "tx_mix", "tx_mix_temperature", "tx_curation_packed",
       "tx_dsir_weights", "tx_dsir_hashed", "tx_dsir_select",
       "tx_bigram_logprob", "tx_bpe_merges", "tx_bpe_token_count",
-      "tx_source_cap", "tx_corpus_report", "tx_curation_manifest")
+      "tx_source_cap", "tx_corpus_report", "tx_curation_manifest",
+      "tx_quality", "tx_quality_lang", "tx_curation_lang")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()

@@ -701,30 +701,36 @@ object TextAnalysis {
     * maximum, so the lang-aware score adds zero passes over the text).
     * One tokenize, four codegen'd array filters, a single stateless
     * projection — no shuffle, which is what makes the streaming twin a
-    * per-row append-mode map. Input needs (doc_id, text).
+    * per-row append-mode map. Input needs (doc_id, text); `keep` names
+    * input columns carried through unchanged (the streaming gate keeps
+    * `text` so downstream ingest stages — dedup, LM scoring — can chain
+    * off the survivors; the batch query keeps nothing, so its plan and
+    * oracle columns are untouched).
     */
-  private[graft] def langQualityScores(docs: DataFrame): DataFrame = {
+  private[graft] def langQualityScores(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val toks = col("toks")
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+      .select(col("doc_id") +: wsTokens(lower(col("text"))).as("toks") +: kept: _*)
+      .select(Seq(col("doc_id"), size(toks).cast("long").as("n_tok"),
         scoreIn(toks, stop("de")).as("s_de"),
         scoreIn(toks, stop("en")).as("s_en"),
         scoreIn(toks, stop("es")).as("s_es"),
-        scoreIn(toks, stop("fr")).as("s_fr"))
+        scoreIn(toks, stop("fr")).as("s_fr")) ++ kept: _*)
       .withColumn("best", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
       .withColumn("pred_lang",
         when(col("s_de") === col("best"), "de")
           .when(col("s_en") === col("best"), "en")
           .when(col("s_es") === col("best"), "es")
           .otherwise("fr"))
-      .select(
+      .select(Seq(
         col("doc_id"), col("pred_lang"), col("n_tok"),
         round(col("best").cast("double") / nullif(col("n_tok"), lit(0)), 4).as("stop_ratio"),
         round(
           least(lit(1.0), col("n_tok").cast("double") / 50.0) * 0.5
             + least(lit(1.0), col("best").cast("double") * 10.0 / nullif(col("n_tok"), lit(0))) * 0.5,
-          4).as("quality"))
+          4).as("quality")) ++ kept: _*)
   }
 
   /** Crude BPE-ish pre-tokenizer pattern (GPT-2 style classes, no

@@ -40,4 +40,18 @@ object CurationStream {
     */
   def survivors(newDocs: DataFrame, threshold: Double = 0.7): DataFrame =
     qualityGate(newDocs, threshold).filter(col("admitted")).drop("admitted")
+
+  /** Admitted documents with their TEXT intact — the (doc_id, text)
+    * frame the downstream ingest twins take, so the whole always-on
+    * chain composes as ONE streaming DAG:
+    * `survivorDocs → DedupStream.matches` / `LmScoreStream.scores`
+    * (gate first, every later stage reads only survivors —
+    * CurationStreamSpec pins both chains against their batch
+    * compositions). Still a stateless projection + filter; whatever
+    * state the chain holds belongs to the downstream stage.
+    */
+  def survivorDocs(newDocs: DataFrame, threshold: Double = 0.7): DataFrame =
+    TextAnalysis.langQualityScores(newDocs, keep = Seq("text"))
+      .filter(col("quality") >= threshold)
+      .select(col("doc_id"), col("text"))
 }

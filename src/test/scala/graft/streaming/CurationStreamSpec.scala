@@ -62,4 +62,63 @@ class CurationStreamSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(survived == streamed.collect { case (id, t) if t._5 => id }.toSet)
   }
+
+  test("the ingest chain composes: gate -> dedup and gate -> LM score in one streaming DAG") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.round
+    implicit val sqlCtx = spark.sqlContext
+    // the incremental-dedup ingest slice (doc_id % 5 == 0), quality-gated
+    // at the door — downstream stages must see only survivors
+    val ingest = graft.core.Tables(spark, dir).documents
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val admitted = graft.SparkEntry.queries("tx_quality_lang")(spark, dir)
+      .filter($"quality" >= 0.7)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+      .intersect(ingest.map(_._1).toSet)
+    // the gate must split this slice both ways or the chain proves nothing
+    assert(admitted.nonEmpty && admitted.size < ingest.size)
+
+    // chain 1: gate -> minhash dedup (stream-static joins + stateful
+    // collapse DOWNSTREAM of the gate projection)
+    val in = MemoryStream[(Long, String)]
+    val gated = CurationStream.survivorDocs(in.toDS().toDF("doc_id", "text"))
+    val q1 = DedupStream.matches(gated, spark, dir)
+      .writeStream.format("memory").queryName("chain_dedup")
+      .outputMode("append").start()
+    // chain 2: the SAME memory stream feeds gate -> LM scoring (each
+    // query tracks its own offsets — one ingest, two consumers)
+    val gated2 = CurationStream.survivorDocs(in.toDS().toDF("doc_id", "text"))
+    val q2 = LmScoreStream.scores(gated2, spark, dir)
+      .writeStream.format("memory").queryName("chain_lm")
+      .outputMode("append").start()
+    val cut = ingest.length / 2
+    in.addData(ingest.take(cut): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    in.addData(ingest.drop(cut): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    // chain 1 == the batch composition: incremental matches whose new
+    // side survived the gate
+    val chainDedup = spark.table("chain_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchDedup = graft.queries.Dedup.incrementalMatches(spark, dir)
+      .filter($"ni".isin(admitted.toSeq: _*))
+      .select($"ni", $"oi", round($"jac", 6).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(chainDedup == batchDedup)
+    assert(chainDedup.nonEmpty)
+    assert(chainDedup.forall(m => admitted.contains(m._1)))
+
+    // chain 2 == the batch composition: LM scores of the gated slice
+    val chainLm = spark.table("chain_lm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchLm = graft.SparkEntry.queries("tx_unigram_logprob")(spark, dir)
+      .filter($"doc_id".isin(admitted.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(chainLm == batchLm)
+    assert(chainLm.nonEmpty)
+  }
 }
