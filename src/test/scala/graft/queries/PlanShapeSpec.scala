@@ -293,6 +293,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("tx_quality_lang is a shuffle-free narrow projection") {
+    val p = plan("tx_quality_lang")
+    // all four language scores + the quality composition ride one
+    // projection; the only exchange allowed is the presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected shuffles in tx_quality_lang: ${p.take(2000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("tx_curation_lang: partial-agg dedup via broadcast semi join, rollup, no window") {
+    val p = plan("tx_curation_lang")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
