@@ -178,8 +178,15 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // restricted (SPARK_GRAFT_ONLY) spot-checks default to their own
+    // file: the full-suite artifact is the committed band evidence, and
+    // a one-query re-measure must not clobber it (it did once — the r12
+    // mm_pack re-band erased the 162-query run + first cluster bands
+    // from the working tree; recovered from git, rule encoded here)
+    val defaultSummary =
+      if (only.isDefined) "bench_summary_only.json" else "bench_summary.json"
     val summaryPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SUMMARY", "bench_summary.json"))
+      sys.env.getOrElse("SPARK_GRAFT_SUMMARY", defaultSummary))
     java.nio.file.Files.write(summaryPath,
       (compact + "\n" + s"""{"metric":"queries_full","queries":$qs,"sf":"$sfDir"}"""
         + "\n" + s"""{"metric":"reps_full","reps":$repsJson,"sf":"$sfDir"}"""

@@ -863,27 +863,17 @@ object TextAnalysis {
     // final rollup; the language scores ride in the projection.
     "tx_curation_lang" -> { (s, dir) =>
       import s.implicits._
-      val toks = $"toks"
+      // ONE definition of the scoring expressions (langQualityScores,
+      // shared with tx_quality_lang and the streaming gate). The
+      // oracle's explicit n_tok > 0 prefilter is subsumed: at n_tok = 0
+      // the stopword ratio is NULL (nullif), `least` skips it, and the
+      // score caps at 0.5 — always below the 0.7 gate.
       val docs = Tables(s, dir).documents
         .select($"doc_id", $"text", md5($"text").as("fp"))
       val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-      docs.join(keep, Seq("fp", "doc_id"), "left_semi")
-        .select($"doc_id", wsTokens(lower($"text")).as("toks"))
-        .select($"doc_id", size(toks).cast("long").as("n_tok"),
-          scoreIn(toks, stop("de")).as("s_de"),
-          scoreIn(toks, stop("en")).as("s_en"),
-          scoreIn(toks, stop("es")).as("s_es"),
-          scoreIn(toks, stop("fr")).as("s_fr"))
-        .withColumn("best", greatest($"s_de", $"s_en", $"s_es", $"s_fr"))
-        .withColumn("pred_lang",
-          when($"s_de" === $"best", "de")
-            .when($"s_en" === $"best", "en")
-            .when($"s_es" === $"best", "es")
-            .otherwise("fr"))
-        .filter($"n_tok" > 0)
-        .withColumn("quality",
-          round(least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
-            + least(lit(1.0), $"best".cast("double") * 10.0 / $"n_tok") * 0.5, 4))
+      val deduped = docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+        .select($"doc_id", $"text")
+      langQualityScores(deduped)
         .filter($"quality" >= 0.7)
         .groupBy($"pred_lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tokens"))

@@ -194,6 +194,14 @@ object AnnStream {
     * geometry), so a production tier lets each REQUEST buy its own
     * recall — a latency-sensitive caller keeps the default, an
     * offline-eval caller sends nprobe=6 — without running two tiers.
+    *
+    * CONTRACT: a `probe` id names ONE logical query — every delivery
+    * under it (whatever its at-least-once (src, seq) identity) must
+    * carry the same embedding and the same knobs, and the probe is
+    * answered once. Distinct requests — in particular, the same vector
+    * at different knobs — are distinct probes; a batch that violates
+    * this is served deterministically from its min-(seq, src) delivery
+    * and the rest are deduped as re-sends.
     */
   final case class QueryEvent(src: Long, seq: Long, probe: Long,
       embedding: Array[Float], nprobe: Int = 0, shortlist: Int = 0)
@@ -317,9 +325,13 @@ object AnnStream {
     }
     state.update(st)
     retention.foreach(state.setTimeoutDuration)
-    // every delivery of one probe carries the same embedding and joins
-    // the same candidate rows — serve once, from one delivery's rows
-    val q0 = fresh.head._1
+    // every delivery of one probe carries the same payload AND knobs
+    // (the [[QueryEvent]] contract: probe = one logical query) and
+    // joins the same candidate rows — serve once, from one delivery's
+    // rows, picked DETERMINISTICALLY (min (seq, src), matching
+    // pqServePruned) so a contract-violating mixed-knob batch at least
+    // serves a stable winner instead of a batch-order-dependent one
+    val q0 = fresh.map(_._1).minBy(q => (q.seq, q.src))
     val cands = fresh.collect {
       case (q, ix) if q.src == q0.src && q.seq == q0.seq => ix }
     score(q0, cands, centroidOf, codebook,

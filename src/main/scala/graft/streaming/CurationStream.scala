@@ -33,7 +33,12 @@ object CurationStream {
     */
   def qualityGate(newDocs: DataFrame, threshold: Double = 0.7): DataFrame =
     TextAnalysis.langQualityScores(newDocs)
-      .withColumn("admitted", col("quality") >= threshold)
+      // token-free docs score 0.5 (`least` skips the NULL stopword
+      // ratio; a crawl front door sees empty docs routinely) — below
+      // any sane threshold. The coalesce makes the verdict's
+      // never-NULL contract explicit rather than an artifact of
+      // `least`'s null-skipping: rejected, not unjudged.
+      .withColumn("admitted", coalesce(col("quality") >= threshold, lit(false)))
 
   /** Only the admitted documents, with their scores — the frame the
     * rest of the ingest chain consumes.

@@ -48,9 +48,19 @@ object DedupStream {
     * same bounded-state contract as
     * [[AnnStream.ServedStateRetention]]: a band collision re-arriving
     * INSIDE retention is collapsed exactly; one re-arriving after
-    * eviction re-emits its match — at-least-once output, never loss,
-    * and downstream drop-list application is idempotent on identical
-    * match rows). With `ingestTsCol = None` (bounded backfills, parity
+    * eviction re-emits its match, and downstream drop-list application
+    * is idempotent on identical match rows).
+    *
+    * The watermark ADMISSION bound is part of the contract, both ways:
+    * like every watermarked stream, a FIRST delivery whose ingest time
+    * is already more than `dedupRetention` behind the max event time
+    * seen is late data — dropped before the dedup state is consulted,
+    * its match never emitted. Output is therefore at-least-once FOR
+    * deliveries inside the bound; size `dedupRetention` to cover the
+    * worst cross-source ingest-timestamp skew plus the re-delivery
+    * horizon, or stamp `ingestTsCol` at the stream's own front door
+    * (arrival time, monotone per source) so no first delivery can be
+    * late. With `ingestTsCol = None` (bounded backfills, parity
     * replays) the unwatermarked `dropDuplicates` keeps exact
     * lifetime-run semantics and state ∝ distinct colliding pairs.
     */

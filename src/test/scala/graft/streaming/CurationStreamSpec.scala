@@ -63,6 +63,27 @@ class CurationStreamSpec extends SparkSpec {
     assert(survived == streamed.collect { case (id, t) if t._5 => id }.toSet)
   }
 
+  test("token-free docs get a real REJECTED verdict, not a null one") {
+    import spark.implicits._
+    // the gate is a plain projection — exercise it as a batch frame.
+    // n_tok = 0 makes the stopword term's ratio NULL, which `least`
+    // SKIPS (so quality reads 0.5: length term 0, stopword term
+    // saturated) — below any sane threshold, and the coalesce in
+    // qualityGate guarantees a boolean verdict even if the score
+    // expression ever returns NULL.
+    val docs = Seq((1L, ""), (2L, "   "), (3L, Seq.fill(60)("the").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = CurationStream.qualityGate(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("quality"), r.getAs[Boolean]("admitted")))).toMap
+    assert(got(1L) == ((0.5, false)) && got(2L) == ((0.5, false)),
+      s"empty docs must be rejected: $got")
+    assert(got(3L)._2, "the stopword-dense doc must be admitted")
+    val surv = CurationStream.survivorDocs(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(surv == Set(3L))
+  }
+
   test("the ingest chain composes: gate -> dedup and gate -> LM score in one streaming DAG") {
     import spark.implicits._
     import org.apache.spark.sql.functions.round
