@@ -562,9 +562,20 @@ object ScaleProbe {
           qr.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         }
+        // MAINTENANCE: the churn cycles above appended a file per
+        // touched cell per cycle — compact to one file per cell (the
+        // atomic-swap rewrite) and time one more serve batch against
+        // the compacted tree: same rows, fewer file opens per probe
+        val (fb, fa) = graft.queries.Similarity.compactServingIndex(spark, idxPath)
+        val tC = System.nanoTime()
+        inR.addData(batchEvents(64))
+        qr.processAllAvailable()
+        val secC = (System.nanoTime() - tC) / 1e9
         qw.stop(); qr.stop()
         val cyc = secs.map(t => f"$t%.2f").mkString("[", ",", "]")
-        println(f"""{"serve": "churn", "mult": $tag, "cycle_sec": $cyc, "served": $served}""")
+        println(f"""{"serve": "churn", "mult": $tag, "cycle_sec": $cyc, """ +
+          f""""files_before": $fb, "files_after": $fa, "compacted_batch_sec": $secC%.2f, """ +
+          f""""served": $served}""")
       }
     }
   }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1990,6 +1992,48 @@ object Similarity {
     */
   def writeServingIndex(s: SparkSession, dir: String, path: String): Unit =
     pqServingIndex(s, dir).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Compact the on-disk serving index: every streamed ingest batch
+    * APPENDS a file per touched cell partition, so a long-lived index
+    * accumulates small files and each serve batch pays file-open +
+    * footer cost per file in its probed cells — the classic file-append
+    * small-files decay (the maintenance HALF of the write path, next to
+    * drift-triggered retrain which rebuilds cell CONTENTS). Rewrites
+    * each cell partition to one file via a per-cell shuffle-free
+    * repartition(1) on the partition column, into a temp dir + atomic
+    * swap (rename), so a concurrent reader never sees a half-written
+    * tree; the swapped-out tree is removed after. foreachBatch serving
+    * re-plans per batch and picks the compacted tree up immediately.
+    * One shuffle, keyed by cell (each cell's rows coalesce into a
+    * single task's output file). Returns (files_before, files_after)
+    * for the maintenance loop's trigger ledger. At production scale
+    * this is one job per index generation, cost ∝ index size, run off
+    * the serving path's critical section (the swap is the only
+    * contended instant).
+    */
+  def compactServingIndex(s: SparkSession, path: String): (Long, Long) = {
+    def dataFiles(p: java.nio.file.Path): Long = {
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala.count(f =>
+        f.getFileName.toString.endsWith(".parquet")).toLong
+      finally st.close()
+    }
+    val root = java.nio.file.Paths.get(path)
+    val before = dataFiles(root)
+    val tmp = java.nio.file.Paths.get(path + ".compact.tmp")
+    val old = java.nio.file.Paths.get(path + ".compact.old")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    s.read.parquet(path)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // atomic swap: live -> .old, tmp -> live, drop .old
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    java.nio.file.Files.move(root, old)
+    java.nio.file.Files.move(tmp, root)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    (before, dataFiles(root))
+  }
 
   /** Serving-knob meter (ScaleProbe-only diagnostic): recall@5 of the
     * PQ pass against the exact brute force at explicit (nprobe,

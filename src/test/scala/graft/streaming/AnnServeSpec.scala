@@ -196,6 +196,62 @@ class AnnServeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
   }
 
+  test("compaction: accumulated append files collapse to one per cell, serve results unchanged") {
+    // the maintenance half of the file-append serving index: ingest
+    // batches append a file per touched cell; compaction must rewrite
+    // to one file per cell (via an atomic swap a concurrent reader
+    // never sees half of) WITHOUT changing a single served row
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    implicit val sqlCtx = spark.sqlContext
+    val centroids = Similarity.trainedCentroidArrays(spark, dir)
+    val codebook = Similarity.pqCodebookArrays(spark, dir)
+    val (nprobe, shortlist) = Similarity.pqServingDefaults
+
+    // simulate ingest accumulation: the index content arrives as 3
+    // separate appends (same rows as one writeServingIndex overwrite,
+    // so batch ann_pq_topk is still the expected serve answer)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_compact_idx").toString + "/idx"
+    val idx = Similarity.pqServingIndex(spark, dir)
+    (0 until 3).foreach { i =>
+      idx.filter($"vec_id" % 3 === i)
+        .write.mode("append").partitionBy("cell").parquet(idxPath)
+    }
+
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 30)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val events = qs.zipWithIndex.map { case ((id, emb), i) =>
+      AnnStream.QueryEvent(src = 1, seq = i.toLong, probe = id, embedding = emb)
+    }
+    def serveOnce(seqBase: Long): Set[(Long, Int, Long, Double)] = {
+      val in = MemoryStream[AnnStream.QueryEvent]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[AnnStream.ServeResult]
+      val q = AnnStream.pqServePruned(in.toDS(), idxPath, centroids, codebook,
+        nprobe, shortlist) { ds => buf.synchronized { buf ++= ds.collect(); () } }
+        .start()
+      in.addData(events.map(e => e.copy(seq = e.seq + seqBase)).toIndexedSeq)
+      q.processAllAvailable(); q.stop()
+      buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    }
+    val pre = serveOnce(0)
+    assert(pre.nonEmpty)
+
+    val (before, after) = Similarity.compactServingIndex(spark, idxPath)
+    val nCells = spark.read.parquet(idxPath).select("cell").distinct().count()
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    assert(after == nCells, s"expected one file per cell ($nCells), got $after")
+    // no temp/old residue next to the live tree
+    assert(!new java.io.File(idxPath + ".compact.tmp").exists())
+    assert(!new java.io.File(idxPath + ".compact.old").exists())
+
+    val post = serveOnce(1000)
+    assert(post === pre, "compaction changed served results")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idxPath).getParentFile)
+  }
+
   test("per-request nprobe/shortlist: each knob group equals the batch run at those knobs") {
     // one stream, three knob regimes riding on the SAME serving tier:
     // probes 0-16 keep the tier defaults (nprobe=0 sentinel), 17-33
