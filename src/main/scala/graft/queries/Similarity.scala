@@ -2019,9 +2019,15 @@ object Similarity {
       finally st.close()
     }
     val root = java.nio.file.Paths.get(path)
-    val before = dataFiles(root)
     val tmp = java.nio.file.Paths.get(path + ".compact.tmp")
     val old = java.nio.file.Paths.get(path + ".compact.old")
+    // crash recovery: the only unsafe window is between the two renames
+    // below (live tree moved aside, compacted tree not yet in place). A
+    // crash there leaves no live path but a complete `.old` tree — heal
+    // it before doing anything else this run.
+    if (!java.nio.file.Files.exists(root) && java.nio.file.Files.exists(old))
+      java.nio.file.Files.move(old, root)
+    val before = dataFiles(root)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     s.read.parquet(path)
       .repartition(col("cell"))

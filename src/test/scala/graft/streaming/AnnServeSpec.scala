@@ -248,6 +248,17 @@ class AnnServeSpec extends SparkSpec {
 
     val post = serveOnce(1000)
     assert(post === pre, "compaction changed served results")
+
+    // crash recovery: simulate dying between the two swap renames (live
+    // tree moved aside, compacted tree not yet in place) — the next
+    // compaction run must heal the orphaned .old tree back to live and
+    // proceed, with served results still identical
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(idxPath),
+      java.nio.file.Paths.get(idxPath + ".compact.old"))
+    val (b2, a2) = Similarity.compactServingIndex(spark, idxPath)
+    assert(b2 == a2 && a2 == nCells, s"recovered tree not intact: $b2 -> $a2")
+    assert(serveOnce(2000) === pre, "post-recovery serve diverged")
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(idxPath).getParentFile)
   }
