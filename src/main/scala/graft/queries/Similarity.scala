@@ -536,6 +536,34 @@ object Similarity {
             .as("norm_mass"))
     },
 
+    // Cluster-balanced SUBSAMPLING: keep ceil(sqrt(n_c)) deterministic
+    // md5-ranked members of each trained quantizer cell — the
+    // diversity-preserving downsample of an embedded corpus (big
+    // clusters compressed hardest, sqrt the standard flattening —
+    // the learned-cluster analogue of tx_mix_temperature's per-lang
+    // flattening and tx_source_cap's per-source cap, for corpora with
+    // no curated strata). One partial+final agg for the per-cell
+    // quotas (broadcast back), one cell-PARTITIONED window for the
+    // rank — never a global sort; at 100 TB the cell is the shuffle
+    // key exactly as in every IVF-family operator.
+    "ann_cluster_sample" -> { (s, dir) =>
+      import s.implicits._
+      val asg = assignments(s, dir)
+        .select($"vec_id", $"alabel".cast("long").as("cell"))
+      val quotas = asg.groupBy($"cell")
+        .agg(count(lit(1)).as("n_cell"))
+        .withColumn("quota", ceil(sqrt($"n_cell")).cast("long"))
+      asg
+        .withColumn("rk", QueryFns.hash48($"vec_id".cast("string")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"cell").orderBy($"rk", $"vec_id")))
+        .join(broadcast(quotas), "cell")
+        .filter($"rn" <= $"quota")
+        .select($"vec_id", $"cell", $"n_cell", $"quota")
+        .orderBy($"vec_id")
+    },
+
     // Embedding near-dup blocked by the TRAINED centroid assignment
     // (closing the loop the label-blocked dedup_emb_cos documents): the
     // blocking key comes from the IVF training step, so the operator is
@@ -2729,6 +2757,24 @@ object Similarity {
          |  round(CAST(SUM(CAST(c2 * c2 AS DECIMAL(27,4))) AS DOUBLE)
          |    / CAST(SUM(CAST(n2 AS DECIMAL(27,4))) AS DOUBLE), 6) AS var2
          |FROM pvv""".stripMargin,
+
+    "ann_cluster_sample" ->
+      s"""$VecCte,
+         |$TrainedAsgCte,
+         |q AS (
+         |  SELECT alabel, CAST(count(*) AS BIGINT) AS n_cell,
+         |    CAST(ceil(sqrt(count(*))) AS BIGINT) AS quota
+         |  FROM asg GROUP BY alabel),
+         |r AS (
+         |  SELECT vec_id, alabel,
+         |    row_number() OVER (PARTITION BY alabel
+         |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+         |        vec_id) AS rn
+         |  FROM asg)
+         |SELECT r.vec_id, CAST(r.alabel AS BIGINT) AS cell, q.n_cell, q.quota
+         |FROM r JOIN q ON r.alabel = q.alabel
+         |WHERE r.rn <= q.quota
+         |ORDER BY r.vec_id""".stripMargin,
 
     "ann_pq_topk" ->
       s"""$VecCte,
