@@ -127,7 +127,7 @@ object ScaleProbe {
       "tx_bigram_logprob", "dedup_hot_drift", "tx_curation_manifest",
       "tx_source_cap", "tx_corpus_report",
       "tx_bpe_merges", "tx_bpe_token_count", "ann_pca_project", "ann_pca_var",
-      "ann_pca_topk", "ann_pca_recall")
+      "ann_pca_topk", "ann_pca_recall", "ann_cluster_sample")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
@@ -264,7 +264,8 @@ object ScaleProbe {
       ("ann_filtered_topk", "cold"), ("ann_filtered_ivf", "warm"),
       ("ann_postfilter_recall", "warm"),
       ("ann_pca_project", "cold"), ("ann_pca_topk", "warm"),
-      ("ann_pca_cells", "warm"), ("ann_serving_index", "warm"))) {
+      ("ann_pca_cells", "warm"), ("ann_serving_index", "warm"),
+      ("ann_cluster_sample", "warm"))) {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
