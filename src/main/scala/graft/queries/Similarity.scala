@@ -2069,6 +2069,75 @@ object Similarity {
     (before, dataFiles(root))
   }
 
+  /** One committed serving GENERATION: the self-contained artifact set
+    * a serving tier needs — the cell-partitioned index plus the
+    * quantizer that defined it (centroids + PQ codebook; codes are
+    * meaningless under any other codebook, so the three travel
+    * together).
+    */
+  final case class ServingGeneration(gen: Long, indexPath: String,
+      centroids: Array[(Long, Array[Double])],
+      codebook: Array[Array[Array[Double]]])
+
+  /** Write the NEXT serving generation under `root` and flip the
+    * `_latest` pointer to it atomically (temp + ATOMIC_MOVE — the
+    * CorpusSink generation device, applied to the vector side): the
+    * retrain→cutover step of the production loop. A generation is
+    * `gen-N/{index, centroids, codebook}` — self-contained, so a
+    * serving tier resolving the pointer per batch
+    * ([[graft.streaming.AnnStream.pqServeLatest]]) cuts over to a
+    * RETRAINED quantizer live, with no query restart: the pointer
+    * flip is the only coordination point, readers of the old
+    * generation finish their batch undisturbed, and rollback is a
+    * pointer write to a previous intact generation.
+    */
+  def writeServingGeneration(s: SparkSession, dir: String, root: String): Long = {
+    val next = latestServingGeneration(root).getOrElse(0L) + 1L
+    val gdir = s"$root/gen-$next"
+    writeServingIndex(s, dir, s"$gdir/index")
+    trainedCentroids(s, dir)
+      .select(col("clabel").cast("long").as("clabel"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/centroids")
+    pqCodebook(s, dir)
+      .select(col("m").cast("int").as("m"), col("code").cast("int").as("code"),
+        col("cvq"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/codebook")
+    val tmp = java.nio.file.Paths.get(s"$root/_latest.tmp")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** The generation `_latest` points at, if any committed. */
+  def latestServingGeneration(root: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(s"$root/_latest")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLongOption
+    else None
+  }
+
+  /** Load the committed generation's full artifact set (fails if none —
+    * an unpublished root is an error, not an empty index).
+    */
+  def loadServingGeneration(s: SparkSession, root: String): ServingGeneration = {
+    import s.implicits._
+    val gen = latestServingGeneration(root).getOrElse(
+      sys.error(s"$root: no committed serving generation"))
+    val gdir = s"$root/gen-$gen"
+    val cents = s.read.parquet(s"$gdir/centroids")
+      .select($"clabel", $"cv").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val rows = s.read.parquet(s"$gdir/codebook")
+      .select($"m", $"code", $"cvq").as[(Int, Int, Array[Double])].collect()
+    val mW = rows.map(_._1).max + 1
+    val kW = rows.map(_._2).max + 1
+    val book: Array[Array[Array[Double]]] = Array.fill(mW, kW)(null)
+    rows.foreach { case (mi, ci, cvq) => book(mi)(ci) = cvq }
+    ServingGeneration(gen, s"$gdir/index", cents, book)
+  }
+
   /** Serving-knob meter (ScaleProbe-only diagnostic): recall@5 of the
     * PQ pass against the exact brute force at explicit (nprobe,
     * shortlist), plus the candidate-scan row count (Σ probed-cell

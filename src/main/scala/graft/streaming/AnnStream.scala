@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -499,46 +499,102 @@ object AnnStream {
       k: Int = 5,
       stateRetention: Option[String] = None)(
       sink: Dataset[ServeResult] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[QueryEvent] = {
+    val fn: (Dataset[QueryEvent], Long) => Unit = { (batch, _) =>
+      val qs = batch.collect()
+      if (qs.nonEmpty)
+        sink(servePrunedBatch(batch.sparkSession, qs, indexPath, centroids,
+          codebook, nprobe, shortlist, k))
+    }
+    dedupedQueries(queries, stateRetention).writeStream.foreachBatch(fn)
+      .outputMode(OutputMode.Update())
+  }
+
+  /** The per-micro-batch core of the pruned serving form, shared by
+    * [[pqServePruned]] (fixed artifacts) and [[pqServeLatest]]
+    * (per-batch generation resolution). The query batch is the request
+    * side — bounded by construction (a serving tier answers requests in
+    * bounded batches); collecting it is what lets the per-batch plan
+    * carry literal cell filters.
+    */
+  private def servePrunedBatch(
+      s: SparkSession,
+      qs: Array[QueryEvent],
+      indexPath: String,
+      centroids: Array[(Long, Array[Double])],
+      codebook: Array[Array[Array[Double]]],
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): Dataset[ServeResult] = {
+    import s.implicits._
     val centroidOf = centroids.toMap
+    val cellProbes: Map[Long, Array[(Long, Array[Float])]] = qs
+      .flatMap(q => probedCells(q.embedding, centroids,
+          if (q.nprobe > 0) q.nprobe else nprobe)
+        .map(c => (c, (q.probe, q.embedding))))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val qMap: Map[Long, QueryEvent] = qs.map(q => q.probe -> q).toMap
+    val cells = cellProbes.keys.toSeq.sorted
+    val idx = s.read.parquet(indexPath)
+    // literal type matched to the INFERRED partition-column type
+    // (hive-style partition dirs read back as INT when values fit) —
+    // a type-exact IN list keeps the filter a clean partition-prune,
+    // with no cast wrapped around the partition attribute
+    val inList: Seq[Any] =
+      if (idx.schema("cell").dataType == org.apache.spark.sql.types.IntegerType)
+        cells.map(_.toInt)
+      else cells
+    val cand = idx
+      .where(col("cell").isin(inList: _*))
+      .select($"vec_id", $"cell".cast("long").as("cell"), $"norm2",
+        $"codes", $"embedding")
+      .as[IndexRow]
+    cand
+      .flatMap(ix => cellProbes.getOrElse(ix.cell, Array.empty)
+        .collect { case (p, _) if p != ix.vec_id => (p, ix) })
+      .groupByKey(_._1)
+      .flatMapGroups { (probe: Long, it: Iterator[(Long, IndexRow)]) =>
+        val q = qMap(probe)
+        score(q, it.map(_._2).toSeq, centroidOf, codebook,
+          if (q.shortlist > 0) q.shortlist else shortlist, k)
+      }
+  }
+
+  /** The pruned serving form bound to a GENERATION ROOT instead of a
+    * fixed artifact set: each micro-batch resolves the `_latest`
+    * pointer ([[graft.queries.Similarity.writeServingGeneration]]'s
+    * commit point) and — only when the generation number changed —
+    * reloads the index path, centroids, and codebook from the new
+    * generation directory. This is LIVE retrain cutover: the
+    * drift-trigger loop trains a new quantizer, writes gen-N+1, flips
+    * the pointer, and the serving query answers its next batch under
+    * the new generation with no restart (AnnServeSpec pins per-batch
+    * parity against the batch engine on each side of a mid-stream
+    * flip). Rollback is the same mechanism pointed backwards. The
+    * probe dedup state spans generations deliberately — a probe
+    * answered under gen N is not re-answered under N+1 (one logical
+    * query, one answer; re-query under the new generation is a new
+    * probe).
+    */
+  def pqServeLatest(
+      queries: Dataset[QueryEvent],
+      root: String,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int = 5,
+      stateRetention: Option[String] = None)(
+      sink: Dataset[ServeResult] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[QueryEvent] = {
+    var cached: Option[graft.queries.Similarity.ServingGeneration] = None
     val fn: (Dataset[QueryEvent], Long) => Unit = { (batch, _) =>
       val s = batch.sparkSession
-      import s.implicits._
-      // the query batch is the request side — bounded by construction
-      // (a serving tier answers requests in bounded batches); collecting
-      // it is what lets the per-batch plan carry literal cell filters
       val qs = batch.collect()
       if (qs.nonEmpty) {
-        val cellProbes: Map[Long, Array[(Long, Array[Float])]] = qs
-          .flatMap(q => probedCells(q.embedding, centroids,
-              if (q.nprobe > 0) q.nprobe else nprobe)
-            .map(c => (c, (q.probe, q.embedding))))
-          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-        val qMap: Map[Long, QueryEvent] = qs.map(q => q.probe -> q).toMap
-        val cells = cellProbes.keys.toSeq.sorted
-        val idx = s.read.parquet(indexPath)
-        // literal type matched to the INFERRED partition-column type
-        // (hive-style partition dirs read back as INT when values fit) —
-        // a type-exact IN list keeps the filter a clean partition-prune,
-        // with no cast wrapped around the partition attribute
-        val inList: Seq[Any] =
-          if (idx.schema("cell").dataType == org.apache.spark.sql.types.IntegerType)
-            cells.map(_.toInt)
-          else cells
-        val cand = idx
-          .where(col("cell").isin(inList: _*))
-          .select($"vec_id", $"cell".cast("long").as("cell"), $"norm2",
-            $"codes", $"embedding")
-          .as[IndexRow]
-        val results = cand
-          .flatMap(ix => cellProbes.getOrElse(ix.cell, Array.empty)
-            .collect { case (p, _) if p != ix.vec_id => (p, ix) })
-          .groupByKey(_._1)
-          .flatMapGroups { (probe: Long, it: Iterator[(Long, IndexRow)]) =>
-            val q = qMap(probe)
-            score(q, it.map(_._2).toSeq, centroidOf, codebook,
-              if (q.shortlist > 0) q.shortlist else shortlist, k)
-          }
-        sink(results)
+        val latest = graft.queries.Similarity.latestServingGeneration(root)
+        if (latest.isDefined && cached.map(_.gen) != latest)
+          cached = Some(graft.queries.Similarity.loadServingGeneration(s, root))
+        val g = cached.getOrElse(
+          sys.error(s"$root: no committed serving generation"))
+        sink(servePrunedBatch(s, qs, g.indexPath, g.centroids, g.codebook,
+          nprobe, shortlist, k))
       }
     }
     dedupedQueries(queries, stateRetention).writeStream.foreachBatch(fn)

@@ -334,6 +334,70 @@ class AnnServeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
   }
 
+  test("generation cutover: a mid-stream _latest flip re-points serving with no restart") {
+    // the retrain→cutover step live: gen-1 trains on the gate corpus,
+    // the serving query answers a batch, gen-2 trains on a DIFFERENT
+    // corpus (2× shifted replica — different centroids, different
+    // index) and flips the pointer mid-stream; the next batch must
+    // equal the batch engine ON THE NEW CORPUS, same query restartless
+    val dirA = "/root/testdata/sf0.001"
+    assume(new java.io.File(dirA).isDirectory, s"$dirA not present")
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    val dirB = s"$base/corpusB"
+    val embA = spark.read.parquet(s"$dirA/embeddings.parquet")
+    val nA = embA.count()
+    embA.unionAll(embA.select(($"vec_id" + nA).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x + 0.25f).as("embedding"), $"label"))
+      .write.parquet(s"$dirB/embeddings.parquet")
+
+    val root = s"$base/serving"
+    assert(Similarity.writeServingGeneration(spark, dirA, root) == 1L)
+    val (dnp, dsl) = Similarity.pqServingDefaults
+    def expected(dir: String, ids: Set[Long]): Set[(Long, Int, Long, Double)] =
+      Similarity.pqTopkAt(spark, dir, 20, dnp, dsl).collect()
+        .map(r => (r.getAs[Number]("probe").longValue(),
+          r.getAs[Number]("rank").intValue(),
+          r.getAs[Number]("neighbor").longValue(),
+          r.getAs[Double]("cos")))
+        .filter(t => ids.contains(t._1)).toSet
+    val qs = embA.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    def events(ids: Range, seqBase: Long) = qs
+      .filter(q => ids.contains(q._1.toInt)).zipWithIndex
+      .map { case ((id, emb), i) =>
+        AnnStream.QueryEvent(src = 1, seq = seqBase + i, probe = id, embedding = emb) }
+
+    val in = MemoryStream[AnnStream.QueryEvent]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[AnnStream.ServeResult]
+    val q = AnnStream.pqServeLatest(in.toDS(), root, dnp, dsl) { ds =>
+      buf.synchronized { buf ++= ds.collect(); () } }
+      .start()
+    in.addData(events(0 until 10, 0).toIndexedSeq)
+    q.processAllAvailable()
+    val got1 = buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    assert(got1 === expected(dirA, (0L until 10L).toSet),
+      "pre-cutover batch diverged from the gen-1 corpus's batch engine")
+
+    // mid-stream: train + commit gen-2 on the replica corpus
+    assert(Similarity.writeServingGeneration(spark, dirB, root) == 2L)
+    buf.clear()
+    in.addData(events(10 until 20, 1000).toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val got2 = buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    val exp2 = expected(dirB, (10L until 20L).toSet)
+    assert(got2 === exp2,
+      s"post-cutover batch diverged from the gen-2 corpus's batch engine — missing ${(exp2 -- got2).take(3)}, extra ${(got2 -- exp2).take(3)}")
+    // the flip genuinely changed the answers (the replica corpus has
+    // different neighbors for these probes)
+    assert(got2 !== expected(dirA, (10L until 20L).toSet))
+
+    Similarity.clearCaches()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("write-read loop: vectors ingested via pqIngest are served by pqServe") {
     // the full production loop between index retrains: hold 10 vectors
     // OUT of the trained corpus, write them through the streaming WRITE
