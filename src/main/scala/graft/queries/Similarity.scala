@@ -1936,10 +1936,17 @@ object Similarity {
     * nlist ∝ √n rows — the exact artifact the batch assignment
     * broadcasts, handed to the stream as its static quantizer.
     */
-  def trainedCentroidArrays(s: SparkSession, dir: String): Array[(Long, Array[Double])] = {
+  def trainedCentroidArrays(s: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    centroidArraysFrom(trainedCentroids(s, dir))
+
+  /** The ONE rows→driver-arrays assembly for centroid tables (shared by
+    * the corpus-staged and generation-staged loads — the two must never
+    * drift).
+    */
+  private def centroidArraysFrom(df: DataFrame): Array[(Long, Array[Double])] = {
+    val s = df.sparkSession
     import s.implicits._
-    trainedCentroids(s, dir)
-      .select($"clabel".cast("long"), $"cv")
+    df.select(col("clabel").cast("long"), col("cv"))
       .as[(Long, Array[Double])]
       .collect()
       .sortBy(_._1)
@@ -1952,10 +1959,18 @@ object Similarity {
     * row; its slot stays null and the streaming argmin skips it, exactly
     * as the batch argmin's inner join never sees it.
     */
-  def pqCodebookArrays(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+  def pqCodebookArrays(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    codebookArraysFrom(pqCodebook(s, dir))
+
+  /** The ONE rows→nested-array assembly for codebook tables (null slot
+    * = a seed pattern never seen in training — the contract both the
+    * corpus-staged and generation-staged loads must honor identically).
+    */
+  private def codebookArraysFrom(df: DataFrame): Array[Array[Array[Double]]] = {
+    val s = df.sparkSession
     import s.implicits._
-    val rows = pqCodebook(s, dir)
-      .select($"m".cast("int"), $"code".cast("int"), $"cvq")
+    val rows = df
+      .select(col("m").cast("int"), col("code").cast("int"), col("cvq"))
       .as[(Int, Int, Array[Double])]
       .collect()
     val m = rows.map(_._1).max + 1
@@ -2026,18 +2041,20 @@ object Similarity {
     * accumulates small files and each serve batch pays file-open +
     * footer cost per file in its probed cells — the classic file-append
     * small-files decay (the maintenance HALF of the write path, next to
-    * drift-triggered retrain which rebuilds cell CONTENTS). Rewrites
-    * each cell partition to one file via a per-cell shuffle-free
-    * repartition(1) on the partition column, into a temp dir + atomic
-    * swap (rename), so a concurrent reader never sees a half-written
-    * tree; the swapped-out tree is removed after. foreachBatch serving
-    * re-plans per batch and picks the compacted tree up immediately.
-    * One shuffle, keyed by cell (each cell's rows coalesce into a
-    * single task's output file). Returns (files_before, files_after)
-    * for the maintenance loop's trigger ledger. At production scale
-    * this is one job per index generation, cost ∝ index size, run off
-    * the serving path's critical section (the swap is the only
-    * contended instant).
+    * drift-triggered retrain which rebuilds cell CONTENTS). ONE shuffle,
+    * keyed by cell (each cell's rows coalesce into a single task's
+    * output file), written to a temp dir and swapped in by rename.
+    * Returns (files_before, files_after) for the maintenance loop's
+    * trigger ledger; cost ∝ index size, one job per generation.
+    *
+    * CONCURRENCY CONTRACT — this path-swap form is for a SINGLE-path
+    * deployment with a maintenance window: the swap is two renames, and
+    * a reader planning between them sees no live path (and one mid-scan
+    * of the pre-swap tree loses files when the swapped-out tree is
+    * dropped). Run it between serve batches. A tier that must compact
+    * UNDER live traffic uses [[compactServingGeneration]] instead —
+    * there the rewrite lands as a fresh generation and the pointer flip
+    * is the only mutation a reader can observe.
     */
   def compactServingIndex(s: SparkSession, path: String): (Long, Long) = {
     def dataFiles(p: java.nio.file.Path): Long = {
@@ -2069,6 +2086,47 @@ object Similarity {
     (before, dataFiles(root))
   }
 
+  /** Compact UNDER LIVE TRAFFIC: rewrite the committed generation's
+    * index one-file-per-cell INTO A FRESH GENERATION (same centroids +
+    * codebook — compaction changes layout, never content) and flip the
+    * pointer. No tree a reader can be scanning is ever mutated or
+    * deleted; [[graft.streaming.AnnStream.pqServeLatest]] picks the
+    * compacted generation up at its next batch, and old generations
+    * fall to [[pruneServingGenerations]] on the operator's retention
+    * schedule. Returns the new generation number.
+    */
+  def compactServingGeneration(s: SparkSession, root: String): Long = {
+    val g = loadServingGeneration(s, root)
+    val next = existingGenerations(root).maxOption.getOrElse(0L) + 1L
+    val gdir = s"$root/gen-$next"
+    s.read.parquet(g.indexPath)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/index")
+    val src = java.nio.file.Paths.get(s"$root/gen-${g.gen}")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      src.resolve("centroids").toFile,
+      java.nio.file.Paths.get(gdir, "centroids").toFile)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      src.resolve("codebook").toFile,
+      java.nio.file.Paths.get(gdir, "codebook").toFile)
+    setLatestServing(root, next)
+    next
+  }
+
+  /** Flip `_latest` atomically (temp + ATOMIC_MOVE — the CorpusSink
+    * pointer device): the single commit point every generation write
+    * shares.
+    */
+  private def setLatestServing(root: String, gen: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$root/_latest.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.writeString(tmp, gen.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** One committed serving GENERATION: the self-contained artifact set
     * a serving tier needs — the cell-partitioned index plus the
     * quantizer that defined it (centroids + PQ codebook; codes are
@@ -2092,7 +2150,13 @@ object Similarity {
     * pointer write to a previous intact generation.
     */
   def writeServingGeneration(s: SparkSession, dir: String, root: String): Long = {
-    val next = latestServingGeneration(root).getOrElse(0L) + 1L
+    // allocate from the DIRECTORIES, not the pointer: after a rollback
+    // (pointer rewritten to an older gen) pointer+1 would REUSE a live
+    // gen number — overwriting a directory a serving tier may have
+    // cached under that number (same gen ⇒ no artifact reload ⇒ new
+    // index decoded under a stale codebook). Numbers are monotone over
+    // everything ever written, rollback or not.
+    val next = existingGenerations(root).maxOption.getOrElse(0L) + 1L
     val gdir = s"$root/gen-$next"
     writeServingIndex(s, dir, s"$gdir/index")
     trainedCentroids(s, dir)
@@ -2102,12 +2166,42 @@ object Similarity {
       .select(col("m").cast("int").as("m"), col("code").cast("int").as("code"),
         col("cvq"))
       .coalesce(1).write.mode("overwrite").parquet(s"$gdir/codebook")
-    val tmp = java.nio.file.Paths.get(s"$root/_latest.tmp")
-    java.nio.file.Files.writeString(tmp, next.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_latest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    setLatestServing(root, next)
     next
+  }
+
+  /** Every gen-N directory under `root`, committed or not. */
+  private def existingGenerations(root: String): Seq[Long] = {
+    val r = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
+    else {
+      val st = java.nio.file.Files.list(r)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("gen-") => n.drop(4).toLongOption }
+        .flatten.toSeq
+      finally st.close()
+    }
+  }
+
+  /** Drop all but the newest `keep` generations (the committed pointer
+    * target is always retained regardless) — the retention policy that
+    * keeps the generation store's disk bounded at keep × index size
+    * while preserving rollback targets. Returns the pruned gen numbers.
+    * Run it AFTER serving tiers have had a batch under the new pointer
+    * (a tier mid-batch on a pruned generation would lose files under
+    * its scan — same discipline as any snapshot retention).
+    */
+  def pruneServingGenerations(root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "keep at least the current generation")
+    val current = latestServingGeneration(root)
+    val gens = existingGenerations(root).sorted
+    val drop = gens.dropRight(keep).filterNot(current.contains)
+    drop.foreach { g =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/gen-$g"))
+    }
+    drop
   }
 
   /** The generation `_latest` points at, if any committed. */
@@ -2122,20 +2216,12 @@ object Similarity {
     * an unpublished root is an error, not an empty index).
     */
   def loadServingGeneration(s: SparkSession, root: String): ServingGeneration = {
-    import s.implicits._
     val gen = latestServingGeneration(root).getOrElse(
       sys.error(s"$root: no committed serving generation"))
     val gdir = s"$root/gen-$gen"
-    val cents = s.read.parquet(s"$gdir/centroids")
-      .select($"clabel", $"cv").as[(Long, Array[Double])]
-      .collect().sortBy(_._1)
-    val rows = s.read.parquet(s"$gdir/codebook")
-      .select($"m", $"code", $"cvq").as[(Int, Int, Array[Double])].collect()
-    val mW = rows.map(_._1).max + 1
-    val kW = rows.map(_._2).max + 1
-    val book: Array[Array[Array[Double]]] = Array.fill(mW, kW)(null)
-    rows.foreach { case (mi, ci, cvq) => book(mi)(ci) = cvq }
-    ServingGeneration(gen, s"$gdir/index", cents, book)
+    ServingGeneration(gen, s"$gdir/index",
+      centroidArraysFrom(s.read.parquet(s"$gdir/centroids")),
+      codebookArraysFrom(s.read.parquet(s"$gdir/codebook")))
   }
 
   /** Serving-knob meter (ScaleProbe-only diagnostic): recall@5 of the

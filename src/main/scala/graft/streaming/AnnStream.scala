@@ -499,11 +499,12 @@ object AnnStream {
       k: Int = 5,
       stateRetention: Option[String] = None)(
       sink: Dataset[ServeResult] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[QueryEvent] = {
+    val centroidOf = centroids.toMap
     val fn: (Dataset[QueryEvent], Long) => Unit = { (batch, _) =>
       val qs = batch.collect()
       if (qs.nonEmpty)
         sink(servePrunedBatch(batch.sparkSession, qs, indexPath, centroids,
-          codebook, nprobe, shortlist, k))
+          centroidOf, codebook, nprobe, shortlist, k))
     }
     dedupedQueries(queries, stateRetention).writeStream.foreachBatch(fn)
       .outputMode(OutputMode.Update())
@@ -521,12 +522,12 @@ object AnnStream {
       qs: Array[QueryEvent],
       indexPath: String,
       centroids: Array[(Long, Array[Double])],
+      centroidOf: Map[Long, Array[Double]],
       codebook: Array[Array[Array[Double]]],
       nprobe: Int,
       shortlist: Int,
       k: Int): Dataset[ServeResult] = {
     import s.implicits._
-    val centroidOf = centroids.toMap
     val cellProbes: Map[Long, Array[(Long, Array[Float])]] = qs
       .flatMap(q => probedCells(q.embedding, centroids,
           if (q.nprobe > 0) q.nprobe else nprobe)
@@ -584,17 +585,20 @@ object AnnStream {
       stateRetention: Option[String] = None)(
       sink: Dataset[ServeResult] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[QueryEvent] = {
     var cached: Option[graft.queries.Similarity.ServingGeneration] = None
+    var cachedMap: Map[Long, Array[Double]] = Map.empty
     val fn: (Dataset[QueryEvent], Long) => Unit = { (batch, _) =>
       val s = batch.sparkSession
       val qs = batch.collect()
       if (qs.nonEmpty) {
         val latest = graft.queries.Similarity.latestServingGeneration(root)
-        if (latest.isDefined && cached.map(_.gen) != latest)
+        if (latest.isDefined && cached.map(_.gen) != latest) {
           cached = Some(graft.queries.Similarity.loadServingGeneration(s, root))
+          cachedMap = cached.get.centroids.toMap
+        }
         val g = cached.getOrElse(
           sys.error(s"$root: no committed serving generation"))
-        sink(servePrunedBatch(s, qs, g.indexPath, g.centroids, g.codebook,
-          nprobe, shortlist, k))
+        sink(servePrunedBatch(s, qs, g.indexPath, g.centroids, cachedMap,
+          g.codebook, nprobe, shortlist, k))
       }
     }
     dedupedQueries(queries, stateRetention).writeStream.foreachBatch(fn)

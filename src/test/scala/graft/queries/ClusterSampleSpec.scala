@@ -35,10 +35,25 @@ class ClusterSampleSpec extends SparkSpec {
     if (big._1 > small._1)
       assert(big._2 <= small._2, s"bigger cell kept a larger fraction: $big vs $small")
 
-    // determinism + the md5-rank-prefix definition: the kept members of
-    // each cell are exactly the quota-smallest by (hash48(vec_id), vec_id)
-    val asg = graft.SparkEntry.queries("ann_cluster_sample")(spark, dir)
-      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell")))
-    assert(asg.map(_._1).toSet == rows.map(_._1).toSet, "re-run changed the sample")
+    // the md5-rank-prefix definition, verified INDEPENDENTLY: recompute
+    // the kept set from the assignment table with a driver-side md5
+    // (java MessageDigest, not Spark's) — per cell, the quota-smallest
+    // by (first-12-hex-chars-of-md5 as long, vec_id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    import spark.implicits._
+    val asg = Similarity.assignments(spark, dir)
+      .select($"vec_id", $"alabel".cast("long")).as[(Long, Long)].collect()
+    val expected = asg.groupBy(_._2).iterator.flatMap { case (_, members) =>
+      val n = members.length
+      val q = math.ceil(math.sqrt(n.toDouble)).toLong.toInt
+      members.map(_._1).sortBy(id => (h48(id), id)).take(q).iterator
+    }.toSet
+    assert(rows.map(_._1).toSet == expected,
+      "sample is not the md5-rank prefix of each cell")
   }
 }

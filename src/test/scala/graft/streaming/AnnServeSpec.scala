@@ -385,7 +385,7 @@ class AnnServeSpec extends SparkSpec {
     assert(Similarity.writeServingGeneration(spark, dirB, root) == 2L)
     buf.clear()
     in.addData(events(10 until 20, 1000).toIndexedSeq)
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
     val got2 = buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
     val exp2 = expected(dirB, (10L until 20L).toSet)
     assert(got2 === exp2,
@@ -393,6 +393,36 @@ class AnnServeSpec extends SparkSpec {
     // the flip genuinely changed the answers (the replica corpus has
     // different neighbors for these probes)
     assert(got2 !== expected(dirA, (10L until 20L).toSet))
+
+    q.stop()
+
+    // live compaction: the rewrite lands as gen-3 (layout only). A
+    // FRESH serving instance (fresh dedup state, so the same probes
+    // are servable again) must start straight on the compacted
+    // generation with gen-2's exact content
+    assert(Similarity.compactServingGeneration(spark, root) == 3L)
+    buf.clear()
+    val in2 = MemoryStream[AnnStream.QueryEvent]
+    val q2 = AnnStream.pqServeLatest(in2.toDS(), root, dnp, dsl) { ds =>
+      buf.synchronized { buf ++= ds.collect(); () } }
+      .start()
+    in2.addData(events(10 until 20, 2000).toIndexedSeq)
+    q2.processAllAvailable(); q2.stop()
+    val got3 = buf.map(r => (r.probe, r.rank, r.neighbor, r.cos)).toSet
+    assert(got3 === exp2, "compacted generation changed served content")
+
+    // rollback then retrain: gen numbers must never be reused (a tier
+    // caching gen-3 would otherwise serve a new index under a stale
+    // codebook without reloading)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_latest"), "1")
+    assert(Similarity.writeServingGeneration(spark, dirA, root) == 4L,
+      "generation number reused after rollback")
+    // retention: keep the newest 2; the pointer target is newest here
+    val pruned = Similarity.pruneServingGenerations(root, 2)
+    assert(pruned == Seq(1L, 2L), s"pruned $pruned")
+    assert(new java.io.File(s"$root/gen-3").isDirectory
+      && new java.io.File(s"$root/gen-4").isDirectory)
 
     Similarity.clearCaches()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
