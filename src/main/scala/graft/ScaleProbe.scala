@@ -493,6 +493,24 @@ object ScaleProbe {
         q.stop()
         println(f"""{"serve": "pruned_np6", "mult": $tag, "batch_sec": $sec%.2f, "served": $served}""")
       }
+      // generation-resolved pruned form: same serving core, but the
+      // _latest pointer is resolved (one small file read) per batch —
+      // must cost the same as the fixed-path pruned rung, or the live
+      // cutover capability isn't free
+      locally {
+        val genRoot = s"/tmp/graft_serve_gen_$tag"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(genRoot))
+        graft.queries.Similarity.writeServingGeneration(spark, dir, genRoot)
+        val in = MemoryStream[graft.streaming.AnnStream.QueryEvent]
+        var served = 0L
+        val q = graft.streaming.AnnStream.pqServeLatest(
+          in.toDS(), genRoot, nprobe, shortlist) { ds =>
+          served += ds.count() }
+          .start()
+        val sec = timeBatches { evs => in.addData(evs); q.processAllAvailable() }
+        q.stop()
+        println(f"""{"serve": "pruned_gen", "mult": $tag, "batch_sec": $sec%.2f, "served": $served}""")
+      }
       // stream-static join form
       locally {
         val index = spark.read.parquet(idxPath)
