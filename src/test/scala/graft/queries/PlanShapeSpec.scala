@@ -309,6 +309,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("ann_cluster_sample: cell-partitioned rank window, broadcast quotas, no global sort") {
+    val p = plan("ann_cluster_sample")
+    // the rank window must be PARTITIONED (by cell) — an unpartitioned
+    // window here would serialize the whole corpus through one task
+    assert(!p.contains("WindowExec: No Partition Defined") &&
+      !p.contains("No Partition Defined"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
