@@ -43,6 +43,10 @@ object ScaleProbe {
       serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("streamdedup")) {
+      streamDedupProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val vectorsOnly = args.contains("vectors")
     val docsOnly = args.contains("docs")
@@ -271,6 +275,74 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query": "$name", "run": "$tag", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
     }
+  }
+
+  /** State growth of the two streaming-dedup collapse routes under a
+    * long chunked ingest at m× corpus: the WATERMARKED route
+    * (`ingestTsCol` + retention — the always-on form) must hold its
+    * (ni, oi) pair state bounded by the retention window as event time
+    * advances, while the unwatermarked lifetime route grows
+    * monotonically with every distinct colliding pair. Both routes must
+    * surface the same DISTINCT match set (the watermarked form may
+    * re-emit across evictions — at-least-once inside the admission
+    * bound). This is the measurement behind closing the last
+    * unbounded-state TODO.
+    */
+  private def streamDedupProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = s"/tmp/graft_scale${m}d"
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val n = base.count()
+      (0 until m).map { k =>
+        base.select(
+          ($"doc_id" + lit(k * n)).as("doc_id"),
+          (if (k == 0) $"text"
+           else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"""{"built": "$out", "docs": ${n * m}}""")
+    }
+    graft.queries.Dedup.clearCaches()
+    // a THIN ingest slice in FEW batches: the probe measures STATE ROWS
+    // per batch, and each micro-batch pays the full stream-static join
+    // against the m× staged artifacts regardless of batch size — the
+    // growth signal needs many distinct colliding pairs, not many
+    // batches (% 25 ≈ 2k docs at 10×, 6 batches ≈ 330 docs each)
+    val ingest = graft.core.Tables(spark, out).documents
+      .filter($"doc_id" % 25 === 0).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val chunks = ingest.grouped(math.max(1, ingest.length / 6)).toSeq
+    val t0 = 1700000000000L
+    def run(tag: String, ts: Option[String]): Unit = {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = graft.streaming.DedupStream.matches(
+          in.toDS().toDF("doc_id", "text", "ingest_ts"), spark, out,
+          ingestTsCol = ts, dedupRetention = "2 minutes")
+        .writeStream.format("memory").queryName(s"sdp_$tag")
+        .outputMode("append").start()
+      val rows = chunks.zipWithIndex.map { case (c, i) =>
+        // event time advances one minute per batch → with 2-minute
+        // retention the watermarked store holds ~2 batches' pairs
+        in.addData(c.toIndexedSeq.map { case (id, tx) =>
+          (id, tx, new java.sql.Timestamp(t0 + i * 60000L)) }: _*)
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      }
+      val matches = spark.table(s"sdp_$tag")
+        .select($"new_id", $"dup_of").distinct().count()
+      q.stop()
+      println(s"""{"probe": "stream_dedup", "mult": $m, "route": "$tag", """ +
+        s""""batches": ${chunks.length}, "state_rows": ${rows.mkString("[", ",", "]")}, """ +
+        s""""distinct_matches": $matches}""")
+    }
+    run("watermarked", Some("ingest_ts"))
+    run("lifetime", None)
   }
 
   /** Documents-only replica build at multiples where the EXACT pairwise
