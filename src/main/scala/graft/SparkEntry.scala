@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.KvQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.KvQueries.oracle ++
-      graft.queries.MultimodalQueries.oracle
+      graft.queries.MultimodalQueries.oracle ++
+      graft.queries.Retrieval.oracle
 }

@@ -1,0 +1,432 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Lexical retrieval and model-based filtering — the sparse complement
+  * of the dense ANN ladder and the trained complement of the rule-based
+  * quality gate:
+  *
+  *  - `tx_bm25_topk` — BM25 (Robertson/Spärck Jones) query-by-example
+  *    retrieval over the staged `term_freqs` postings table.
+  *  - `ann_hybrid_rrf` — reciprocal-rank fusion (Cormack et al.) of the
+  *    BM25 ranking with the exact dense-cosine ranking: the hybrid
+  *    sparse+dense retrieval shape production RAG / curation pipelines
+  *    run.
+  *  - `tx_nb_train` / `tx_nb_score` — a naive-Bayes token classifier
+  *    trained on the quality gate's own verdicts over a train split and
+  *    scored on the held-out split: the GPT-3/CCNet-style "model-based
+  *    quality filter" (train a cheap classifier on known labels, score
+  *    the whole corpus), here with the rule gate as the label source so
+  *    the whole loop is deterministic and oracle-replayable.
+  *
+  * Scale posture (100 TB): every join is an equi-join. The query-term
+  * probe is broadcast onto the postings table (postings are
+  * vocabulary × doc sized, the probe is queries × ≤[[QLen]] terms);
+  * document frequency is computed only for probed terms via a semi
+  * join; per-query top-k goes through the bounded-heap
+  * [[graft.functions.GroupedTopK]] (O(queries × k) shuffle, nothing
+  * fully sorted); the NB model is a vocabulary-bounded table that
+  * broadcasts at gate scale and degrades to a shuffle equi-join on
+  * `word` at extreme vocabulary — never anything pairwise. All
+  * cross-engine float arithmetic follows the repo conventions: per-term
+  * contributions are rounded to 6 decimals and summed in DECIMAL
+  * (order-independent, exact), logs/divisions are forced to DOUBLE on
+  * both engines, rankings order by the rounded score with an id
+  * tie-break.
+  */
+object Retrieval {
+
+  import QueryFns.wsTokens
+
+  /** Query-doc stride: docs with doc_id % QStep == 0 are the
+    * query-by-example set (10 queries at the gate SFs, 100 at sf0.1). */
+  private[queries] val QStep = 50
+
+  /** Query length: first QLen tokens of the query doc. */
+  private[queries] val QLen = 6
+
+  /** BM25 shape parameters (the standard Robertson defaults). */
+  private[queries] val K1 = 1.2
+  private[queries] val B = 0.75
+
+  /** Emitted depth of tx_bm25_topk. */
+  private[queries] val BmK = 10
+
+  /** Per-list depth entering the RRF fusion, the fused emitted depth,
+    * and the RRF rank constant (Cormack's 60). */
+  private[queries] val FuseDepth = 20
+  private[queries] val HybK = 10
+  private[queries] val RrfC = 60
+
+  /** NB: minimum combined class count for a word to appear in the
+    * tx_nb_train log-odds board, and the board's depth. */
+  private[queries] val NbMinCount = 5
+  private[queries] val NbTopK = 20
+
+  /** Session memo of the scored BM25 candidate table
+    * (qid, doc_id, bm25) — shared by tx_bm25_topk (top-[[BmK]]) and
+    * ann_hybrid_rrf (top-[[FuseDepth]] entering the fusion), so the
+    * postings probe runs once per corpus generation.
+    */
+  private val bm25Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Query-by-example term probe: distinct (qid, word) over the first
+    * [[QLen]] lowercased tokens of each query doc. Queries × ≤QLen rows
+    * — broadcast-sized at any corpus scale (the query SET is an input,
+    * not a corpus-sized derivation).
+    */
+  private def queryTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .filter($"doc_id" % QStep === 0)
+      .select($"doc_id".as("qid"),
+        explode(slice(wsTokens(lower($"text")), 1, QLen)).as("word"))
+      .distinct()
+  }
+
+  /** BM25-scored candidates (qid, doc_id, bm25), query doc excluded
+    * (query-by-example: the probe doc itself would trivially rank
+    * first). Per-term contribution = IDF × saturated TF, rounded to 6
+    * decimals and summed in DECIMAL(18,6) so the per-(query, doc) score
+    * is order-independent and bit-identical across engines.
+    *
+    * Plan: postings ⋈ broadcast(probe terms) on `word` (the only
+    * corpus-sized input scanned), df over probed terms only (semi join
+    * first), doc length from the staged token-accounting table, corpus
+    * stats as a broadcast 1-row aggregate — one shuffle to the
+    * (qid, doc_id) partial-agg sum.
+    */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25Cache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val qt = queryTerms(s, dir)
+      val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+      val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+      val corp = TextAnalysis.tokenCounts(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          (sum($"m").cast("double") / count(lit(1))).as("avgdl"))
+      val dfq = tf.join(qt.select($"word").distinct(), Seq("word"), "left_semi")
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      val tfSat = ($"n" * lit(K1 + 1)) /
+        ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
+      tf.join(broadcast(qt), tf("word") === qt("word") && $"doc_id" =!= $"qid")
+        .select($"qid", $"doc_id", tf("word").as("word"), $"n")
+        .join(broadcast(dfq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corp))
+        .withColumn("c", round(idf * tfSat, 6).cast("decimal(18,6)"))
+        .groupBy($"qid", $"doc_id")
+        .agg(sum($"c").cast("double").as("bm25"))
+        .persist()
+    })
+
+  /** Bounded-heap per-query top-k over a (qid, doc_id, ord) frame —
+    * the [[graft.queries.Similarity]] topk shape with retrieval column
+    * names. */
+  private def topkBy(scored: DataFrame, ord: String, k: Int)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    scored
+      .groupBy($"qid")
+      .agg(graft.functions.GroupedTopK.groupedTopK(col(ord), $"doc_id", k).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "t")))
+      .select($"qid", ($"pos" + 1).as("rank"), $"t.id".as("doc_id"),
+        round($"t.ord", 6).as(ord))
+  }
+
+  /** Quality-gate labels (doc_id, y): the EXACT tx_quality formula
+    * (English stop list, raw-token stop count — tx_quality's own
+    * tokenization) thresholded at 0.7; empty docs excluded. The NB
+    * classifier trains against these — the label source is the rule
+    * gate, so train + score replay deterministically on both engines.
+    */
+  private def gateLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = $"toks"
+    Tables(s, dir).documents
+      .select($"doc_id", wsTokens($"text").as("toks"))
+      .select($"doc_id", size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.isInCollection(TextAnalysis.stop("en"))))
+          .cast("long").as("n_stop"))
+      .filter($"n_tok" > 0)
+      .select($"doc_id",
+        when(round(
+          least(lit(1.0), $"n_tok".cast("double") / 50.0) * 0.5
+            + least(lit(1.0), $"n_stop".cast("double") * 10.0 / $"n_tok") * 0.5,
+          4) >= 0.7, 1L).otherwise(0L).as("y"))
+  }
+
+  /** NB model: per-word class counts and the 6-decimal smoothed
+    * log-odds, trained on the doc_id % 3 != 0 split. (word, c_pos,
+    * c_neg, lo) plus the broadcastable totals frame (t_pos, t_neg,
+    * vocab). Vocabulary-bounded — the unigramLm scale posture.
+    */
+  private def nbModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val trn = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+      .join(gateLabels(s, dir), "doc_id")
+      .filter($"doc_id" % 3 =!= 0)
+    val wc = trn.groupBy($"word").agg(
+      coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("c_pos"),
+      coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("c_neg"))
+    val tot = wc.agg(sum($"c_pos").as("t_pos"), sum($"c_neg").as("t_neg"),
+      count(lit(1)).as("vocab"))
+    val lo = wc.crossJoin(broadcast(tot))
+      .select($"word", $"c_pos", $"c_neg",
+        round(
+          log(($"c_pos" + lit(1.0)) / ($"t_pos" + $"vocab").cast("double"))
+            - log(($"c_neg" + lit(1.0)) / ($"t_neg" + $"vocab").cast("double")),
+          6).as("lo"))
+    (lo, tot)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 query-by-example retrieval: top-10 docs per query doc.
+    "tx_bm25_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      topkBy(bm25Scored(s, dir), "bm25", BmK).orderBy($"qid", $"rank")
+    },
+
+    // Hybrid sparse+dense: RRF-fuse the BM25 top-20 with the exact
+    // cosine top-20 for every query doc that has an embedding
+    // (vec_id == doc_id), emit the fused top-10. Missing-in-one-list
+    // docs contribute only the list they appear in (standard RRF).
+    "ann_hybrid_rrf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val v = Similarity.vecs(s, dir)
+      val probes = v
+        .filter($"vec_id" % QStep === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("pe"), $"norm2".as("pn"))
+      val dpairs = v.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .withColumn("cos",
+          graft.functions.FloatDot.floatDot($"pe", $"embedding")
+            / sqrt($"pn" * $"norm2"))
+        .select($"qid", $"vec_id".as("doc_id"), $"cos")
+      val drank = topkBy(dpairs, "cos", FuseDepth)
+        .select($"qid", $"doc_id", $"rank".as("rd"))
+      val brank = topkBy(
+        bm25Scored(s, dir).join(
+          probes.select($"qid"), Seq("qid"), "left_semi"),
+        "bm25", FuseDepth)
+        .select($"qid", $"doc_id", $"rank".as("rb"))
+      val fused = brank.join(drank, Seq("qid", "doc_id"), "full_outer")
+        .select($"qid", $"doc_id",
+          round(
+            coalesce(lit(1.0) / (lit(RrfC) + $"rb"), lit(0.0))
+              + coalesce(lit(1.0) / (lit(RrfC) + $"rd"), lit(0.0)),
+            6).as("rrf"))
+      topkBy(fused, "rrf", HybK).orderBy($"qid", $"rank")
+    },
+
+    // NB trainer: the top-20 |log-odds| words of the trained model
+    // (class counts >= NbMinCount). Top-k via TakeOrderedAndProject
+    // (orderBy + limit — heap-based, distributed) + a 20-row array
+    // fold for the rank column: no unpartitioned window, no global
+    // sort, even at extreme vocabulary.
+    "tx_nb_train" -> { (s, dir) =>
+      import s.implicits._
+      val (lo, _) = nbModel(s, dir)
+      lo.filter($"c_pos" + $"c_neg" >= NbMinCount)
+        .orderBy(abs($"lo").desc, $"word")
+        .limit(NbTopK)
+        .agg(sort_array(collect_list(struct(
+          (-abs($"lo")).as("na"), $"word", $"c_pos", $"c_neg", $"lo"))).as("a"))
+        .select(posexplode($"a").as(Seq("pos", "t")))
+        .select(($"pos" + 1).as("rank"), $"t.word".as("word"),
+          $"t.c_pos".as("c_pos"), $"t.c_neg".as("c_neg"), $"t.lo".as("lo"))
+        .orderBy($"rank")
+    },
+
+    // NB scorer on the held-out split (doc_id % 3 == 0): per-doc
+    // log-odds score = prior + Σ n_w · lo(w), unseen words at the
+    // smoothing floor; per-word contributions summed in DECIMAL.
+    // pred = 1 iff the posterior odds favor the gate-pass class.
+    "tx_nb_score" -> { (s, dir) =>
+      import s.implicits._
+      val (lo, tot) = nbModel(s, dir)
+      val cls = gateLabels(s, dir).filter($"doc_id" % 3 =!= 0)
+        .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
+          coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
+      val prior = cls.select(
+        log($"n_pos".cast("double") / $"n_neg").as("pri"))
+      val unseen = tot.select(
+        round(log(($"t_neg" + $"vocab").cast("double")
+          / ($"t_pos" + $"vocab").cast("double")), 6).as("lo_u"))
+      val tst = TextAnalysis.termFreqs(s, dir)
+        .select($"doc_id", $"word", $"n")
+        .filter($"doc_id" % 3 === 0)
+      tst
+        .join(broadcast(lo.select($"word", $"lo")), Seq("word"), "left_outer")
+        .crossJoin(broadcast(unseen))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"n" * coalesce($"lo", $"lo_u").cast("decimal(28,6)"))
+            .cast("double").as("s"),
+          sum($"n").as("n_tok"))
+        .crossJoin(broadcast(prior))
+        .select($"doc_id", $"n_tok",
+          round($"pri" + $"s", 4).as("score"),
+          when($"pri" + $"s" > 0, 1L).otherwise(0L).as("pred"))
+        .orderBy($"doc_id")
+    })
+
+  /** Shared oracle CTE fragments (interpolated constants match the
+    * Scala side one for one). */
+  private val TokCte =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS n FROM tok GROUP BY 1, 2)""".stripMargin
+
+  private val Bm25Cte =
+    s"""$TokCte,
+       |dl AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY 1),
+       |corp AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(COALESCE(SUM(m), 0) AS DOUBLE) / count(*) AS avgdl
+       |  FROM documents d LEFT JOIN dl USING (doc_id)),
+       |qterms AS (
+       |  SELECT DISTINCT doc_id AS qid, unnest(
+       |    (list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))[1:$QLen]) AS word
+       |  FROM documents WHERE doc_id % $QStep = 0),
+       |dfq AS (
+       |  SELECT word, count(*) AS df FROM tf
+       |  WHERE word IN (SELECT word FROM qterms) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(SUM(CAST(round(
+       |      ln(1.0::DOUBLE + (c.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+       |      * (t.n * ${K1 + 1}::DOUBLE)
+       |      / (t.n + $K1::DOUBLE * (1.0::DOUBLE - $B::DOUBLE + $B::DOUBLE * d.m / c.avgdl)), 6)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM qterms q
+       |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.qid
+       |  JOIN dfq f ON f.word = q.word
+       |  JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN corp c
+       |  GROUP BY q.qid, t.doc_id)""".stripMargin
+
+  private val NbCte =
+    s"""lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN round(least(1.0, CAST(n_tok AS DOUBLE)/50.0)*0.5
+       |         + least(1.0, CAST(n_stop AS DOUBLE)*10.0/nullif(n_tok,0))*0.5, 4) >= 0.7
+       |         THEN 1 ELSE 0 END AS y
+       |  FROM (
+       |    SELECT doc_id, len(toks) AS n_tok,
+       |      len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+       |    FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |          FROM documents)) WHERE n_tok > 0),
+       |$TokCte,
+       |trn AS (SELECT tf.doc_id, word, n, y FROM tf JOIN lab USING (doc_id)
+       |        WHERE tf.doc_id % 3 <> 0),
+       |wc AS (
+       |  SELECT word,
+       |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN n END), 0) AS BIGINT) AS c_pos,
+       |    CAST(COALESCE(SUM(CASE WHEN y = 0 THEN n END), 0) AS BIGINT) AS c_neg
+       |  FROM trn GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos, CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+       |         count(*) AS vocab FROM wc),
+       |lo AS (
+       |  SELECT word, c_pos, c_neg,
+       |    round(ln((c_pos + 1.0::DOUBLE) / CAST(t_pos + vocab AS DOUBLE))
+       |        - ln((c_neg + 1.0::DOUBLE) / CAST(t_neg + vocab AS DOUBLE)), 6) AS lo
+       |  FROM wc CROSS JOIN tot)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+
+    "tx_bm25_topk" ->
+      s"""WITH $Bm25Cte,
+         |ranked AS (
+         |  SELECT qid, doc_id, bm25,
+         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, doc_id, bm25 FROM ranked WHERE rank <= $BmK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "ann_hybrid_rrf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) AS norm2
+         |  FROM embeddings),
+         |$Bm25Cte,
+         |qv AS (SELECT vec_id AS qid FROM v WHERE vec_id % $QStep = 0),
+         |brank AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rb
+         |  FROM scored WHERE qid IN (SELECT qid FROM qv)),
+         |dpairs AS (
+         |  SELECT q.qid, x.vec_id AS doc_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.embedding) + 1),
+         |        i -> p.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)),
+         |      (a, b) -> a + b) / sqrt(p.norm2 * x.norm2) AS cos
+         |  FROM qv q JOIN v p ON p.vec_id = q.qid
+         |  JOIN v x ON x.vec_id <> q.qid),
+         |drank AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rd
+         |  FROM dpairs),
+         |fused AS (
+         |  SELECT COALESCE(b.qid, d.qid) AS qid, COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         |    round(COALESCE(1.0::DOUBLE / ($RrfC + b.rb), 0)
+         |        + COALESCE(1.0::DOUBLE / ($RrfC + d.rd), 0), 6) AS rrf
+         |  FROM (SELECT * FROM brank WHERE rb <= $FuseDepth) b
+         |  FULL OUTER JOIN (SELECT * FROM drank WHERE rd <= $FuseDepth) d
+         |    ON b.qid = d.qid AND b.doc_id = d.doc_id),
+         |ranked AS (
+         |  SELECT qid, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT qid, rank, doc_id, rrf FROM ranked WHERE rank <= $HybK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "tx_nb_train" ->
+      s"""WITH $NbCte,
+         |ranked AS (
+         |  SELECT word, c_pos, c_neg, lo,
+         |    row_number() OVER (ORDER BY abs(lo) DESC, word) AS rank
+         |  FROM lo WHERE c_pos + c_neg >= $NbMinCount)
+         |SELECT rank, word, c_pos, c_neg, lo FROM ranked WHERE rank <= $NbTopK
+         |ORDER BY rank""".stripMargin,
+
+    "tx_nb_score" ->
+      s"""WITH $NbCte,
+         |cls AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
+         |         CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1 END), 0) AS BIGINT) AS n_neg
+         |  FROM lab WHERE doc_id % 3 <> 0),
+         |prior AS (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) AS pri FROM cls),
+         |unseen AS (SELECT round(ln(CAST(t_neg + vocab AS DOUBLE)
+         |                        / CAST(t_pos + vocab AS DOUBLE)), 6) AS lo_u FROM tot),
+         |tst AS (SELECT tf.doc_id, word, n FROM tf WHERE tf.doc_id % 3 = 0),
+         |contrib AS (
+         |  SELECT t.doc_id,
+         |    CAST(SUM(t.n * CAST(COALESCE(l.lo, u.lo_u) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         |    CAST(SUM(t.n) AS BIGINT) AS n_tok
+         |  FROM tst t LEFT JOIN lo l USING (word) CROSS JOIN unseen u
+         |  GROUP BY t.doc_id)
+         |SELECT c.doc_id, c.n_tok, round(p.pri + c.s, 4) AS score,
+         |  CASE WHEN p.pri + c.s > 0 THEN 1 ELSE 0 END AS pred
+         |FROM contrib c CROSS JOIN prior p ORDER BY c.doc_id""".stripMargin)
+
+  /** Drop the memoized BM25 candidates (inputs rewritten in-session). */
+  def clearCaches(): Unit = {
+    bm25Cache.values.foreach(_.unpersist())
+    bm25Cache.clear()
+  }
+}

@@ -105,7 +105,7 @@ object Similarity {
   }
 
   /** Vectors with precomputed squared norm (+ LSH bucket). */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir).embeddings
       .repartition(s.sparkContext.defaultParallelism)

@@ -146,7 +146,7 @@ object TextAnalysis {
   private val tfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def termFreqs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def termFreqs(s: SparkSession, dir: String): DataFrame =
     tfCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       Staging.readElseBuild(s, dir, "term_freqs", Seq("documents")) {
@@ -683,7 +683,7 @@ object TextAnalysis {
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
     * language-ID heuristic. Deterministic, shared with the oracle SQL.
     */
-  private val stop = Map(
+  private[queries] val stop = Map(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
