@@ -119,6 +119,7 @@ object ScaleProbe {
     graft.queries.Similarity.clearCaches()
     graft.queries.TextAnalysis.clearCaches()
     graft.queries.KvQueries.clearCaches()
+    graft.queries.Retrieval.clearCaches()
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
       "dedup_minhash_lsh", "dedup_incremental", "dedup_lsh_recall_sampled",

@@ -132,6 +132,7 @@ class StagingSpec extends SparkSpec {
       graft.multimodal.Multimodal.clearCaches()
       graft.queries.KvQueries.clearCaches()
       graft.queries.MultimodalQueries.clearCaches()
+      graft.queries.Retrieval.clearCaches()
     }
     try {
       clearAll()

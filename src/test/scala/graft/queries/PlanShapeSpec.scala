@@ -320,6 +320,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tx_bm25_topk: broadcast term probe, bounded-heap top-k, no window") {
+    val p = plan("tx_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("grouped_topk"), "per-query top-k should use the bounded heap")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("tx_nb_train: top-k via TakeOrdered + array fold — no window, no global sort") {
+    val p = plan("tx_nb_train")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("tx_nb_score: vocabulary model broadcasts onto the held-out postings") {
+    val p = plan("tx_nb_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
