@@ -132,7 +132,8 @@ object ScaleProbe {
       "tx_bigram_logprob", "dedup_hot_drift", "tx_curation_manifest",
       "tx_source_cap", "tx_corpus_report",
       "tx_bpe_merges", "tx_bpe_token_count", "ann_pca_project", "ann_pca_var",
-      "ann_pca_topk", "ann_pca_recall", "ann_cluster_sample")
+      "ann_pca_topk", "ann_pca_recall", "ann_cluster_sample",
+      "tx_bm25_impact", "ann_hybrid_rrf", "tx_nb_score")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()
@@ -371,13 +372,15 @@ object ScaleProbe {
     println(s"""{"built": "$out", "docs": ${n * m}}""")
     graft.queries.Dedup.clearCaches()
     graft.queries.TextAnalysis.clearCaches()
+    graft.queries.Retrieval.clearCaches()
 
     Seq("dedup_exact", "dedup_simhash", "tx_fingerprint", "tx_tfidf",
       "tx_pack", "tx_mix", "tx_mix_temperature", "tx_curation_packed",
       "tx_dsir_weights", "tx_dsir_hashed", "tx_dsir_select",
       "tx_bigram_logprob", "tx_bpe_merges", "tx_bpe_token_count",
       "tx_source_cap", "tx_corpus_report", "tx_curation_manifest",
-      "tx_quality", "tx_quality_lang", "tx_curation_lang")
+      "tx_quality", "tx_quality_lang", "tx_curation_lang",
+      "tx_bm25_impact", "tx_nb_train", "tx_nb_score")
       .foreach { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, out).count()

@@ -66,11 +66,18 @@ object Retrieval {
   private[queries] val NbMinCount = 5
   private[queries] val NbTopK = 20
 
-  /** Session memo of the scored BM25 candidate table
-    * (qid, doc_id, bm25) — shared by tx_bm25_topk (top-[[BmK]]) and
-    * ann_hybrid_rrf (top-[[FuseDepth]] entering the fusion), so the
-    * postings probe runs once per corpus generation.
+  /** Impact-ordered truncation depth: the approximate tier keeps only
+    * the top-P postings of each probed term by (contribution, doc_id) —
+    * the impact-sorted-index device (Anh & Moffat) that bounds
+    * per-query work at P regardless of document frequency. */
+  private[queries] val BmImpactP = 1000
+
+  /** Session memos: per-(word, doc) contributions and the exact scored
+    * candidates (shared by tx_bm25_topk, ann_hybrid_rrf, and the recall
+    * meter), so the postings probe runs once per corpus generation.
     */
+  private val contribCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val bm25Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -88,20 +95,21 @@ object Retrieval {
       .distinct()
   }
 
-  /** BM25-scored candidates (qid, doc_id, bm25), query doc excluded
-    * (query-by-example: the probe doc itself would trivially rank
-    * first). Per-term contribution = IDF × saturated TF, rounded to 6
-    * decimals and summed in DECIMAL(18,6) so the per-(query, doc) score
-    * is order-independent and bit-identical across engines.
+  /** Per-(word, doc) BM25 contribution `c` (6-decimal-rounded
+    * IDF × saturated-TF) for every posting of a probed term — computed
+    * ONCE, before any query expansion, because the contribution does
+    * not depend on the query: the doc-length join, the df lookup and
+    * the float math run over probed-postings-sized input, and the
+    * (query × posting) expansion that follows is a broadcast join
+    * feeding straight into partial aggregation with nothing else
+    * attached. Both score tiers and the recall meter read this frame.
     *
-    * Plan: postings ⋈ broadcast(probe terms) on `word` (the only
-    * corpus-sized input scanned), df over probed terms only (semi join
-    * first), doc length from the staged token-accounting table, corpus
-    * stats as a broadcast 1-row aggregate — one shuffle to the
-    * (qid, doc_id) partial-agg sum.
+    * Plan: postings ⋈semi probed words → broadcast df of probed terms →
+    * doc length from the staged token-accounting table → corpus stats
+    * as a broadcast 1-row aggregate.
     */
-  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame =
-    bm25Cache.getOrElseUpdate((s, dir), {
+  private def bm25Contrib(s: SparkSession, dir: String): DataFrame =
+    contribCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val qt = queryTerms(s, dir)
       val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
@@ -115,16 +123,58 @@ object Retrieval {
         ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
       val tfSat = ($"n" * lit(K1 + 1)) /
         ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
-      tf.join(broadcast(qt), tf("word") === qt("word") && $"doc_id" =!= $"qid")
-        .select($"qid", $"doc_id", tf("word").as("word"), $"n")
+      tf.join(qt.select($"word").distinct(), Seq("word"), "left_semi")
         .join(broadcast(dfq), "word")
         .join(dl, "doc_id")
         .crossJoin(broadcast(corp))
-        .withColumn("c", round(idf * tfSat, 6).cast("decimal(18,6)"))
-        .groupBy($"qid", $"doc_id")
-        .agg(sum($"c").cast("double").as("bm25"))
+        .select($"word", $"doc_id", round(idf * tfSat, 6).as("c"))
         .persist()
     })
+
+  /** Expand contributions to (query, doc) and sum: broadcast the term
+    * probe onto the contribution frame (query doc excluded —
+    * query-by-example: the probe doc itself would trivially rank
+    * first), sum the DECIMAL-cast contributions per (qid, doc_id) —
+    * order-independent, bit-identical across engines. */
+  private def bm25Sum(qt: DataFrame, contrib: DataFrame)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    contrib.join(broadcast(qt),
+        contrib("word") === qt("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("bm25"))
+  }
+
+  /** Exact BM25 candidates (qid, doc_id, bm25) — the metered baseline:
+    * per-query work is Σ df over probed terms, which a stop-term-free
+    * probe makes proportional to the corpus for common terms. The
+    * impact tier below is the scale path. */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25Cache.getOrElseUpdate((s, dir), {
+      implicit val sp: SparkSession = s
+      bm25Sum(queryTerms(s, dir), bm25Contrib(s, dir)).persist()
+    })
+
+  /** Impact-truncated candidates: each probed term's postings cut to
+    * its top-[[BmImpactP]] by (contribution desc, doc_id) via the
+    * bounded-heap aggregate — per-query work is then ≤ terms × P at ANY
+    * document frequency. Queries share one truncated index. */
+  private[queries] def bm25ImpactScored(s: SparkSession, dir: String): DataFrame =
+    bm25ImpactScoredAt(s, dir, BmImpactP)
+
+  /** Truncation depth exposed for the spec's truncation-active planted
+    * case (the gate constant is [[BmImpactP]]). */
+  private[queries] def bm25ImpactScoredAt(
+      s: SparkSession, dir: String, p: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val truncated = bm25Contrib(s, dir)
+      .groupBy($"word")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p).as("top"))
+      .select($"word", explode($"top").as("t"))
+      .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
+    bm25Sum(queryTerms(s, dir), truncated)
+  }
 
   /** Bounded-heap per-query top-k over a (qid, doc_id, ord) frame —
     * the [[graft.queries.Similarity]] topk shape with retrieval column
@@ -193,6 +243,34 @@ object Retrieval {
       implicit val sp: SparkSession = s
       import s.implicits._
       topkBy(bm25Scored(s, dir), "bm25", BmK).orderBy($"qid", $"rank")
+    },
+
+    // Impact-ordered BM25: same queries over the truncated index.
+    "tx_bm25_impact" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      topkBy(bm25ImpactScored(s, dir), "bm25", BmK).orderBy($"qid", $"rank")
+    },
+
+    // Recall meter for the impact tier: per query, the exact top-10 vs
+    // the truncated-index top-10 — the oracle-checked honesty contract
+    // every approximate tier in this library carries.
+    "tx_bm25_recall" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ex = topkBy(bm25Scored(s, dir), "bm25", BmK)
+        .select($"qid", $"doc_id")
+      val im = topkBy(bm25ImpactScored(s, dir), "bm25", BmK)
+        .select($"qid", $"doc_id")
+      val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+      val nImpact = im.groupBy($"qid").agg(count(lit(1)).as("n_impact"))
+      val nCommon = ex.join(im, Seq("qid", "doc_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("n_common"))
+      nExact.join(nImpact, "qid")
+        .join(nCommon, Seq("qid"), "left")
+        .select($"qid", $"n_exact", $"n_impact",
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"qid")
     },
 
     // Hybrid sparse+dense: RRF-fuse the BM25 top-20 with the exact
@@ -302,18 +380,37 @@ object Retrieval {
        |dfq AS (
        |  SELECT word, count(*) AS df FROM tf
        |  WHERE word IN (SELECT word FROM qterms) GROUP BY 1),
-       |scored AS (
-       |  SELECT q.qid, t.doc_id,
-       |    CAST(SUM(CAST(round(
+       |contrib AS (
+       |  SELECT t.word, t.doc_id,
+       |    round(
        |      ln(1.0::DOUBLE + (c.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
        |      * (t.n * ${K1 + 1}::DOUBLE)
        |      / (t.n + $K1::DOUBLE * (1.0::DOUBLE - $B::DOUBLE + $B::DOUBLE * d.m / c.avgdl)), 6)
-       |      AS DECIMAL(18,6))) AS DOUBLE) AS bm25
-       |  FROM qterms q
-       |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.qid
-       |  JOIN dfq f ON f.word = q.word
+       |      AS c
+       |  FROM tf t
+       |  JOIN dfq f ON f.word = t.word
        |  JOIN dl d ON d.doc_id = t.doc_id
-       |  CROSS JOIN corp c
+       |  CROSS JOIN corp c),
+       |scored AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM qterms q
+       |  JOIN contrib t ON t.word = q.word AND t.doc_id <> q.qid
+       |  GROUP BY q.qid, t.doc_id)""".stripMargin
+
+  /** Appended after [[Bm25Cte]]: the impact-truncated index and its
+    * (qid, doc_id) sums. */
+  private val Bm25ImpactCte =
+    s"""trunc AS (
+       |  SELECT word, doc_id, c FROM (
+       |    SELECT word, doc_id, c,
+       |      row_number() OVER (PARTITION BY word ORDER BY c DESC, doc_id) AS pr
+       |    FROM contrib) WHERE pr <= $BmImpactP),
+       |iscored AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM qterms q
+       |  JOIN trunc t ON t.word = q.word AND t.doc_id <> q.qid
        |  GROUP BY q.qid, t.doc_id)""".stripMargin
 
   private val NbCte =
@@ -354,6 +451,41 @@ object Retrieval {
          |  FROM scored)
          |SELECT qid, rank, doc_id, bm25 FROM ranked WHERE rank <= $BmK
          |ORDER BY qid, rank""".stripMargin,
+
+    "tx_bm25_impact" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25ImpactCte,
+         |ranked AS (
+         |  SELECT qid, doc_id, bm25,
+         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM iscored)
+         |SELECT qid, rank, doc_id, bm25 FROM ranked WHERE rank <= $BmK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "tx_bm25_recall" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25ImpactCte,
+         |ex AS (
+         |  SELECT qid, doc_id FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+         |    FROM scored) WHERE rank <= $BmK),
+         |im AS (
+         |  SELECT qid, doc_id FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+         |    FROM iscored) WHERE rank <= $BmK),
+         |ne AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1),
+         |ni AS (SELECT qid, count(*) AS n_impact FROM im GROUP BY 1),
+         |nc AS (SELECT e.qid, count(*) AS n_common
+         |       FROM ex e JOIN im i ON e.qid = i.qid AND e.doc_id = i.doc_id
+         |       GROUP BY 1)
+         |SELECT ne.qid, CAST(ne.n_exact AS BIGINT) AS n_exact,
+         |  CAST(ni.n_impact AS BIGINT) AS n_impact,
+         |  CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common
+         |FROM ne JOIN ni ON ne.qid = ni.qid
+         |LEFT JOIN nc ON ne.qid = nc.qid
+         |ORDER BY ne.qid""".stripMargin,
 
     "ann_hybrid_rrf" ->
       s"""WITH v AS (
@@ -424,9 +556,45 @@ object Retrieval {
          |  CASE WHEN p.pri + c.s > 0 THEN 1 ELSE 0 END AS pred
          |FROM contrib c CROSS JOIN prior p ORDER BY c.doc_id""".stripMargin)
 
+  /** Driver-side export of the trained NB model for the streaming
+    * scorer: (word → log-odds in exact micros, unseen-word log-odds in
+    * micros, prior). Every value is COLLECTED from the same Spark
+    * expressions the batch tx_nb_score evaluates — not recomputed
+    * driver-side — so the streaming fold replays the batch arithmetic
+    * bit for bit (the log-odds are 6-decimal-rounded, so scaled-long
+    * micros represent them exactly; summing micros in a per-row long
+    * fold IS the batch side's order-independent DECIMAL sum).
+    *
+    * 100 TB posture: same as [[TextAnalysis.unigramLmMap]] — the model
+    * is vocabulary-bounded; past broadcast size the per-row shape loads
+    * a task-local map from the staged model parquet in mapPartitions.
+    */
+  private[graft] def nbScoreParams(
+      s: SparkSession, dir: String): (Map[String, Long], Long, Double) = {
+    import s.implicits._
+    val (lo, tot) = nbModel(s, dir)
+    def micros(d: Double): Long =
+      BigDecimal(java.math.BigDecimal.valueOf(d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.movePointRight(6).longValueExact
+    val loMap = lo.select($"word", $"lo").collect()
+      .map(r => r.getString(0) -> micros(r.getDouble(1))).toMap
+    val loU = micros(tot.select(
+      round(log(($"t_neg" + $"vocab").cast("double")
+        / ($"t_pos" + $"vocab").cast("double")), 6)).collect()(0).getDouble(0))
+    val prior = gateLabels(s, dir).filter($"doc_id" % 3 =!= 0)
+      .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
+        coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
+      .select(log($"n_pos".cast("double") / $"n_neg"))
+      .collect()(0).getDouble(0)
+    (loMap, loU, prior)
+  }
+
   /** Drop the memoized BM25 candidates (inputs rewritten in-session). */
   def clearCaches(): Unit = {
     bm25Cache.values.foreach(_.unpersist())
     bm25Cache.clear()
+    contribCache.values.foreach(_.unpersist())
+    contribCache.clear()
   }
 }

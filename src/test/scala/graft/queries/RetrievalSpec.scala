@@ -109,6 +109,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  // Impact truncation at P=1: each term keeps only its single
+  // highest-contribution posting. Doc 1 holds BOTH query terms at tf=1
+  // (the exact winner by the cross-term sum) but neither of its
+  // postings survives a P=1 cut — docs 2 and 3 dominate t1/t2 at tf=3.
+  private val impactDocs: Seq[(Long, String)] = Seq(
+    0L -> "t1 t2 z0a z0b z0c z0d",
+    1L -> "t1 t2 a1 a2",
+    2L -> "t1 t1 t1 b1",
+    3L -> "t2 t2 t2 c1")
+
+  test("impact truncation: the cross-term consensus doc drops at P=1, survives at the default depth") {
+    withCorpus(impactDocs) { dir =>
+      import org.apache.spark.sql.functions.col
+      val exact = Retrieval.bm25Scored(spark, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).collect()
+      assert(exact.head.getAs[Long]("doc_id") == 1L,
+        s"two mid postings should beat one strong one: ${exact.toSeq}")
+      val p1 = Retrieval.bm25ImpactScoredAt(spark, dir, 1)
+        .orderBy(col("bm25").desc, col("doc_id")).collect()
+      assert(!p1.exists(_.getAs[Long]("doc_id") == 1L),
+        s"doc 1's postings must be truncated away at P=1: ${p1.toSeq}")
+      assert(p1.head.getAs[Long]("doc_id") == 2L, s"df tie-break: ${p1.toSeq}")
+      // at the gate depth nothing truncates — tiers agree exactly
+      val full = Retrieval.bm25ImpactScored(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ex = Retrieval.bm25Scored(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(full == ex)
+    }
+  }
+
   // Gate-passing training docs (50 tokens, 5 English stopwords -> quality
   // 1.0) carry "goodmark"; failing ones (50 tokens, no stopwords ->
   // quality 0.5) carry "badmark". Held-out docs (doc_id % 3 == 0) carry
