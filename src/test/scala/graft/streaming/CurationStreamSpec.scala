@@ -142,4 +142,39 @@ class CurationStreamSpec extends SparkSpec {
     assert(chainLm == batchLm)
     assert(chainLm.nonEmpty)
   }
+
+  test("the ingest chain composes: gate -> NB classifier verdicts for every admitted doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ingest = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val admitted = graft.SparkEntry.queries("tx_quality_lang")(spark, dir)
+      .filter($"quality" >= 0.7)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(admitted.nonEmpty && admitted.size < ingest.size)
+
+    val in = MemoryStream[(Long, String)]
+    val gated = CurationStream.survivorDocs(in.toDS().toDF("doc_id", "text"))
+    val q = NbScoreStream.scores(gated, spark, dir)
+      .writeStream.format("memory").queryName("chain_nb")
+      .outputMode("append").start()
+    val cut = ingest.length / 2
+    Seq(ingest.take(cut), ingest.drop(cut))
+      .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+
+    val chain = spark.table("chain_nb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // exactly the admitted docs get verdicts (gate upstream, no loss,
+    // no leak-through) — admitted docs always have tokens
+    assert(chain.map(_._1).toSet == admitted)
+    // and on the held-out split the verdicts are the batch query's rows
+    val heldOut = chain.filter(_._1 % 3 == 0).toSet
+    val batch = graft.SparkEntry.queries("tx_nb_score")(spark, dir)
+      .filter($"doc_id".isin(admitted.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(heldOut == batch)
+    assert(heldOut.nonEmpty)
+  }
 }
