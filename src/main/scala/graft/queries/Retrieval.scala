@@ -162,18 +162,24 @@ object Retrieval {
   private[queries] def bm25ImpactScored(s: SparkSession, dir: String): DataFrame =
     bm25ImpactScoredAt(s, dir, BmImpactP)
 
+  /** The impact-truncated index: each probed term's postings cut to
+    * its top-p by (contribution desc, doc_id) via the bounded heap —
+    * built once, shared by every query that probes the term. */
+  private def truncatedContrib(s: SparkSession, dir: String, p: Int): DataFrame = {
+    import s.implicits._
+    bm25Contrib(s, dir)
+      .groupBy($"word")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p).as("top"))
+      .select($"word", explode($"top").as("t"))
+      .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
+  }
+
   /** Truncation depth exposed for the spec's truncation-active planted
     * case (the gate constant is [[BmImpactP]]). */
   private[queries] def bm25ImpactScoredAt(
       s: SparkSession, dir: String, p: Int): DataFrame = {
     implicit val sp: SparkSession = s
-    import s.implicits._
-    val truncated = bm25Contrib(s, dir)
-      .groupBy($"word")
-      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p).as("top"))
-      .select($"word", explode($"top").as("t"))
-      .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
-    bm25Sum(queryTerms(s, dir), truncated)
+    bm25Sum(queryTerms(s, dir), truncatedContrib(s, dir, p))
   }
 
   /** Bounded-heap per-query top-k over a (qid, doc_id, ord) frame —
@@ -273,10 +279,13 @@ object Retrieval {
         .orderBy($"qid")
     },
 
-    // Hybrid sparse+dense: RRF-fuse the BM25 top-20 with the exact
-    // cosine top-20 for every query doc that has an embedding
-    // (vec_id == doc_id), emit the fused top-10. Missing-in-one-list
-    // docs contribute only the list they appear in (standard RRF).
+    // Hybrid sparse+dense: RRF-fuse the IMPACT-tier BM25 top-20 (the
+    // serving-grade sparse arm — its term probe restricted to embedded
+    // query docs BEFORE the posting expansion, so no work is done for
+    // queries the fusion can't serve) with the exact cosine top-20 for
+    // every query doc that has an embedding (vec_id == doc_id), emit
+    // the fused top-10. Missing-in-one-list docs contribute only the
+    // list they appear in (standard RRF).
     "ann_hybrid_rrf" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -291,9 +300,10 @@ object Retrieval {
         .select($"qid", $"vec_id".as("doc_id"), $"cos")
       val drank = topkBy(dpairs, "cos", FuseDepth)
         .select($"qid", $"doc_id", $"rank".as("rd"))
+      val qtv = queryTerms(s, dir)
+        .join(probes.select($"qid"), Seq("qid"), "left_semi")
       val brank = topkBy(
-        bm25Scored(s, dir).join(
-          probes.select($"qid"), Seq("qid"), "left_semi"),
+        bm25Sum(qtv, truncatedContrib(s, dir, BmImpactP)),
         "bm25", FuseDepth)
         .select($"qid", $"doc_id", $"rank".as("rb"))
       val fused = brank.join(drank, Seq("qid", "doc_id"), "full_outer")
@@ -496,11 +506,12 @@ object Retrieval {
          |      (x, y) -> x + y) AS norm2
          |  FROM embeddings),
          |$Bm25Cte,
+         |$Bm25ImpactCte,
          |qv AS (SELECT vec_id AS qid FROM v WHERE vec_id % $QStep = 0),
          |brank AS (
          |  SELECT qid, doc_id,
          |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rb
-         |  FROM scored WHERE qid IN (SELECT qid FROM qv)),
+         |  FROM iscored WHERE qid IN (SELECT qid FROM qv)),
          |dpairs AS (
          |  SELECT q.qid, x.vec_id AS doc_id,
          |    list_reduce(list_prepend(0.0::DOUBLE,
