@@ -22,6 +22,7 @@ object StageIndexes {
     graft.queries.TextAnalysis.stageIndexes(s, dir)
     graft.multimodal.Multimodal.mediaTable(s, dir)
     graft.queries.MultimodalQueries.stageIndexes(s, dir)
+    graft.queries.Retrieval.stageIndexes(s, dir)
   }
 
   def main(args: Array[String]): Unit = {

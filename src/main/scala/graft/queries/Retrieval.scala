@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Staging, Tables}
 
 /** Lexical retrieval and model-based filtering — the sparse complement
   * of the dense ANN ladder and the trained complement of the rule-based
@@ -79,6 +79,8 @@ object Retrieval {
   private val contribCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val bm25Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Query-by-example term probe: distinct (qid, word) over the first
@@ -159,27 +161,66 @@ object Retrieval {
     * its top-[[BmImpactP]] by (contribution desc, doc_id) via the
     * bounded-heap aggregate — per-query work is then ≤ terms × P at ANY
     * document frequency. Queries share one truncated index. */
-  private[queries] def bm25ImpactScored(s: SparkSession, dir: String): DataFrame =
-    bm25ImpactScoredAt(s, dir, BmImpactP)
+  private[queries] def bm25ImpactScored(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    bm25Sum(queryTerms(s, dir), impactIndex(s, dir))
+  }
 
-  /** The impact-truncated index: each probed term's postings cut to
-    * its top-p by (contribution desc, doc_id) via the bounded heap —
-    * built once, shared by every query that probes the term. */
-  private def truncatedContrib(s: SparkSession, dir: String, p: Int): DataFrame = {
+  /** The DURABLE impact index — staged per corpus generation
+    * ([[graft.core.Staging]]): EVERY term's postings cut to the
+    * top-[[BmImpactP]] by (contribution desc, doc_id). This is the
+    * production split: the index build is an offline job over the full
+    * postings table (df is a vocabulary aggregate, contribution one
+    * projection, truncation one bounded-heap pass — index size ≤
+    * vocab × P), and query probing is a broadcast join against the
+    * stored artifact. For any probed term the rows are identical to
+    * truncating the probed-only contribution frame (truncation is
+    * per-word independent), so the oracle's probed-words-only
+    * re-derivation checks this index exactly.
+    */
+  private def impactIndex(s: SparkSession, dir: String): DataFrame =
+    indexCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Staging.readElseBuild(s, dir, "bm25_impact_index", Seq("documents")) {
+        val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+        val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+        val corp = TextAnalysis.tokenCounts(s, dir)
+          .agg(count(lit(1)).as("n_docs"),
+            (sum($"m").cast("double") / count(lit(1))).as("avgdl"))
+        val dfAll = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+        val idf = log(lit(1.0) +
+          ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+        val tfSat = ($"n" * lit(K1 + 1)) /
+          ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
+        tf.join(dfAll, "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(corp))
+          .select($"word", $"doc_id", round(idf * tfSat, 6).as("c"))
+          .groupBy($"word")
+          .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", BmImpactP).as("top"))
+          .select($"word", explode($"top").as("t"))
+          .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
+      }.persist()
+    })
+
+  /** Truncation depth exposed for the spec's truncation-active planted
+    * case (the gate constant's index is [[impactIndex]]). */
+  private[queries] def bm25ImpactScoredAt(
+      s: SparkSession, dir: String, p: Int): DataFrame = {
+    implicit val sp: SparkSession = s
     import s.implicits._
-    bm25Contrib(s, dir)
+    val truncated = bm25Contrib(s, dir)
       .groupBy($"word")
       .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p).as("top"))
       .select($"word", explode($"top").as("t"))
       .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
+    bm25Sum(queryTerms(s, dir), truncated)
   }
 
-  /** Truncation depth exposed for the spec's truncation-active planted
-    * case (the gate constant is [[BmImpactP]]). */
-  private[queries] def bm25ImpactScoredAt(
-      s: SparkSession, dir: String, p: Int): DataFrame = {
-    implicit val sp: SparkSession = s
-    bm25Sum(queryTerms(s, dir), truncatedContrib(s, dir, p))
+  /** Force-build the retrieval family's durable artifacts for `dir`. */
+  def stageIndexes(s: SparkSession, dir: String): Unit = {
+    impactIndex(s, dir)
+    ()
   }
 
   /** Bounded-heap per-query top-k over a (qid, doc_id, ord) frame —
@@ -303,7 +344,7 @@ object Retrieval {
       val qtv = queryTerms(s, dir)
         .join(probes.select($"qid"), Seq("qid"), "left_semi")
       val brank = topkBy(
-        bm25Sum(qtv, truncatedContrib(s, dir, BmImpactP)),
+        bm25Sum(qtv, impactIndex(s, dir)),
         "bm25", FuseDepth)
         .select($"qid", $"doc_id", $"rank".as("rb"))
       val fused = brank.join(drank, Seq("qid", "doc_id"), "full_outer")
@@ -607,5 +648,7 @@ object Retrieval {
     bm25Cache.clear()
     contribCache.values.foreach(_.unpersist())
     contribCache.clear()
+    indexCache.values.foreach(_.unpersist())
+    indexCache.clear()
   }
 }
