@@ -38,6 +38,10 @@ object ScaleProbe {
     import spark.implicits._
 
     if (args.headOption.contains("sweep")) { pqSweep(spark); spark.stop(); return }
+    if (args.headOption.contains("bm25")) {
+      bm25Frontier(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
     if (args.headOption.contains("serve")) {
       serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
@@ -453,6 +457,35 @@ object ScaleProbe {
     * candidate-scan rows at each (nprobe, shortlist) — the measured
     * frontier behind the (2, 20) gate defaults (SCALING.md).
     */
+  /** BM25 truncation-depth frontier at the m× doc replica (built by a
+    * prior `ScaleProbe m docs` run, or rebuilt here): price the P knob
+    * — per-P serve time of the truncated tier and its overlap@10
+    * against the exact ranking (computed once, the expensive side by
+    * design). Cold semantics like every ladder (staging disabled). */
+  private def bm25Frontier(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    val out = s"/tmp/graft_scale${m}d"
+    require(new java.io.File(s"$out/documents.parquet").exists(),
+      s"run `ScaleProbe $m docs` first to build $out")
+    graft.queries.TextAnalysis.clearCaches()
+    graft.queries.Retrieval.clearCaches()
+    val t0 = System.nanoTime()
+    val nq = graft.queries.Retrieval.bm25Scored(spark, out)
+      .select($"qid").distinct().count()
+    val exactSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"frontier": "bm25_exact", "mult": $m, "queries": $nq, "sec": $exactSec%.2f}""")
+    for (p <- Seq(250, 1000, 4000, 16000)) {
+      val t1 = System.nanoTime()
+      val rows = graft.queries.Retrieval
+        .bm25ImpactScoredAt(spark, out, p).count()
+      val serveSec = (System.nanoTime() - t1) / 1e9
+      val rec = graft.queries.Retrieval.bm25RecallAt(spark, out, p)
+        .agg((sum($"n_common") / sum($"n_exact")).as("r"))
+        .collect()(0).getDouble(0)
+      println(f"""{"frontier": "bm25", "mult": $m, "p": $p, "recall_at10": $rec%.3f, "cand_rows": $rows, "serve_sec": $serveSec%.2f}""")
+    }
+  }
+
   private def pqSweep(spark: SparkSession): Unit = {
     val dir = "/root/testdata/sf0.1"
     for (nprobe <- Seq(2, 3, 4, 5, 6); shortlist <- Seq(20, 50)) {

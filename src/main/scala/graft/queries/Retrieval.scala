@@ -53,7 +53,7 @@ object Retrieval {
   private[queries] val B = 0.75
 
   /** Emitted depth of tx_bm25_topk. */
-  private[queries] val BmK = 10
+  private[graft] val BmK = 10
 
   /** Per-list depth entering the RRF fusion, the fused emitted depth,
     * and the RRF rank constant (Cormack's 60). */
@@ -83,18 +83,37 @@ object Retrieval {
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Query-by-example term probe: distinct (qid, word) over the first
-    * [[QLen]] lowercased tokens of each query doc. Queries × ≤QLen rows
-    * — broadcast-sized at any corpus scale (the query SET is an input,
-    * not a corpus-sized derivation).
+  /** Query-by-example term probe over an arbitrary (doc_id, text)
+    * frame: distinct (qid, word) over the first [[QLen]] lowercased
+    * tokens. Queries × ≤QLen rows — broadcast-sized at any corpus
+    * scale (the query SET is an input, not a corpus-sized derivation).
     */
-  private def queryTerms(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir).documents
-      .filter($"doc_id" % QStep === 0)
+  private def termsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id".as("qid"),
         explode(slice(wsTokens(lower($"text")), 1, QLen)).as("word"))
       .distinct()
+  }
+
+  /** The gate query set: every %[[QStep]]-stride corpus doc. */
+  private def queryTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    termsOf(Tables(s, dir).documents.filter($"doc_id" % QStep === 0))
+  }
+
+  /** One serving micro-batch: score an arbitrary (doc_id, text) query
+    * frame against the STAGED impact index and emit the per-query
+    * top-k — the per-batch core of [[graft.streaming.Bm25Stream]].
+    * Identical frames to tx_bm25_impact when fed the gate query docs
+    * (parity spec-pinned); a query id absent from the corpus simply
+    * never triggers the self-exclusion and retrieves from the full
+    * index. */
+  private[graft] def bm25ServeBatch(
+      s: SparkSession, dir: String, queryDocs: DataFrame,
+      k: Int = BmK): DataFrame = {
+    implicit val sp: SparkSession = s
+    topkBy(bm25Sum(termsOf(queryDocs), impactIndex(s, dir)), "bm25", k)
   }
 
   /** Per-(word, doc) BM25 contribution `c` (6-decimal-rounded
@@ -151,7 +170,7 @@ object Retrieval {
     * per-query work is Σ df over probed terms, which a stop-term-free
     * probe makes proportional to the corpus for common terms. The
     * impact tier below is the scale path. */
-  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame =
     bm25Cache.getOrElseUpdate((s, dir), {
       implicit val sp: SparkSession = s
       bm25Sum(queryTerms(s, dir), bm25Contrib(s, dir)).persist()
@@ -205,7 +224,7 @@ object Retrieval {
 
   /** Truncation depth exposed for the spec's truncation-active planted
     * case (the gate constant's index is [[impactIndex]]). */
-  private[queries] def bm25ImpactScoredAt(
+  private[graft] def bm25ImpactScoredAt(
       s: SparkSession, dir: String, p: Int): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
@@ -221,6 +240,23 @@ object Retrieval {
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     impactIndex(s, dir)
     ()
+  }
+
+  /** Per-query exact-vs-truncated overlap at an arbitrary depth `p` —
+    * the parametric form of tx_bm25_recall, for the P-frontier probe
+    * that prices the truncation knob. */
+  private[graft] def bm25RecallAt(
+      s: SparkSession, dir: String, p: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ex = topkBy(bm25Scored(s, dir), "bm25", BmK).select($"qid", $"doc_id")
+    val im = topkBy(bm25ImpactScoredAt(s, dir, p), "bm25", BmK)
+      .select($"qid", $"doc_id")
+    val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+    val nCommon = ex.join(im, Seq("qid", "doc_id"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_common"))
+    nExact.join(nCommon, Seq("qid"), "left")
+      .select($"qid", $"n_exact", coalesce($"n_common", lit(0L)).as("n_common"))
   }
 
   /** Bounded-heap per-query top-k over a (qid, doc_id, ord) frame —
