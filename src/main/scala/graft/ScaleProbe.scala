@@ -483,6 +483,15 @@ object ScaleProbe {
         .agg((sum($"n_common") / sum($"n_exact")).as("r"))
         .collect()(0).getDouble(0)
       println(f"""{"frontier": "bm25", "mult": $m, "p": $p, "recall_at10": $rec%.3f, "cand_rows": $rows, "serve_sec": $serveSec%.2f}""")
+      // the rank-safe tier at the same depth: certificate rate and the
+      // exact-rescore work it buys out of the full traversal
+      val t2 = System.nanoTime()
+      val wm = graft.queries.Retrieval.wandParts(spark, out, p)._2
+        .agg(sum($"safe").as("safe"), count(lit(1)).as("n"),
+          sum($"n_rescore").as("resc"), sum($"n_seen").as("seen"))
+        .collect()(0)
+      val wandSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"frontier": "bm25_wand", "mult": $m, "p": $p, "safe": ${wm.getLong(0)}, "queries": ${wm.getLong(1)}, "rescore_rows": ${wm.getLong(2)}, "seen_rows": ${wm.getLong(3)}, "sec": $wandSec%.2f}""")
     }
   }
 

@@ -222,18 +222,180 @@ object Retrieval {
       }.persist()
     })
 
+  /** The probed contributions truncated per word to depth `p` — the
+    * parametric twin of [[impactIndex]] (identical rows for probed terms
+    * when p == [[BmImpactP]]: truncation is per-word independent). */
+  private def truncatedAt(s: SparkSession, dir: String, p: Int): DataFrame = {
+    import s.implicits._
+    bm25Contrib(s, dir)
+      .groupBy($"word")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p).as("top"))
+      .select($"word", explode($"top").as("t"))
+      .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
+  }
+
   /** Truncation depth exposed for the spec's truncation-active planted
     * case (the gate constant's index is [[impactIndex]]). */
   private[graft] def bm25ImpactScoredAt(
       s: SparkSession, dir: String, p: Int): DataFrame = {
     implicit val sp: SparkSession = s
+    bm25Sum(queryTerms(s, dir), truncatedAt(s, dir, p))
+  }
+
+  /** Per-term EXCLUSION BOUND at depth `p`: the largest contribution the
+    * truncation dropped — the (p+1)-th per word, 0 when nothing was cut.
+    * One bounded-heap pass at p+1 over the probed contributions; this is
+    * the per-list max-score metadata an impact-ordered index stores
+    * alongside each truncated postings list. */
+  private def exclusionBounds(s: SparkSession, dir: String, p: Int): DataFrame = {
     import s.implicits._
-    val truncated = bm25Contrib(s, dir)
+    bm25Contrib(s, dir)
       .groupBy($"word")
-      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p).as("top"))
-      .select($"word", explode($"top").as("t"))
-      .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
-    bm25Sum(queryTerms(s, dir), truncated)
+      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p + 1).as("top"))
+      .select($"word",
+        when(size($"top") > p, element_at($"top", p + 1).getField("ord"))
+          .otherwise(lit(0.0)).as("b"))
+  }
+
+  /** RANK-SAFE serving from the impact tier — the set-oriented form of
+    * WAND / max-score pruning over an impact-ordered index (Anh &
+    * Moffat; Broder et al.): score the truncated lists, and use each
+    * list's exclusion bound to PROVE whether the truncated answer is the
+    * exact one.
+    *
+    * Per query q with residual budget U = Σ_t b_t over its terms:
+    *  - θ = k-th best truncated score. The query is SAFE iff U == 0
+    *    (nothing truncated) or θ > U with ≥ k candidates seen — no
+    *    unseen document can reach the top-k.
+    *  - For a safe query, a seen doc's true score is ≤ its upper bound
+    *    ŝ(d) + (U − covered(d)) (covered = bounds of the lists d DID
+    *    appear in); only docs at-or-above θ need exact rescoring, and
+    *    the rescore is a candidate-RESTRICTED equi-join — (qid, doc_id,
+    *    word) keys against the full contributions — O(|C| × terms), not
+    *    a postings traversal.
+    *  - An unsafe query falls back to the exact tier.
+    *
+    * Every true top-k doc has upper bound ≥ θ (its true score is), so
+    * the rescored candidate set contains the exact top-k and the served
+    * ranking equals the exact ranking — which is precisely what the
+    * oracle checks. Returns (served top-k, per-query meter (qid, safe,
+    * n_seen, n_rescore)): the meter prices the pruning — rescore work
+    * actually done vs the full traversal the fallback costs.
+    *
+    * 100 TB posture: bounds are vocabulary-sized metadata built with the
+    * index; the truncated probe is ≤ terms × P per query; the rescore
+    * join is candidate-restricted; only provably-unsafe queries pay a
+    * full postings traversal, and the meter makes that fraction a
+    * measured, oracle-checked quantity instead of a hope.
+    */
+  private[graft] def wandParts(
+      s: SparkSession, dir: String, p: Int): (DataFrame, DataFrame) = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val k = BmK
+    val idx = if (p == BmImpactP) impactIndex(s, dir) else truncatedAt(s, dir, p)
+    val qt = queryTerms(s, dir)
+    val qtb = qt.join(exclusionBounds(s, dir, p), Seq("word"), "left")
+      .select($"qid", $"word", coalesce($"b", lit(0.0)).as("b"))
+    val uq = qtb.groupBy($"qid")
+      .agg(sum($"b".cast("decimal(18,6)")).cast("double").as("u"))
+    // one probe pass: truncated score + covered bound mass per (q, doc)
+    val det = idx.join(broadcast(qtb),
+        idx("word") === qtb("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("s_hat"),
+        sum($"b".cast("decimal(18,6)")).cast("double").as("covered"))
+    val theta = det.groupBy($"qid")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"s_hat", $"doc_id", k).as("top"),
+        count(lit(1)).as("n_seen"))
+      .select($"qid", $"n_seen",
+        when(size($"top") >= k, element_at($"top", k).getField("ord")).as("theta"))
+    val verd = uq.join(theta, Seq("qid"), "left")
+      .select($"qid", $"u", $"theta",
+        coalesce($"n_seen", lit(0L)).as("n_seen"),
+        when($"u" === 0.0, 1L)
+          .otherwise(when(coalesce($"n_seen", lit(0L)) >= k && $"theta" > $"u", 1L)
+            .otherwise(0L)).as("safe"))
+    val cand = det.join(verd.filter($"safe" === 1)
+        .select($"qid", $"u", $"theta"), "qid")
+      .filter($"theta".isNull || $"s_hat" + ($"u" - $"covered") >= $"theta")
+      .select($"qid", $"doc_id")
+    val rescored = cand.join(qt, "qid")
+      .join(bm25Contrib(s, dir), Seq("word", "doc_id"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("bm25"))
+    val unsafeExact = bm25Scored(s, dir)
+      .join(verd.filter($"safe" === 0).select($"qid"), Seq("qid"), "left_semi")
+    val served = topkBy(rescored.unionByName(unsafeExact), "bm25", k)
+      .orderBy($"qid", $"rank")
+    val nResc = cand.groupBy($"qid").agg(count(lit(1)).as("n_resc"))
+    val nFull = bm25Scored(s, dir).groupBy($"qid").agg(count(lit(1)).as("n_full"))
+    val meter = verd
+      .join(nResc, Seq("qid"), "left")
+      .join(nFull, Seq("qid"), "left")
+      .select($"qid", $"safe", $"n_seen",
+        when($"safe" === 1, coalesce($"n_resc", lit(0L)))
+          .otherwise(coalesce($"n_full", lit(0L))).as("n_rescore"))
+      .orderBy($"qid")
+    (served, meter)
+  }
+
+  /** Incremental-ingest split: docs with doc_id % 5 == 0 are the
+    * arriving batch; the rest are the stored base (same stride as
+    * dedup_incremental — the gate queries, doc_id % [[QStep]], are all
+    * inside the arriving batch, so the query is "score the new batch's
+    * probes against the merged index"). */
+  private[queries] val IncStep = 5
+
+  /** INCREMENTAL lexical-index maintenance: serve the gate queries from
+    * the stored base index MERGED with the arriving batch — postings by
+    * union, every global statistic (df, doc count, total length) by
+    * ADDITIVE aggregate merge, never a rebuild over the base. The oracle
+    * is the exact full-corpus top-k, so the hash gate proves the merged
+    * path serves bit-identically to a from-scratch rebuild (the
+    * [[graft.queries.Dedup]] DeltaMergeSpec contract, on the lexical
+    * index).
+    *
+    * 100 TB posture: the base frames are the staged `term_freqs` /
+    * `token_counts` artifacts (filtered here by split, read in
+    * production as the stored generation, bucketed by word); the delta
+    * aggregates are O(batch); the merge is a vocabulary-sized full-outer
+    * join for df plus 1-row scalar sums — the impact tier stays a
+    * periodic per-generation rebuild ([[impactIndex]]), which is the
+    * standard stale-tier/exact-base split.
+    */
+  private def bm25IncrementalTopk(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val base = $"doc_id" % IncStep =!= 0
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    val qt = queryTerms(s, dir)
+    val qw = qt.select($"word").distinct()
+    def stats(side: DataFrame) = side.agg(
+      count(lit(1)).as("nd"), coalesce(sum($"m"), lit(0L)).as("len"))
+    val corp = stats(dl.filter(base)).toDF("nd_b", "len_b")
+      .crossJoin(broadcast(stats(dl.filter(!base)).toDF("nd_d", "len_d")))
+      .select(($"nd_b" + $"nd_d").as("n_docs"),
+        (($"len_b" + $"len_d").cast("double") / ($"nd_b" + $"nd_d")).as("avgdl"))
+    def dfOf(side: DataFrame) = side.join(qw, Seq("word"), "left_semi")
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    val dfq = dfOf(tf.filter(base)).toDF("word", "df_b")
+      .join(dfOf(tf.filter(!base)).toDF("word", "df_d"), Seq("word"), "full_outer")
+      .select($"word",
+        (coalesce($"df_b", lit(0L)) + coalesce($"df_d", lit(0L))).as("df"))
+    val posts = tf.filter(base).join(qw, Seq("word"), "left_semi")
+      .unionByName(tf.filter(!base).join(qw, Seq("word"), "left_semi"))
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val tfSat = ($"n" * lit(K1 + 1)) /
+      ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
+    val contrib = posts
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corp))
+      .select($"word", $"doc_id", round(idf * tfSat, 6).as("c"))
+    topkBy(bm25Sum(qt, contrib), "bm25", BmK).orderBy($"qid", $"rank")
   }
 
   /** Force-build the retrieval family's durable artifacts for `dir`. */
@@ -392,6 +554,20 @@ object Retrieval {
       topkBy(fused, "rrf", HybK).orderBy($"qid", $"rank")
     },
 
+    // Rank-safe pruned serving (WAND/max-score over the impact tier):
+    // the served top-k — oracle-checked against the EXACT ranking, so
+    // the gate proves the pruning is rank-safe, not just plausible.
+    "tx_bm25_wand" -> { (s, dir) => wandParts(s, dir, BmImpactP)._1 },
+
+    // Its per-query work meter: safety verdict, truncated candidates
+    // seen, and exact-rescore rows actually paid (full-traversal size
+    // for the provably-unsafe fallback queries).
+    "tx_bm25_wand_meter" -> { (s, dir) => wandParts(s, dir, BmImpactP)._2 },
+
+    // Incremental index maintenance: base ∪ batch postings with
+    // additively-merged global stats serve the exact top-k.
+    "tx_bm25_incremental" -> { (s, dir) => bm25IncrementalTopk(s, dir) },
+
     // NB trainer: the top-20 |log-odds| words of the trained model
     // (class counts >= NbMinCount). Top-k via TakeOrderedAndProject
     // (orderBy + limit — heap-based, distributed) + a 20-row array
@@ -528,16 +704,79 @@ object Retrieval {
        |        - ln((c_neg + 1.0::DOUBLE) / CAST(t_neg + vocab AS DOUBLE)), 6) AS lo
        |  FROM wc CROSS JOIN tot)""".stripMargin
 
+  /** The exact-ranking answer — the oracle of tx_bm25_topk and, by the
+    * rank-safety / merge-exactness contracts, of tx_bm25_wand and
+    * tx_bm25_incremental too: all three must hash-match it. */
+  private val ExactTopkSql =
+    s"""WITH $Bm25Cte,
+       |ranked AS (
+       |  SELECT qid, doc_id, bm25,
+       |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, doc_id, bm25 FROM ranked WHERE rank <= $BmK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Appended after [[Bm25ImpactCte]]: exclusion bounds, per-query
+    * residual budget, truncated-probe detail with covered bound mass,
+    * threshold θ, safety verdict, and the safe rescore candidate set —
+    * the WAND meter's full re-derivation. */
+  private val WandCte =
+    s"""bounds AS (
+       |  SELECT word, max(c) AS b FROM (
+       |    SELECT word, c,
+       |      row_number() OVER (PARTITION BY word ORDER BY c DESC, doc_id) AS pr
+       |    FROM contrib) WHERE pr > $BmImpactP GROUP BY 1),
+       |qtb AS (
+       |  SELECT q.qid, q.word, COALESCE(b.b, 0.0::DOUBLE) AS b
+       |  FROM qterms q LEFT JOIN bounds b ON b.word = q.word),
+       |uq AS (SELECT qid, CAST(SUM(CAST(b AS DECIMAL(18,6))) AS DOUBLE) AS u
+       |       FROM qtb GROUP BY 1),
+       |det AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS s_hat,
+       |    CAST(SUM(CAST(q.b AS DECIMAL(18,6))) AS DOUBLE) AS covered
+       |  FROM qtb q JOIN trunc t ON t.word = q.word AND t.doc_id <> q.qid
+       |  GROUP BY 1, 2),
+       |nseen AS (SELECT qid, count(*) AS n_seen FROM det GROUP BY 1),
+       |theta AS (
+       |  SELECT qid, max(CASE WHEN rk = $BmK THEN s_hat END) AS theta FROM (
+       |    SELECT qid, s_hat,
+       |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, doc_id) AS rk
+       |    FROM det) GROUP BY 1),
+       |verd AS (
+       |  SELECT u.qid, u.u, t.theta, COALESCE(n.n_seen, 0) AS n_seen,
+       |    CASE WHEN u.u = 0 THEN 1
+       |         WHEN COALESCE(n.n_seen, 0) >= $BmK AND t.theta > u.u THEN 1
+       |         ELSE 0 END AS safe
+       |  FROM uq u LEFT JOIN theta t ON t.qid = u.qid
+       |  LEFT JOIN nseen n ON n.qid = u.qid),
+       |cand AS (
+       |  SELECT d.qid, d.doc_id FROM det d JOIN verd v ON v.qid = d.qid
+       |  WHERE v.safe = 1
+       |    AND (v.theta IS NULL OR d.s_hat + (v.u - d.covered) >= v.theta))""".stripMargin
+
   def oracle: Map[String, String] = Map(
 
-    "tx_bm25_topk" ->
+    "tx_bm25_topk" -> ExactTopkSql,
+
+    "tx_bm25_wand" -> ExactTopkSql,
+
+    "tx_bm25_incremental" -> ExactTopkSql,
+
+    "tx_bm25_wand_meter" ->
       s"""WITH $Bm25Cte,
-         |ranked AS (
-         |  SELECT qid, doc_id, bm25,
-         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
-         |  FROM scored)
-         |SELECT qid, rank, doc_id, bm25 FROM ranked WHERE rank <= $BmK
-         |ORDER BY qid, rank""".stripMargin,
+         |$Bm25ImpactCte,
+         |$WandCte
+         |SELECT v.qid, CAST(v.safe AS BIGINT) AS safe,
+         |  CAST(v.n_seen AS BIGINT) AS n_seen,
+         |  CAST(CASE WHEN v.safe = 1 THEN COALESCE(r.n, 0)
+         |            ELSE COALESCE(f.n, 0) END AS BIGINT) AS n_rescore
+         |FROM verd v
+         |LEFT JOIN (SELECT qid, count(*) AS n FROM cand GROUP BY 1) r
+         |  ON r.qid = v.qid
+         |LEFT JOIN (SELECT qid, count(*) AS n FROM scored GROUP BY 1) f
+         |  ON f.qid = v.qid
+         |ORDER BY v.qid""".stripMargin,
 
     "tx_bm25_impact" ->
       s"""WITH $Bm25Cte,

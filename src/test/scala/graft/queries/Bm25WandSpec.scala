@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{length, lit}
+
+import graft.SparkSpec
+
+/** Rank-safety of the WAND/max-score serving tier and exactness of the
+  * incremental index merge, on corpora where truncation is ACTIVE (the
+  * gate depth [[Retrieval.BmImpactP]] never truncates a tiny planted
+  * corpus, so these run the parametric depth):
+  *
+  *  - at an aggressive depth (p = 2) the served top-k must still equal
+  *    the exact top-k EXACTLY — safe queries via bounded rescore,
+  *    unsafe ones via the fallback; the meter must show the truncation
+  *    actually bit (some per-term bound non-zero);
+  *  - at a depth past every document frequency the verdict is trivially
+  *    safe everywhere (residual budget 0) and nothing is over-rescored;
+  *  - meter arithmetic: a safe query rescores a SUBSET of its seen
+  *    candidates; an unsafe query pays its full traversal.
+  *  - tx_bm25_incremental: the additively-merged base ∪ batch serving
+  *    equals tx_bm25_topk row for row.
+  */
+class Bm25WandSpec extends SparkSpec {
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def withCorpus[A](docs: Seq[(Long, String)])(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("wand").toString
+    try { writeDocs(dir, docs); f(dir) }
+    finally {
+      Retrieval.clearCaches()
+      TextAnalysis.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  // Two query docs (0, 50). "common" appears in MANY candidates with
+  // varying tf so a depth-2 truncation drops real scorers; "rare" in
+  // two docs so its list survives any depth. Candidate ids avoid the
+  // %50 == 0 stride.
+  private val docs: Seq[(Long, String)] =
+    Seq(
+      0L -> "rare common q0pad0 q0pad1 q0pad2 q0pad3",
+      50L -> "common solo q1pad0 q1pad1 q1pad2 q1pad3",
+      1L -> "rare r1a r1b r1c",
+      2L -> "solo s2a s2b s2c") ++
+      (3L to 30L).filter(_ % 50 != 0).map { k =>
+        val reps = 1 + (k % 4).toInt
+        k -> (Seq.fill(reps)("common") ++ Seq(s"c${k}a", s"c${k}b")).mkString(" ")
+      }
+
+  private def exact(dir: String): Array[Row] =
+    graft.SparkEntry.queries("tx_bm25_topk")(spark, dir).collect()
+
+  test("p=2: served top-k equals the exact top-k while truncation is active") {
+    withCorpus(docs) { dir =>
+      val (served, meter) = Retrieval.wandParts(spark, dir, 2)
+      val m = meter.collect()
+      assert(served.collect().toSeq == exact(dir).toSeq,
+        "rank-safe serving must reproduce the exact ranking")
+      // truncation must actually have bitten: 28 docs contain "common",
+      // a depth-2 list drops 26 of them.
+      assert(m.nonEmpty)
+      val unsafeOrRescored = m.exists(r =>
+        r.getAs[Long]("safe") == 0L || r.getAs[Long]("n_rescore") > 0L)
+      assert(unsafeOrRescored, s"expected active pruning, got ${m.toSeq}")
+    }
+  }
+
+  test("p past every df: trivially safe everywhere, rescore bounded by seen") {
+    withCorpus(docs) { dir =>
+      val (served, meter) = Retrieval.wandParts(spark, dir, 1 << 20)
+      val m = meter.collect()
+      assert(m.forall(_.getAs[Long]("safe") == 1L),
+        s"zero residual budget must be declared safe: ${m.toSeq}")
+      assert(m.forall(r =>
+        r.getAs[Long]("n_rescore") <= r.getAs[Long]("n_seen")))
+      assert(served.collect().toSeq == exact(dir).toSeq)
+    }
+  }
+
+  test("meter arithmetic: safe rescores a subset, unsafe pays the full traversal") {
+    withCorpus(docs) { dir =>
+      val (_, meter) = Retrieval.wandParts(spark, dir, 2)
+      val full = Retrieval.bm25Scored(spark, dir)
+        .groupBy("qid").count().collect()
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("count")).toMap
+      meter.collect().foreach { r =>
+        val (qid, safe, seen, resc) = (r.getAs[Long]("qid"),
+          r.getAs[Long]("safe"), r.getAs[Long]("n_seen"),
+          r.getAs[Long]("n_rescore"))
+        if (safe == 1L) assert(resc <= seen, s"q$qid: $resc > seen $seen")
+        else assert(resc == full(qid), s"q$qid: fallback must cost the full traversal")
+      }
+    }
+  }
+
+  test("tx_bm25_incremental: merged base ∪ batch serving equals the exact top-k") {
+    withCorpus(docs) { dir =>
+      val inc = graft.SparkEntry.queries("tx_bm25_incremental")(spark, dir).collect()
+      assert(inc.toSeq == exact(dir).toSeq,
+        "additive stat merge must serve bit-identically to the rebuild")
+    }
+  }
+}
