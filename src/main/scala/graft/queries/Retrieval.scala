@@ -130,27 +130,32 @@ object Retrieval {
     * as a broadcast 1-row aggregate.
     */
   private def bm25Contrib(s: SparkSession, dir: String): DataFrame =
-    contribCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
-      val qt = queryTerms(s, dir)
-      val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
-      val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
-      val corp = TextAnalysis.tokenCounts(s, dir)
-        .agg(count(lit(1)).as("n_docs"),
-          (sum($"m").cast("double") / count(lit(1))).as("avgdl"))
-      val dfq = tf.join(qt.select($"word").distinct(), Seq("word"), "left_semi")
-        .groupBy($"word").agg(count(lit(1)).as("df"))
-      val idf = log(lit(1.0) +
-        ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-      val tfSat = ($"n" * lit(K1 + 1)) /
-        ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
-      tf.join(qt.select($"word").distinct(), Seq("word"), "left_semi")
-        .join(broadcast(dfq), "word")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(corp))
-        .select($"word", $"doc_id", round(idf * tfSat, 6).as("c"))
-        .persist()
-    })
+    contribCache.getOrElseUpdate((s, dir),
+      contribFor(s, dir, queryTerms(s, dir)).persist())
+
+  /** The contribution frame for an ARBITRARY probe's word set — the
+    * parametric core of [[bm25Contrib]], reused by the RM3 second pass
+    * whose probe carries expansion terms outside the gate query set. */
+  private def contribFor(s: SparkSession, dir: String, probe: DataFrame): DataFrame = {
+    import s.implicits._
+    val words = probe.select($"word").distinct()
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    val corp = TextAnalysis.tokenCounts(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"m").cast("double") / count(lit(1))).as("avgdl"))
+    val dfq = tf.join(words, Seq("word"), "left_semi")
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val tfSat = ($"n" * lit(K1 + 1)) /
+      ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
+    tf.join(words, Seq("word"), "left_semi")
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corp))
+      .select($"word", $"doc_id", round(idf * tfSat, 6).as("c"))
+  }
 
   /** Expand contributions to (query, doc) and sum: broadcast the term
     * probe onto the contribution frame (query doc excluded —
@@ -338,6 +343,55 @@ object Retrieval {
           .otherwise(coalesce($"n_full", lit(0L))).as("n_rescore"))
       .orderBy($"qid")
     (served, meter)
+  }
+
+  /** RM3 expansion width: terms appended to each query's probe. */
+  private[queries] val RmE = 3
+
+  /** PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion), both passes
+    * over the impact tier: rank once, weight each feedback-doc term by
+    * its relevance-model mass Σ_d (tf_wd / |d|) · score_d over the
+    * top-[[BmK]] feedback docs, append the top-[[RmE]] non-query terms
+    * to the probe, and rank again with the expanded probe. Fully
+    * deterministic (weights are 6-decimal-rounded components summed in
+    * DECIMAL; term ties break lexically), so the oracle re-derives both
+    * passes CTE for CTE.
+    *
+    * 100 TB posture: the feedback frame is queries × k rows (broadcast);
+    * term weighting joins it to the postings of just those docs; the
+    * expanded probe adds ≤ [[RmE]] terms per query and the second pass
+    * is the same ≤ terms × P impact probe as the first — no stage
+    * touches more than probed-postings-sized data.
+    */
+  private def rm3Topk(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qt = queryTerms(s, dir)
+    val fb = bm25ImpactScored(s, dir)
+      .groupBy($"qid")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"bm25", $"doc_id", BmK).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.id".as("doc_id"), $"t.ord".as("sc"))
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    val exp0 = tf.join(broadcast(fb), "doc_id")
+      .join(dl, "doc_id")
+      .groupBy($"qid", $"word")
+      .agg(sum(round($"n".cast("double") / $"m" * $"sc", 6)
+        .cast("decimal(18,6)")).cast("double").as("w"))
+    val expf = exp0.join(qt, Seq("qid", "word"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"w".desc, $"word")))
+      .filter($"rk" <= RmE)
+      .select($"qid", $"word")
+    val qexp = qt.unionByName(expf).distinct()
+    val trunc2 = contribFor(s, dir, qexp)
+      .groupBy($"word")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", BmImpactP).as("top"))
+      .select($"word", explode($"top").as("t"))
+      .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
+    topkBy(bm25Sum(qexp, trunc2), "bm25", BmK).orderBy($"qid", $"rank")
   }
 
   /** Incremental-ingest split: docs with doc_id % 5 == 0 are the
@@ -568,6 +622,10 @@ object Retrieval {
     // additively-merged global stats serve the exact top-k.
     "tx_bm25_incremental" -> { (s, dir) => bm25IncrementalTopk(s, dir) },
 
+    // Pseudo-relevance-feedback expansion: rank, mine expansion terms
+    // from the top-k feedback docs, rank again with the expanded probe.
+    "tx_bm25_rm3" -> { (s, dir) => rm3Topk(s, dir) },
+
     // NB trainer: the top-20 |log-odds| words of the trained model
     // (class counts >= NbMinCount). Top-k via TakeOrderedAndProject
     // (orderBy + limit — heap-based, distributed) + a 20-row array
@@ -762,6 +820,61 @@ object Retrieval {
     "tx_bm25_wand" -> ExactTopkSql,
 
     "tx_bm25_incremental" -> ExactTopkSql,
+
+    "tx_bm25_rm3" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25ImpactCte,
+         |fb AS (
+         |  SELECT qid, doc_id, bm25 AS sc FROM (
+         |    SELECT qid, doc_id, bm25,
+         |      row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk
+         |    FROM iscored) WHERE rk <= $BmK),
+         |exp0 AS (
+         |  SELECT f.qid, t.word,
+         |    CAST(SUM(CAST(round(CAST(t.n AS DOUBLE) / d.m * f.sc, 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE) AS w
+         |  FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+         |  JOIN dl d ON d.doc_id = f.doc_id
+         |  GROUP BY 1, 2),
+         |expf AS (
+         |  SELECT qid, word FROM (
+         |    SELECT e.qid, e.word,
+         |      row_number() OVER (PARTITION BY e.qid ORDER BY e.w DESC, e.word) AS rk
+         |    FROM exp0 e
+         |    WHERE NOT EXISTS (
+         |      SELECT 1 FROM qterms q WHERE q.qid = e.qid AND q.word = e.word))
+         |  WHERE rk <= $RmE),
+         |qexp AS (SELECT qid, word FROM qterms UNION SELECT qid, word FROM expf),
+         |dfq2 AS (
+         |  SELECT word, count(*) AS df FROM tf
+         |  WHERE word IN (SELECT word FROM qexp) GROUP BY 1),
+         |contrib2 AS (
+         |  SELECT t.word, t.doc_id,
+         |    round(
+         |      ln(1.0::DOUBLE + (c.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+         |      * (t.n * ${K1 + 1}::DOUBLE)
+         |      / (t.n + $K1::DOUBLE * (1.0::DOUBLE - $B::DOUBLE + $B::DOUBLE * d.m / c.avgdl)), 6)
+         |      AS c
+         |  FROM tf t
+         |  JOIN dfq2 f ON f.word = t.word
+         |  JOIN dl d ON d.doc_id = t.doc_id
+         |  CROSS JOIN corp c),
+         |trunc2 AS (
+         |  SELECT word, doc_id, c FROM (
+         |    SELECT word, doc_id, c,
+         |      row_number() OVER (PARTITION BY word ORDER BY c DESC, doc_id) AS pr
+         |    FROM contrib2) WHERE pr <= $BmImpactP),
+         |scored2 AS (
+         |  SELECT q.qid, t.doc_id,
+         |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |  FROM qexp q JOIN trunc2 t ON t.word = q.word AND t.doc_id <> q.qid
+         |  GROUP BY 1, 2),
+         |ranked2 AS (
+         |  SELECT qid, doc_id, bm25,
+         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM scored2)
+         |SELECT qid, rank, doc_id, bm25 FROM ranked2 WHERE rank <= $BmK
+         |ORDER BY qid, rank""".stripMargin,
 
     "tx_bm25_wand_meter" ->
       s"""WITH $Bm25Cte,

@@ -103,6 +103,29 @@ class Bm25WandSpec extends SparkSpec {
     }
   }
 
+  test("tx_bm25_rm3: expansion retrieves a doc sharing only feedback vocabulary") {
+    // "bridge" is the query's retrieval term; docs 1 and 2 match it and
+    // both carry "cable", so "cable" dominates the relevance model and
+    // joins the probe; doc 3 shares ONLY "cable" — invisible to plain
+    // BM25, retrieved after expansion.
+    val rmDocs: Seq[(Long, String)] = Seq(
+      0L -> "bridge alpha p0a p0b p0c p0d",
+      1L -> "bridge cable c1a c1b",
+      2L -> "bridge cable c2a c2b",
+      3L -> "cable only e3a e3b") ++
+      (4L to 9L).map(k => k -> s"f${k}a f${k}b f${k}c")
+    withCorpus(rmDocs) { dir =>
+      val plain = exact(dir).map(_.getAs[Long]("doc_id")).toSet
+      assert(!plain.contains(3L), "doc 3 shares no original query term")
+      val rm3 = graft.SparkEntry.queries("tx_bm25_rm3")(spark, dir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(rm3.contains(3L),
+        s"expansion must surface the cable-only doc: got $rm3")
+      assert(rm3.contains(1L) && rm3.contains(2L),
+        "original matches must survive expansion")
+    }
+  }
+
   test("tx_bm25_incremental: merged base ∪ batch serving equals the exact top-k") {
     withCorpus(docs) { dir =>
       val inc = graft.SparkEntry.queries("tx_bm25_incremental")(spark, dir).collect()
