@@ -329,12 +329,16 @@ object Retrieval {
       .join(bm25Contrib(s, dir), Seq("word", "doc_id"))
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("bm25"))
-    val unsafeExact = bm25Scored(s, dir)
-      .join(verd.filter($"safe" === 0).select($"qid"), Seq("qid"), "left_semi")
+    // the fallback is RESTRICTED to the unsafe queries' probes before
+    // the posting expansion — an all-safe batch must not pay (or even
+    // plan) a full exact-tier traversal just to serve the meter
+    val unsafeQt = qt.join(verd.filter($"safe" === 0).select($"qid"),
+      Seq("qid"), "left_semi")
+    val unsafeExact = bm25Sum(unsafeQt, bm25Contrib(s, dir))
     val served = topkBy(rescored.unionByName(unsafeExact), "bm25", k)
       .orderBy($"qid", $"rank")
     val nResc = cand.groupBy($"qid").agg(count(lit(1)).as("n_resc"))
-    val nFull = bm25Scored(s, dir).groupBy($"qid").agg(count(lit(1)).as("n_full"))
+    val nFull = unsafeExact.groupBy($"qid").agg(count(lit(1)).as("n_full"))
     val meter = verd
       .join(nResc, Seq("qid"), "left")
       .join(nFull, Seq("qid"), "left")
