@@ -206,26 +206,65 @@ object Retrieval {
     indexCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       Staging.readElseBuild(s, dir, "bm25_impact_index", Seq("documents")) {
-        val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
-        val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
-        val corp = TextAnalysis.tokenCounts(s, dir)
-          .agg(count(lit(1)).as("n_docs"),
-            (sum($"m").cast("double") / count(lit(1))).as("avgdl"))
-        val dfAll = tf.groupBy($"word").agg(count(lit(1)).as("df"))
-        val idf = log(lit(1.0) +
-          ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-        val tfSat = ($"n" * lit(K1 + 1)) /
-          ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
-        tf.join(dfAll, "word")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(corp))
-          .select($"word", $"doc_id", round(idf * tfSat, 6).as("c"))
+        allContrib(s, dir)
           .groupBy($"word")
           .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", BmImpactP).as("top"))
           .select($"word", explode($"top").as("t"))
           .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
       }.persist()
     })
+
+  /** The FULL-vocabulary contribution frame the offline index jobs read
+    * (per-word df over every term — deliberately NOT a broadcast join:
+    * df is vocabulary-sized). Probed-term consumers use [[contribFor]]. */
+  private def allContrib(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    val corp = TextAnalysis.tokenCounts(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"m").cast("double") / count(lit(1))).as("avgdl"))
+    val dfAll = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val tfSat = ($"n" * lit(K1 + 1)) /
+      ($"n" + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"m" / $"avgdl"))
+    tf.join(dfAll, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corp))
+      .select($"word", $"doc_id", round(idf * tfSat, 6).as("c"))
+  }
+
+  /** Per-word exclusion bound at depth `p` over an arbitrary
+    * contribution frame — shared by the probed-terms path
+    * ([[exclusionBounds]]) and the staged full-vocab artifact. */
+  private def boundsOf(contrib: DataFrame, p: Int): DataFrame = {
+    import contrib.sparkSession.implicits._
+    contrib
+      .groupBy($"word")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p + 1).as("top"))
+      .select($"word",
+        when(size($"top") > p, element_at($"top", p + 1).getField("ord"))
+          .otherwise(lit(0.0)).as("b"))
+  }
+
+  /** The DURABLE full-vocabulary exclusion bounds at the gate depth —
+    * the per-list max-score metadata a production impact index stores
+    * alongside its truncated postings (one more bounded-heap pass in
+    * the same offline build; vocabulary-sized output). The gate-depth
+    * wand path reads THIS artifact instead of re-deriving bounds, and
+    * [[writeLexicalGeneration]] ships it with the index. For any
+    * probed word the value equals the probed-frame derivation
+    * (truncation is per-word independent). */
+  private def stagedBounds(s: SparkSession, dir: String): DataFrame =
+    boundsCache.getOrElseUpdate((s, dir), {
+      Staging.readElseBuild(s, dir, "bm25_bounds", Seq("documents")) {
+        boundsOf(allContrib(s, dir), BmImpactP)
+      }.persist()
+    })
+
+  private val boundsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** The probed contributions truncated per word to depth `p` — the
     * parametric twin of [[impactIndex]] (identical rows for probed terms
@@ -252,15 +291,8 @@ object Retrieval {
     * One bounded-heap pass at p+1 over the probed contributions; this is
     * the per-list max-score metadata an impact-ordered index stores
     * alongside each truncated postings list. */
-  private def exclusionBounds(s: SparkSession, dir: String, p: Int): DataFrame = {
-    import s.implicits._
-    bm25Contrib(s, dir)
-      .groupBy($"word")
-      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", p + 1).as("top"))
-      .select($"word",
-        when(size($"top") > p, element_at($"top", p + 1).getField("ord"))
-          .otherwise(lit(0.0)).as("b"))
-  }
+  private def exclusionBounds(s: SparkSession, dir: String, p: Int): DataFrame =
+    boundsOf(bm25Contrib(s, dir), p)
 
   /** RANK-SAFE serving from the impact tier — the set-oriented form of
     * WAND / max-score pruning over an impact-ordered index (Anh &
@@ -300,7 +332,15 @@ object Retrieval {
     val k = BmK
     val idx = if (p == BmImpactP) impactIndex(s, dir) else truncatedAt(s, dir, p)
     val qt = queryTerms(s, dir)
-    val qtb = qt.join(exclusionBounds(s, dir, p), Seq("word"), "left")
+    // gate depth reads the STAGED bounds artifact (restricted to probed
+    // words by a broadcast semi-filter before the vocab-sized frame is
+    // touched); a parametric depth derives them from the probed frame
+    val bounds =
+      if (p == BmImpactP)
+        stagedBounds(s, dir).join(
+          broadcast(qt.select($"word").distinct()), Seq("word"), "left_semi")
+      else exclusionBounds(s, dir, p)
+    val qtb = qt.join(broadcast(bounds), Seq("word"), "left")
       .select($"qid", $"word", coalesce($"b", lit(0.0)).as("b"))
     val uq = qtb.groupBy($"qid")
       .agg(sum($"b".cast("decimal(18,6)")).cast("double").as("u"))
@@ -459,7 +499,76 @@ object Retrieval {
   /** Force-build the retrieval family's durable artifacts for `dir`. */
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     impactIndex(s, dir)
+    stagedBounds(s, dir)
     ()
+  }
+
+  /** Write the NEXT lexical serving generation under `root` and flip
+    * the `_latest` pointer atomically — the lexical twin of
+    * [[Similarity.writeServingGeneration]]: a generation is
+    * `gen-N/{index, bounds}` (the impact-truncated postings plus their
+    * per-list exclusion bounds — self-contained: contributions embed
+    * the build-time global stats, so a serving tier needs nothing
+    * else). [[graft.streaming.Bm25Stream.serveLatest]] resolves the
+    * pointer per micro-batch, so a rebuilt index (new corpus
+    * generation, retuned P) cuts over live; rollback is a pointer
+    * write; retention via [[graft.core.Generations.prune]].
+    */
+  def writeLexicalGeneration(s: SparkSession, dir: String, root: String): Long = {
+    val next = graft.core.Generations.next(root)
+    val gdir = s"$root/gen-$next"
+    impactIndex(s, dir).write.mode("overwrite").parquet(s"$gdir/index")
+    stagedBounds(s, dir).write.mode("overwrite").parquet(s"$gdir/bounds")
+    graft.core.Generations.setLatest(root, next)
+    next
+  }
+
+  /** One committed lexical generation: number + loaded artifact pair. */
+  final case class LexicalGeneration(
+      gen: Long, index: DataFrame, bounds: DataFrame)
+
+  /** Load the generation `_latest` points at (an unpublished root is an
+    * error, not an empty index). */
+  def loadLexicalGeneration(s: SparkSession, root: String): LexicalGeneration = {
+    val gen = graft.core.Generations.latest(root).getOrElse(
+      sys.error(s"$root: no committed lexical serving generation"))
+    LexicalGeneration(gen,
+      s.read.parquet(s"$root/gen-$gen/index"),
+      s.read.parquet(s"$root/gen-$gen/bounds"))
+  }
+
+  /** Serve one query micro-batch from an EXPLICIT generation's
+    * artifacts: per-query top-k over the stored truncated lists, plus —
+    * with `certificate` — a per-answer EXACTNESS flag: safe = 1 iff the
+    * query's residual budget is ZERO (no probed term's list was
+    * truncated), in which case the served ranking IS the exact ranking
+    * value for value. This is deliberately STRONGER than the batch wand
+    * verdict: without a rescore pass, θ > U only bounds which docs can
+    * ENTER the top-k — truncated residuals can still reorder or
+    * promote within reach of θ — so a no-rescore serving tier may only
+    * certify the U == 0 case. The tier stays bounded per batch
+    * (≤ terms × P probe rows, never a rescore); approximate answers
+    * are flagged, not silently exact-looking — the streaming form of
+    * the wand meter's honesty contract.
+    */
+  private[graft] def bm25ServeGenBatch(
+      s: SparkSession, g: LexicalGeneration, queryDocs: DataFrame,
+      k: Int = BmK, certificate: Boolean = true): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val qt = termsOf(queryDocs)
+    val served = topkBy(bm25Sum(qt, g.index), "bm25", k)
+    if (!certificate) served.orderBy($"qid", $"rank")
+    else {
+      val qw = qt.select($"word").distinct()
+      val b = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+      val cert = qt.join(broadcast(b), Seq("word"), "left")
+        .select($"qid", coalesce($"b", lit(0.0)).as("b"))
+        .groupBy($"qid")
+        .agg(when(sum($"b".cast("decimal(18,6)")).cast("double") === 0.0, 1L)
+          .otherwise(0L).as("safe"))
+      served.join(cert, "qid").orderBy($"qid", $"rank")
+    }
   }
 
   /** Per-query exact-vs-truncated overlap at an arbitrary depth `p` —
@@ -1042,5 +1151,7 @@ object Retrieval {
     contribCache.clear()
     indexCache.values.foreach(_.unpersist())
     indexCache.clear()
+    boundsCache.values.foreach(_.unpersist())
+    boundsCache.clear()
   }
 }

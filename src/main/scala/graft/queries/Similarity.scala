@@ -2097,7 +2097,7 @@ object Similarity {
     */
   def compactServingGeneration(s: SparkSession, root: String): Long = {
     val g = loadServingGeneration(s, root)
-    val next = existingGenerations(root).maxOption.getOrElse(0L) + 1L
+    val next = graft.core.Generations.next(root)
     val gdir = s"$root/gen-$next"
     s.read.parquet(g.indexPath)
       .repartition(col("cell"))
@@ -2110,21 +2110,8 @@ object Similarity {
     org.apache.commons.io.FileUtils.copyDirectory(
       src.resolve("codebook").toFile,
       java.nio.file.Paths.get(gdir, "codebook").toFile)
-    setLatestServing(root, next)
+    graft.core.Generations.setLatest(root, next)
     next
-  }
-
-  /** Flip `_latest` atomically (temp + ATOMIC_MOVE — the CorpusSink
-    * pointer device): the single commit point every generation write
-    * shares.
-    */
-  private def setLatestServing(root: String, gen: Long): Unit = {
-    val tmp = java.nio.file.Paths.get(s"$root/_latest.tmp")
-    java.nio.file.Files.createDirectories(tmp.getParent)
-    java.nio.file.Files.writeString(tmp, gen.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_latest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** One committed serving GENERATION: the self-contained artifact set
@@ -2156,7 +2143,7 @@ object Similarity {
     // cached under that number (same gen ⇒ no artifact reload ⇒ new
     // index decoded under a stale codebook). Numbers are monotone over
     // everything ever written, rollback or not.
-    val next = existingGenerations(root).maxOption.getOrElse(0L) + 1L
+    val next = graft.core.Generations.next(root)
     val gdir = s"$root/gen-$next"
     writeServingIndex(s, dir, s"$gdir/index")
     trainedCentroids(s, dir)
@@ -2166,22 +2153,8 @@ object Similarity {
       .select(col("m").cast("int").as("m"), col("code").cast("int").as("code"),
         col("cvq"))
       .coalesce(1).write.mode("overwrite").parquet(s"$gdir/codebook")
-    setLatestServing(root, next)
+    graft.core.Generations.setLatest(root, next)
     next
-  }
-
-  /** Every gen-N directory under `root`, committed or not. */
-  private def existingGenerations(root: String): Seq[Long] = {
-    val r = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.isDirectory(r)) Seq.empty
-    else {
-      val st = java.nio.file.Files.list(r)
-      try st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("gen-") => n.drop(4).toLongOption }
-        .flatten.toSeq
-      finally st.close()
-    }
   }
 
   /** Drop all but the newest `keep` generations (the committed pointer
@@ -2192,25 +2165,12 @@ object Similarity {
     * (a tier mid-batch on a pruned generation would lose files under
     * its scan — same discipline as any snapshot retention).
     */
-  def pruneServingGenerations(root: String, keep: Int): Seq[Long] = {
-    require(keep >= 1, "keep at least the current generation")
-    val current = latestServingGeneration(root)
-    val gens = existingGenerations(root).sorted
-    val drop = gens.dropRight(keep).filterNot(current.contains)
-    drop.foreach { g =>
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$root/gen-$g"))
-    }
-    drop
-  }
+  def pruneServingGenerations(root: String, keep: Int): Seq[Long] =
+    graft.core.Generations.prune(root, keep)
 
   /** The generation `_latest` points at, if any committed. */
-  def latestServingGeneration(root: String): Option[Long] = {
-    val f = java.nio.file.Paths.get(s"$root/_latest")
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim.toLongOption
-    else None
-  }
+  def latestServingGeneration(root: String): Option[Long] =
+    graft.core.Generations.latest(root)
 
   /** Load the committed generation's full artifact set (fails if none —
     * an unpublished root is an error, not an empty index).

@@ -39,4 +39,33 @@ object Bm25Stream {
     }
     queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
   }
+
+  /** The serving form bound to a GENERATION ROOT instead of a session
+    * corpus: each micro-batch resolves the `_latest` pointer
+    * ([[graft.queries.Retrieval.writeLexicalGeneration]]'s commit
+    * point) and reloads the `{index, bounds}` pair only when the
+    * generation number changed — a rebuilt impact index cuts over LIVE
+    * between micro-batches with no query restart, rollback is the same
+    * mechanism pointed backwards (the `AnnStream.pqServeLatest`
+    * contract on the lexical tier). Each answer row carries the
+    * per-query exactness certificate (safe = 1 iff no probed list was
+    * truncated — see [[graft.queries.Retrieval.bm25ServeGenBatch]]).
+    */
+  def serveLatest(queries: DataFrame, root: String,
+      k: Int = Retrieval.BmK)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    var cached: Option[Retrieval.LexicalGeneration] = None
+    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val latest = graft.core.Generations.latest(root)
+        if (latest.isDefined && cached.map(_.gen) != latest)
+          cached = Some(Retrieval.loadLexicalGeneration(s, root))
+        val g = cached.getOrElse(
+          sys.error(s"$root: no committed lexical serving generation"))
+        sink(Retrieval.bm25ServeGenBatch(s, g, batch, k))
+      }
+    }
+    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
+  }
 }

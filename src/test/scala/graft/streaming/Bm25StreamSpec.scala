@@ -71,4 +71,82 @@ class Bm25StreamSpec extends SparkSpec {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(served.toSet == batch)
   }
+
+  private def writeDocs(d: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+  }
+
+  test("generation cutover: a rebuilt index serves the next batch live, old gens prune") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lexgen").toString
+    val (dirA, dirB, root) = (s"$tmp/a", s"$tmp/b", s"$tmp/serve")
+    try {
+      writeDocs(dirA, Seq(0L -> "alpha beta", 1L -> "alpha a1", 2L -> "beta b1"))
+      writeDocs(dirB, Seq(0L -> "gamma delta", 3L -> "gamma g1", 4L -> "delta d1"))
+      def impactRows(d: String) =
+        graft.SparkEntry.queries("tx_bm25_impact")(spark, d)
+          .collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      def qdocs(d: String) = graft.core.Tables(spark, d).documents
+        .filter($"doc_id" === 0).select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+      assert(graft.queries.Retrieval.writeLexicalGeneration(spark, dirA, root) == 1L)
+      val served = mutable.Buffer.empty[(Long, (Long, Int, Long, Double, Long))]
+      val in = MemoryStream[(Long, String)]
+      var batchNo = 0L
+      val q = Bm25Stream.serveLatest(in.toDS().toDF("doc_id", "text"), root) { out =>
+        val b = batchNo
+        served ++= out.collect().map(r => (b,
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+            r.getAs[Long]("safe"))))
+        batchNo += 1
+      }.queryName("bm25_gen_serve").start()
+
+      in.addData(qdocs(dirA): _*); q.processAllAvailable()
+      graft.queries.Retrieval.clearCaches()
+      graft.queries.TextAnalysis.clearCaches()
+      assert(graft.queries.Retrieval.writeLexicalGeneration(spark, dirB, root) == 2L)
+      in.addData(qdocs(dirB): _*); q.processAllAvailable()
+      q.stop()
+
+      // batch 0 served under gen 1 (corpus A), batch 1 under gen 2 (B)
+      graft.queries.Retrieval.clearCaches(); graft.queries.TextAnalysis.clearCaches()
+      val a = served.filter(_._1 == 0L).map(_._2).map(t => (t._1, t._2, t._3, t._4)).toSet
+      assert(a == impactRows(dirA), "pre-flip batch must serve generation 1")
+      graft.queries.Retrieval.clearCaches(); graft.queries.TextAnalysis.clearCaches()
+      val b = served.filter(_._1 == 1L).map(_._2).map(t => (t._1, t._2, t._3, t._4)).toSet
+      assert(b == impactRows(dirB), "post-flip batch must serve generation 2")
+      // nothing truncates on these corpora: every answer certified exact
+      assert(served.forall(_._2._5 == 1L))
+      // retention keeps the pointer target
+      assert(graft.core.Generations.prune(root, 1) == Seq(1L))
+      assert(graft.core.Generations.latest(root).contains(2L))
+    } finally {
+      graft.queries.Retrieval.clearCaches()
+      graft.queries.TextAnalysis.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("the serving certificate flags truncated answers") {
+    import spark.implicits._
+    // hand-built generation: word "x" truncated (bound 0.5), "y" intact
+    val idx = Seq(("x", 1L, 2.0), ("x", 2L, 1.5), ("y", 3L, 1.0))
+      .toDF("word", "doc_id", "c")
+    val bounds = Seq(("x", 0.5), ("y", 0.0)).toDF("word", "b")
+    val g = graft.queries.Retrieval.LexicalGeneration(1L, idx, bounds)
+    val out = graft.queries.Retrieval.bm25ServeGenBatch(spark, g,
+        Seq((100L, "x"), (200L, "y")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("safe")).toMap
+    assert(out(100L) == 0L, "a probe touching a truncated list is not exact")
+    assert(out(200L) == 1L, "zero residual budget certifies exactness")
+  }
 }
