@@ -51,6 +51,10 @@ object ScaleProbe {
       streamDedupProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("lexserve")) {
+      lexServeProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val vectorsOnly = args.contains("vectors")
     val docsOnly = args.contains("docs")
@@ -492,6 +496,62 @@ object ScaleProbe {
         .collect()(0)
       val wandSec = (System.nanoTime() - t2) / 1e9
       println(f"""{"frontier": "bm25_wand", "mult": $m, "p": $p, "safe": ${wm.getLong(0)}, "queries": ${wm.getLong(1)}, "rescore_rows": ${wm.getLong(2)}, "seen_rows": ${wm.getLong(3)}, "sec": $wandSec%.2f}""")
+    }
+  }
+
+  /** Lexical serving ladder: generation write (cold index + bounds
+    * build), steady-state per-batch serve latency from the committed
+    * generation, and the live-cutover batch (pointer flip + artifact
+    * reload) — at 1× and the m× doc replica. The claims under test:
+    * per-batch work is probe-sized (≤ terms × P), so batch latency
+    * should not scale with the corpus, and a generation flip costs one
+    * artifact reload, not a restart. */
+  private def lexServeProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/root/testdata/sf0.1"
+    val rep = s"/tmp/graft_scale${m}d"
+    require(new java.io.File(s"$rep/documents.parquet").exists(),
+      s"run `ScaleProbe $m docs` first to build $rep")
+    for ((tag, dir) <- Seq(("1", base), (m.toString, rep))) {
+      graft.queries.Retrieval.clearCaches()
+      graft.queries.TextAnalysis.clearCaches()
+      val root = s"/tmp/graft_lexserve_$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val tw0 = System.nanoTime()
+      graft.queries.Retrieval.writeLexicalGeneration(spark, dir, root)
+      val wSec = (System.nanoTime() - tw0) / 1e9
+      println(f"""{"serve": "lex_gen_write", "mult": $tag, "sec": $wSec%.2f}""")
+      val qdocs = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" % 50 === 0).limit(200)
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      def batch(b: Int) = (0 until 20).map(i =>
+        qdocs((b * 20 + i) % qdocs.length)).toIndexedSeq
+      val in = MemoryStream[(Long, String)]
+      var served = 0L
+      var safe = 0L
+      val q = graft.streaming.Bm25Stream.serveLatest(
+        in.toDS().toDF("doc_id", "text"), root) { out =>
+        val rows = out.groupBy().agg(count(lit(1)), sum($"safe")).collect()(0)
+        served += rows.getLong(0)
+        safe += Option(rows.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      }.queryName(s"lexserve_$tag").start()
+      def runBatch(b: Int): Double = {
+        val t0 = System.nanoTime()
+        in.addData(batch(b): _*); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runBatch(0); runBatch(1) // warmup: plan + codegen + artifact load
+      val steady = (2 to 4).map(runBatch).sorted.apply(1)
+      println(f"""{"serve": "lex", "mult": $tag, "batch_sec": $steady%.2f, "served": $served, "safe": $safe}""")
+      // live cutover: commit a new generation, next batch pays the
+      // pointer resolution + artifact reload inline
+      graft.queries.Retrieval.writeLexicalGeneration(spark, dir, root)
+      val flipSec = runBatch(5)
+      println(f"""{"serve": "lex_flip", "mult": $tag, "batch_sec": $flipSec%.2f}""")
+      q.stop()
     }
   }
 
