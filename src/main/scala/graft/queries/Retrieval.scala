@@ -371,10 +371,17 @@ object Retrieval {
       .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("bm25"))
     // the fallback is RESTRICTED to the unsafe queries' probes before
     // the posting expansion — an all-safe batch must not pay (or even
-    // plan) a full exact-tier traversal just to serve the meter
-    val unsafeQt = qt.join(verd.filter($"safe" === 0).select($"qid"),
-      Seq("qid"), "left_semi")
-    val unsafeExact = bm25Sum(unsafeQt, bm25Contrib(s, dir))
+    // plan) a full exact-tier traversal just to serve the meter. When
+    // the session already materialized the exact tier (tx_bm25_topk /
+    // tx_bm25_recall ran), filter ITS persisted frame instead of
+    // re-expanding — value-identical either way, never an EXTRA
+    // traversal.
+    val unsafeQids = verd.filter($"safe" === 0).select($"qid")
+    val unsafeExact = bm25Cache.get((s, dir)) match {
+      case Some(exact) => exact.join(unsafeQids, Seq("qid"), "left_semi")
+      case None =>
+        bm25Sum(qt.join(unsafeQids, Seq("qid"), "left_semi"), bm25Contrib(s, dir))
+    }
     val served = topkBy(rescored.unionByName(unsafeExact), "bm25", k)
       .orderBy($"qid", $"rank")
     val nResc = cand.groupBy($"qid").agg(count(lit(1)).as("n_resc"))
@@ -430,12 +437,12 @@ object Retrieval {
       .filter($"rk" <= RmE)
       .select($"qid", $"word")
     val qexp = qt.unionByName(expf).distinct()
-    val trunc2 = contribFor(s, dir, qexp)
-      .groupBy($"word")
-      .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", BmImpactP).as("top"))
-      .select($"word", explode($"top").as("t"))
-      .select($"word", $"t.id".as("doc_id"), $"t.ord".as("c"))
-    topkBy(bm25Sum(qexp, trunc2), "bm25", BmK).orderBy($"qid", $"rank")
+    // the second pass probes the STAGED full-vocabulary impact index
+    // directly — expansion terms are corpus words, so their truncated
+    // lists are already in the artifact, value-identical to a fresh
+    // per-probe derivation (truncation is per-word independent)
+    topkBy(bm25Sum(qexp, impactIndex(s, dir)), "bm25", BmK)
+      .orderBy($"qid", $"rank")
   }
 
   /** Incremental-ingest split: docs with doc_id % 5 == 0 are the
