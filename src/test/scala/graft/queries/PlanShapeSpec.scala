@@ -327,6 +327,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("tx_bm25_wand: certificate + rescore stay window-free and heap-based") {
+    Seq("tx_bm25_wand", "tx_bm25_wand_meter").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"window in $name: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+    assert(plan("tx_bm25_wand").contains("grouped_topk"))
+  }
+
+  test("tx_bm25_incremental merges the split branches without a window or cartesian") {
+    val p = plan("tx_bm25_incremental")
+    assert(p.contains("grouped_topk"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("tx_bm25_rm3: expansion selection is the ONLY window, and it is qid-partitioned") {
+    val p = plan("tx_bm25_rm3")
+    // one Window operator (the per-query expansion-term rank); rankings
+    // everywhere else go through the bounded heap
+    assert("Window(?!GroupLimit)".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("grouped_topk"))
+  }
+
   test("tx_nb_train: top-k via TakeOrdered + array fold — no window, no global sort") {
     val p = plan("tx_nb_train")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
