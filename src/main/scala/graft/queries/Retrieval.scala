@@ -399,6 +399,59 @@ object Retrieval {
   /** RM3 expansion width: terms appended to each query's probe. */
   private[queries] val RmE = 3
 
+  /** Dirichlet smoothing mass for query-likelihood scoring. */
+  private[queries] val QlMu = 1000.0
+
+  /** DCG position discounts 1/log2(i+1) for i = 1..BmK, rounded to 6
+    * decimals ONCE here and interpolated as DECIMAL literals into both
+    * engines — the gain × discount product then runs in exact decimal
+    * arithmetic on both sides (a float product + round() would tie-break
+    * differently at the 6th decimal; it did, at sf0.001 row 7). */
+  private[queries] val DcgDisc: IndexedSeq[java.math.BigDecimal] =
+    (1 to BmK).map(i => java.math.BigDecimal
+      .valueOf(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(6, java.math.RoundingMode.HALF_UP))
+
+  /** QUERY-LIKELIHOOD retrieval (Dirichlet-smoothed unigram LM — Zhai
+    * & Lafferty), the second classic lexical scorer over the SAME
+    * postings: rank-equivalent decomposition
+    *   s(q,d) = |q|·ln(μ/(|d|+μ)) + Σ_{t∈q∩d} ln(1 + tf·T/(μ·cf_t))
+    * over candidates sharing ≥1 probed term (the standard practical
+    * restriction — a no-overlap doc scores only the length prior and
+    * is never retrieved ahead of a matching one at these sizes).
+    * Same plan shape as BM25: broadcast probe, partial-agg DECIMAL
+    * sum of 6-dec-rounded per-term contributions, bounded-heap top-k;
+    * collection stats (cf per probed term, total tokens T) are
+    * aggregates the incremental path maintains additively just like
+    * df. */
+  private def qlTopk(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val qt = queryTerms(s, dir)
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    val tt = TextAnalysis.tokenCounts(s, dir)
+      .agg(coalesce(sum($"m"), lit(0L)).as("tt"))
+    val cf = tf.join(qt.select($"word").distinct(), Seq("word"), "left_semi")
+      .groupBy($"word").agg(sum($"n").as("cf"))
+    val qlen = qt.groupBy($"qid").agg(count(lit(1)).as("qlen"))
+    val contrib = tf.join(broadcast(cf), "word")
+      .crossJoin(broadcast(tt))
+      .select($"word", $"doc_id",
+        round(log(lit(1.0) +
+          $"n".cast("double") * $"tt" / (lit(QlMu) * $"cf")), 6).as("c"))
+    val scored = contrib.join(broadcast(qt),
+        contrib("word") === qt("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm"))
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "qid")
+      .select($"qid", $"doc_id",
+        ($"sm" + round($"qlen".cast("double")
+          * log(lit(QlMu) / ($"m" + lit(QlMu))), 6)).as("ql"))
+    topkBy(scored, "ql", BmK).orderBy($"qid", $"rank")
+  }
+
   /** PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion), both passes
     * over the impact tier: rank once, weight each feedback-doc term by
     * its relevance-model mass Σ_d (tf_wd / |d|) · score_d over the
@@ -746,6 +799,38 @@ object Retrieval {
     // from the top-k feedback docs, rank again with the expanded probe.
     "tx_bm25_rm3" -> { (s, dir) => rm3Topk(s, dir) },
 
+    // Dirichlet query-likelihood: the second lexical scorer over the
+    // same postings (rank-equivalent smoothed-LM decomposition).
+    "tx_ql_topk" -> { (s, dir) => qlTopk(s, dir) },
+
+    // Graded ranking quality of the impact tier: per-query DCG@k with
+    // the EXACT scores as gains vs the ideal (exact-ranking) DCG —
+    // the position-aware complement of tx_bm25_recall's set overlap.
+    "tx_bm25_ndcg" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // rank → 6-dec DECIMAL discount (when-chain keeps the literal at
+      // scale 6 so the gain × discount product is exact decimal)
+      val disc = DcgDisc.zipWithIndex.foldLeft(
+        lit(null).cast("decimal(18,6)")) { case (acc, (d, i)) =>
+        when($"rank" === i + 1, lit(d)).otherwise(acc)
+      }
+      val ex = bm25Scored(s, dir)
+      def dcgOf(top: DataFrame, out: String) = top
+        .join(ex, Seq("qid", "doc_id"))
+        .select($"qid", ($"bm25".cast("decimal(18,6)") * disc).as("g"))
+        .groupBy($"qid")
+        .agg(sum($"g").cast("double").as(out))
+      val dcg = dcgOf(topkBy(bm25ImpactScored(s, dir), "bm25", BmK)
+        .select($"qid", $"doc_id", $"rank"), "dcg")
+      val idcg = dcgOf(topkBy(ex, "bm25", BmK)
+        .select($"qid", $"doc_id", $"rank"), "idcg")
+      idcg.join(dcg, Seq("qid"), "left")
+        .select($"qid", coalesce($"dcg", lit(0.0)).as("dcg"), $"idcg",
+          round(coalesce($"dcg", lit(0.0)) / $"idcg", 4).as("ndcg"))
+        .orderBy($"qid")
+    },
+
     // NB trainer: the top-20 |log-odds| words of the trained model
     // (class counts >= NbMinCount). Top-k via TakeOrderedAndProject
     // (orderBy + limit — heap-based, distributed) + a 20-row array
@@ -995,6 +1080,74 @@ object Retrieval {
          |  FROM scored2)
          |SELECT qid, rank, doc_id, bm25 FROM ranked2 WHERE rank <= $BmK
          |ORDER BY qid, rank""".stripMargin,
+
+    "tx_ql_topk" ->
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY 1),
+         |tt AS (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS tt FROM dl),
+         |qterms AS (
+         |  SELECT DISTINCT doc_id AS qid, unnest(
+         |    (list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))[1:$QLen]) AS word
+         |  FROM documents WHERE doc_id % $QStep = 0),
+         |cf AS (
+         |  SELECT word, CAST(SUM(n) AS BIGINT) AS cf FROM tf
+         |  WHERE word IN (SELECT word FROM qterms) GROUP BY 1),
+         |qlen AS (SELECT qid, count(*) AS qlen FROM qterms GROUP BY 1),
+         |contrib AS (
+         |  SELECT t.word, t.doc_id,
+         |    round(ln(1.0::DOUBLE + CAST(t.n AS DOUBLE) * c.tt / ($QlMu * f.cf)), 6) AS c
+         |  FROM tf t JOIN cf f ON f.word = t.word CROSS JOIN tt c),
+         |scored AS (
+         |  SELECT q.qid, t.doc_id,
+         |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS sm
+         |  FROM qterms q JOIN contrib t ON t.word = q.word AND t.doc_id <> q.qid
+         |  GROUP BY 1, 2),
+         |full_s AS (
+         |  SELECT s.qid, s.doc_id,
+         |    s.sm + round(CAST(l.qlen AS DOUBLE)
+         |      * ln($QlMu / (d.m + $QlMu)), 6) AS ql
+         |  FROM scored s JOIN dl d ON d.doc_id = s.doc_id
+         |  JOIN qlen l ON l.qid = s.qid),
+         |ranked AS (
+         |  SELECT qid, doc_id, ql,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ql DESC, doc_id) AS rank
+         |  FROM full_s)
+         |SELECT qid, rank, doc_id, round(ql, 6) AS ql FROM ranked WHERE rank <= $BmK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "tx_bm25_ndcg" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25ImpactCte,
+         |disc(rank, d) AS (
+         |  SELECT * FROM (VALUES ${DcgDisc.zipWithIndex
+                .map { case (d, i) => s"(${i + 1}, ${d.toPlainString}::DECIMAL(18,6))" }
+                .mkString(", ")})),
+         |itop AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+         |    FROM iscored) WHERE rank <= $BmK),
+         |etop AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+         |    FROM scored) WHERE rank <= $BmK),
+         |dcg AS (
+         |  SELECT t.qid,
+         |    CAST(SUM(CAST(s.bm25 AS DECIMAL(18,6)) * x.d) AS DOUBLE) AS dcg
+         |  FROM itop t JOIN scored s ON s.qid = t.qid AND s.doc_id = t.doc_id
+         |  JOIN disc x ON x.rank = t.rank
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT t.qid,
+         |    CAST(SUM(CAST(s.bm25 AS DECIMAL(18,6)) * x.d) AS DOUBLE) AS idcg
+         |  FROM etop t JOIN scored s ON s.qid = t.qid AND s.doc_id = t.doc_id
+         |  JOIN disc x ON x.rank = t.rank
+         |  GROUP BY 1)
+         |SELECT i.qid, COALESCE(d.dcg, 0.0::DOUBLE) AS dcg, i.idcg,
+         |  round(COALESCE(d.dcg, 0.0::DOUBLE) / i.idcg, 4) AS ndcg
+         |FROM idcg i LEFT JOIN dcg d ON d.qid = i.qid
+         |ORDER BY i.qid""".stripMargin,
 
     "tx_bm25_wand_meter" ->
       s"""WITH $Bm25Cte,

@@ -126,6 +126,35 @@ class Bm25WandSpec extends SparkSpec {
     }
   }
 
+  test("tx_ql_topk: query doc excluded, shorter doc wins at equal tf, no-overlap docs absent") {
+    withCorpus(docs) { dir =>
+      val rows = graft.SparkEntry.queries("tx_ql_topk")(spark, dir).collect()
+      val q0 = rows.filter(_.getAs[Long]("qid") == 0L)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+      assert(!q0.contains(0L), "query doc must not retrieve itself")
+      assert(q0.contains(1L), "the rare-term doc must be retrieved")
+      assert(!q0.contains(2L), "a doc sharing no probed term is never a candidate")
+      // docs 7, 11, 15 are identical shapes (tf("common")=4, 6 tokens):
+      // equal scores must tie-break by ascending doc_id
+      val ranks = Seq(7L, 11L, 15L).flatMap(q0.get)
+      assert(ranks == ranks.sorted, s"tie-break violated: $q0")
+    }
+  }
+
+  test("tx_bm25_ndcg: perfect grading when nothing truncates, ratio bounded") {
+    withCorpus(docs) { dir =>
+      val rows = graft.SparkEntry.queries("tx_bm25_ndcg")(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg"),
+          r.getAs[Double]("idcg"), r.getAs[Double]("ndcg"))
+        assert(idcg > 0 && dcg >= 0 && ndcg >= 0.0 && ndcg <= 1.0)
+        assert(ndcg == 1.0,
+          s"no truncation at the gate depth on 30 docs ⇒ ideal ranking: $r")
+      }
+    }
+  }
+
   test("tx_bm25_incremental: merged base ∪ batch serving equals the exact top-k") {
     withCorpus(docs) { dir =>
       val inc = graft.SparkEntry.queries("tx_bm25_incremental")(spark, dir).collect()

@@ -351,6 +351,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("grouped_topk"))
   }
 
+  test("tx_ql_topk: broadcast probe + bounded heap, no window") {
+    val p = plan("tx_ql_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("grouped_topk"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("tx_nb_train: top-k via TakeOrdered + array fold — no window, no global sort") {
     val p = plan("tx_nb_train")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
