@@ -325,7 +325,19 @@ object Retrieval {
     * full postings traversal, and the meter makes that fraction a
     * measured, oracle-checked quantity instead of a hope.
     */
+  /** Memo for the gate-depth wand pair: tx_bm25_wand and
+    * tx_bm25_wand_meter share one probe DAG, and the det/verdict frames
+    * feed three consumers each — persisted once per (session, corpus). */
+  private val wandCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+  private val wandPersisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
   private[graft] def wandParts(
+      s: SparkSession, dir: String, p: Int): (DataFrame, DataFrame) =
+    wandCache.getOrElseUpdate((s, dir, p), wandPartsUncached(s, dir, p))
+
+  private def wandPartsUncached(
       s: SparkSession, dir: String, p: Int): (DataFrame, DataFrame) = {
     implicit val sp: SparkSession = s
     import s.implicits._
@@ -350,6 +362,8 @@ object Retrieval {
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("s_hat"),
         sum($"b".cast("decimal(18,6)")).cast("double").as("covered"))
+      .persist() // feeds theta, the candidate filter, and the meter
+    wandPersisted.add(det)
     val theta = det.groupBy($"qid")
       .agg(graft.functions.GroupedTopK.groupedTopK($"s_hat", $"doc_id", k).as("top"),
         count(lit(1)).as("n_seen"))
@@ -361,6 +375,8 @@ object Retrieval {
         when($"u" === 0.0, 1L)
           .otherwise(when(coalesce($"n_seen", lit(0L)) >= k && $"theta" > $"u", 1L)
             .otherwise(0L)).as("safe"))
+      .persist() // read by cand, the fallback restriction, and the meter
+    wandPersisted.add(verd)
     val cand = det.join(verd.filter($"safe" === 1)
         .select($"qid", $"u", $"theta"), "qid")
       .filter($"theta".isNull || $"s_hat" + ($"u" - $"covered") >= $"theta")
@@ -489,7 +505,10 @@ object Retrieval {
         Window.partitionBy($"qid").orderBy($"w".desc, $"word")))
       .filter($"rk" <= RmE)
       .select($"qid", $"word")
-    val qexp = qt.unionByName(expf).distinct()
+    // already distinct: qt is distinct by construction, expf is
+    // row_number-filtered AND anti-joined against qt — the branches are
+    // internally unique and mutually disjoint
+    val qexp = qt.unionByName(expf)
     // the second pass probes the STAGED full-vocabulary impact index
     // directly — expansion terms are corpus words, so their truncated
     // lists are already in the artifact, value-identical to a fresh
@@ -1313,5 +1332,8 @@ object Retrieval {
     indexCache.clear()
     boundsCache.values.foreach(_.unpersist())
     boundsCache.clear()
+    wandCache.clear()
+    wandPersisted.forEach(_.unpersist())
+    wandPersisted.clear()
   }
 }

@@ -590,13 +590,15 @@ object AnnStream {
       val s = batch.sparkSession
       val qs = batch.collect()
       if (qs.nonEmpty) {
+        // a vanished pointer is an ERROR, not license to keep serving a
+        // stale cached generation — same contract as the never-loaded case
         val latest = graft.queries.Similarity.latestServingGeneration(root)
-        if (latest.isDefined && cached.map(_.gen) != latest) {
+          .getOrElse(sys.error(s"$root: no committed serving generation"))
+        if (!cached.map(_.gen).contains(latest)) {
           cached = Some(graft.queries.Similarity.loadServingGeneration(s, root))
           cachedMap = cached.get.centroids.toMap
         }
-        val g = cached.getOrElse(
-          sys.error(s"$root: no committed serving generation"))
+        val g = cached.get
         sink(servePrunedBatch(s, qs, g.indexPath, g.centroids, cachedMap,
           g.codebook, nprobe, shortlist, k))
       }

@@ -58,12 +58,14 @@ object Bm25Stream {
     val fn: (DataFrame, Long) => Unit = { (batch, _) =>
       if (!batch.isEmpty) {
         val s = batch.sparkSession
-        val latest = graft.core.Generations.latest(root)
-        if (latest.isDefined && cached.map(_.gen) != latest)
-          cached = Some(Retrieval.loadLexicalGeneration(s, root))
-        val g = cached.getOrElse(
+        // a vanished pointer is an ERROR, not license to keep serving a
+        // stale cached generation with exactness certificates — same
+        // contract as the never-loaded case
+        val latest = graft.core.Generations.latest(root).getOrElse(
           sys.error(s"$root: no committed lexical serving generation"))
-        sink(Retrieval.bm25ServeGenBatch(s, g, batch, k))
+        if (!cached.map(_.gen).contains(latest))
+          cached = Some(Retrieval.loadLexicalGeneration(s, root))
+        sink(Retrieval.bm25ServeGenBatch(s, cached.get, batch, k))
       }
     }
     queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())

@@ -8,6 +8,18 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def resource(name: String): String =
     getClass.getClassLoader.getResource(name).getPath
+
+  /** Write a minimal documents table (en/t defaults) for planted-corpus
+    * specs — the one place the documents schema boilerplate lives. */
+  def writeDocTable(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
 }
 
 object SparkSpec {

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{length, lit}
 
 import graft.SparkSpec
 
@@ -23,18 +22,9 @@ import graft.SparkSpec
   */
 class Bm25WandSpec extends SparkSpec {
 
-  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit = {
-    import spark.implicits._
-    docs.toDF("doc_id", "text")
-      .withColumn("lang", lit("en"))
-      .withColumn("source", lit("t"))
-      .withColumn("n_chars", length($"text"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-  }
-
   private def withCorpus[A](docs: Seq[(Long, String)])(f: String => A): A = {
     val dir = java.nio.file.Files.createTempDirectory("wand").toString
-    try { writeDocs(dir, docs); f(dir) }
+    try { writeDocTable(dir, docs); f(dir) }
     finally {
       Retrieval.clearCaches()
       TextAnalysis.clearCaches()

@@ -72,24 +72,14 @@ class Bm25StreamSpec extends SparkSpec {
     assert(served.toSet == batch)
   }
 
-  private def writeDocs(d: String, docs: Seq[(Long, String)]): Unit = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.{length, lit}
-    docs.toDF("doc_id", "text")
-      .withColumn("lang", lit("en"))
-      .withColumn("source", lit("t"))
-      .withColumn("n_chars", length($"text"))
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
-  }
-
   test("generation cutover: a rebuilt index serves the next batch live, old gens prune") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("lexgen").toString
     val (dirA, dirB, root) = (s"$tmp/a", s"$tmp/b", s"$tmp/serve")
     try {
-      writeDocs(dirA, Seq(0L -> "alpha beta", 1L -> "alpha a1", 2L -> "beta b1"))
-      writeDocs(dirB, Seq(0L -> "gamma delta", 3L -> "gamma g1", 4L -> "delta d1"))
+      writeDocTable(dirA, Seq(0L -> "alpha beta", 1L -> "alpha a1", 2L -> "beta b1"))
+      writeDocTable(dirB, Seq(0L -> "gamma delta", 3L -> "gamma g1", 4L -> "delta d1"))
       def impactRows(d: String) =
         graft.SparkEntry.queries("tx_bm25_impact")(spark, d)
           .collect().map(r =>
