@@ -880,7 +880,7 @@ object Retrieval {
         .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
           coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
       val prior = cls.select(
-        log($"n_pos".cast("double") / $"n_neg").as("pri"))
+        log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))).as("pri"))
       val unseen = tot.select(
         round(log(($"t_neg" + $"vocab").cast("double")
           / ($"t_pos" + $"vocab").cast("double")), 6).as("lo_u"))
@@ -1274,7 +1274,7 @@ object Retrieval {
          |  SELECT CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
          |         CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1 END), 0) AS BIGINT) AS n_neg
          |  FROM lab WHERE doc_id % 3 <> 0),
-         |prior AS (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) AS pri FROM cls),
+         |prior AS (SELECT ln((n_pos + 1.0::DOUBLE) / (n_neg + 1.0::DOUBLE)) AS pri FROM cls),
          |unseen AS (SELECT round(ln(CAST(t_neg + vocab AS DOUBLE)
          |                        / CAST(t_pos + vocab AS DOUBLE)), 6) AS lo_u FROM tot),
          |tst AS (SELECT tf.doc_id, word, n FROM tf WHERE tf.doc_id % 3 = 0),
@@ -1317,7 +1317,7 @@ object Retrieval {
     val prior = gateLabels(s, dir).filter($"doc_id" % 3 =!= 0)
       .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
         coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
-      .select(log($"n_pos".cast("double") / $"n_neg"))
+      .select(log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))))
       .collect()(0).getDouble(0)
     (loMap, loU, prior)
   }

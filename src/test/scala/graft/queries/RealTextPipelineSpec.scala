@@ -179,4 +179,38 @@ class RealTextPipelineSpec extends SparkSpec {
     assert(ssi(0).getLong(0) == 5L)
     assert(ssi(0).getDouble(3) > 0.99)
   }
+
+  test("NbScoreStream's per-doc fold is linear on real 100k-token books") {
+    assume(books.nonEmpty, "reference corpus not present")
+    // the regression guard for the O(tokens²) fold bug: 8 real books
+    // (~600k tokens total, the largest ~115k tokens in one document)
+    // must score in seconds, bit-identical to the batch scorer's
+    // held-out rows. The quadratic form took minutes-to-hours here.
+    Retrieval.clearCaches(); TextAnalysis.clearCaches()
+    import org.apache.spark.sql.functions.col
+    val t0 = System.nanoTime()
+    val stream = graft.streaming.NbScoreStream
+      .scores(graft.core.Tables(spark, dir).documents
+        .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text")),
+        spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120, f"real-book NB scoring took $sec%.0f s — fold not linear?")
+    val batch = graft.SparkEntry.queries("tx_nb_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(stream == batch, "stream rows must be bit-identical to the batch scorer")
+  }
+
+  test("BM25 retrieval runs the real books end to end, probe excluded") {
+    assume(books.nonEmpty, "reference corpus not present")
+    Retrieval.clearCaches()
+    // only doc 0 is a %50-stride query; its probe is the first 6 tokens
+    // of a real book (Gutenberg header boilerplate shared by all books)
+    val rows = run("tx_bm25_topk").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("qid") == 0L))
+    assert(!rows.exists(_.getAs[Long]("doc_id") == 0L), "self-exclusion on real text")
+    Retrieval.clearCaches()
+  }
 }
