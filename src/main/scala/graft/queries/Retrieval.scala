@@ -22,15 +22,20 @@ import graft.core.{Staging, Tables}
   *    the whole corpus), here with the rule gate as the label source so
   *    the whole loop is deterministic and oracle-replayable.
   *
-  * Scale posture (100 TB): every join is an equi-join. The query-term
-  * probe is broadcast onto the postings table (postings are
-  * vocabulary × doc sized, the probe is queries × ≤[[QLen]] terms);
-  * document frequency is computed only for probed terms via a semi
-  * join; per-query top-k goes through the bounded-heap
+  * Scale posture (100 TB): on the lexical and NB paths every join is an
+  * equi-join. The query-term probe is broadcast onto the postings table
+  * (postings are vocabulary × doc sized, the probe is queries × ≤[[QLen]]
+  * terms); document frequency is computed only for probed terms via a
+  * semi join; per-query top-k goes through the bounded-heap
   * [[graft.functions.GroupedTopK]] (O(queries × k) shuffle, nothing
-  * fully sorted); the NB model is a vocabulary-bounded table that
-  * broadcasts at gate scale and degrades to a shuffle equi-join on
-  * `word` at extreme vocabulary — never anything pairwise. All
+  * fully sorted); the NB model is a STAGED vocabulary-bounded table
+  * whose join strategy the engine size-gates from the artifact's scan
+  * statistics (broadcast at gate scale, shuffle equi-join on `word` at
+  * extreme vocabulary). The one deliberate exception is
+  * `ann_hybrid_rrf`'s dense arm — an exact pairwise broadcast scan
+  * (BroadcastNestedLoopJoin), kept as the metered ground-truth baseline
+  * like `ann_topk`; the serving-shape fusion is `ann_hybrid_serving`,
+  * whose dense arm comes from the staged IVF-PQ tier. All
   * cross-engine float arithmetic follows the repo conventions: per-term
   * contributions are rounded to 6 decimals and summed in DECIMAL
   * (order-independent, exact), logs/divisions are forced to DOUBLE on
@@ -205,7 +210,10 @@ object Retrieval {
   private def impactIndex(s: SparkSession, dir: String): DataFrame =
     indexCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      Staging.readElseBuild(s, dir, "bm25_impact_index", Seq("documents")) {
+      // depth is part of the artifact identity: retuning BmImpactP
+      // against an already-staged corpus must MISS and rebuild, never
+      // silently reuse postings truncated at the old depth
+      Staging.readElseBuild(s, dir, s"bm25_impact_index_p$BmImpactP", Seq("documents")) {
         allContrib(s, dir)
           .groupBy($"word")
           .agg(graft.functions.GroupedTopK.groupedTopK($"c", $"doc_id", BmImpactP).as("top"))
@@ -258,7 +266,7 @@ object Retrieval {
     * (truncation is per-word independent). */
   private def stagedBounds(s: SparkSession, dir: String): DataFrame =
     boundsCache.getOrElseUpdate((s, dir), {
-      Staging.readElseBuild(s, dir, "bm25_bounds", Seq("documents")) {
+      Staging.readElseBuild(s, dir, s"bm25_bounds_p$BmImpactP", Seq("documents")) {
         boundsOf(allContrib(s, dir), BmImpactP)
       }.persist()
     })
@@ -377,9 +385,18 @@ object Retrieval {
             .otherwise(0L)).as("safe"))
       .persist() // read by cand, the fallback restriction, and the meter
     wandPersisted.add(verd)
+    // bound comparison in DECIMAL: s_hat/u/covered/theta are exact
+    // 6-decimal quantities held as nearest doubles, and a double-typed
+    // `s_hat + (u - covered) >= theta` can round an exact tie just below
+    // theta, silently dropping a true top-k doc from the rescore set —
+    // the decimal casts recover the exact values (≤ 2^53/10^6, so the
+    // double→decimal(18,6) round-trip is the identity) and the sum is
+    // exact on both engines
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val cand = det.join(verd.filter($"safe" === 1)
         .select($"qid", $"u", $"theta"), "qid")
-      .filter($"theta".isNull || $"s_hat" + ($"u" - $"covered") >= $"theta")
+      .filter($"theta".isNull ||
+        dec6($"s_hat") + (dec6($"u") - dec6($"covered")) >= dec6($"theta"))
       .select($"qid", $"doc_id")
     val rescored = cand.join(qt, "qid")
       .join(bm25Contrib(s, dir), Seq("word", "doc_id"))
@@ -705,25 +722,35 @@ object Retrieval {
 
   /** NB model: per-word class counts and the 6-decimal smoothed
     * log-odds, trained on the doc_id % 3 != 0 split. (word, c_pos,
-    * c_neg, lo) plus the broadcastable totals frame (t_pos, t_neg,
-    * vocab). Vocabulary-bounded — the unigramLm scale posture.
+    * c_neg, lo) plus the totals frame (t_pos, t_neg, vocab) re-derived
+    * from it. The model is a DURABLE per-generation artifact
+    * ([[graft.core.Staging]]) — the production split (train offline,
+    * score everywhere), and what makes the scorer's join strategy
+    * honest: the scorer joins the staged scan WITHOUT a broadcast hint,
+    * so the engine size-gates it from the artifact's file statistics —
+    * broadcast at gate vocabularies, shuffle equi-join on `word` past
+    * `spark.sql.autoBroadcastJoinThreshold`.
     */
   private def nbModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val trn = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
-      .join(gateLabels(s, dir), "doc_id")
-      .filter($"doc_id" % 3 =!= 0)
-    val wc = trn.groupBy($"word").agg(
-      coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("c_pos"),
-      coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("c_neg"))
-    val tot = wc.agg(sum($"c_pos").as("t_pos"), sum($"c_neg").as("t_neg"),
+    val lo = Staging.readElseBuild(s, dir, "nb_model", Seq("documents")) {
+      val trn = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+        .join(gateLabels(s, dir), "doc_id")
+        .filter($"doc_id" % 3 =!= 0)
+      val wc = trn.groupBy($"word").agg(
+        coalesce(sum(when($"y" === 1, $"n")), lit(0L)).as("c_pos"),
+        coalesce(sum(when($"y" === 0, $"n")), lit(0L)).as("c_neg"))
+      val tot0 = wc.agg(sum($"c_pos").as("t_pos"), sum($"c_neg").as("t_neg"),
+        count(lit(1)).as("vocab"))
+      wc.crossJoin(broadcast(tot0))
+        .select($"word", $"c_pos", $"c_neg",
+          round(
+            log(($"c_pos" + lit(1.0)) / ($"t_pos" + $"vocab").cast("double"))
+              - log(($"c_neg" + lit(1.0)) / ($"t_neg" + $"vocab").cast("double")),
+            6).as("lo"))
+    }
+    val tot = lo.agg(sum($"c_pos").as("t_pos"), sum($"c_neg").as("t_neg"),
       count(lit(1)).as("vocab"))
-    val lo = wc.crossJoin(broadcast(tot))
-      .select($"word", $"c_pos", $"c_neg",
-        round(
-          log(($"c_pos" + lit(1.0)) / ($"t_pos" + $"vocab").cast("double"))
-            - log(($"c_neg" + lit(1.0)) / ($"t_neg" + $"vocab").cast("double")),
-          6).as("lo"))
     (lo, tot)
   }
 
@@ -879,16 +906,24 @@ object Retrieval {
       val cls = gateLabels(s, dir).filter($"doc_id" % 3 =!= 0)
         .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
           coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
+      // prior rounded to 6 decimals like every other cross-engine
+      // transcendental in this file — an unrounded ln() ulp difference
+      // between libms can flip pred for near-zero posteriors
       val prior = cls.select(
-        log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))).as("pri"))
+        round(log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))), 6).as("pri"))
       val unseen = tot.select(
         round(log(($"t_neg" + $"vocab").cast("double")
           / ($"t_pos" + $"vocab").cast("double")), 6).as("lo_u"))
       val tst = TextAnalysis.termFreqs(s, dir)
         .select($"doc_id", $"word", $"n")
         .filter($"doc_id" % 3 === 0)
+      // NO broadcast hint on the model join: the staged model scan
+      // carries size statistics, so the engine broadcasts a gate-sized
+      // vocabulary and falls back to a shuffle equi-join past the
+      // autoBroadcastJoinThreshold — the size-gated degradation the
+      // module contract promises
       tst
-        .join(broadcast(lo.select($"word", $"lo")), Seq("word"), "left_outer")
+        .join(lo.select($"word", $"lo"), Seq("word"), "left_outer")
         .crossJoin(broadcast(unseen))
         .groupBy($"doc_id")
         .agg(
@@ -1035,7 +1070,10 @@ object Retrieval {
        |cand AS (
        |  SELECT d.qid, d.doc_id FROM det d JOIN verd v ON v.qid = d.qid
        |  WHERE v.safe = 1
-       |    AND (v.theta IS NULL OR d.s_hat + (v.u - d.covered) >= v.theta))""".stripMargin
+       |    AND (v.theta IS NULL
+       |      OR CAST(d.s_hat AS DECIMAL(18,6))
+       |         + (CAST(v.u AS DECIMAL(18,6)) - CAST(d.covered AS DECIMAL(18,6)))
+       |        >= CAST(v.theta AS DECIMAL(18,6))))""".stripMargin
 
   def oracle: Map[String, String] = Map(
 
@@ -1274,7 +1312,7 @@ object Retrieval {
          |  SELECT CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
          |         CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1 END), 0) AS BIGINT) AS n_neg
          |  FROM lab WHERE doc_id % 3 <> 0),
-         |prior AS (SELECT ln((n_pos + 1.0::DOUBLE) / (n_neg + 1.0::DOUBLE)) AS pri FROM cls),
+         |prior AS (SELECT round(ln((n_pos + 1.0::DOUBLE) / (n_neg + 1.0::DOUBLE)), 6) AS pri FROM cls),
          |unseen AS (SELECT round(ln(CAST(t_neg + vocab AS DOUBLE)
          |                        / CAST(t_pos + vocab AS DOUBLE)), 6) AS lo_u FROM tot),
          |tst AS (SELECT tf.doc_id, word, n FROM tf WHERE tf.doc_id % 3 = 0),
@@ -1317,7 +1355,7 @@ object Retrieval {
     val prior = gateLabels(s, dir).filter($"doc_id" % 3 =!= 0)
       .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
         coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
-      .select(log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))))
+      .select(round(log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))), 6))
       .collect()(0).getDouble(0)
     (loMap, loU, prior)
   }

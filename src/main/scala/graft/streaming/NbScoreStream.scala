@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Retrieval
@@ -15,6 +15,15 @@ import graft.queries.Retrieval
   * in append mode and each doc's verdict is complete within its own
   * micro-batch, composing with the CurationStream/DedupStream ingest
   * DAG exactly like LmScoreStream.
+  *
+  * Model shipping: the vocabulary→log-odds map travels as a Spark
+  * BROADCAST VARIABLE (torrent-distributed once per executor), NOT a
+  * plan literal — a vocabulary-sized `typedlit` embeds the map in every
+  * task binary, which is the "large task binary" warning class and
+  * grows the serialized plan linearly with the vocabulary. Tokenization
+  * stays in Column land (the exact batch tokenizer expressions), and
+  * only the per-row fold runs in `mapPartitions` against the broadcast
+  * map.
   *
   * Parity: the model ships as EXACT scaled-long micros of the batch
   * side's 6-decimal log-odds (collected from the same Spark
@@ -32,21 +41,30 @@ object NbScoreStream {
     * batch side either). */
   def scores(newDocs: DataFrame, s: SparkSession, dir: String): DataFrame = {
     import graft.queries.QueryFns.wsTokens
+    import s.implicits._
     val (loMap, loU, prior) = Retrieval.nbScoreParams(s, dir)
-    val loCol: Column = typedlit(loMap)
+    val bc = s.sparkContext.broadcast(loMap)
     newDocs
       .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
       .withColumn("m", size(col("toks")))
       .filter(col("m") > 0)
+      .as[(Long, Seq[String], Int)]
       // Σ_w n_w · lo_w is just each token contributing its own log-odds
-      // once: ONE linear fold over the tokens. (The first cut folded
-      // array_distinct with a nested per-word filter — O(tokens²) per
-      // doc, the same hazard class as the BPE word-length cap: invisible
-      // on 60-token synthetic docs, hours on a 100k-token book.)
-      .withColumn("sm", aggregate(
-        col("toks"), lit(0L),
-        (acc, w) => acc + coalesce(element_at(loCol, w), lit(loU))))
-      .select(col("doc_id"), col("m").cast("long").as("n_tok"),
+      // once: ONE linear fold over the tokens in scaled-long micros.
+      // (The first cut folded array_distinct with a nested per-word
+      // filter — O(tokens²) per doc, the same hazard class as the BPE
+      // word-length cap: invisible on 60-token synthetic docs, hours on
+      // a 100k-token book.)
+      .mapPartitions { it =>
+        val lo = bc.value
+        it.map { case (id, toks, m) =>
+          var sm = 0L
+          toks.foreach(w => sm += lo.getOrElse(w, loU))
+          (id, m.toLong, sm)
+        }
+      }
+      .toDF("doc_id", "n_tok", "sm")
+      .select(col("doc_id"), col("n_tok"),
         round(lit(prior) + col("sm").cast("double") / 1e6, 4).as("score"),
         when(lit(prior) + col("sm").cast("double") / 1e6 > 0, 1L)
           .otherwise(0L).as("pred"))
