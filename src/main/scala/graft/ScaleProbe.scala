@@ -42,6 +42,10 @@ object ScaleProbe {
       bm25Frontier(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("ql")) {
+      qlFrontier(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
     if (args.headOption.contains("serve")) {
       serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
@@ -497,6 +501,50 @@ object ScaleProbe {
       val wandSec = (System.nanoTime() - t2) / 1e9
       println(f"""{"frontier": "bm25_wand", "mult": $m, "p": $p, "safe": ${wm.getLong(0)}, "queries": ${wm.getLong(1)}, "rescore_rows": ${wm.getLong(2)}, "seen_rows": ${wm.getLong(3)}, "sec": $wandSec%.2f}""")
     }
+    // incremental-merge rung: the offline base-aggregate build (df /
+    // doc-count / total-length over the stored split — O(corpus), paid
+    // once per generation) timed APART from the merge-serve it enables
+    // (O(batch) delta aggregation + probed-words artifact read)
+    val tb = System.nanoTime()
+    val (bdf, bst) = graft.queries.Retrieval.incBaseAggs(spark, out)
+    val vocabRows = bdf.count(); bst.count()
+    val baseSec = (System.nanoTime() - tb) / 1e9
+    val tm = System.nanoTime()
+    val incRows = SparkEntry.queries("tx_bm25_incremental")(spark, out).count()
+    val mergeSec = (System.nanoTime() - tm) / 1e9
+    println(f"""{"frontier": "bm25_incremental", "mult": $m, "base_agg_sec": $baseSec%.2f, "merge_sec": $mergeSec%.2f, "vocab": $vocabRows, "rows": $incRows}""")
+  }
+
+  /** QL frontier: the exact tier's full-postings traversal vs the
+    * cf-ordered impact tier at the m× docs replica — the measurement
+    * that justifies demoting tx_ql_topk to metered-baseline status
+    * (same protocol as [[bm25Frontier]]: cold builds, staging off). */
+  private def qlFrontier(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    val out = s"/tmp/graft_scale${m}d"
+    require(new java.io.File(s"$out/documents.parquet").exists(),
+      s"run `ScaleProbe $m docs` first to build $out")
+    graft.queries.TextAnalysis.clearCaches()
+    graft.queries.Retrieval.clearCaches()
+    val t0 = System.nanoTime()
+    val nq = graft.queries.Retrieval.qlScored(spark, out)
+      .select($"qid").distinct().count()
+    val exactSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"frontier": "ql_exact", "mult": $m, "queries": $nq, "sec": $exactSec%.2f}""")
+    for (p <- Seq(250, 1000, 4000)) {
+      val t1 = System.nanoTime()
+      val rows = graft.queries.Retrieval.qlImpactScoredAt(spark, out, p).count()
+      val serveSec = (System.nanoTime() - t1) / 1e9
+      val rec = graft.queries.Retrieval.qlRecallAt(spark, out, p)
+        .agg((sum($"n_common") / sum($"n_exact")).as("r"))
+        .collect()(0).getDouble(0)
+      println(f"""{"frontier": "ql", "mult": $m, "p": $p, "recall_at10": $rec%.3f, "cand_rows": $rows, "serve_sec": $serveSec%.2f}""")
+    }
+    // certificate rate at the gate depth: how many gate queries the
+    // no-rescore U==0 certificate covers on this corpus
+    val sf = graft.SparkEntry.queries("tx_ql_safe")(spark, out)
+      .agg(sum($"safe").as("s"), count(lit(1)).as("n")).collect()(0)
+    println(s"""{"frontier": "ql_safe", "mult": $m, "safe": ${sf.getLong(0)}, "queries": ${sf.getLong(1)}}""")
   }
 
   /** Lexical serving ladder: generation write (cold index + bounds

@@ -1880,15 +1880,26 @@ object Similarity {
     * measured, not guessed (SCALING.md).
     */
   private def pqTopk(s: SparkSession, dir: String, probeLimit: Int,
-      nprobe: Int, shortlist: Int): DataFrame = {
+      nprobe: Int, shortlist: Int): DataFrame =
+    pqTopkFor(s, dir, col("vec_id") < probeLimit, nprobe, shortlist, 5)
+
+  /** Probe-set- and depth-parameterized IVF-PQ serving pass — the
+    * dense arm of the serving-grade hybrid fusion
+    * (`ann_hybrid_serving` in [[Retrieval]]) probes the SAME staged
+    * PQ artifacts with the embedded-query probe set and the fusion
+    * depth. `probeFilter` is a predicate over `vec_id`, applied to
+    * both the probe embeddings and their trained-cell rankings. */
+  private[queries] def pqTopkFor(s: SparkSession, dir: String,
+      probeFilter: org.apache.spark.sql.Column, nprobe: Int, shortlist: Int,
+      k: Int): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val v = vecs(s, dir)
-    val pcells = centroidDists(s, dir).filter($"vec_id" < probeLimit)
+    val pcells = centroidDists(s, dir).filter(probeFilter)
       .groupBy($"vec_id")
       .agg(graft.functions.GroupedTopK.groupedTopK(-$"d", $"clabel".cast("long"), nprobe).as("top"))
       .select($"vec_id".as("probe"), explode($"top.id").as("pcell"))
-    val probes0 = v.filter($"vec_id" < probeLimit)
+    val probes0 = v.filter(probeFilter)
       .select($"vec_id".as("probe"), $"embedding".as("pe"), $"norm2".as("pn"))
     // base term: dot(probe, centroid) per probed cell
     val bq = probes0.join(pcells, "probe")
@@ -1928,7 +1939,7 @@ object Similarity {
       .join(broadcast(probes0.select($"probe", $"pe", $"pn")), "probe")
       .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
       .select($"probe", $"neighbor", $"cos")
-    topk(pairs, 5)
+    topk(pairs, k)
   }
 
   /** Driver-side copy of the trained centroid table (clabel ascending)
@@ -2310,7 +2321,7 @@ object Similarity {
   /** Oracle CTE: vectors + norms (+ bucket), double arithmetic in the
     * same sequential fold order as the Spark side.
     */
-  private val VecCte =
+  private[queries] val VecCte =
     """WITH v AS (
       |  SELECT vec_id, label, embedding,
       |    list_reduce(list_prepend(0.0::DOUBLE,
@@ -2392,7 +2403,7 @@ object Similarity {
     * L2 via the same sequential double fold, argmin assignment with
     * label tie-break.
     */
-  private val TrainedAsgCte =
+  private[queries] val TrainedAsgCte =
     s"""$CentroidCte,
       |dist AS (
       |  SELECT v.vec_id, c.clabel,
@@ -2474,7 +2485,7 @@ object Similarity {
     * engines. DuckDB `list_slice(l, a, b)` is inclusive of b, so the
     * m-th subspace is elements m·h+1 .. (m+1)·h with h = len // 16.
     */
-  private val PqCte: String = {
+  private[queries] val PqCte: String = {
     def sqDist(book: String) =
       s"""  SELECT g.vec_id, g.m, b.code,
          |    list_reduce(list_prepend(0.0::DOUBLE,
@@ -2644,14 +2655,19 @@ object Similarity {
     * limit (twin of [[pqTopk]]); `pq5` is the final top-5 table.
     */
   private def pqSearchCtes(probeLimit: Int): String =
+    pqSearchCtesWhere(s"vec_id < $probeLimit")
+
+  /** Probe-predicate form of the PQ search CTE chain (the oracle twin
+    * of [[pqTopkFor]]); `where` is a SQL predicate over `vec_id`. */
+  private[queries] def pqSearchCtesWhere(where: String): String =
     s"""pcell AS (
        |  SELECT vec_id AS probe, clabel AS pcell FROM (
        |    SELECT vec_id, clabel,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
-       |    FROM dist WHERE vec_id < $probeLimit) WHERE rn <= $PqNprobe),
+       |    FROM dist WHERE $where) WHERE rn <= $PqNprobe),
        |probes AS (
        |  SELECT vec_id AS probe, embedding AS pe, norm2 AS pn
-       |  FROM v WHERE vec_id < $probeLimit),
+       |  FROM v WHERE $where),
        |bq AS (
        |  SELECT pc.probe, pc.pcell,
        |    list_reduce(list_prepend(0.0::DOUBLE,

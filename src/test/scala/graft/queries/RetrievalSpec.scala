@@ -140,6 +140,39 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ql impact truncation: the two-term doc drops at P=1, gate depth equals exact, certificate fires") {
+    withCorpus(impactDocs) { dir =>
+      import org.apache.spark.sql.functions.col
+      // exact QL: ln(1 + tf·T/(μ·cf)) is near-linear at these sizes, so
+      // doc 2 (tf=3 on t1) outranks doc 1 (tf=1 on both terms); doc 1 is
+      // still a candidate (len-4 docs share the same prior)
+      val exact = Retrieval.qlScored(spark, dir)
+        .orderBy(col("ql").desc, col("doc_id")).collect()
+      assert(exact.exists(_.getAs[Long]("doc_id") == 1L),
+        s"two-term doc must be an exact-tier candidate: ${exact.toSeq}")
+      // at P=1 each term keeps only its tf=3 posting — doc 1 has no
+      // surviving posting and vanishes from the candidate set
+      val p1 = Retrieval.qlImpactScoredAt(spark, dir, 1)
+        .orderBy(col("ql").desc, col("doc_id")).collect()
+      assert(!p1.exists(_.getAs[Long]("doc_id") == 1L),
+        s"doc 1's postings must be truncated away at P=1: ${p1.toSeq}")
+      // at the gate depth nothing truncates — tiers agree exactly
+      val full = Retrieval.qlImpactScored(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ex = Retrieval.qlScored(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(full == ex)
+      // the certificate sees zero residual budget at the gate depth
+      val safe = graft.SparkEntry.queries("tx_ql_safe")(spark, dir).collect()
+      assert(safe.forall(r =>
+        r.getAs[Long]("safe") == 1L && r.getAs[Double]("u") == 0.0),
+        s"nothing truncated => U=0, safe=1: ${safe.toSeq}")
+      // and the graded meter reads a perfect 1.0
+      val ndcg = graft.SparkEntry.queries("tx_ql_ndcg")(spark, dir).collect()
+      assert(ndcg.forall(_.getAs[Double]("ndcg") == 1.0), s"${ndcg.toSeq}")
+    }
+  }
+
   // Gate-passing training docs (50 tokens, 5 English stopwords -> quality
   // 1.0) carry "goodmark"; failing ones (50 tokens, no stopwords ->
   // quality 0.5) carry "badmark". Held-out docs (doc_id % 3 == 0) carry
