@@ -46,6 +46,10 @@ object ScaleProbe {
       qlFrontier(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("hybrid")) {
+      hybridProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
     if (args.headOption.contains("serve")) {
       serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
@@ -515,6 +519,58 @@ object ScaleProbe {
     println(f"""{"frontier": "bm25_incremental", "mult": $m, "base_agg_sec": $baseSec%.2f, "merge_sec": $mergeSec%.2f, "vocab": $vocabRows, "rows": $incRows}""")
   }
 
+  /** Hybrid-fusion ladder: per-query cost of the all-staged serving
+    * fusion (impact-tier sparse arm × IVF-PQ dense arm) at the m×
+    * docs+embeddings replica, with the fused-recall meter against the
+    * exact-arm ground truth where the exact dense arm is still feasible
+    * (m ≤ 10 — at 100× the pairwise exact arm is exactly the cost class
+    * the serving fusion exists to avoid). Cold builds (staging off). */
+  private def hybridProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    val out = s"/tmp/graft_scale${m}h"
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val n = base.count()
+      (0 until m).map { k =>
+        base.select(
+          ($"doc_id" + lit(k * n)).as("doc_id"),
+          (if (k == 0) $"text"
+           else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val en = embBase.count()
+      (0 until m).map { k =>
+        embBase.select(
+          ($"vec_id" + lit(k * en)).as("vec_id"),
+          (if (k == 0) $"embedding"
+           else transform($"embedding", x => x + lit(k * 0.001f))).as("embedding"),
+          $"label")
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"""{"built": "$out", "docs": ${n * m}, "vectors": ${en * m}}""")
+    }
+    graft.queries.Retrieval.clearCaches()
+    graft.queries.TextAnalysis.clearCaches()
+    graft.queries.Similarity.clearCaches()
+    val t0 = System.nanoTime()
+    val nServed = SparkEntry.queries("ann_hybrid_serving")(spark, out).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nq = nServed / 10 // HybK rows per query
+    println(f"""{"probe": "hybrid_serving", "mult": $m, "queries": $nq, "sec": $sec%.2f, "ms_per_query": ${sec * 1000 / math.max(nq, 1)}%.1f}""")
+    if (m <= 10) {
+      val t1 = System.nanoTime()
+      val rec = SparkEntry.queries("ann_hybrid_recall")(spark, out)
+        .agg((sum($"n_common") / sum($"n_exact")).as("r"))
+        .collect()(0).getDouble(0)
+      val recSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe": "hybrid_recall", "mult": $m, "recall_at10": $rec%.3f, "sec_incl_exact_arm": $recSec%.2f}""")
+    }
+  }
+
   /** QL frontier: the exact tier's full-postings traversal vs the
     * cf-ordered impact tier at the m× docs replica — the measurement
     * that justifies demoting tx_ql_topk to metered-baseline status
@@ -600,6 +656,30 @@ object ScaleProbe {
       val flipSec = runBatch(5)
       println(f"""{"serve": "lex_flip", "mult": $tag, "batch_sec": $flipSec%.2f}""")
       q.stop()
+      // the exact-rescore and two-pass (RM3) serving modes at the same
+      // generation: per-batch cost of the exactness / expansion
+      // upgrades over the no-rescore certificate tier
+      for ((mode, serve) <- Seq[(String,
+          (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame => Unit) =>
+            org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])](
+          ("lex_rescored", (df, snk) =>
+            graft.streaming.Bm25Stream.serveLatestRescored(df, root, dir)(snk)),
+          ("lex_rm3", (df, snk) =>
+            graft.streaming.Bm25Stream.serveLatestRm3(df, root, dir)(snk)))) {
+        val in2 = MemoryStream[(Long, String)]
+        var served2 = 0L
+        val q2 = serve(in2.toDS().toDF("doc_id", "text"), out => served2 += out.count())
+          .queryName(s"${mode}_$tag").start()
+        def runB(b: Int): Double = {
+          val t0 = System.nanoTime()
+          in2.addData(batch(b): _*); q2.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        runB(0); runB(1)
+        val steady2 = (2 to 4).map(runB).sorted.apply(1)
+        println(f"""{"serve": "$mode", "mult": $tag, "batch_sec": $steady2%.2f, "served": $served2}""")
+        q2.stop()
+      }
     }
   }
 

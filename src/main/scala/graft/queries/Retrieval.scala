@@ -857,6 +857,108 @@ object Retrieval {
     }
   }
 
+  /** OPT-IN EXACT-RESCORE serving: serve a query micro-batch from a
+    * committed generation's `{index, bounds}` THROUGH the wand
+    * verdict + candidate-restricted rescore — for consumers that need
+    * exactness below the U == 0 knee the no-rescore certificate covers.
+    * Per batch: one ≤ terms × P probe over the stored index computing
+    * (ŝ, covered); θ and the safety verdict from the staged bounds;
+    * safe queries rescore only candidates whose upper bound reaches θ
+    * (a (qid, doc_id, word)-keyed equi-join against the stored
+    * postings' probed contributions — O(|C| × terms)); provably-unsafe
+    * queries fall back to the exact tier, restricted to their probes
+    * BEFORE the posting expansion. Every answer is exact — the batch
+    * tx_bm25_wand rank-safety argument, per micro-batch — so the
+    * output carries no certificate column (there is nothing
+    * approximate to flag). `dir` is the stored corpus the rescore
+    * reads (the exact base tier a rescoring server must retain; a
+    * serving fleet without postings access uses the certificate mode).
+    * Parity: fed the gate query docs against the gate generation, rows
+    * equal tx_bm25_wand's (Bm25StreamSpec pins it).
+    */
+  private[graft] def bm25ServeGenBatchRescored(
+      s: SparkSession, g: LexicalGeneration, dir: String,
+      queryDocs: DataFrame, k: Int = BmK): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val qt = termsOf(queryDocs)
+    val qw = qt.select($"word").distinct()
+    val bounds = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+    val qtb = qt.join(broadcast(bounds), Seq("word"), "left")
+      .select($"qid", $"word", coalesce($"b", lit(0.0)).as("b"))
+    val uq = qtb.groupBy($"qid")
+      .agg(sum($"b".cast("decimal(18,6)")).cast("double").as("u"))
+    val det = g.index.join(broadcast(qtb),
+        g.index("word") === qtb("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("s_hat"),
+        sum($"b".cast("decimal(18,6)")).cast("double").as("covered"))
+    val theta = det.groupBy($"qid")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"s_hat", $"doc_id", k).as("top"),
+        count(lit(1)).as("n_seen"))
+      .select($"qid", $"n_seen",
+        when(size($"top") >= k, element_at($"top", k).getField("ord")).as("theta"))
+    val verd = uq.join(theta, Seq("qid"), "left")
+      .select($"qid", $"u", $"theta",
+        when($"u" === 0.0, 1L)
+          .otherwise(when(coalesce($"n_seen", lit(0L)) >= k && $"theta" > $"u", 1L)
+            .otherwise(0L)).as("safe"))
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val cand = det.join(verd.filter($"safe" === 1)
+        .select($"qid", $"u", $"theta"), "qid")
+      .filter($"theta".isNull ||
+        dec6($"s_hat") + (dec6($"u") - dec6($"covered")) >= dec6($"theta"))
+      .select($"qid", $"doc_id")
+    val contrib = contribFor(s, dir, qt)
+    val rescored = cand.join(qt, "qid")
+      .join(contrib, Seq("word", "doc_id"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("bm25"))
+    val unsafeQids = verd.filter($"safe" === 0).select($"qid")
+    val unsafeExact = bm25Sum(qt.join(unsafeQids, Seq("qid"), "left_semi"), contrib)
+    topkBy(rescored.unionByName(unsafeExact), "bm25", k)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** TWO-PASS (RM3) serving: rank the micro-batch once against the
+    * committed generation, mine the per-query expansion terms from the
+    * top-[[BmK]] feedback docs' stored postings, and rank again with
+    * the expanded probe — the batch tx_bm25_rm3 flow per micro-batch,
+    * both passes on the stored impact index. `dir` is the stored
+    * corpus the term weighting reads (postings of feedback docs only —
+    * queries × k docs, broadcast-joined). Parity: fed the gate query
+    * docs against the gate generation, rows equal tx_bm25_rm3's
+    * (Bm25StreamSpec pins it).
+    */
+  private[graft] def bm25ServeGenBatchRm3(
+      s: SparkSession, g: LexicalGeneration, dir: String,
+      queryDocs: DataFrame, k: Int = BmK): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qt = termsOf(queryDocs)
+    val fb = bm25Sum(qt, g.index)
+      .groupBy($"qid")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"bm25", $"doc_id", BmK).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.id".as("doc_id"), $"t.ord".as("sc"))
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    val exp0 = tf.join(broadcast(fb), "doc_id")
+      .join(dl, "doc_id")
+      .groupBy($"qid", $"word")
+      .agg(sum(round($"n".cast("double") / $"m" * $"sc", 6)
+        .cast("decimal(18,6)")).cast("double").as("w"))
+    val expf = exp0.join(qt, Seq("qid", "word"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"w".desc, $"word")))
+      .filter($"rk" <= RmE)
+      .select($"qid", $"word")
+    val qexp = qt.unionByName(expf)
+    topkBy(bm25Sum(qexp, g.index), "bm25", k)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Per-query exact-vs-truncated overlap at an arbitrary depth `p` —
     * the parametric form of tx_bm25_recall, for the P-frontier probe
     * that prices the truncation knob. */

@@ -53,6 +53,41 @@ object Bm25Stream {
     */
   def serveLatest(queries: DataFrame, root: String,
       k: Int = Retrieval.BmK)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)((s, g, batch) =>
+      Retrieval.bm25ServeGenBatch(s, g, batch, k))(sink)
+
+  /** EXACT-RESCORE serving mode: every micro-batch goes through the
+    * wand verdict + candidate-restricted rescore against the stored
+    * corpus at `dir` — every answer is exact (no certificate column;
+    * nothing approximate to flag), for consumers below the U == 0 knee.
+    * Costs the rescore join per batch and requires postings access;
+    * the plain [[serveLatest]] stays the bounded no-rescore tier.
+    */
+  def serveLatestRescored(queries: DataFrame, root: String, dir: String,
+      k: Int = Retrieval.BmK)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)((s, g, batch) =>
+      Retrieval.bm25ServeGenBatchRescored(s, g, dir, batch, k))(sink)
+
+  /** TWO-PASS (RM3) serving mode: rank, mine expansion terms from the
+    * feedback docs' stored postings at `dir`, rank again with the
+    * expanded probe — both passes on the committed generation's index,
+    * within one micro-batch (the batch tx_bm25_rm3 flow as a serving
+    * path).
+    */
+  def serveLatestRm3(queries: DataFrame, root: String, dir: String,
+      k: Int = Retrieval.BmK)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)((s, g, batch) =>
+      Retrieval.bm25ServeGenBatchRm3(s, g, dir, batch, k))(sink)
+
+  /** Shared generation-resolving micro-batch loop: resolve `_latest`
+    * per batch, reload `{index, bounds}` only on a generation change
+    * (live cutover / rollback via the pointer), serve through `score`.
+    */
+  private def serveLatestWith(queries: DataFrame, root: String)(
+      score: (SparkSession, Retrieval.LexicalGeneration, DataFrame) => DataFrame)(
       sink: DataFrame => Unit): DataStreamWriter[Row] = {
     var cached: Option[Retrieval.LexicalGeneration] = None
     val fn: (DataFrame, Long) => Unit = { (batch, _) =>
@@ -65,7 +100,7 @@ object Bm25Stream {
           sys.error(s"$root: no committed lexical serving generation"))
         if (!cached.map(_.gen).contains(latest))
           cached = Some(Retrieval.loadLexicalGeneration(s, root))
-        sink(Retrieval.bm25ServeGenBatch(s, cached.get, batch, k))
+        sink(score(s, cached.get, batch))
       }
     }
     queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())

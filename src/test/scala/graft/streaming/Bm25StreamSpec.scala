@@ -126,6 +126,68 @@ class Bm25StreamSpec extends SparkSpec {
     }
   }
 
+  test("exact-rescore serving mode equals tx_bm25_wand across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lexresc").toString
+    try {
+      assert(graft.queries.Retrieval.writeLexicalGeneration(spark, dir, tmp) == 1L)
+      val qdocs = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" % 50 === 0)
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val served = mutable.Buffer.empty[(Long, Int, Long, Double)]
+      val in = MemoryStream[(Long, String)]
+      val q = Bm25Stream.serveLatestRescored(
+        in.toDS().toDF("doc_id", "text"), tmp, dir) { out =>
+        served ++= out.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }.queryName("bm25_rescored_serve").start()
+      val cut = qdocs.length / 2
+      Seq(qdocs.take(cut), qdocs.drop(cut))
+        .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      q.stop()
+      val wand = graft.SparkEntry.queries("tx_bm25_wand")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(served.toSet == wand)
+      assert(served.size == served.toSet.size)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("RM3 serving mode equals tx_bm25_rm3 across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lexrm3").toString
+    try {
+      assert(graft.queries.Retrieval.writeLexicalGeneration(spark, dir, tmp) == 1L)
+      val qdocs = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" % 50 === 0)
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val served = mutable.Buffer.empty[(Long, Int, Long, Double)]
+      val in = MemoryStream[(Long, String)]
+      val q = Bm25Stream.serveLatestRm3(
+        in.toDS().toDF("doc_id", "text"), tmp, dir) { out =>
+        served ++= out.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }.queryName("bm25_rm3_serve").start()
+      val cut = qdocs.length / 2
+      Seq(qdocs.take(cut), qdocs.drop(cut))
+        .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      q.stop()
+      val rm3 = graft.SparkEntry.queries("tx_bm25_rm3")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(served.toSet == rm3)
+      assert(served.size == served.toSet.size)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("the serving certificate flags truncated answers") {
     import spark.implicits._
     // hand-built generation: word "x" truncated (bound 0.5), "y" intact
