@@ -556,8 +556,23 @@ object ScaleProbe {
     graft.queries.Retrieval.clearCaches()
     graft.queries.TextAnalysis.clearCaches()
     graft.queries.Similarity.clearCaches()
+    // offline index builds timed APART from the serving pass they
+    // enable (the ladder convention): the PQ chain (centroid training,
+    // codebook, codes) and the lexical impact index are per-generation
+    // jobs a production fusion reads as committed artifacts
+    val tb = System.nanoTime()
+    val (np0, sl0) = graft.queries.Similarity.pqServingDefaults
+    graft.queries.Similarity.pqTopkFor(spark, out,
+      org.apache.spark.sql.functions.col("vec_id") < 1, np0, sl0, 1).count()
+    SparkEntry.queries("tx_bm25_impact")(spark, out).count()
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    println(f"""{"probe": "hybrid_build", "mult": $m, "sec": $buildSec%.2f}""")
+    // FIXED 400-query batch at every multiple (a serving deployment has
+    // a per-batch query budget; the %QStep gate set grows with the
+    // corpus and would conflate batch size with corpus scale)
     val t0 = System.nanoTime()
-    val nServed = SparkEntry.queries("ann_hybrid_serving")(spark, out).count()
+    val nServed = graft.queries.Retrieval.hybridServingFusedFor(spark, out,
+      $"vec_id" % 50 === 0 && $"vec_id" < 400 * 50).count()
     val sec = (System.nanoTime() - t0) / 1e9
     val nq = nServed / 10 // HybK rows per query
     println(f"""{"probe": "hybrid_serving", "mult": $m, "queries": $nq, "sec": $sec%.2f, "ms_per_query": ${sec * 1000 / math.max(nq, 1)}%.1f}""")
@@ -582,19 +597,31 @@ object ScaleProbe {
       s"run `ScaleProbe $m docs` first to build $out")
     graft.queries.TextAnalysis.clearCaches()
     graft.queries.Retrieval.clearCaches()
-    val t0 = System.nanoTime()
-    val nq = graft.queries.Retrieval.qlScored(spark, out)
-      .select($"qid").distinct().count()
-    val exactSec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"frontier": "ql_exact", "mult": $m, "queries": $nq, "sec": $exactSec%.2f}""")
-    for (p <- Seq(250, 1000, 4000)) {
+    // the EXACT tier (and the recall meter that needs it) only runs at
+    // m ≤ 10: at 100× it is 10k queries × a full 500k-doc postings
+    // traversal per query — the 5-billion-group plan the impact tier
+    // exists to avoid (the same reason the r13 BM25 ladder ran
+    // impact-only at 100×)
+    if (m <= 10) {
+      val t0 = System.nanoTime()
+      val nq = graft.queries.Retrieval.qlScored(spark, out)
+        .select($"qid").distinct().count()
+      val exactSec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"frontier": "ql_exact", "mult": $m, "queries": $nq, "sec": $exactSec%.2f}""")
+      for (p <- Seq(250, 1000, 4000)) {
+        val t1 = System.nanoTime()
+        val rows = graft.queries.Retrieval.qlImpactScoredAt(spark, out, p).count()
+        val serveSec = (System.nanoTime() - t1) / 1e9
+        val rec = graft.queries.Retrieval.qlRecallAt(spark, out, p)
+          .agg((sum($"n_common") / sum($"n_exact")).as("r"))
+          .collect()(0).getDouble(0)
+        println(f"""{"frontier": "ql", "mult": $m, "p": $p, "recall_at10": $rec%.3f, "cand_rows": $rows, "serve_sec": $serveSec%.2f}""")
+      }
+    } else {
       val t1 = System.nanoTime()
-      val rows = graft.queries.Retrieval.qlImpactScoredAt(spark, out, p).count()
+      val rows = graft.queries.Retrieval.qlImpactScored(spark, out).count()
       val serveSec = (System.nanoTime() - t1) / 1e9
-      val rec = graft.queries.Retrieval.qlRecallAt(spark, out, p)
-        .agg((sum($"n_common") / sum($"n_exact")).as("r"))
-        .collect()(0).getDouble(0)
-      println(f"""{"frontier": "ql", "mult": $m, "p": $p, "recall_at10": $rec%.3f, "cand_rows": $rows, "serve_sec": $serveSec%.2f}""")
+      println(f"""{"frontier": "ql_impact", "mult": $m, "p": 1000, "cand_rows": $rows, "serve_sec": $serveSec%.2f}""")
     }
     // certificate rate at the gate depth: how many gate queries the
     // no-rescore U==0 certificate covers on this corpus

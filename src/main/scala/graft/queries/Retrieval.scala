@@ -1049,11 +1049,12 @@ object Retrieval {
   /** Sparse fusion arm: impact-tier BM25 top-[[FuseDepth]] for the
     * embedded-query probe set (term probe restricted BEFORE the posting
     * expansion — the round-13 141→4 s fix). (qid, doc_id, rb). */
-  private def hybridSparseRank(s: SparkSession, dir: String): DataFrame = {
+  private def hybridSparseRank(s: SparkSession, dir: String,
+      probeFilter: org.apache.spark.sql.Column): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val qids = Similarity.vecs(s, dir)
-      .filter($"vec_id" % QStep === 0).select($"vec_id".as("qid"))
+      .filter(probeFilter).select($"vec_id".as("qid"))
     val qtv = queryTerms(s, dir).join(qids, Seq("qid"), "left_semi")
     topkBy(bm25Sum(qtv, impactIndex(s, dir)), "bm25", FuseDepth)
       .select($"qid", $"doc_id", $"rank".as("rb"))
@@ -1095,7 +1096,8 @@ object Retrieval {
         .select($"qid", $"vec_id".as("doc_id"), $"cos")
       val drank = topkBy(dpairs, "cos", FuseDepth)
         .select($"qid", $"doc_id", $"rank".as("rd"))
-      rrfFused(s, hybridSparseRank(s, dir), drank).persist()
+      rrfFused(s, hybridSparseRank(s, dir, $"vec_id" % QStep === 0), drank)
+        .persist()
     })
 
   /** All-staged serving fusion: sparse impact arm × IVF-PQ dense arm at
@@ -1104,12 +1106,23 @@ object Retrieval {
   private def hybridServingFused(s: SparkSession, dir: String): DataFrame =
     hybridCache.getOrElseUpdate((s, dir, "serving"), {
       import s.implicits._
-      val (nprobe, shortlist) = Similarity.pqServingDefaults
-      val drank = Similarity.pqTopkFor(s, dir,
-          col("vec_id") % QStep === 0, nprobe, shortlist, FuseDepth)
-        .select($"probe".as("qid"), $"neighbor".as("doc_id"), $"rank".as("rd"))
-      rrfFused(s, hybridSparseRank(s, dir), drank).persist()
+      hybridServingFusedFor(s, dir, $"vec_id" % QStep === 0).persist()
     })
+
+  /** Probe-set-parameterized serving fusion — the ladder serves a FIXED
+    * 400-query batch at every corpus multiple through this (a serving
+    * deployment has a fixed per-batch query budget; the %QStep gate set
+    * grows with the corpus and would conflate batch size with corpus
+    * scale). */
+  private[graft] def hybridServingFusedFor(s: SparkSession, dir: String,
+      probeFilter: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    val (nprobe, shortlist) = Similarity.pqServingDefaults
+    val drank = Similarity.pqTopkFor(s, dir,
+        probeFilter, nprobe, shortlist, FuseDepth)
+      .select($"probe".as("qid"), $"neighbor".as("doc_id"), $"rank".as("rd"))
+    rrfFused(s, hybridSparseRank(s, dir, probeFilter), drank)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1889,7 +1889,7 @@ object Similarity {
     * PQ artifacts with the embedded-query probe set and the fusion
     * depth. `probeFilter` is a predicate over `vec_id`, applied to
     * both the probe embeddings and their trained-cell rankings. */
-  private[queries] def pqTopkFor(s: SparkSession, dir: String,
+  private[graft] def pqTopkFor(s: SparkSession, dir: String,
       probeFilter: org.apache.spark.sql.Column, nprobe: Int, shortlist: Int,
       k: Int): DataFrame = {
     implicit val sp: SparkSession = s
