@@ -616,6 +616,14 @@ object ScaleProbe {
           .agg((sum($"n_common") / sum($"n_exact")).as("r"))
           .collect()(0).getDouble(0)
         println(f"""{"frontier": "ql", "mult": $m, "p": $p, "recall_at10": $rec%.3f, "cand_rows": $rows, "serve_sec": $serveSec%.2f}""")
+        // the prior-aware rank-safe tier at the same depth
+        val t2 = System.nanoTime()
+        val wm = graft.queries.Retrieval.qlWandParts(spark, out, p)._2
+          .agg(sum($"safe").as("safe"), count(lit(1)).as("n"),
+            sum($"n_rescore").as("resc"), sum($"n_seen").as("seen"))
+          .collect()(0)
+        val wandSec = (System.nanoTime() - t2) / 1e9
+        println(f"""{"frontier": "ql_wand", "mult": $m, "p": $p, "safe": ${wm.getLong(0)}, "queries": ${wm.getLong(1)}, "rescore_rows": ${wm.getLong(2)}, "seen_rows": ${wm.getLong(3)}, "sec": $wandSec%.2f}""")
       }
     } else {
       val t1 = System.nanoTime()

@@ -576,7 +576,7 @@ object Retrieval {
     * the largest CONTRIBUTION the truncation dropped (0 when nothing
     * was cut) — dropped rows are the anti-join complement of the kept
     * set, so the bound composes with any ordering. */
-  private def qlBoundsAt(s: SparkSession, dir: String, p: Int): DataFrame = {
+  private[graft] def qlBoundsAt(s: SparkSession, dir: String, p: Int): DataFrame = {
     import s.implicits._
     val ac = qlAllContrib(s, dir)
     val dropped = ac.join(qlTruncAt(s, dir, p).select($"word", $"doc_id"),
@@ -855,6 +855,140 @@ object Retrieval {
           .otherwise(0L).as("safe"))
       served.join(cert, "qid").orderBy($"qid", $"rank")
     }
+  }
+
+  /** RANK-SAFE pruned serving for QUERY-LIKELIHOOD — the wand device
+    * adapted to a scorer with a per-doc length prior. Per query q with
+    * residual budget U = Σ_t b_t over its probed terms' staged bounds:
+    *
+    *  - ŝ(d) = truncated contribution sum + the EXACT prior (the prior
+    *    is a per-doc quantity the serving tier knows from the stored
+    *    doc lengths — never approximated), so ŝ(d) ≤ s(d) ≤
+    *    ŝ(d) + (U − covered(d)) exactly as in BM25's wand.
+    *  - An UNSEEN candidate (≥1 full-list posting, none surviving) has
+    *    s(d) ≤ U + maxprior_q where maxprior_q = round(qlen·ln(μ/
+    *    (m_min+μ)), 6) and m_min is the corpus minimum doc length — a
+    *    1-row collection stat the incremental path maintains like tt.
+    *    So q is SAFE iff U == 0, or (≥ k candidates seen AND
+    *    θ > U + maxprior_q in DECIMAL) — NOTE the prior makes QL
+    *    queries certifiable even under active truncation (unseen docs
+    *    are throttled by the most favorable possible prior), unlike
+    *    BM25 on this corpus where U alone decides.
+    *  - Safe queries exact-rescore only candidates whose upper bound
+    *    reaches θ; provably-unsafe queries take the exact fallback
+    *    restricted to their probes. The oracle is the EXACT ranking
+    *    (tx_ql_topk's SQL verbatim), so the hash gate PROVES
+    *    rank-safety.
+    */
+  private val qlWandCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+  private val qlWandPersisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private[graft] def qlWandParts(
+      s: SparkSession, dir: String, p: Int = BmImpactP): (DataFrame, DataFrame) =
+    qlWandCache.getOrElseUpdate((s, dir, p), qlWandPartsUncached(s, dir, p))
+
+  private def qlWandPartsUncached(
+      s: SparkSession, dir: String, p: Int): (DataFrame, DataFrame) = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val k = BmK
+    val idx = if (p == BmImpactP) qlImpactIndex(s, dir) else qlTruncAt(s, dir, p)
+    val qt = queryTerms(s, dir)
+    val qw = qt.select($"word").distinct()
+    val bounds =
+      (if (p == BmImpactP) qlStagedBounds(s, dir) else qlBoundsAt(s, dir, p))
+        .join(broadcast(qw), Seq("word"), "left_semi")
+    val qtb = qt.join(broadcast(bounds), Seq("word"), "left")
+      .select($"qid", $"word", coalesce($"b", lit(0.0)).as("b"))
+    val uq = qtb.groupBy($"qid")
+      .agg(sum($"b".cast("decimal(18,6)")).cast("double").as("u"))
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    val qlen = qt.groupBy($"qid").agg(count(lit(1)).as("qlen"))
+    // one probe pass over the stored index: truncated contribution sum
+    // + covered bound mass, then the EXACT per-doc prior joined in
+    val det = idx.join(broadcast(qtb),
+        idx("word") === qtb("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm_hat"),
+        sum($"b".cast("decimal(18,6)")).cast("double").as("covered"))
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "qid")
+      .select($"qid", $"doc_id", $"covered",
+        ($"sm_hat" + round($"qlen".cast("double")
+          * log(lit(QlMu) / ($"m" + lit(QlMu))), 6)).as("s_hat"))
+      .persist()
+    qlWandPersisted.add(det)
+    val theta = det.groupBy($"qid")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"s_hat", $"doc_id", k).as("top"),
+        count(lit(1)).as("n_seen"))
+      .select($"qid", $"n_seen",
+        when(size($"top") >= k, element_at($"top", k).getField("ord")).as("theta"))
+    // the most favorable prior any unseen candidate could carry
+    val mn = dl.filter($"m" > 0).agg(min($"m").as("mn"))
+    val maxp = qlen.crossJoin(broadcast(mn))
+      .select($"qid",
+        round($"qlen".cast("double")
+          * log(lit(QlMu) / ($"mn" + lit(QlMu))), 6).as("mp"))
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val verd = uq.join(theta, Seq("qid"), "left")
+      .join(maxp, "qid")
+      .select($"qid", $"u", $"theta",
+        coalesce($"n_seen", lit(0L)).as("n_seen"),
+        when($"u" === 0.0, 1L)
+          .otherwise(when(coalesce($"n_seen", lit(0L)) >= k
+              && dec6($"theta") > dec6($"u") + dec6($"mp"), 1L)
+            .otherwise(0L)).as("safe"))
+      .persist()
+    qlWandPersisted.add(verd)
+    val cand = det.join(verd.filter($"safe" === 1)
+        .select($"qid", $"u", $"theta"), "qid")
+      .filter($"theta".isNull ||
+        dec6($"s_hat") + (dec6($"u") - dec6($"covered")) >= dec6($"theta"))
+      .select($"qid", $"doc_id")
+    // exact rescore restricted to (qid, doc_id) candidates: full probed
+    // contributions + the exact prior — identical arithmetic to the
+    // exact tier, on candidate rows only
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val tt = TextAnalysis.tokenCounts(s, dir)
+      .agg(coalesce(sum($"m"), lit(0L)).as("tt"))
+    val cf = tf.join(broadcast(qw), Seq("word"), "left_semi")
+      .groupBy($"word").agg(sum($"n").as("cf"))
+    val contrib = tf.join(broadcast(cf), "word")
+      .crossJoin(broadcast(tt))
+      .select($"word", $"doc_id",
+        round(log(lit(1.0) +
+          $"n".cast("double") * $"tt" / (lit(QlMu) * $"cf")), 6).as("c"))
+    val rescored = cand.join(qt, "qid")
+      .join(contrib, Seq("word", "doc_id"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm"))
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "qid")
+      .select($"qid", $"doc_id",
+        ($"sm" + round($"qlen".cast("double")
+          * log(lit(QlMu) / ($"m" + lit(QlMu))), 6)).as("ql"))
+    // unsafe fallback: the exact tier restricted to unsafe probes BEFORE
+    // expansion; reuse the session-memoized exact frame when it exists
+    val unsafeQids = verd.filter($"safe" === 0).select($"qid")
+    val unsafeExact = qlCache.get((s, dir)) match {
+      case Some(exact) => exact.join(unsafeQids, Seq("qid"), "left_semi")
+      case None =>
+        qlSum(s, dir, qt.join(unsafeQids, Seq("qid"), "left_semi"), contrib)
+    }
+    val served = topkBy(rescored.unionByName(unsafeExact), "ql", k)
+      .orderBy($"qid", $"rank")
+    val nResc = cand.groupBy($"qid").agg(count(lit(1)).as("n_resc"))
+    val nFull = unsafeExact.groupBy($"qid").agg(count(lit(1)).as("n_full"))
+    val meter = verd
+      .join(nResc, Seq("qid"), "left")
+      .join(nFull, Seq("qid"), "left")
+      .select($"qid", $"safe", $"n_seen",
+        when($"safe" === 1, coalesce($"n_resc", lit(0L)))
+          .otherwise(coalesce($"n_full", lit(0L))).as("n_rescore"))
+      .orderBy($"qid")
+    (served, meter)
   }
 
   /** OPT-IN EXACT-RESCORE serving: serve a query micro-batch from a
@@ -1284,6 +1418,16 @@ object Retrieval {
         .orderBy($"qid")
     },
 
+    // Rank-safe pruned QL serving (wand adapted to a prior-carrying
+    // scorer): the served top-k — oracle-checked against the EXACT QL
+    // ranking, so the gate proves the pruning is rank-safe.
+    "tx_ql_wand" -> { (s, dir) => qlWandParts(s, dir)._1 },
+
+    // Its per-query work meter: safety verdict (U == 0 OR θ beats the
+    // unseen-candidate bound U + qlen·ln(μ/(m_min+μ))), candidates
+    // seen, and exact-rescore rows actually paid.
+    "tx_ql_wand_meter" -> { (s, dir) => qlWandParts(s, dir)._2 },
+
     // Per-query exactness certificate for the QL impact tier: residual
     // budget U = Σ staged exclusion bounds over the query's terms;
     // U == 0 (no probed list was truncated) PROVES the truncated answer
@@ -1385,9 +1529,16 @@ object Retrieval {
             .cast("double").as("s"),
           sum($"n").as("n_tok"))
         .crossJoin(broadcast(prior))
+        // score = prior + Σ contributions as the EXACT 6-decimal DECIMAL
+        // sum cast to double (both addends are 6-dec quantities) — a
+        // final round(·, 4) hit an exact half tie at sf0.1 (Spark
+        // half-up vs DuckDB's double-path rounding), the verify-skill
+        // tie class; the exact sum has no tie to round
         .select($"doc_id", $"n_tok",
-          round($"pri" + $"s", 4).as("score"),
-          when($"pri" + $"s" > 0, 1L).otherwise(0L).as("pred"))
+          ($"pri".cast("decimal(18,6)") + $"s".cast("decimal(28,6)"))
+            .cast("double").as("score"),
+          when($"pri".cast("decimal(18,6)") + $"s".cast("decimal(28,6)") > 0, 1L)
+            .otherwise(0L).as("pred"))
         .orderBy($"doc_id")
     })
 
@@ -1507,6 +1658,17 @@ object Retrieval {
        |      * ln($QlMu / (d.m + $QlMu)), 6) AS ql
        |  FROM iscored_q s JOIN dl d ON d.doc_id = s.doc_id
        |  JOIN qlen l ON l.qid = s.qid)""".stripMargin
+
+  /** The exact QL ranking — the oracle of tx_ql_topk AND, by the
+    * rank-safety contract, of tx_ql_wand (both must hash-match it). */
+  private val ExactQlSql =
+    s"""WITH $QlCte,
+       |ranked AS (
+       |  SELECT qid, doc_id, ql,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ql DESC, doc_id) AS rank
+       |  FROM full_s)
+       |SELECT qid, rank, doc_id, round(ql, 6) AS ql FROM ranked WHERE rank <= $BmK
+       |ORDER BY qid, rank""".stripMargin
 
   private val NbCte =
     s"""lab AS (
@@ -1653,14 +1815,77 @@ object Retrieval {
          |SELECT qid, rank, doc_id, bm25 FROM ranked2 WHERE rank <= $BmK
          |ORDER BY qid, rank""".stripMargin,
 
-    "tx_ql_topk" ->
+    "tx_ql_topk" -> ExactQlSql,
+
+    // the oracle of tx_ql_wand IS the exact ranking — the hash gate
+    // proves the prior-aware certificate + rescore is rank-safe
+    "tx_ql_wand" -> ExactQlSql,
+
+    "tx_ql_wand_meter" ->
       s"""WITH $QlCte,
-         |ranked AS (
-         |  SELECT qid, doc_id, ql,
-         |    row_number() OVER (PARTITION BY qid ORDER BY ql DESC, doc_id) AS rank
-         |  FROM full_s)
-         |SELECT qid, rank, doc_id, round(ql, 6) AS ql FROM ranked WHERE rank <= $BmK
-         |ORDER BY qid, rank""".stripMargin,
+         |$QlKeyCte,
+         |$QlImpactCte,
+         |qbounds AS (
+         |  SELECT word, max(c) AS b FROM (
+         |    SELECT word, c,
+         |      row_number() OVER (PARTITION BY word ORDER BY k DESC, doc_id) AS pr
+         |    FROM qkey) WHERE pr > $BmImpactP GROUP BY 1),
+         |qtb AS (
+         |  SELECT q.qid, q.word, COALESCE(b.b, 0.0::DOUBLE) AS b
+         |  FROM qterms q LEFT JOIN qbounds b ON b.word = q.word),
+         |uq AS (SELECT qid, CAST(SUM(CAST(b AS DECIMAL(18,6))) AS DOUBLE) AS u
+         |       FROM qtb GROUP BY 1),
+         |qdet AS (
+         |  SELECT q.qid, t.doc_id,
+         |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS sm_hat,
+         |    CAST(SUM(CAST(q.b AS DECIMAL(18,6))) AS DOUBLE) AS covered
+         |  FROM qtb q JOIN qtrunc t ON t.word = q.word AND t.doc_id <> q.qid
+         |  GROUP BY 1, 2),
+         |qdetf AS (
+         |  SELECT d.qid, d.doc_id, d.covered,
+         |    d.sm_hat + round(CAST(l.qlen AS DOUBLE)
+         |      * ln($QlMu / (dd.m + $QlMu)), 6) AS s_hat
+         |  FROM qdet d JOIN dl dd ON dd.doc_id = d.doc_id
+         |  JOIN qlen l ON l.qid = d.qid),
+         |qnseen AS (SELECT qid, count(*) AS n_seen FROM qdetf GROUP BY 1),
+         |qtheta AS (
+         |  SELECT qid, max(CASE WHEN rk = $BmK THEN s_hat END) AS theta FROM (
+         |    SELECT qid, s_hat,
+         |      row_number() OVER (PARTITION BY qid ORDER BY s_hat DESC, doc_id) AS rk
+         |    FROM qdetf) GROUP BY 1),
+         |mnv AS (SELECT min(m) AS mn FROM dl),
+         |qmaxp AS (
+         |  SELECT l.qid,
+         |    round(CAST(l.qlen AS DOUBLE) * ln($QlMu / (v.mn + $QlMu)), 6) AS mp
+         |  FROM qlen l CROSS JOIN mnv v),
+         |qverd AS (
+         |  SELECT u.qid, u.u, t.theta, COALESCE(n.n_seen, 0) AS n_seen,
+         |    CASE WHEN u.u = 0 THEN 1
+         |         WHEN COALESCE(n.n_seen, 0) >= $BmK
+         |           AND CAST(t.theta AS DECIMAL(18,6))
+         |             > CAST(u.u AS DECIMAL(18,6)) + CAST(p.mp AS DECIMAL(18,6))
+         |         THEN 1
+         |         ELSE 0 END AS safe
+         |  FROM uq u LEFT JOIN qtheta t ON t.qid = u.qid
+         |  LEFT JOIN qnseen n ON n.qid = u.qid
+         |  JOIN qmaxp p ON p.qid = u.qid),
+         |qcand AS (
+         |  SELECT d.qid, d.doc_id FROM qdetf d JOIN qverd v ON v.qid = d.qid
+         |  WHERE v.safe = 1
+         |    AND (v.theta IS NULL
+         |      OR CAST(d.s_hat AS DECIMAL(18,6))
+         |         + (CAST(v.u AS DECIMAL(18,6)) - CAST(d.covered AS DECIMAL(18,6)))
+         |        >= CAST(v.theta AS DECIMAL(18,6))))
+         |SELECT v.qid, CAST(v.safe AS BIGINT) AS safe,
+         |  CAST(v.n_seen AS BIGINT) AS n_seen,
+         |  CAST(CASE WHEN v.safe = 1 THEN COALESCE(r.n, 0)
+         |            ELSE COALESCE(f.n, 0) END AS BIGINT) AS n_rescore
+         |FROM qverd v
+         |LEFT JOIN (SELECT qid, count(*) AS n FROM qcand GROUP BY 1) r
+         |  ON r.qid = v.qid
+         |LEFT JOIN (SELECT qid, count(*) AS n FROM full_s GROUP BY 1) f
+         |  ON f.qid = v.qid
+         |ORDER BY v.qid""".stripMargin,
 
     "tx_ql_impact" ->
       s"""WITH $QlCte,
@@ -1998,8 +2223,10 @@ object Retrieval {
          |    CAST(SUM(t.n) AS BIGINT) AS n_tok
          |  FROM tst t LEFT JOIN lo l USING (word) CROSS JOIN unseen u
          |  GROUP BY t.doc_id)
-         |SELECT c.doc_id, c.n_tok, round(p.pri + c.s, 4) AS score,
-         |  CASE WHEN p.pri + c.s > 0 THEN 1 ELSE 0 END AS pred
+         |SELECT c.doc_id, c.n_tok,
+         |  CAST(CAST(p.pri AS DECIMAL(18,6)) + CAST(c.s AS DECIMAL(28,6)) AS DOUBLE) AS score,
+         |  CASE WHEN CAST(p.pri AS DECIMAL(18,6)) + CAST(c.s AS DECIMAL(28,6)) > 0
+         |       THEN 1 ELSE 0 END AS pred
          |FROM contrib c CROSS JOIN prior p ORDER BY c.doc_id""".stripMargin)
 
   /** Driver-side export of the trained NB model for the streaming
@@ -2052,6 +2279,9 @@ object Retrieval {
     qlIndexCache.clear()
     qlBoundsCache.values.foreach(_.unpersist())
     qlBoundsCache.clear()
+    qlWandCache.clear()
+    qlWandPersisted.forEach(_.unpersist())
+    qlWandPersisted.clear()
     incBaseCache.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
     incBaseCache.clear()
     hybridCache.values.foreach(_.unpersist())

@@ -43,6 +43,9 @@ object NbScoreStream {
     import graft.queries.QueryFns.wsTokens
     import s.implicits._
     val (loMap, loU, prior) = Retrieval.nbScoreParams(s, dir)
+    // the prior is a 6-decimal value held as its nearest double — the
+    // scaled-long recovery is exact
+    val priorMicros = math.round(prior * 1e6)
     val bc = s.sparkContext.broadcast(loMap)
     newDocs
       .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
@@ -64,9 +67,12 @@ object NbScoreStream {
         }
       }
       .toDF("doc_id", "n_tok", "sm")
+      // prior + sum as one exact micros addition, then ONE long→double
+      // division (correctly rounded — the same value as the batch
+      // side's DECIMAL→DOUBLE cast); sign decided in exact longs
       .select(col("doc_id"), col("n_tok"),
-        round(lit(prior) + col("sm").cast("double") / 1e6, 4).as("score"),
-        when(lit(prior) + col("sm").cast("double") / 1e6 > 0, 1L)
+        ((lit(priorMicros) + col("sm")).cast("double") / 1e6).as("score"),
+        when(lit(priorMicros) + col("sm") > 0, 1L)
           .otherwise(0L).as("pred"))
   }
 }

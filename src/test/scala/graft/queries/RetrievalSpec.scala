@@ -173,6 +173,42 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ql wand: the prior-aware certificate fires under ACTIVE truncation and the served ranking is exact") {
+    // doc 0 is the query (6 terms). Docs 1-14 carry every term at tf=2
+    // (the true winners); docs 15-30 carry only t1 at tf=1 plus filler.
+    // At p=15, t1's list (31 postings) truncates — U > 0 — but every
+    // kept candidate's score clears U + the most-favorable-prior bound,
+    // so the query certifies WITHOUT a full fallback: the verdict
+    // branch no gate SF exercises (sf0.001/0.01 certify via U == 0,
+    // sf0.1 falls back).
+    val strong = (1L to 14L).map(j =>
+      j -> "t1 t1 t2 t2 t3 t3 t4 t4 t5 t5 t6 t6")
+    val weak = (15L to 30L).map(j =>
+      j -> ("t1 " + (1 to 11).map(i => s"w${j}x$i").mkString(" ")))
+    val docs = Seq(0L -> "t1 t2 t3 t4 t5 t6") ++ strong ++ weak
+    withCorpus(docs) { dir =>
+      import org.apache.spark.sql.functions.{col, sum}
+      // active truncation: the residual budget at p=15 is positive
+      val u = Retrieval.qlBoundsAt(spark, dir, 15)
+        .filter(col("word").isin("t1", "t2", "t3", "t4", "t5", "t6"))
+        .agg(sum(col("b"))).collect()(0).getDouble(0)
+      assert(u > 0.0, s"t1's list must truncate at p=15 (u=$u)")
+      val (served, meter) = Retrieval.qlWandParts(spark, dir, 15)
+      val m = meter.collect()
+      assert(m.length == 1 && m(0).getAs[Long]("safe") == 1L,
+        s"prior bound must certify despite U > 0: ${m.toSeq}")
+      // rank-safety: the served rows ARE the exact tier's top-k
+      val exact = graft.SparkEntry.queries("tx_ql_topk")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val got = served.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == exact, s"served must equal exact: $got vs $exact")
+      // and the rescore was candidate-restricted, not a full traversal
+      assert(m(0).getAs[Long]("n_rescore") <= m(0).getAs[Long]("n_seen"))
+    }
+  }
+
   // Gate-passing training docs (50 tokens, 5 English stopwords -> quality
   // 1.0) carry "goodmark"; failing ones (50 tokens, no stopwords ->
   // quality 0.5) carry "badmark". Held-out docs (doc_id % 3 == 0) carry
