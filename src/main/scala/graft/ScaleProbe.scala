@@ -608,7 +608,7 @@ object ScaleProbe {
         .select($"qid").distinct().count()
       val exactSec = (System.nanoTime() - t0) / 1e9
       println(f"""{"frontier": "ql_exact", "mult": $m, "queries": $nq, "sec": $exactSec%.2f}""")
-      for (p <- Seq(250, 1000, 4000)) {
+      for (p <- Seq(250, 1000, 4000, 16000)) {
         val t1 = System.nanoTime()
         val rows = graft.queries.Retrieval.qlImpactScoredAt(spark, out, p).count()
         val serveSec = (System.nanoTime() - t1) / 1e9
