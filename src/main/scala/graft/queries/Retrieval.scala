@@ -62,7 +62,7 @@ object Retrieval {
 
   /** Per-list depth entering the RRF fusion, the fused emitted depth,
     * and the RRF rank constant (Cormack's 60). */
-  private[queries] val FuseDepth = 20
+  private[graft] val FuseDepth = 20
   private[queries] val HybK = 10
   private[queries] val RrfC = 60
 
@@ -1209,6 +1209,12 @@ object Retrieval {
           6).as("rrf"))
     topkBy(fused, "rrf", HybK).orderBy($"qid", $"rank")
   }
+
+  /** RRF fusion core exposed for the streaming hybrid twin
+    * ([[graft.streaming.HybridStream]]) — identical arithmetic to the
+    * batch fusion. */
+  private[graft] def hybridFuseRanks(s: SparkSession,
+      brank: DataFrame, drank: DataFrame): DataFrame = rrfFused(s, brank, drank)
 
   private val hybridCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]

@@ -517,7 +517,7 @@ object AnnStream {
     * bounded batches); collecting it is what lets the per-batch plan
     * carry literal cell filters.
     */
-  private def servePrunedBatch(
+  private[streaming] def servePrunedBatch(
       s: SparkSession,
       qs: Array[QueryEvent],
       indexPath: String,
