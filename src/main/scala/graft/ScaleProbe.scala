@@ -136,6 +136,7 @@ object ScaleProbe {
     graft.queries.TextAnalysis.clearCaches()
     graft.queries.KvQueries.clearCaches()
     graft.queries.Retrieval.clearCaches()
+    graft.queries.GraphRank.clearCaches()
 
     Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
       "dedup_minhash_lsh", "dedup_incremental", "dedup_lsh_recall_sampled",

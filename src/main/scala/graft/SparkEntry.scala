@@ -30,6 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    centroids, quantization.
   *  - [[graft.queries.KvQueries]] — the declared KV surface K1–K10:
   *    linearizable replay, reads, dedup, shard routing, rebalance.
+  *  - [[graft.queries.GraphRank]] — source-graph curation: the
+  *    shared-content source graph, fixed-iteration exact-decimal
+  *    PageRank, and rank-proportional budget gating/sampling.
   *  - [[graft.queries.MultimodalQueries]] — binary-column decode
   *    (real PNG/WAV/GVID codecs, pure JDK), box-filter resize, frame
   *    sampling, audio waveform stats, cross-video frame dedup.
@@ -49,7 +52,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.KvQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.Retrieval.queries
+      graft.queries.Retrieval.queries ++
+      graft.queries.GraphRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +65,6 @@ object SparkEntry {
       graft.queries.Similarity.oracle ++
       graft.queries.KvQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
-      graft.queries.Retrieval.oracle
+      graft.queries.Retrieval.oracle ++
+      graft.queries.GraphRank.oracle
 }

@@ -88,6 +88,13 @@ object Dedup {
   private def shingleIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     indexCache.getOrElseUpdate((s, dir), buildShingleIndex(s, dir))
 
+  /** The staged df-filtered (doc_id, sh) exchange — shared with
+    * [[GraphRank]]'s source-graph build so both families read ONE
+    * session-memoized shingle index.
+    */
+  private[graft] def shingleExchange(s: SparkSession, dir: String): DataFrame =
+    shingleIndex(s, dir)._1
+
   private val interCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -1253,9 +1260,12 @@ object Dedup {
       |    (4 * (SELECT count(*) FROM documents)) // 256))""".stripMargin
 
   /** Shared oracle CTE: tokenized docs → df-filtered distinct shingle
-    * sets (mirrors [[shingleIndex]] exactly).
+    * sets (mirrors [[shingleIndex]] exactly). `private[graft]` so
+    * [[GraphRank]]'s oracles build on the SAME shingle definition —
+    * one source of truth, no drift between the dedup family and the
+    * source-graph family.
     */
-  private val ShingleCte =
+  private[graft] val ShingleCte =
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
        |  FROM documents),
