@@ -28,6 +28,24 @@ import graft.core.{Staging, Tables}
   *  - `gr_rank_sample` — the doc-level selection under those budgets:
   *    per source, the budget-many docs that win a deterministic
   *    md5-order draw (the same device as tx_sample_stratified).
+  *  - `gr_mirror_pairs` — the NORMALIZED mirror signal: edges whose
+  *    overlap coefficient w / min(|A|, |B|) (distinct df-filtered
+  *    shingles per source) reaches [[MirrorOv]]. Raw shared counts
+  *    grow with corpus size; the coefficient is scale-free, so one
+  *    threshold serves every SF.
+  *  - `gr_components` — mirror CLUSTERS: connected components of the
+  *    mirror subgraph by min-label propagation run to convergence
+  *    (the [[Dedup]] cluster device at the source level); every
+  *    source labeled, isolated sources as singletons.
+  *  - `gr_component_stats` — the reviewable cluster report: members,
+  *    covered docs, internal mirror edges, total shared weight.
+  *  - `gr_triangles` — per-source triangle count and local clustering
+  *    coefficient over the mirror subgraph, wedges enumerated
+  *    DEGREE-ORIENTED (work bounded by oriented out-degree, O(m^1.5)
+  *    total — the device that survives hub skew at web scale).
+  *  - `gr_mirror_keep` — the curation decision: per mirror cluster
+  *    keep the member with the best PageRank (ties to the smallest
+  *    source), flag the rest for drop, with per-source doc volumes.
   *
   * Scale posture (100 TB): the edge build is an inverted-index
   * equi-join on the shingle — never all-pairs over sources — and
@@ -61,18 +79,38 @@ object GraphRank {
     */
   private[queries] val Iters = 5
 
+  /** Mirror threshold on the overlap coefficient
+    * w / min(|shingles(sa)|, |shingles(sb)|): a pair sharing ≥ 10% of
+    * its smaller side's distinct content is flagged as a mirror
+    * candidate. The raw (unrounded) ratio is compared — one IEEE
+    * division of two exact integers, the same double on both engines.
+    */
+  private[queries] val MirrorOv = 0.1
+
   /** Session memos: the staged edge list feeds three queries and is
     * read 2·[[Iters]] times by the rank loop; ranks feed the gate and
-    * the sampler.
+    * the sampler; the mirror subgraph feeds components, triangles and
+    * the keep decision; components are a converged multi-round loop
+    * (localCheckpoint-backed, like [[Dedup]]'s cluster labels).
     */
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val rankCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val mirrorCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val compCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def clearCaches(): Unit = {
+    edgeCache.values.foreach(_.unpersist())
+    rankCache.values.foreach(_.unpersist())
+    mirrorCache.values.foreach(_.unpersist())
+    compCache.values.foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
     edgeCache.clear()
     rankCache.clear()
+    mirrorCache.clear()
+    compCache.clear()
   }
 
   /** Distinct (sh, source) pairs from the df-filtered shingle index —
@@ -139,6 +177,83 @@ object GraphRank {
       r.persist()
     })
 
+  /** Per-source distinct df-filtered shingle counts — the denominators
+    * of the overlap coefficient. Staged with the graph (a production
+    * run writes both in the same job; the build shares the one
+    * session-memoized shingle exchange).
+    */
+  private def srcSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Staging.readElseBuild(s, dir, "source_nsh", Seq("documents")) {
+      srcShingles(s, dir).groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    }
+  }
+
+  /** The mirror subgraph: edges whose overlap coefficient
+    * w / min(n_sh(sa), n_sh(sb)) reaches [[MirrorOv]] — the
+    * normalized mirror/scraper signal (raw shared-shingle counts scale
+    * with corpus size; the coefficient doesn't). The filter compares
+    * the raw ratio; the emitted `ov` is the family's 6-decimal round.
+    */
+  private[graft] def mirrorEdges(s: SparkSession, dir: String): DataFrame =
+    mirrorCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Staging.readElseBuild(s, dir, "mirror_edges", Seq("documents")) {
+        val nsh = srcSizes(s, dir)
+        sourceEdges(s, dir)
+          .join(nsh.toDF("sa", "na"), "sa")
+          .join(nsh.toDF("sb", "nb"), "sb")
+          .filter($"w".cast("double") / least($"na", $"nb") >= MirrorOv)
+          .select($"sa", $"sb", $"w",
+            round($"w".cast("double") / least($"na", $"nb"), 6).as("ov"))
+      }.persist()
+    })
+
+  /** Connected components of the mirror subgraph — the mirror
+    * CLUSTERS a curation run reviews (a set of sources that
+    * transitively share ≥ [[MirrorOv]] of their content is one
+    * publisher family: mirrors, aggregators, scrapers). Min-label
+    * propagation run to convergence, the same device as
+    * [[Dedup]]'s duplicate clusters: one equi-join + one aggregate
+    * per round, localCheckpoint each round so the plan stays flat
+    * (rounds needed = graph diameter ≤ log n under the min-label
+    * collapse), converged labels staged per corpus generation.
+    * Every source is labeled — isolated sources are singleton
+    * components — so the frame is also the component-assignment
+    * input to the keep decision.
+    */
+  private[graft] def mirrorComponents(s: SparkSession, dir: String): DataFrame =
+    compCache.getOrElseUpdate((s, dir), Staging.readElseBuild(
+      s, dir, "mirror_components", Seq("documents")) {
+      import s.implicits._
+      val me = mirrorEdges(s, dir)
+      val edges = me.select($"sa".as("src"), $"sb".as("dst"))
+        .union(me.select($"sb".as("src"), $"sa".as("dst"))).persist()
+      var labels = Tables(s, dir).documents
+        .select($"source".as("v")).distinct()
+        .select($"v", $"v".as("rep")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      val maxRounds = 64
+      while (changed > 0 && rounds < maxRounds) {
+        val neighborMin = edges.join(labels, $"dst" === $"v")
+          .groupBy($"src").agg(min($"rep").as("nmin"))
+        val updated = labels.join(neighborMin, $"v" === $"src", "left")
+          .select($"v", least($"rep", coalesce($"nmin", $"rep")).as("rep"))
+          .localCheckpoint()
+        changed = updated.join(labels.withColumnRenamed("rep", "old"), "v")
+          .filter($"rep" =!= $"old").count()
+        org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
+        labels = updated
+        rounds += 1
+      }
+      edges.unpersist(blocking = false)
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"gr_components did not converge in $maxRounds rounds")
+      labels
+    }).toDF("source", "component")
+
   /** Per-source rank-proportional budgets: (source, pr, n_docs,
     * budget), budget = floor(B·pr/Σpr) with B = n_docs_total div 2.
     * Σpr is a DECIMAL sum of 6-decimal ranks — exact, so the division
@@ -194,6 +309,111 @@ object GraphRank {
         .filter($"rn" <= $"budget")
         .select($"doc_id", $"source")
         .orderBy($"doc_id")
+    },
+
+    // The normalized mirror signal: edges whose overlap coefficient
+    // reaches the threshold, with the coefficient emitted.
+    "gr_mirror_pairs" -> { (s, dir) =>
+      import s.implicits._
+      mirrorEdges(s, dir).orderBy($"sa", $"sb")
+    },
+
+    // Mirror clusters: converged component label (min member) per
+    // source; isolated sources are their own component.
+    "gr_components" -> { (s, dir) =>
+      import s.implicits._
+      mirrorComponents(s, dir).orderBy($"source")
+    },
+
+    // The reviewable mirror-cluster report: members, covered docs,
+    // internal mirror edges and their total shared-shingle weight.
+    // Component-keyed aggregates over two sources-sized frames.
+    "gr_component_stats" -> { (s, dir) =>
+      import s.implicits._
+      val comp = mirrorComponents(s, dir)
+      val perSrc = Tables(s, dir).documents
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      val members = comp.join(perSrc, "source")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_sources"), sum($"n_docs").as("n_docs"))
+      val edges = mirrorEdges(s, dir)
+        .join(comp.toDF("sa", "component"), "sa")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_edges"), sum($"w").as("w_shared"))
+      members.join(edges, Seq("component"), "left")
+        .select($"component", $"n_sources", $"n_docs",
+          coalesce($"n_edges", lit(0L)).as("n_edges"),
+          coalesce($"w_shared", lit(0L)).as("w_shared"))
+        .orderBy($"component")
+    },
+
+    // Per-source triangle participation and local clustering
+    // coefficient over the mirror subgraph — the density signal that
+    // separates a tight mirror ring (cc → 1) from a hub-and-spoke
+    // aggregator (cc → 0). The wedge enumeration is DEGREE-ORIENTED:
+    // each undirected edge points from its lower-(degree, id) endpoint,
+    // so a vertex's wedge count is bounded by its ORIENTED out-degree
+    // (O(m^1.5) total work on any graph — a raw id-orientation lets one
+    // low-id hub with d neighbors generate d² wedges). The closure
+    // probe is an equi-join back onto the (sa < sb) edge list; the
+    // triangle set is orientation-independent, so the id-ordered
+    // oracle matches.
+    "gr_triangles" -> { (s, dir) =>
+      import s.implicits._
+      val me = mirrorEdges(s, dir).select($"sa", $"sb")
+      val med = me.select($"sa".as("u"), $"sb".as("v"))
+        .union(me.select($"sb".as("u"), $"sa".as("v")))
+      val deg = med.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val fwd = $"da" < $"db" || ($"da" === $"db" && $"sa" < $"sb")
+      val o = me
+        .join(deg.toDF("sa", "da"), "sa")
+        .join(deg.toDF("sb", "db"), "sb")
+        .select(when(fwd, $"sa").otherwise($"sb").as("src"),
+          when(fwd, $"sb").otherwise($"sa").as("dst"))
+      val wedges = o.toDF("c", "x").join(o.toDF("c", "y"), Seq("c"))
+        .filter($"x" < $"y")
+      val tris = wedges.join(me.toDF("ea", "eb"),
+        least($"x", $"y") === $"ea" && greatest($"x", $"y") === $"eb")
+        .select($"c", $"x", $"y")
+      val perSrc = tris.select($"c".as("source"))
+        .union(tris.select($"x".as("source")))
+        .union(tris.select($"y".as("source")))
+        .groupBy($"source").agg(count(lit(1)).as("tri"))
+      Tables(s, dir).documents.select($"source").distinct()
+        .join(deg.toDF("source", "deg"), Seq("source"), "left")
+        .join(perSrc, Seq("source"), "left")
+        .select($"source",
+          coalesce($"deg", lit(0L)).as("deg"),
+          coalesce($"tri", lit(0L)).as("tri"))
+        .select($"source", $"deg", $"tri",
+          when($"deg" >= 2,
+            ($"tri" * 2).cast("double") / ($"deg" * ($"deg" - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("cc"))
+        .orderBy($"source")
+    },
+
+    // The curation decision the graph exists for: per mirror cluster
+    // keep ONE canonical source — the member with the best PageRank
+    // (ties to the lexicographically smallest source) — and flag the
+    // rest for drop. Emits every source's verdict with its cluster,
+    // its cluster's canonical source, and its doc count (the volume a
+    // drop would remove).
+    "gr_mirror_keep" -> { (s, dir) =>
+      import s.implicits._
+      val comp = mirrorComponents(s, dir)
+      val ranked = comp.join(sourceRanks(s, dir).toDF("source", "pr"), "source")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"component").orderBy($"pr".desc, $"source")
+      val wins = ranked.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"component", $"source".as("keep_source"))
+      val perSrc = Tables(s, dir).documents
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      comp.join(wins, "component")
+        .join(perSrc, "source")
+        .select($"source", $"component", $"keep_source",
+          ($"source" === $"keep_source").cast("int").as("kept"), $"n_docs")
+        .orderBy($"source")
     }
   )
 
@@ -237,6 +457,39 @@ object GraphRank {
        |$iters""".stripMargin
   }
 
+  /** Mirror CTE (appended after [[graphCte]]): per-source shingle
+    * counts and the overlap-thresholded mirror edge list — mirrors
+    * [[srcSizes]]/[[mirrorEdges]] exactly (raw-ratio filter, 6-dec
+    * emitted coefficient).
+    */
+  private def mirrorCte: String =
+    s"""nsh AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+       |me AS (
+       |  SELECT e.sa, e.sb, e.w,
+       |    round(CAST(e.w AS DOUBLE) / least(na.n_sh, nb.n_sh), 6) AS ov
+       |  FROM e
+       |  JOIN nsh na ON na.source = e.sa
+       |  JOIN nsh nb ON nb.source = e.sb
+       |  WHERE CAST(e.w AS DOUBLE) / least(na.n_sh, nb.n_sh) >= $MirrorOv)""".stripMargin
+
+  /** Component CTE (appended after [[mirrorCte]]): min reachable label
+    * per source over the symmetrized mirror edges — the same recursive
+    * device as [[Dedup]]'s cluster oracle; the self-edge base case
+    * keeps isolated sources as singletons. Names are disjoint from
+    * [[rankCte]]'s so the two chains compose (gr_mirror_keep).
+    */
+  private def compCte: String =
+    s"""med AS (SELECT sa AS u, sb AS v FROM me
+       |       UNION ALL SELECT sb, sa FROM me),
+       |creach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT source, source FROM (SELECT DISTINCT source FROM documents)
+       |    UNION
+       |    SELECT r.src, m.v FROM r JOIN med m ON m.u = r.dst)
+       |  SELECT * FROM r),
+       |comp AS (SELECT src AS source, min(dst) AS component
+       |         FROM creach GROUP BY src)""".stripMargin
+
   /** Gate CTE on top of r[[Iters]]: per-source budgets. */
   private def gateCte: String =
     s"""ps AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
@@ -276,6 +529,85 @@ object GraphRank {
          |SELECT rn.doc_id, rn.source FROM rn
          |JOIN g ON g.source = rn.source
          |WHERE rn.rn <= g.budget
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "gr_mirror_pairs" ->
+      s"""$graphCte,
+         |$mirrorCte
+         |SELECT sa, sb, w, ov FROM me ORDER BY sa, sb""".stripMargin,
+
+    "gr_components" ->
+      s"""$graphCte,
+         |$mirrorCte,
+         |$compCte
+         |SELECT source, component FROM comp ORDER BY source""".stripMargin,
+
+    "gr_component_stats" ->
+      s"""$graphCte,
+         |$mirrorCte,
+         |$compCte,
+         |ps AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |ms AS (
+         |  SELECT c.component, CAST(count(*) AS BIGINT) AS n_sources,
+         |    CAST(sum(p.n_docs) AS BIGINT) AS n_docs
+         |  FROM comp c JOIN ps p ON p.source = c.source GROUP BY 1),
+         |es AS (
+         |  SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(me.w) AS BIGINT) AS w_shared
+         |  FROM me JOIN comp c ON c.source = me.sa GROUP BY 1)
+         |SELECT ms.component, ms.n_sources, ms.n_docs,
+         |  coalesce(es.n_edges, CAST(0 AS BIGINT)) AS n_edges,
+         |  coalesce(es.w_shared, CAST(0 AS BIGINT)) AS w_shared
+         |FROM ms LEFT JOIN es ON es.component = ms.component
+         |ORDER BY ms.component""".stripMargin,
+
+    "gr_triangles" ->
+      s"""$graphCte,
+         |$mirrorCte,
+         |med AS (SELECT sa AS u, sb AS v FROM me
+         |       UNION ALL SELECT sb, sa FROM me),
+         |deg AS (SELECT u AS source, CAST(count(*) AS BIGINT) AS deg
+         |        FROM med GROUP BY u),
+         |tr AS (
+         |  SELECT a.sa AS x, a.sb AS y, b.sb AS z
+         |  FROM me a JOIN me b ON b.sa = a.sb
+         |  JOIN me c ON c.sa = a.sa AND c.sb = b.sb),
+         |tcnt AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT x AS source FROM tr
+         |    UNION ALL SELECT y FROM tr
+         |    UNION ALL SELECT z FROM tr)
+         |  GROUP BY source)
+         |SELECT d.source,
+         |  coalesce(deg.deg, CAST(0 AS BIGINT)) AS deg,
+         |  coalesce(tcnt.tri, CAST(0 AS BIGINT)) AS tri,
+         |  CASE WHEN coalesce(deg.deg, 0) >= 2
+         |    THEN CAST(2 * coalesce(tcnt.tri, 0) AS DOUBLE)
+         |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS cc
+         |FROM (SELECT DISTINCT source FROM documents) d
+         |LEFT JOIN deg ON deg.source = d.source
+         |LEFT JOIN tcnt ON tcnt.source = d.source
+         |ORDER BY d.source""".stripMargin,
+
+    "gr_mirror_keep" ->
+      s"""$graphCte,
+         |$mirrorCte,
+         |$compCte,
+         |$rankCte,
+         |ps AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |wins AS (
+         |  SELECT component, source AS keep_source FROM (
+         |    SELECT c.component, c.source,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY r.r DESC, c.source) AS rn
+         |    FROM comp c JOIN r$Iters r ON r.v = c.source)
+         |  WHERE rn = 1)
+         |SELECT c.source, c.component, w.keep_source,
+         |  CAST(c.source = w.keep_source AS INT) AS kept, ps.n_docs
+         |FROM comp c
+         |JOIN wins w ON w.component = c.component
+         |JOIN ps ON ps.source = c.source
+         |ORDER BY c.source""".stripMargin
   )
 }

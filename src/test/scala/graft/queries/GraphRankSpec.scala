@@ -84,6 +84,64 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  // Three identical docs across a/b/c (every pair overlaps fully) and
+  // a textually disjoint d: the mirror subgraph is the a-b-c triangle
+  // plus isolated d.
+  private def triangleDocs = Seq(
+    (1L, "x1 x2 x3 x4 x5", "a"),
+    (2L, "x1 x2 x3 x4 x5", "b"),
+    (3L, "x1 x2 x3 x4 x5", "c"),
+    (4L, "z1 z2 z3 z4 z5", "d"))
+
+  test("mirror pairs carry the overlap coefficient and respect the threshold") {
+    val dir = freshDir(plantedDocs)
+    // a: 3 distinct shingles, b: 2, shared 1 → ov = 1/2 = 0.5 ≥ 0.1
+    val pairs = GraphRank.queries("gr_mirror_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq(("a", "b", 1L, 0.5)))
+  }
+
+  test("components label every source; mirror-linked sources share the min label") {
+    val dir = freshDir(triangleDocs)
+    val comp = GraphRank.queries("gr_components")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+  }
+
+  test("component stats aggregate members, docs, and internal mirror weight") {
+    val dir = freshDir(triangleDocs)
+    val stats = GraphRank.queries("gr_component_stats")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // a-b-c: 3 members, 3 docs, 3 internal edges each sharing 3 shingles
+    assert(stats("a") == ((3L, 3L, 3L, 9L)))
+    assert(stats("d") == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("triangle counts and clustering coefficient on a planted triangle") {
+    val dir = freshDir(triangleDocs)
+    val tri = GraphRank.queries("gr_triangles")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    Seq("a", "b", "c").foreach { v => assert(tri(v) == ((2L, 1L, 1.0)), v) }
+    assert(tri("d") == ((0L, 0L, 0.0)))
+  }
+
+  test("keep decision: one canonical source per cluster, best-rank wins, ties to min") {
+    val dir = freshDir(triangleDocs)
+    val keep = GraphRank.queries("gr_mirror_keep")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getLong(4)))
+    // symmetric triangle: equal ranks, tie to 'a'; singleton d keeps itself
+    assert(keep.toSeq == Seq(
+      ("a", "a", "a", 1, 1L), ("b", "a", "a", 0, 1L),
+      ("c", "a", "a", 0, 1L), ("d", "d", "d", 1, 1L)))
+    val keptPerComp = keep.groupBy(_._2).view.mapValues(_.count(_._4 == 1)).toMap
+    assert(keptPerComp.values.forall(_ == 1))
+  }
+
   test("rank computation is deterministic across cache-cleared reruns") {
     val dir = freshDir(plantedDocs)
     val first = GraphRank.queries("gr_source_rank")(spark, dir).collect().toSeq
