@@ -50,6 +50,10 @@ object ScaleProbe {
       hybridProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("graph")) {
+      graphProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
     if (args.headOption.contains("serve")) {
       serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
@@ -584,6 +588,46 @@ object ScaleProbe {
         .collect()(0).getDouble(0)
       val recSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"probe": "hybrid_recall", "mult": $m, "recall_at10": $rec%.3f, "sec_incl_exact_arm": $recSec%.2f}""")
+    }
+  }
+
+  /** Graph-family ladder at an m× docs replica whose VERTEX set grows
+    * with the corpus: each copy renames its sources (`srcX_k`), so the
+    * mirror graph gains 20 new vertices per copy and every base source
+    * becomes an m-clique of near-identical mirrors — the exact
+    * scenario mirror detection exists for. Text is tagged per copy
+    * (near- but not exact dups) and the df guard scales with the
+    * corpus, so graph structure is preserved rather than stop-shingled
+    * away. Cold builds (staging off).
+    */
+  private def graphProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    val out = s"/tmp/graft_scale${m}g"
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val n = base.count()
+      (0 until m).map { k =>
+        base.select(
+          ($"doc_id" + lit(k * n)).as("doc_id"),
+          (if (k == 0) $"text"
+           else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
+          $"lang", concat($"source", lit(s"_$k")).as("source"), $"n_chars")
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"""{"built": "$out", "docs": ${n * m}, "sources": ${20 * m}}""")
+    }
+    graft.queries.Dedup.clearCaches()
+    graft.queries.TextAnalysis.clearCaches()
+    graft.queries.GraphRank.clearCaches()
+    val names = Seq("gr_source_graph", "gr_mirror_pairs", "gr_components",
+      "gr_component_stats", "gr_source_rank", "gr_rank_gate",
+      "gr_rank_sample", "gr_mirror_keep", "gr_triangles")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"query": "$name", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
     }
   }
 
