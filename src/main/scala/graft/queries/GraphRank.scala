@@ -46,6 +46,12 @@ import graft.core.{Staging, Tables}
   *  - `gr_mirror_keep` — the curation decision: per mirror cluster
   *    keep the member with the best PageRank (ties to the smallest
   *    source), flag the rest for drop, with per-source doc volumes.
+  *  - `gr_rank_delta` — the convergence meter behind the fixed
+  *    [[Iters]] choice: max |Δr| per iteration, measured not asserted.
+  *  - `gr_graph_incremental` — edge maintenance: stored-generation
+  *    edges (old docs only) + the delta from batch-new postings,
+  *    hash-PROVEN equal to the full rebuild (the oracle IS the
+  *    rebuilt edge list).
   *
   * Scale posture (100 TB): the edge build is an inverted-index
   * equi-join on the shingle — never all-pairs over sources — and
@@ -107,10 +113,15 @@ object GraphRank {
     rankCache.values.foreach(_.unpersist())
     mirrorCache.values.foreach(_.unpersist())
     compCache.values.foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
+    // the trajectory's persisted inputs (ed/outw/verts) are plan
+    // prefixes, not memoized frames themselves — unpersist explicitly
+    rankAuxCache.values.flatten.foreach(_.unpersist())
     edgeCache.clear()
     rankCache.clear()
     mirrorCache.clear()
     compCache.clear()
+    trajCache.clear()
+    rankAuxCache.clear()
   }
 
   /** Distinct (sh, source) pairs from the df-filtered shingle index —
@@ -142,16 +153,23 @@ object GraphRank {
       }.persist()
     })
 
-  /** [[Iters]] exact-decimal PageRank iterations over the symmetrized
-    * edge list. Per directed edge (u, v):
+  /** r0 … r[[Iters]]: the full exact-decimal PageRank trajectory over
+    * the symmetrized edge list. Per directed edge (u, v):
     * c = round(r(u)·w/tw(u), 6), summed per target in DECIMAL(18,6);
     * r'(v) = round(0.15/n + 0.85·Σc, 6). Sources with no edges hold
     * the teleport floor; dangling mass evaporates (documented: ranks
     * sum to slightly under 1 when isolated sources exist), which keeps
     * the update local — no global dangling-mass redistribution term.
+    * The trajectory feeds [[sourceRanks]] (its last element) and the
+    * gr_rank_delta convergence meter (adjacent differences).
     */
-  private[graft] def sourceRanks(s: SparkSession, dir: String): DataFrame =
-    rankCache.getOrElseUpdate((s, dir), {
+  private val trajCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[DataFrame]]
+  private val rankAuxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[DataFrame]]
+
+  private def rankIterations(s: SparkSession, dir: String): Seq[DataFrame] =
+    trajCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val e = sourceEdges(s, dir)
       val ed = e.select($"sa".as("u"), $"sb".as("v"), $"w")
@@ -160,22 +178,25 @@ object GraphRank {
       val outw = ed.groupBy($"u").agg(sum($"w").as("tw")).persist()
       val verts = Tables(s, dir).documents
         .select($"source".as("v")).distinct().persist()
+      rankAuxCache.put((s, dir), Seq(ed, outw, verts))
       val nn = verts.agg(count(lit(1)).as("n"))
-      var r = verts.crossJoin(broadcast(nn))
+      val r0 = verts.crossJoin(broadcast(nn))
         .select($"v", round(lit(1.0) / $"n", 6).as("r"))
-      for (_ <- 1 to Iters) {
+      (1 to Iters).scanLeft(r0) { (r, _) =>
         val m = ed.join(outw, "u")
           .join(r.toDF("u", "r"), "u")
           .select($"v",
             round(($"r" * $"w") / $"tw", 6).cast("decimal(18,6)").as("c"))
           .groupBy($"v")
           .agg(sum($"c").cast("double").as("sm"))
-        r = verts.join(m, Seq("v"), "left").crossJoin(broadcast(nn))
+        verts.join(m, Seq("v"), "left").crossJoin(broadcast(nn))
           .select($"v", round(lit(Teleport) / $"n" +
             lit(Damping) * coalesce($"sm", lit(0.0)), 6).as("r"))
       }
-      r.persist()
     })
+
+  private[graft] def sourceRanks(s: SparkSession, dir: String): DataFrame =
+    rankCache.getOrElseUpdate((s, dir), rankIterations(s, dir).last.persist())
 
   /** Per-source distinct df-filtered shingle counts — the denominators
     * of the overlap coefficient. Staged with the graph (a production
@@ -414,6 +435,59 @@ object GraphRank {
         .select($"source", $"component", $"keep_source",
           ($"source" === $"keep_source").cast("int").as("kept"), $"n_docs")
         .orderBy($"source")
+    },
+
+    // Convergence meter for the fixed-iteration rank: max |Δr| per
+    // iteration. The Iters=5 knee claim, measured not asserted — the
+    // deltas are differences of exact 6-decimal doubles, so the meter
+    // replays bit-for-bit on the oracle's unrolled chain.
+    "gr_rank_delta" -> { (s, dir) =>
+      import s.implicits._
+      val traj = rankIterations(s, dir)
+      traj.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
+        cur.toDF("v", "r")
+          .join(prev.toDF("v", "rp"), "v")
+          .agg(max(abs($"r" - $"rp")).as("max_delta"))
+          .select(lit(i + 1).as("iter"), $"max_delta")
+      }.reduce(_ unionByName _).orderBy($"iter")
+    },
+
+    // Incremental edge maintenance, hash-PROVEN against the rebuild:
+    // split the corpus into existing (doc_id % 5 != 0) and a new batch
+    // (% 5 == 0), compute the stored-generation edges from existing
+    // postings only, then ADD the delta — the distinct (sh, pair)
+    // contributions involving at least one batch-new posting, found by
+    // joining ONLY the new postings against the merged posting list
+    // (cost O(batch postings × bounded per-shingle fanout); the
+    // normalize+distinct collapses the both-new double count). The
+    // ORACLE is the full rebuilt edge list, so the gate hash equality
+    // proves merged == rebuilt. Both sides read the one shared
+    // df-filtered exchange, so there is no stop-list drift WITHIN the
+    // demonstration; across real generations the dedup family's
+    // hotShingleDrift meter (same shingle exchange) is the shared
+    // rebuild trigger.
+    "gr_graph_incremental" -> { (s, dir) =>
+      import s.implicits._
+      // a posting (sh, source) is OLD iff some old doc of the source
+      // contains the shingle; NEW iff it exists only due to batch docs
+      val ex = Dedup.shingleExchange(s, dir)
+        .join(Tables(s, dir).documents.select($"doc_id", $"source"), "doc_id")
+      val ssOld = ex.filter($"doc_id" % 5 =!= 0)
+        .select($"sh", $"source").distinct()
+      val ssAll = ex.select($"sh", $"source").distinct()
+      val d = ssAll.join(ssOld, Seq("sh", "source"), "left_anti")
+      val base = ssOld.toDF("sh", "sa").join(ssOld.toDF("sh", "sb"), Seq("sh"))
+        .filter($"sa" < $"sb")
+        .groupBy($"sa", $"sb").agg(count(lit(1)).as("wb"))
+      val deltaContribs = d.toDF("sh", "x").join(ssAll.toDF("sh", "y"), Seq("sh"))
+        .filter($"x" =!= $"y")
+        .select($"sh", least($"x", $"y").as("sa"), greatest($"x", $"y").as("sb"))
+        .distinct()
+      val delta = deltaContribs.groupBy($"sa", $"sb").agg(count(lit(1)).as("wd"))
+      base.join(delta, Seq("sa", "sb"), "full_outer")
+        .select($"sa", $"sb",
+          (coalesce($"wb", lit(0L)) + coalesce($"wd", lit(0L))).as("w"))
+        .orderBy($"sa", $"sb")
     }
   )
 
@@ -608,6 +682,21 @@ object GraphRank {
          |FROM comp c
          |JOIN wins w ON w.component = c.component
          |JOIN ps ON ps.source = c.source
-         |ORDER BY c.source""".stripMargin
+         |ORDER BY c.source""".stripMargin,
+
+    "gr_rank_delta" ->
+      s"""$graphCte,
+         |$rankCte
+         |${(1 to Iters).map { i =>
+               s"""SELECT $i AS iter, max(abs(a.r - b.r)) AS max_delta
+                  |FROM r$i a JOIN r${i - 1} b ON b.v = a.v""".stripMargin
+             }.mkString("\nUNION ALL\n")}
+         |ORDER BY iter""".stripMargin,
+
+    // The oracle is the REBUILT graph — hash equality proves the
+    // base + delta merge reconstructs it exactly.
+    "gr_graph_incremental" ->
+      s"""$graphCte
+         |SELECT sa, sb, w FROM e ORDER BY sa, sb""".stripMargin
   )
 }

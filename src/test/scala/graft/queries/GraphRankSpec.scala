@@ -142,6 +142,32 @@ class GraphRankSpec extends SparkSpec {
     assert(keptPerComp.values.forall(_ == 1))
   }
 
+  test("rank delta meter: one-step convergence on the planted pair, then zero") {
+    val dir = freshDir(plantedDocs)
+    val deltas = GraphRank.queries("gr_rank_delta")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // c decays 0.333333 → 0.05 in iteration 1 (the only movement);
+    // the a↔b pair is a 6-dec fixpoint from r0, so iters 2..5 are 0
+    assert(deltas(1) == 0.333333 - 0.05)
+    (2 to 5).foreach { i => assert(deltas(i) == 0.0, s"iter $i") }
+  }
+
+  test("incremental edge merge reconstructs the rebuilt graph exactly") {
+    // doc 5 (the %5==0 batch) adds source e sharing b's shingles AND a
+    // new shingle to a (doc 10): both delta modes — a brand-new vertex
+    // and a new posting on an existing edge's endpoint
+    val docs = plantedDocs ++ Seq(
+      (5L, "x2 x3 x4 x5", "e"),
+      (10L, "x9 x2 x3 x4", "a"))
+    val dir = freshDir(docs)
+    val merged = GraphRank.queries("gr_graph_incremental")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val rebuilt = GraphRank.queries("gr_source_graph")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merged == rebuilt)
+    assert(merged.exists(_._1 == "e") || merged.exists(_._2 == "e"))
+  }
+
   test("rank computation is deterministic across cache-cleared reruns") {
     val dir = freshDir(plantedDocs)
     val first = GraphRank.queries("gr_source_rank")(spark, dir).collect().toSeq
