@@ -54,6 +54,10 @@ object ScaleProbe {
       graphProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("positional")) {
+      positionalProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
     if (args.headOption.contains("serve")) {
       serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
@@ -600,23 +604,26 @@ object ScaleProbe {
     * corpus, so graph structure is preserved rather than stop-shingled
     * away. Cold builds (staging off).
     */
-  private def graphProbe(spark: SparkSession, m: Int): Unit = {
+  private def buildGraphReplica(spark: SparkSession, m: Int, out: String): Unit = {
     import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    (0 until m).map { k =>
+      base.select(
+        ($"doc_id" + lit(k * n)).as("doc_id"),
+        (if (k == 0) $"text"
+         else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
+        $"lang", concat($"source", lit(s"_$k")).as("source"), $"n_chars")
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"""{"built": "$out", "docs": ${n * m}, "sources": ${20 * m}}""")
+  }
+
+  private def graphProbe(spark: SparkSession, m: Int): Unit = {
     val out = s"/tmp/graft_scale${m}g"
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
-      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      val n = base.count()
-      (0 until m).map { k =>
-        base.select(
-          ($"doc_id" + lit(k * n)).as("doc_id"),
-          (if (k == 0) $"text"
-           else concat($"text", lit(s" copytag$k marker$k"))).as("text"),
-          $"lang", concat($"source", lit(s"_$k")).as("source"), $"n_chars")
-      }.reduce(_ unionAll _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      println(s"""{"built": "$out", "docs": ${n * m}, "sources": ${20 * m}}""")
-    }
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      buildGraphReplica(spark, m, out)
     graft.queries.Dedup.clearCaches()
     graft.queries.TextAnalysis.clearCaches()
     graft.queries.GraphRank.clearCaches()
@@ -628,6 +635,34 @@ object ScaleProbe {
       val rows = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query": "$name", "mult": $m, "sec": $sec%.2f, "rows": $rows}""")
+    }
+  }
+
+  /** Positional family at the m× replica (shares the graph probe's
+    * documents-only corpus — sources are immaterial here). The probe
+    * set is the %QStep stride, so it GROWS with the corpus (1000
+    * queries at 10×, 10000 at 100×): the honest per-query metric is
+    * ms/query; the index build is timed apart (cold, staging off). */
+  private def positionalProbe(spark: SparkSession, m: Int): Unit = {
+    val out = s"/tmp/graft_scale${m}g"
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      buildGraphReplica(spark, m, out)
+    graft.queries.Positional.clearCaches()
+    val tb = System.nanoTime()
+    val nPostings = graft.queries.Positional.positionalIndex(spark, out).count()
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    println(f"""{"probe": "positional_build", "mult": $m, "sec": $buildSec%.2f, "postings": $nPostings}""")
+    // FIXED 400-query batch at every multiple (the hybrid-probe
+    // convention): the %QStep probe set grows with the corpus, and
+    // ms/query must not conflate batch size with corpus scale
+    val batch = org.apache.spark.sql.functions.col("doc_id") < 400L * 50
+    for ((tag, df) <- Seq(
+      ("phrase", graft.queries.Positional.phraseOcc(spark, out, batch)),
+      ("proximity", graft.queries.Positional.proximityFor(spark, out, batch)))) {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe": "positional_$tag", "mult": $m, "sec": $sec%.2f, "rows": $rows, "queries": 400, "ms_per_query": ${sec * 1000 / 400}%.2f}""")
     }
   }
 

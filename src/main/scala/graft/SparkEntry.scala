@@ -32,7 +32,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    linearizable replay, reads, dedup, shard routing, rebalance.
   *  - [[graft.queries.GraphRank]] — source-graph curation: the
   *    shared-content source graph, fixed-iteration exact-decimal
-  *    PageRank, and rank-proportional budget gating/sampling.
+  *    PageRank, rank-proportional budget gating/sampling, mirror
+  *    components/triangles, and the rank-canonical keep decision.
+  *  - [[graft.queries.Positional]] — positional retrieval: exact
+  *    phrase search and plane-sweep proximity over the staged
+  *    positional postings.
   *  - [[graft.queries.MultimodalQueries]] — binary-column decode
   *    (real PNG/WAV/GVID codecs, pure JDK), box-filter resize, frame
   *    sampling, audio waveform stats, cross-video frame dedup.
@@ -53,7 +57,8 @@ object SparkEntry {
       graft.queries.KvQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.Retrieval.queries ++
-      graft.queries.GraphRank.queries
+      graft.queries.GraphRank.queries ++
+      graft.queries.Positional.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +71,6 @@ object SparkEntry {
       graft.queries.KvQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.Retrieval.oracle ++
-      graft.queries.GraphRank.oracle
+      graft.queries.GraphRank.oracle ++
+      graft.queries.Positional.oracle
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.{length, lit}
+
+import graft.SparkSpec
+
+/** Positional-retrieval semantics on planted corpora where every
+  * occurrence and distance is hand-computable. Probe docs are
+  * doc_id % 50 == 0 (the family's QStep), so doc 0 and doc 50 are the
+  * query carriers.
+  */
+class PositionalSpec extends SparkSpec {
+
+  private def freshDir(docs: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("positional").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Positional.clearCaches()
+    dir
+  }
+
+  // probe doc 0's phrase is "a b a" (repeated query word); doc 1
+  // contains it twice (overlapping occurrences "a b a b a" at starts
+  // 0 and 2), doc 2 contains the words but never the phrase.
+  private def phraseDocs = Seq(
+    (0L, "a b a x y", "s0"),
+    (1L, "a b a b a", "s1"),
+    (2L, "b a x a b", "s2"))
+
+  test("phrase occurrences: repeated query words, overlapping matches, word-soup non-match") {
+    val dir = freshDir(phraseDocs)
+    val got = Positional.queries("tx_phrase_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc 1 has 2 occurrences, doc 0 (self) has 1, doc 2 has 0
+    assert(got.toSeq == Seq((0L, 1L, 2L, 1), (0L, 0L, 1L, 2)))
+    val meter = Positional.queries("tx_phrase_meter")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(meter.toSeq == Seq((0L, 2L, 3L)))
+  }
+
+  test("proximity: plane-sweep min distance equals the hand-computed gap; bound excludes far pairs") {
+    // probe doc 50: w1 = "p", w2 = "q" (first differing token).
+    // doc 3: p .. q at distance 2 in one direction and q..p at 1 via
+    // the middle occurrence; doc 4: p and q distance 12 — outside the
+    // W = 10 bound; doc 5: only p — never a pair.
+    val docs = Seq(
+      (50L, "p p q r", "s0"),
+      (3L, "p x q p", "s1"),
+      (4L, ("p " + Seq.fill(11)("x").mkString(" ") + " q"), "s2"),
+      (5L, "p p p", "s3"))
+    val dir = freshDir(docs)
+    val got = Positional.queries("tx_proximity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc 50 (self): p at 1, q at 2 → dist 1; doc 3: q at 2, p at 3 → 1
+    assert(got.toSeq == Seq((50L, 3L, 1L, 1), (50L, 50L, 1L, 2)))
+  }
+
+  test("results are deterministic across cache-cleared reruns") {
+    val dir = freshDir(phraseDocs)
+    val first = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
+    Positional.clearCaches()
+    val second = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
+    assert(first == second)
+  }
+}

@@ -213,4 +213,24 @@ class RealTextPipelineSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[Long]("doc_id") == 0L), "self-exclusion on real text")
     Retrieval.clearCaches()
   }
+
+  test("phrase + proximity search on real Zipfian text: the Gutenberg header phrase spans books") {
+    assume(books.nonEmpty, "reference corpus not present")
+    Positional.clearCaches()
+    val t0 = System.nanoTime()
+    // doc 0's opening 3 tokens are Gutenberg boilerplate shared across
+    // the corpus — the phrase must hit multiple books, and the anchored
+    // plan must survive real 100k-token documents (the O(tokens²)
+    // expression-substitution regression class)
+    val meter = graft.SparkEntry.queries("tx_phrase_meter")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(meter.length == 1 && meter.head._1 == 0L)
+    assert(meter.head._2 >= 2, s"header phrase should span books, got ${meter.head._2}")
+    assert(meter.head._3 >= meter.head._2)
+    val prox = graft.SparkEntry.queries("tx_proximity")(spark, dir).collect()
+    assert(prox.nonEmpty)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120, f"real-book positional queries took $sec%.0f s")
+    Positional.clearCaches()
+  }
 }
