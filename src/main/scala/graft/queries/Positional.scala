@@ -91,9 +91,21 @@ object Positional {
   private def queryPhrases(s: SparkSession, dir: String,
       extra: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
-    probeToks(s, dir, extra)
-      .filter(size($"toks") >= 3)
+    phrasesFromToks(s, probeToks(s, dir, extra))
+  }
+
+  private def phrasesFromToks(s: SparkSession, pt: DataFrame): DataFrame = {
+    import s.implicits._
+    pt.filter(size($"toks") >= 3)
       .select($"qid", posexplode(slice($"toks", 1, 3)).as(Seq("idx", "word")))
+  }
+
+  /** Phrase probes (qid, idx, word) from an arbitrary (doc_id, text)
+    * query frame — the serving tier's entry ([[phraseServeBatch]]). */
+  private def phrasesOf(s: SparkSession, queryDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    phrasesFromToks(s, queryDocs
+      .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks")))
   }
 
   /** Exact-phrase occurrences: (qid, doc_id, n_occ), ANCHORED on each
@@ -110,10 +122,14 @@ object Positional {
     * naive semantics (the oracle keeps the straightforward form).
     */
   private[graft] def phraseOcc(s: SparkSession, dir: String,
-      extra: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      extra: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    phraseOccOn(s, positionalIndex(s, dir), queryPhrases(s, dir, extra))
+
+  private def phraseOccOn(s: SparkSession, index: DataFrame,
+      phrases: DataFrame): DataFrame = {
     import s.implicits._
-    val qt = queryPhrases(s, dir, extra)
-    val idx = positionalIndex(s, dir)
+    val qt = phrases
+    val idx = index
     // postings of probed words only (broadcast-hash filter, scan-local):
     // everything downstream — df, candidates, the verification semi-join
     // shuffle — touches only these rows, never the full index
@@ -142,16 +158,55 @@ object Positional {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Per-query top-k by (n_occ desc, doc_id) over a (qid, doc_id,
+    * n_occ) occurrence frame — shared by the gate query and the
+    * serving tier. */
+  private def phraseTopk(s: SparkSession, occ: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"n_occ".desc, $"doc_id")
+    occ.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"doc_id", $"n_occ", $"rk")
+      .orderBy($"qid", $"rk")
+  }
+
+  /** Serve one micro-batch of (doc_id, text) phrase queries against
+    * the session corpus index — the batch core of
+    * [[graft.streaming.PositionalStream.serve]]. */
+  private[graft] def phraseServeBatch(s: SparkSession, dir: String,
+      queryDocs: DataFrame, k: Int = 10): DataFrame =
+    phraseTopk(s,
+      phraseOccOn(s, positionalIndex(s, dir), phrasesOf(s, queryDocs)), k)
+
+  /** Publish the positional postings as a committed serving
+    * generation: `gen-N/postings` under `root`, `_latest` flipped
+    * atomically ([[graft.core.Generations]] — the same loop the
+    * lexical and vector tiers run: rebuild → commit → live cutover →
+    * rollback by pointer → prune). */
+  def writePositionalGeneration(s: SparkSession, dir: String, root: String): Long = {
+    val next = graft.core.Generations.next(root)
+    positionalIndex(s, dir).write.mode("overwrite")
+      .parquet(s"$root/gen-$next/postings")
+    graft.core.Generations.setLatest(root, next)
+    next
+  }
+
+  /** One committed positional generation. */
+  final case class PositionalGeneration(gen: Long, postings: DataFrame)
+
+  def loadPositionalGeneration(s: SparkSession, root: String): PositionalGeneration = {
+    val gen = graft.core.Generations.latest(root).getOrElse(
+      sys.error(s"$root: no committed positional serving generation"))
+    PositionalGeneration(gen, s.read.parquet(s"$root/gen-$gen/postings"))
+  }
+
+  /** Serve one micro-batch from an EXPLICIT generation's postings. */
+  private[graft] def phraseServeGenBatch(s: SparkSession,
+      g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame =
+    phraseTopk(s, phraseOccOn(s, g.postings, phrasesOf(s, queryDocs)), k)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tx_phrase_search" -> { (s, dir) =>
-      import s.implicits._
-      val w = Window.partitionBy($"qid").orderBy($"n_occ".desc, $"doc_id")
-      phraseOcc(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 10)
-        .select($"qid", $"doc_id", $"n_occ", $"rk")
-        .orderBy($"qid", $"rk")
-    },
+    "tx_phrase_search" -> { (s, dir) => phraseTopk(s, phraseOcc(s, dir), 10) },
 
     "tx_phrase_meter" -> { (s, dir) =>
       import s.implicits._

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.queries.Positional
+
+/** Streaming phrase serving: a continuous stream of query docs
+  * (doc_id, text — each contributing its opening 3-token phrase)
+  * probes the STATIC positional postings — the positional tier's
+  * always-on twin, completing the build-offline/serve-online loop the
+  * lexical ([[Bm25Stream]]) and vector ([[AnnStream]]) tiers already
+  * run.
+  *
+  * foreachBatch form (the family convention): per-query top-k needs a
+  * per-batch-complete aggregation, which append mode cannot express —
+  * each micro-batch runs the batch phrase core (anchored rarest-term
+  * candidates + exact-position verification) and hands the finished
+  * ranking to the sink. Steady-state per-batch work is the batch's
+  * anchor-postings probe, never the corpus.
+  *
+  * Parity: fed the gate query docs, each batch's rows are EXACTLY the
+  * tx_phrase_search rows for those qids (PositionalStreamSpec pins it
+  * across micro-batch splits).
+  */
+object PositionalStream {
+
+  /** Serve each arriving micro-batch of (doc_id, text) query docs
+    * against the session corpus at `dir`. */
+  def serve(queries: DataFrame, s: SparkSession, dir: String, k: Int = 10)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
+      if (!batch.isEmpty) sink(Positional.phraseServeBatch(s, dir, batch, k))
+    }
+    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
+  }
+
+  /** The generation-bound form: resolve `_latest` per micro-batch,
+    * reload the postings only when the generation number changed — a
+    * republished positional index
+    * ([[Positional.writePositionalGeneration]]) cuts over LIVE between
+    * micro-batches; rollback is the same pointer pointed backwards.
+    * A vanished pointer is an error, not license to serve a stale
+    * cached generation (the [[Bm25Stream.serveLatest]] contract).
+    */
+  def serveLatest(queries: DataFrame, root: String, k: Int = 10)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    var cached: Option[Positional.PositionalGeneration] = None
+    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val latest = graft.core.Generations.latest(root).getOrElse(
+          sys.error(s"$root: no committed positional serving generation"))
+        if (!cached.map(_.gen).contains(latest))
+          cached = Some(Positional.loadPositionalGeneration(s, root))
+        sink(Positional.phraseServeGenBatch(s, cached.get, batch, k))
+      }
+    }
+    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.queries.Positional
+
+/** The streaming phrase server must reproduce the batch
+  * tx_phrase_search rows exactly for the gate query docs, however the
+  * query stream splits into micro-batches, and a republished
+  * generation must cut over live between micro-batches.
+  */
+class PositionalStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming phrase serving equals the batch query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val qdocs = graft.core.Tables(spark, dir).documents
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(qdocs.size >= 4)
+
+    val served = mutable.Buffer.empty[(Long, Long, Long, Int)]
+    val in = MemoryStream[(Long, String)]
+    val q = PositionalStream.serve(in.toDS().toDF("doc_id", "text"), spark, dir) { out =>
+      served ++= out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    }.queryName("phrase_serve").start()
+    val cut = qdocs.length / 2
+    Seq(qdocs.take(cut), qdocs.drop(cut))
+      .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+
+    val batch = graft.SparkEntry.queries("tx_phrase_search")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(served.toSet == batch)
+    assert(served.size == served.toSet.size)
+  }
+
+  test("generation cutover: a republished postings index serves the next batch live") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("posgen").toString
+    val (dirA, dirB, root) = (s"$tmp/a", s"$tmp/b", s"$tmp/serve")
+    try {
+      // corpus A: the phrase "alpha beta gamma" lives in docs 0 and 1;
+      // corpus B (the rebuilt world): only doc 2 carries it
+      writeDocTable(dirA, Seq(
+        0L -> "alpha beta gamma x", 1L -> "y alpha beta gamma", 2L -> "z z z z"))
+      writeDocTable(dirB, Seq(
+        0L -> "q q q q", 2L -> "alpha beta gamma q"))
+      Positional.clearCaches()
+      Positional.writePositionalGeneration(spark, dirA, root)
+
+      val served = mutable.Buffer.empty[(Long, Long, Long, Int)]
+      val in = MemoryStream[(Long, String)]
+      val q = PositionalStream.serveLatest(
+        in.toDS().toDF("doc_id", "text"), root) { out =>
+        served ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      }.queryName("phrase_serve_gen").start()
+
+      in.addData((100L, "alpha beta gamma")); q.processAllAvailable()
+      assert(served.map(_._2).toSet == Set(0L, 1L), s"gen-1 answers: $served")
+
+      served.clear()
+      Positional.clearCaches()
+      Positional.writePositionalGeneration(spark, dirB, root)
+      in.addData((101L, "alpha beta gamma")); q.processAllAvailable()
+      q.stop()
+      assert(served.map(_._2).toSet == Set(2L), s"post-cutover answers: $served")
+    } finally Positional.clearCaches()
+  }
+}
