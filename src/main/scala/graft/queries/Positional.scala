@@ -128,6 +128,17 @@ object Positional {
   private def phraseOccOn(s: SparkSession, index: DataFrame,
       phrases: DataFrame): DataFrame = {
     import s.implicits._
+    phraseStartsOn(s, index, phrases)
+      .groupBy($"qid", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Verified phrase match STARTS (qid, doc_id, start) — the
+    * occurrence counter's input, kept separate so the snippet query
+    * can anchor its context window on the first match. */
+  private def phraseStartsOn(s: SparkSession, index: DataFrame,
+      phrases: DataFrame): DataFrame = {
+    import s.implicits._
     val qt = phrases
     val idx = index
     // postings of probed words only (broadcast-hash filter, scan-local):
@@ -154,8 +165,7 @@ object Positional {
       .groupBy($"qid", $"doc_id", $"start")
       .agg(countDistinct($"idx").as("nidx"))
       .filter($"nidx" === 2)
-      .groupBy($"qid", $"doc_id")
-      .agg(count(lit(1)).as("n_occ"))
+      .select($"qid", $"doc_id", $"start")
   }
 
   /** Per-query top-k by (n_occ desc, doc_id) over a (qid, doc_id,
@@ -219,7 +229,40 @@ object Positional {
     // Plane-sweep proximity: merge both terms' postings per (qid,
     // doc), one lag window in merged position order, min over
     // adjacent opposite-term gaps.
-    "tx_proximity" -> { (s, dir) => proximityFor(s, dir, lit(true)) }
+    "tx_proximity" -> { (s, dir) => proximityFor(s, dir, lit(true)) },
+
+    // Snippet extraction — the evidence a retrieval UI shows: for each
+    // query's BEST phrase doc (n_occ desc, doc_id), the tokens in a
+    // ±2-token context window around the FIRST match, reconstructed
+    // from the positional index (sorted-by-position aggregation — no
+    // document rescan, no substring math on raw text). The window
+    // positions are relative to the match start, so the engines' 0- vs
+    // 1-based posting offsets never meet the output.
+    "tx_snippet" -> { (s, dir) =>
+      import s.implicits._
+      // ONE aggregation carries both the occurrence count and the
+      // first-match anchor — the starts probe pass runs exactly once
+      // (a two-branch formulation re-ran it and measured 4.5 s; this
+      // one is in the family's band)
+      val perDoc = phraseStartsOn(s, positionalIndex(s, dir), queryPhrases(s, dir))
+        .groupBy($"qid", $"doc_id")
+        .agg(count(lit(1)).as("n_occ"), min($"start").as("s0"))
+      val w = Window.partitionBy($"qid").orderBy($"n_occ".desc, $"doc_id")
+      val best = perDoc.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1).select($"qid", $"doc_id", $"n_occ", $"s0")
+      // best is broadcast ONCE with n_occ carried through the snippet
+      // aggregation key — a second reference to `best` here would
+      // re-run the whole starts chain (measured: 3.5 s vs 2.2 s)
+      positionalIndex(s, dir)
+        .join(broadcast(best), Seq("doc_id"))
+        .filter($"pos" >= $"s0" - 2 && $"pos" <= $"s0" + 4)
+        .groupBy($"qid", $"doc_id", $"n_occ")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"pos", $"word"))),
+            x => x.getField("word")), " ").as("snippet"))
+        .select($"qid", $"doc_id", $"n_occ", $"snippet")
+        .orderBy($"qid")
+    }
   )
 
   /** Proximity for an arbitrary probe restriction (the scale probe's
@@ -300,6 +343,30 @@ object Positional {
          |SELECT qid, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_occ) AS BIGINT) AS n_occs
          |FROM occ GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "tx_snippet" ->
+      s"""$PosCte,
+         |$PhraseCte,
+         |pd AS (
+         |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+         |    min(start) AS s0
+         |  FROM st GROUP BY 1, 2),
+         |best AS (
+         |  SELECT qid, doc_id, n_occ, s0 FROM (
+         |    SELECT qid, doc_id, n_occ, s0,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY n_occ DESC, doc_id) AS rk
+         |    FROM pd)
+         |  WHERE rk = 1),
+         |sn AS (
+         |  SELECT b.qid, b.doc_id,
+         |    string_agg(p.word, ' ' ORDER BY p.pos) AS snippet
+         |  FROM p JOIN best b ON p.doc_id = b.doc_id
+         |    AND p.pos >= b.s0 - 2 AND p.pos <= b.s0 + 4
+         |  GROUP BY 1, 2)
+         |SELECT b.qid, b.doc_id, b.n_occ, sn.snippet
+         |FROM best b JOIN sn ON sn.qid = b.qid AND sn.doc_id = b.doc_id
+         |ORDER BY b.qid""".stripMargin,
 
     "tx_proximity" ->
       s"""$PosCte,

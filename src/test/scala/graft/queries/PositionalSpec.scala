@@ -58,6 +58,15 @@ class PositionalSpec extends SparkSpec {
     assert(got.toSeq == Seq((50L, 3L, 1L, 1), (50L, 50L, 1L, 2)))
   }
 
+  test("snippet: best doc's first-match context window, reconstructed in position order") {
+    val dir = freshDir(phraseDocs)
+    val got = Positional.queries("tx_snippet")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // best doc for "a b a" is doc 1 (2 occurrences); first match at the
+    // doc head, so the ±2 window clips to the doc's first 5 tokens
+    assert(got.toSeq == Seq((0L, 1L, 2L, "a b a b a")))
+  }
+
   test("results are deterministic across cache-cleared reruns") {
     val dir = freshDir(phraseDocs)
     val first = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
