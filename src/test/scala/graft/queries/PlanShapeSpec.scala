@@ -369,6 +369,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("gr_components result plan is lineage-truncated like dedup_clusters") {
+    val p = plan("gr_components")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.length < 4000, s"plan grew to ${p.length} chars — lineage not truncated")
+  }
+
+  test("gr_triangles: equi-joins only, no window, no cartesian") {
+    val p = plan("gr_triangles")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("tx_phrase_search: probe broadcasts onto postings; only the top-k window") {
+    val p = plan("tx_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // exactly one window operator — the qid-partitioned top-k
+    assert("Window ".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("tx_proximity: plane-sweep windows are (qid, doc)-partitioned, probes broadcast") {
+    val p = plan("tx_proximity")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("qid"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product") {
     // dedup_clusters excluded: building its DataFrame executes the
     // iterative clustering loop (an action per round), and the returned
