@@ -70,6 +70,22 @@ object Positional {
       }.persist()
     })
 
+  /** `dir`'s staged positional index extended by a batch of (doc_id,
+    * text) — pure union: positions are a per-doc derivation with no
+    * corpus-dependent state (the window-index argument), so this merge
+    * is unconditionally exact ([[graft.queries]] DeltaMergeSpec pins
+    * merged == rebuilt-from-union). The maintenance half of the
+    * positional serving loop: merge per admitted batch, republish via
+    * [[writePositionalGeneration]] at the cadence the serving tier
+    * wants.
+    */
+  def mergedPositionalIndex(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    positionalIndex(s, dir).unionByName(
+      batch.select($"doc_id", wsTokens(lower($"text")).as("toks"))
+        .select($"doc_id", posexplode($"toks").as(Seq("pos", "word"))))
+  }
+
   /** Probe docs with their materialized token arrays. The gate query
     * set is the family's %QStep stride; the scale probe narrows it to
     * a fixed batch via `extra` (a serving deployment has a per-batch

@@ -72,6 +72,12 @@ class DeltaMergeSpec extends SparkSpec {
       // rebuild (empty-batch merge is the identity read of the rebuild)
       assert(rows(Dedup.mergedWindowIndex(spark, dirA, b)) ==
         rows(Dedup.mergedWindowIndex(spark, dirAB, batchDf(Seq.empty))))
+
+      // positional postings: the same per-doc-derivation argument —
+      // staged(A) ∪ tokenized(B) == the index built on A ∪ B
+      assert(rows(Positional.mergedPositionalIndex(spark, dirA, b)) ==
+        rows(Positional.mergedPositionalIndex(spark, dirAB, batchDf(Seq.empty))))
+      Positional.clearCaches()
     } finally cleanup(dirA, dirAB)
   }
 
