@@ -280,7 +280,7 @@ object GraphRank {
     * Σpr is a DECIMAL sum of 6-decimal ranks — exact, so the division
     * is the same double on both engines.
     */
-  private def rankGate(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rankGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir).documents
     val perSrc = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
