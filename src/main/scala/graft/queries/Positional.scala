@@ -287,11 +287,35 @@ object Positional {
   private[graft] def proximityFor(s: SparkSession, dir: String,
       extra: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
-    val qp = probeToks(s, dir, extra)
+    proximityOn(s, positionalIndex(s, dir), probeToks(s, dir, extra))
+  }
+
+  /** Serve one micro-batch of (doc_id, text) proximity queries against
+    * the session corpus index — the proximity half of
+    * [[graft.streaming.PositionalStream]]. */
+  private[graft] def proximityServeBatch(s: SparkSession, dir: String,
+      queryDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    proximityOn(s, positionalIndex(s, dir), queryDocs
+      .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks")))
+  }
+
+  /** The proximity serve core against an EXPLICIT generation. */
+  private[graft] def proximityServeGenBatch(s: SparkSession,
+      g: PositionalGeneration, queryDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    proximityOn(s, g.postings, queryDocs
+      .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks")))
+  }
+
+  private def proximityOn(s: SparkSession, index: DataFrame,
+      pt: DataFrame): DataFrame = {
+    import s.implicits._
+    val qp = pt
       .select($"qid", get($"toks", lit(0)).as("w1"),
         get(filter($"toks", x => x =!= get($"toks", lit(0))), lit(0)).as("w2"))
       .filter($"w2".isNotNull)
-    val p = positionalIndex(s, dir)
+    val p = index
     val pp = p.join(broadcast(qp.select($"qid", $"w1".as("word"))), Seq("word"))
       .select($"qid", $"doc_id", $"pos", lit(0).as("tag"))
       .unionByName(

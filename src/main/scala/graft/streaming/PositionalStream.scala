@@ -35,6 +35,19 @@ object PositionalStream {
     queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
   }
 
+  /** The proximity half of the serving tier: each micro-batch's query
+    * docs contribute their (first, first-differing) token pair; the
+    * plane-sweep core emits per-query min-distance top-k. Parity with
+    * tx_proximity pinned by PositionalStreamSpec.
+    */
+  def serveProximity(queries: DataFrame, s: SparkSession, dir: String)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
+      if (!batch.isEmpty) sink(Positional.proximityServeBatch(s, dir, batch))
+    }
+    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
+  }
+
   /** The generation-bound form: resolve `_latest` per micro-batch,
     * reload the postings only when the generation number changed — a
     * republished positional index
@@ -44,6 +57,18 @@ object PositionalStream {
     * cached generation (the [[Bm25Stream.serveLatest]] contract).
     */
   def serveLatest(queries: DataFrame, root: String, k: Int = 10)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)((s, g, batch) =>
+      Positional.phraseServeGenBatch(s, g, batch, k))(sink)
+
+  /** Generation-bound proximity serving — same pointer protocol. */
+  def serveLatestProximity(queries: DataFrame, root: String)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)(
+      Positional.proximityServeGenBatch(_, _, _))(sink)
+
+  private def serveLatestWith(queries: DataFrame, root: String)(
+      score: (SparkSession, Positional.PositionalGeneration, DataFrame) => DataFrame)(
       sink: DataFrame => Unit): DataStreamWriter[Row] = {
     var cached: Option[Positional.PositionalGeneration] = None
     val fn: (DataFrame, Long) => Unit = { (batch, _) =>
@@ -53,7 +78,7 @@ object PositionalStream {
           sys.error(s"$root: no committed positional serving generation"))
         if (!cached.map(_.gen).contains(latest))
           cached = Some(Positional.loadPositionalGeneration(s, root))
-        sink(Positional.phraseServeGenBatch(s, cached.get, batch, k))
+        sink(score(s, cached.get, batch))
       }
     }
     queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())

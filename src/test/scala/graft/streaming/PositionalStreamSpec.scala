@@ -43,6 +43,32 @@ class PositionalStreamSpec extends SparkSpec {
     assert(served.size == served.toSet.size)
   }
 
+  test("streaming proximity serving equals the batch query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val qdocs = graft.core.Tables(spark, dir).documents
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val served = mutable.Buffer.empty[(Long, Long, Long, Int)]
+    val in = MemoryStream[(Long, String)]
+    val q = PositionalStream.serveProximity(
+      in.toDS().toDF("doc_id", "text"), spark, dir) { out =>
+      served ++= out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    }.queryName("prox_serve").start()
+    val cut = qdocs.length / 2
+    Seq(qdocs.take(cut), qdocs.drop(cut))
+      .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+
+    val batch = graft.SparkEntry.queries("tx_proximity")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(served.toSet == batch)
+  }
+
   test("generation cutover: a republished postings index serves the next batch live") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
