@@ -1565,8 +1565,61 @@ object TextAnalysis {
           round((log($"m".cast("double")) - $"ssum" / $"m") / log(lit(2.0)), 4)
             .as("entropy_bits"))
         .orderBy($"doc_id")
+    },
+
+    // Corpus-generation DRIFT monitor — the rebuild-cadence instrument:
+    // Jensen-Shannon divergence between the stored generation's
+    // (doc_id % 5 != 0) and the incoming batch's (% 5 == 0) unigram
+    // token distributions, with the top drift-contributing tokens.
+    // Each token's JS contribution is rounded to 6 decimals and the
+    // total is a DECIMAL sum (the family's exact-decimal discipline);
+    // p, q are single IEEE divisions of exact counts, so only ln() is
+    // engine-sensitive and the 6-dec round absorbs it. One token pass,
+    // one vocabulary-keyed aggregation, two broadcast scalar totals —
+    // nothing corpus-pairwise.
+    "tx_corpus_drift" -> { (s, dir) =>
+      import s.implicits._
+      val c = driftContrib(s, dir)
+      c.agg(count(lit(1)).as("n_vocab_union"),
+          sum(($"cold" > 0).cast("long")).as("n_vocab_old"),
+          sum(($"cnew" > 0).cast("long")).as("n_vocab_new"),
+          sum($"c".cast("decimal(18,6)")).cast("double").as("js"))
+        .select($"n_vocab_union", $"n_vocab_old", $"n_vocab_new", $"js")
+    },
+
+    // The drill-down: top-20 tokens by JS contribution — what moved.
+    "tx_drift_tokens" -> { (s, dir) =>
+      import s.implicits._
+      driftContrib(s, dir)
+        .select($"word", round($"p", 6).as("p"), round($"q", 6).as("q"), $"c")
+        .orderBy($"c".desc, $"word")
+        .limit(20)
     }
   )
+
+  /** Per-token JS-divergence contributions between the two splits:
+    * (word, cold, cnew, p, q, c) with c = round(0.5·p·ln(p/m) +
+    * 0.5·q·ln(q/m), 6), m = (p+q)/2, and the 0·ln(0) = 0 convention
+    * for one-sided tokens.
+    */
+  private def driftContrib(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir).documents
+      .select($"doc_id", explode(wsTokens(lower($"text"))).as("word"))
+      .groupBy($"word")
+      .agg(sum(($"doc_id" % 5 =!= 0).cast("long")).as("cold"),
+        sum(($"doc_id" % 5 === 0).cast("long")).as("cnew"))
+    val tot = counts.agg(sum($"cold").as("told"), sum($"cnew").as("tnew"))
+    counts.crossJoin(broadcast(tot))
+      .select($"word", $"cold", $"cnew",
+        ($"cold".cast("double") / $"told").as("p"),
+        ($"cnew".cast("double") / $"tnew").as("q"))
+      .withColumn("m", ($"p" + $"q") / 2)
+      .withColumn("c", round(
+        when($"p" > 0, $"p" * (log($"p") - log($"m")) / 2).otherwise(lit(0.0))
+          + when($"q" > 0, $"q" * (log($"q") - log($"m")) / 2).otherwise(lit(0.0)),
+        6))
+  }
 
   /** The Gopher required-stopword list (rule: a kept document contains
     * ≥2 distinct items). Shared with the oracle SQL.
@@ -2475,8 +2528,47 @@ object TextAnalysis {
          |     * CASE WHEN ellipsis_ratio <= 0.3 THEN 1 ELSE 0 END
          |     * CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END
          |     * CASE WHEN n_req_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "tx_corpus_drift" ->
+      s"""$DriftCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_vocab_union,
+         |  CAST(sum(CASE WHEN cold > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_old,
+         |  CAST(sum(CASE WHEN cnew > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_new,
+         |  CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS js
+         |FROM dc""".stripMargin,
+
+    "tx_drift_tokens" ->
+      s"""$DriftCte
+         |SELECT word, round(p, 6) AS p, round(q, 6) AS q, c
+         |FROM dc ORDER BY c DESC, word LIMIT 20""".stripMargin
   )
+
+  /** Oracle twin of [[driftContrib]] — op-for-op: the same single
+    * divisions, ln differences, and 6-dec contribution round. */
+  private val DriftCte =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |ct AS (
+      |  SELECT word,
+      |    CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cold,
+      |    CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnew
+      |  FROM tk GROUP BY word),
+      |tt AS (SELECT CAST(sum(cold) AS BIGINT) AS told,
+      |              CAST(sum(cnew) AS BIGINT) AS tnew FROM ct),
+      |pc AS (
+      |  SELECT word, cold, cnew,
+      |    CAST(cold AS DOUBLE) / told AS p,
+      |    CAST(cnew AS DOUBLE) / tnew AS q
+      |  FROM ct CROSS JOIN tt),
+      |dc AS (
+      |  SELECT word, cold, cnew, p, q,
+      |    round(CASE WHEN p > 0 THEN p * (ln(p) - ln((p + q) / 2)) / 2 ELSE 0 END
+      |        + CASE WHEN q > 0 THEN q * (ln(q) - ln((p + q) / 2)) / 2 ELSE 0 END,
+      |      6) AS c
+      |  FROM pc)""".stripMargin
 
   private val GopherStopSql =
     GopherStop.map(w => s"'$w'").mkString("(", ",", ")")
