@@ -652,17 +652,23 @@ object ScaleProbe {
     val nPostings = graft.queries.Positional.positionalIndex(spark, out).count()
     val buildSec = (System.nanoTime() - tb) / 1e9
     println(f"""{"probe": "positional_build", "mult": $m, "sec": $buildSec%.2f, "postings": $nPostings}""")
-    // FIXED 400-query batch at every multiple (the hybrid-probe
+    // FIXED query batch at every multiple (the hybrid-probe
     // convention): the %QStep probe set grows with the corpus, and
-    // ms/query must not conflate batch size with corpus scale
+    // ms/query must not conflate batch size with corpus scale. The
+    // denominator is the COUNTED probe set, not the nominal 400 — a
+    // base corpus under 20k docs would let replica copies (doc_id =
+    // base + k·n) leak into the doc_id cut and change the real count.
     val batch = org.apache.spark.sql.functions.col("doc_id") < 400L * 50
+    val nq = spark.read.parquet(s"$out/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .filter(batch).count()
     for ((tag, df) <- Seq(
       ("phrase", graft.queries.Positional.phraseOcc(spark, out, batch)),
       ("proximity", graft.queries.Positional.proximityFor(spark, out, batch)))) {
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe": "positional_$tag", "mult": $m, "sec": $sec%.2f, "rows": $rows, "queries": 400, "ms_per_query": ${sec * 1000 / 400}%.2f}""")
+      println(f"""{"probe": "positional_$tag", "mult": $m, "sec": $sec%.2f, "rows": $rows, "queries": $nq, "ms_per_query": ${sec * 1000 / nq}%.2f}""")
     }
   }
 

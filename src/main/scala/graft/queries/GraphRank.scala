@@ -237,8 +237,11 @@ object GraphRank {
     * propagation run to convergence, the same device as
     * [[Dedup]]'s duplicate clusters: one equi-join + one aggregate
     * per round, localCheckpoint each round so the plan stays flat
-    * (rounds needed = graph diameter ≤ log n under the min-label
-    * collapse), converged labels staged per corpus generation.
+    * (plain neighbor-min propagation — no pointer doubling — needs
+    * graph-DIAMETER rounds; mirror families are near-cliques, so the
+    * diameter is tiny, and a pathological chain past the 64-round cap
+    * fails loudly, the [[Dedup]] convention), converged labels staged
+    * per corpus generation.
     * Every source is labeled — isolated sources are singleton
     * components — so the frame is also the component-assignment
     * input to the keep decision.
@@ -256,19 +259,22 @@ object GraphRank {
       var changed = 1L
       var rounds = 0
       val maxRounds = 64
-      while (changed > 0 && rounds < maxRounds) {
-        val neighborMin = edges.join(labels, $"dst" === $"v")
-          .groupBy($"src").agg(min($"rep").as("nmin"))
-        val updated = labels.join(neighborMin, $"v" === $"src", "left")
-          .select($"v", least($"rep", coalesce($"nmin", $"rep")).as("rep"))
-          .localCheckpoint()
-        changed = updated.join(labels.withColumnRenamed("rep", "old"), "v")
-          .filter($"rep" =!= $"old").count()
-        org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
-        labels = updated
-        rounds += 1
-      }
-      edges.unpersist(blocking = false)
+      // try/finally so the persisted symmetrized edge frame is released
+      // on the non-convergence throw path too, not just on success
+      try {
+        while (changed > 0 && rounds < maxRounds) {
+          val neighborMin = edges.join(labels, $"dst" === $"v")
+            .groupBy($"src").agg(min($"rep").as("nmin"))
+          val updated = labels.join(neighborMin, $"v" === $"src", "left")
+            .select($"v", least($"rep", coalesce($"nmin", $"rep")).as("rep"))
+            .localCheckpoint()
+          changed = updated.join(labels.withColumnRenamed("rep", "old"), "v")
+            .filter($"rep" =!= $"old").count()
+          org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
+          labels = updated
+          rounds += 1
+        }
+      } finally edges.unpersist(blocking = false)
       if (changed > 0)
         throw new IllegalStateException(
           s"gr_components did not converge in $maxRounds rounds")
@@ -295,6 +301,30 @@ object GraphRank {
       .select($"source", $"pr", $"n_docs",
         floor(($"b".cast("double") * $"pr") / $"sum_pr").cast("long")
           .as("budget"))
+  }
+
+  /** Commit the rank gate's per-source budgets as serving generation
+    * `gen-N/budgets` under `root` and flip `_latest` atomically — the
+    * admission gate's artifact in the SAME loop every serving tier
+    * runs ([[graft.core.Generations]]): rebuild ranks offline → commit
+    * → the live ingest gate ([[graft.streaming.GateStream]]) resolves
+    * the pointer per micro-batch → rollback is the pointer pointed
+    * backwards. The artifact is sources-sized ((source, budget) rows),
+    * so committing a generation costs one tiny parquet write.
+    */
+  def writeGateGeneration(s: SparkSession, dir: String, root: String): Long = {
+    import s.implicits._
+    commitGateGeneration(rankGate(s, dir).select($"source", $"budget"), root)
+  }
+
+  /** The commit half of [[writeGateGeneration]] for an EXPLICIT
+    * (source, budget) frame — what a rank republish after a mirror
+    * takedown calls, and what the cutover spec plants. */
+  def commitGateGeneration(budgets: DataFrame, root: String): Long = {
+    val next = graft.core.Generations.next(root)
+    budgets.write.mode("overwrite").parquet(s"$root/gen-$next/budgets")
+    graft.core.Generations.setLatest(root, next)
+    next
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

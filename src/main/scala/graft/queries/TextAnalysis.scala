@@ -1610,10 +1610,18 @@ object TextAnalysis {
       .agg(sum(($"doc_id" % 5 =!= 0).cast("long")).as("cold"),
         sum(($"doc_id" % 5 === 0).cast("long")).as("cnew"))
     val tot = counts.agg(sum($"cold").as("told"), sum($"cnew").as("tnew"))
+    // empty-split guard: a degenerate corpus (one side of the %5 split
+    // holds zero tokens) makes cold/told = 0/0 = NaN and js = NaN, and
+    // the engines' division-by-zero semantics differ. Define the empty
+    // side as the all-zero distribution instead (p = 0 for every word):
+    // js then reads the MAX one-sided divergence ln(2)/2 — a defined,
+    // engine-identical value. Mirrored in DriftCte.
     counts.crossJoin(broadcast(tot))
       .select($"word", $"cold", $"cnew",
-        ($"cold".cast("double") / $"told").as("p"),
-        ($"cnew".cast("double") / $"tnew").as("q"))
+        when($"told" > 0, $"cold".cast("double") / $"told")
+          .otherwise(lit(0.0)).as("p"),
+        when($"tnew" > 0, $"cnew".cast("double") / $"tnew")
+          .otherwise(lit(0.0)).as("q"))
       .withColumn("m", ($"p" + $"q") / 2)
       .withColumn("c", round(
         when($"p" > 0, $"p" * (log($"p") - log($"m")) / 2).otherwise(lit(0.0))
@@ -2560,8 +2568,10 @@ object TextAnalysis {
       |              CAST(sum(cnew) AS BIGINT) AS tnew FROM ct),
       |pc AS (
       |  SELECT word, cold, cnew,
-      |    CAST(cold AS DOUBLE) / told AS p,
-      |    CAST(cnew AS DOUBLE) / tnew AS q
+      |    CASE WHEN told > 0 THEN CAST(cold AS DOUBLE) / told
+      |         ELSE 0.0::DOUBLE END AS p,
+      |    CASE WHEN tnew > 0 THEN CAST(cnew AS DOUBLE) / tnew
+      |         ELSE 0.0::DOUBLE END AS q
       |  FROM ct CROSS JOIN tt),
       |dc AS (
       |  SELECT word, cold, cnew, p, q,

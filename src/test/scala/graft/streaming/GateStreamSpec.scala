@@ -71,4 +71,59 @@ class GateStreamSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("generation-bound admission reproduces gr_rank_sample and cuts over " +
+      "to a republished budget set on the very next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_gen").toString
+    graft.queries.GraphRank.writeGateGeneration(spark, dir, root)
+
+    val arrivals = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"source",
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")).as("d"))
+      .orderBy($"d", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val got = mutable.Buffer.empty[(Long, String)]
+    val in = MemoryStream[(Long, String)]
+    val q = GateStream.admittedLatest(in.toDS().toDF("doc_id", "source"), root) { b =>
+      got ++= b.collect().map(a => (a.doc_id, a.source)); ()
+    }.queryName("gate_admit_latest").start()
+    arrivals.grouped(math.max(1, arrivals.size / 3)).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+
+    // parity with the batch sampler under the corpus's own gate generation
+    val batch = graft.SparkEntry.queries("gr_rank_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet == batch)
+
+    // drain any residual room (a source whose n_docs < budget never fills
+    // its counter from one pass of its own docs), so the cutover phase
+    // starts from room == 0 everywhere
+    var prev = -1
+    while (got.size != prev) {
+      prev = got.size
+      in.addData(arrivals: _*); q.processAllAvailable()
+    }
+
+    // republish: ONE source's budget raised by 3, committed as gen-2 —
+    // the very next batch (no restart) must admit exactly 3 docs, all
+    // from that source
+    val gate = graft.queries.GraphRank.rankGate(spark, dir)
+      .select($"source", $"budget", $"n_docs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bumped = gate.maxBy(_._3)._1
+    val b2 = gate.map { case (src, b, _) =>
+      (src, if (src == bumped) b + 3 else b)
+    }.toSeq.toDF("source", "budget")
+    graft.queries.GraphRank.commitGateGeneration(b2, root)
+    val before = got.size
+    in.addData(arrivals: _*); q.processAllAvailable()
+    q.stop()
+    val fresh = got.drop(before)
+    assert(fresh.size == 3, s"expected 3 cutover admissions, got ${fresh.size}")
+    assert(fresh.forall(_._2 == bumped), s"cutover admitted outside $bumped: $fresh")
+  }
 }
