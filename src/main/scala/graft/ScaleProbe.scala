@@ -786,7 +786,11 @@ object ScaleProbe {
           ("lex_rescored", (df, snk) =>
             graft.streaming.Bm25Stream.serveLatestRescored(df, root, dir)(snk)),
           ("lex_rm3", (df, snk) =>
-            graft.streaming.Bm25Stream.serveLatestRm3(df, root, dir)(snk)))) {
+            graft.streaming.Bm25Stream.serveLatestRm3(df, root, dir)(snk)),
+          ("lex_ql", (df, snk) =>
+            graft.streaming.Bm25Stream.serveLatestQl(df, root)(snk)),
+          ("lex_ql_wand", (df, snk) =>
+            graft.streaming.Bm25Stream.serveLatestQlWand(df, root, dir)(snk)))) {
         val in2 = MemoryStream[(Long, String)]
         var served2 = 0L
         val q2 = serve(in2.toDS().toDF("doc_id", "text"), out => served2 += out.count())

@@ -801,10 +801,20 @@ object Retrieval {
     * write; retention via [[graft.core.Generations.prune]].
     */
   def writeLexicalGeneration(s: SparkSession, dir: String, root: String): Long = {
+    import s.implicits._
     val next = graft.core.Generations.next(root)
     val gdir = s"$root/gen-$next"
     impactIndex(s, dir).write.mode("overwrite").parquet(s"$gdir/index")
     stagedBounds(s, dir).write.mode("overwrite").parquet(s"$gdir/bounds")
+    // the generation carries BOTH lexical scorers: the QL pair (index +
+    // bounds are the staged ql_* artifacts) plus the stored doc lengths
+    // the QL serving tier needs for the exact per-doc Dirichlet prior —
+    // unlike BM25 (whose contributions embed every global stat), a QL
+    // generation is only self-contained WITH dl
+    qlImpactIndex(s, dir).write.mode("overwrite").parquet(s"$gdir/ql_index")
+    qlStagedBounds(s, dir).write.mode("overwrite").parquet(s"$gdir/ql_bounds")
+    TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+      .write.mode("overwrite").parquet(s"$gdir/dl")
     graft.core.Generations.setLatest(root, next)
     next
   }
@@ -821,6 +831,27 @@ object Retrieval {
     LexicalGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/index"),
       s.read.parquet(s"$root/gen-$gen/bounds"))
+  }
+
+  /** One committed QL serving slice of a lexical generation: the
+    * cf-ordered truncated index, its exclusion bounds, the stored doc
+    * lengths (the exact Dirichlet prior's input), and the collection
+    * minimum doc length `mMin` (the unseen-candidate prior bound's
+    * scalar), computed ONCE per generation load — never per batch. */
+  final case class QlGeneration(
+      gen: Long, index: DataFrame, bounds: DataFrame, dl: DataFrame, mMin: Long)
+
+  /** Load the QL slice of the generation `_latest` points at. */
+  def loadQlGeneration(s: SparkSession, root: String): QlGeneration = {
+    import s.implicits._
+    val gen = graft.core.Generations.latest(root).getOrElse(
+      sys.error(s"$root: no committed lexical serving generation"))
+    val dl = s.read.parquet(s"$root/gen-$gen/dl")
+    val mMin = dl.filter($"m" > 0).agg(min($"m")).collect()(0).getLong(0)
+    QlGeneration(gen,
+      s.read.parquet(s"$root/gen-$gen/ql_index"),
+      s.read.parquet(s"$root/gen-$gen/ql_bounds"),
+      dl, mMin)
   }
 
   /** Serve one query micro-batch from an EXPLICIT generation's
@@ -855,6 +886,145 @@ object Retrieval {
           .otherwise(0L).as("safe"))
       served.join(cert, "qid").orderBy($"qid", $"rank")
     }
+  }
+
+  /** Serve one QL query micro-batch from a generation's QL slice — the
+    * BOUNDED no-rescore tier: per-query top-k over the stored truncated
+    * lists plus the exact per-doc Dirichlet prior from the stored
+    * lengths, each answer carrying the U == 0 exactness certificate
+    * (tx_ql_safe's predicate — a no-rescore tier may only certify the
+    * nothing-was-truncated case, exactly like [[bm25ServeGenBatch]]:
+    * the prior bound certifies top-k MEMBERSHIP against unseen docs,
+    * but truncated residuals can still reorder seen docs, so ordering
+    * exactness under active truncation needs the rescore mode below).
+    * Per-batch work ≤ terms × P probe rows + a doc-keyed prior join —
+    * nothing corpus-sized beyond the stored-artifact equi-joins.
+    * Parity: fed the gate query docs, rows equal tx_ql_impact's with
+    * tx_ql_safe's verdicts (Bm25StreamSpec pins it).
+    */
+  private[graft] def qlServeGenBatch(
+      s: SparkSession, g: QlGeneration, queryDocs: DataFrame,
+      k: Int = BmK): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val qt = termsOf(queryDocs)
+    val qlen = qt.groupBy($"qid").agg(count(lit(1)).as("qlen"))
+    val scored = g.index.join(broadcast(qt),
+        g.index("word") === qt("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm"))
+      .join(g.dl, "doc_id")
+      .join(broadcast(qlen), "qid")
+      .select($"qid", $"doc_id",
+        ($"sm" + round($"qlen".cast("double")
+          * log(lit(QlMu) / ($"m" + lit(QlMu))), 6)).as("ql"))
+    val served = topkBy(scored, "ql", k)
+    val qw = qt.select($"word").distinct()
+    val b = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+    val cert = qt.join(broadcast(b), Seq("word"), "left")
+      .select($"qid", coalesce($"b", lit(0.0)).as("b"))
+      .groupBy($"qid")
+      .agg(when(sum($"b".cast("decimal(18,6)")).cast("double") === 0.0, 1L)
+        .otherwise(0L).as("safe"))
+    served.join(cert, "qid").orderBy($"qid", $"rank")
+  }
+
+  /** PRIOR-BOUND CERTIFIED QL serving — the wand verdict + restricted
+    * rescore ([[qlWandParts]]'s flow) per micro-batch against a
+    * committed generation: probe the stored truncated lists once for
+    * (ŝ, covered), certify per query with the PRIOR bound (safe iff
+    * U == 0, or ≥ k candidates seen AND θ > U + qlen·ln(μ/(m_min+μ))
+    * in DECIMAL — m_min is the generation's stored scalar), exact-
+    * rescore only candidates whose upper bound reaches θ, exact
+    * fallback restricted to provably-unsafe probes. Every answer is
+    * exact (no certificate column — nothing approximate to flag), and
+    * the prior bound is what makes QL queries certifiable under ACTIVE
+    * truncation, a class BM25's U-only verdict cannot reach
+    * ([[qlWandParts]]'s measured P=16000 knee: 1000/1000 certified at
+    * 0.08% rescore). `dir` is the stored corpus the rescore reads (the
+    * exact base a rescoring server retains — the
+    * [[bm25ServeGenBatchRescored]] contract). Parity: fed the gate
+    * query docs against the corpus's own generation, rows equal
+    * tx_ql_wand's (Bm25StreamSpec pins it).
+    */
+  private[graft] def qlServeGenBatchWand(
+      s: SparkSession, g: QlGeneration, dir: String,
+      queryDocs: DataFrame, k: Int = BmK): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val qt = termsOf(queryDocs)
+    val qw = qt.select($"word").distinct()
+    val bounds = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+    val qtb = qt.join(broadcast(bounds), Seq("word"), "left")
+      .select($"qid", $"word", coalesce($"b", lit(0.0)).as("b"))
+    val uq = qtb.groupBy($"qid")
+      .agg(sum($"b".cast("decimal(18,6)")).cast("double").as("u"))
+    val qlen = qt.groupBy($"qid").agg(count(lit(1)).as("qlen"))
+    val det = g.index.join(broadcast(qtb),
+        g.index("word") === qtb("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm_hat"),
+        sum($"b".cast("decimal(18,6)")).cast("double").as("covered"))
+      .join(g.dl, "doc_id")
+      .join(broadcast(qlen), "qid")
+      .select($"qid", $"doc_id", $"covered",
+        ($"sm_hat" + round($"qlen".cast("double")
+          * log(lit(QlMu) / ($"m" + lit(QlMu))), 6)).as("s_hat"))
+    val theta = det.groupBy($"qid")
+      .agg(graft.functions.GroupedTopK.groupedTopK($"s_hat", $"doc_id", k).as("top"),
+        count(lit(1)).as("n_seen"))
+      .select($"qid", $"n_seen",
+        when(size($"top") >= k, element_at($"top", k).getField("ord")).as("theta"))
+    // the most favorable prior any unseen candidate could carry, from
+    // the generation's stored m_min scalar — identical arithmetic to
+    // the batch tier's crossJoined 1-row frame
+    val maxp = qlen.select($"qid",
+      round($"qlen".cast("double")
+        * log(lit(QlMu) / (lit(g.mMin) + lit(QlMu))), 6).as("mp"))
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val verd = uq.join(theta, Seq("qid"), "left")
+      .join(maxp, "qid")
+      .select($"qid", $"u", $"theta",
+        coalesce($"n_seen", lit(0L)).as("n_seen"),
+        when($"u" === 0.0, 1L)
+          .otherwise(when(coalesce($"n_seen", lit(0L)) >= k
+              && dec6($"theta") > dec6($"u") + dec6($"mp"), 1L)
+            .otherwise(0L)).as("safe"))
+    val cand = det.join(verd.filter($"safe" === 1)
+        .select($"qid", $"u", $"theta"), "qid")
+      .filter($"theta".isNull ||
+        dec6($"s_hat") + (dec6($"u") - dec6($"covered")) >= dec6($"theta"))
+      .select($"qid", $"doc_id")
+    // exact rescore from the stored corpus's postings, probed words only
+    val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+    val tt = TextAnalysis.tokenCounts(s, dir)
+      .agg(coalesce(sum($"m"), lit(0L)).as("tt"))
+    val cf = tf.join(broadcast(qw), Seq("word"), "left_semi")
+      .groupBy($"word").agg(sum($"n").as("cf"))
+    val contrib = tf.join(broadcast(cf), "word")
+      .crossJoin(broadcast(tt))
+      .select($"word", $"doc_id",
+        round(log(lit(1.0) +
+          $"n".cast("double") * $"tt" / (lit(QlMu) * $"cf")), 6).as("c"))
+    val dl = TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
+    def qlOf(sm: DataFrame) = sm
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "qid")
+      .select($"qid", $"doc_id",
+        ($"sm" + round($"qlen".cast("double")
+          * log(lit(QlMu) / ($"m" + lit(QlMu))), 6)).as("ql"))
+    val rescored = qlOf(cand.join(qt, "qid")
+      .join(contrib, Seq("word", "doc_id"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm")))
+    val unsafeQids = verd.filter($"safe" === 0).select($"qid")
+    val qtu = qt.join(unsafeQids, Seq("qid"), "left_semi")
+    val unsafeExact = qlOf(contrib.join(broadcast(qtu),
+        contrib("word") === qtu("word") && $"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm")))
+    topkBy(rescored.unionByName(unsafeExact), "ql", k)
+      .orderBy($"qid", $"rank")
   }
 
   /** RANK-SAFE pruned serving for QUERY-LIKELIHOOD — the wand device

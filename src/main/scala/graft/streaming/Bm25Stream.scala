@@ -82,6 +82,35 @@ object Bm25Stream {
     serveLatestWith(queries, root)((s, g, batch) =>
       Retrieval.bm25ServeGenBatchRm3(s, g, dir, batch, k))(sink)
 
+  /** QUERY-LIKELIHOOD serving from the same committed generation — the
+    * second lexical scorer's no-rescore tier: per micro-batch, per-query
+    * top-k over the generation's cf-ordered truncated QL lists plus the
+    * exact stored-length Dirichlet prior, every answer carrying the
+    * U == 0 exactness certificate. Same pointer protocol as
+    * [[serveLatest]] (one `_latest` per lexical generation root serves
+    * BOTH scorers — [[graft.queries.Retrieval.writeLexicalGeneration]]
+    * commits the BM25 pair and the QL slice in one generation).
+    */
+  def serveLatestQl(queries: DataFrame, root: String,
+      k: Int = Retrieval.BmK)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    qlServeLatestWith(queries, root)((s, g, batch) =>
+      Retrieval.qlServeGenBatch(s, g, batch, k))(sink)
+
+  /** PRIOR-BOUND CERTIFIED QL serving mode: every micro-batch runs the
+    * QL wand verdict (U == 0 OR θ beats U + the unseen-candidate prior
+    * bound from the generation's stored m_min) + candidate-restricted
+    * exact rescore against the stored corpus at `dir` — every answer
+    * exact, certification possible under ACTIVE truncation (the
+    * capability BM25's U-only rescored mode lacks). The QL twin of
+    * [[serveLatestRescored]].
+    */
+  def serveLatestQlWand(queries: DataFrame, root: String, dir: String,
+      k: Int = Retrieval.BmK)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    qlServeLatestWith(queries, root)((s, g, batch) =>
+      Retrieval.qlServeGenBatchWand(s, g, dir, batch, k))(sink)
+
   /** Shared generation-resolving micro-batch loop: resolve `_latest`
     * per batch, reload `{index, bounds}` only on a generation change
     * (live cutover / rollback via the pointer), serve through `score`.
@@ -100,6 +129,26 @@ object Bm25Stream {
           sys.error(s"$root: no committed lexical serving generation"))
         if (!cached.map(_.gen).contains(latest))
           cached = Some(Retrieval.loadLexicalGeneration(s, root))
+        sink(score(s, cached.get, batch))
+      }
+    }
+    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
+  }
+
+  /** The [[serveLatestWith]] loop for the generation's QL slice — same
+    * pointer contract, QL artifacts (+ the once-per-load m_min scalar).
+    */
+  private def qlServeLatestWith(queries: DataFrame, root: String)(
+      score: (SparkSession, Retrieval.QlGeneration, DataFrame) => DataFrame)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    var cached: Option[Retrieval.QlGeneration] = None
+    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val latest = graft.core.Generations.latest(root).getOrElse(
+          sys.error(s"$root: no committed lexical serving generation"))
+        if (!cached.map(_.gen).contains(latest))
+          cached = Some(Retrieval.loadQlGeneration(s, root))
         sink(score(s, cached.get, batch))
       }
     }

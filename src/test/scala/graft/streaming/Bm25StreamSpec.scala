@@ -188,6 +188,74 @@ class Bm25StreamSpec extends SparkSpec {
     }
   }
 
+  test("QL serving equals the batch QL impact tier with tx_ql_safe's " +
+      "verdicts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lexql").toString
+    try {
+      assert(graft.queries.Retrieval.writeLexicalGeneration(spark, dir, tmp) == 1L)
+      val qdocs = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" % 50 === 0)
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val served = mutable.Buffer.empty[(Long, Int, Long, Double, Long)]
+      val in = MemoryStream[(Long, String)]
+      val q = Bm25Stream.serveLatestQl(
+        in.toDS().toDF("doc_id", "text"), tmp) { out =>
+        served ++= out.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+            r.getAs[Long]("safe")))
+      }.queryName("ql_gen_serve").start()
+      val cut = qdocs.length / 2
+      Seq(qdocs.take(cut), qdocs.drop(cut))
+        .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      q.stop()
+      val safeOf = graft.SparkEntry.queries("tx_ql_safe")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("safe")).toMap
+      val batch = graft.SparkEntry.queries("tx_ql_impact")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+            safeOf(r.getLong(0)))).toSet
+      assert(served.toSet == batch)
+      assert(served.size == served.toSet.size)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("prior-bound certified QL serving mode equals tx_ql_wand across " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lexqlwand").toString
+    try {
+      assert(graft.queries.Retrieval.writeLexicalGeneration(spark, dir, tmp) == 1L)
+      val qdocs = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" % 50 === 0)
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val served = mutable.Buffer.empty[(Long, Int, Long, Double)]
+      val in = MemoryStream[(Long, String)]
+      val q = Bm25Stream.serveLatestQlWand(
+        in.toDS().toDF("doc_id", "text"), tmp, dir) { out =>
+        served ++= out.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }.queryName("ql_wand_serve").start()
+      val cut = qdocs.length / 2
+      Seq(qdocs.take(cut), qdocs.drop(cut))
+        .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      q.stop()
+      val wand = graft.SparkEntry.queries("tx_ql_wand")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(served.toSet == wand)
+      assert(served.size == served.toSet.size)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("the serving certificate flags truncated answers") {
     import spark.implicits._
     // hand-built generation: word "x" truncated (bound 0.5), "y" intact
