@@ -58,7 +58,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.Retrieval.queries ++
       graft.queries.GraphRank.queries ++
-      graft.queries.Positional.queries
+      graft.queries.Positional.queries ++
+      graft.queries.RebuildPolicy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.Retrieval.oracle ++
       graft.queries.GraphRank.oracle ++
-      graft.queries.Positional.oracle
+      graft.queries.Positional.oracle ++
+      graft.queries.RebuildPolicy.oracle
 }
