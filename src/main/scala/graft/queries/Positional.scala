@@ -46,6 +46,22 @@ object Positional {
   /** Proximity distance bound (tokens). */
   private[queries] val ProxW = 10
 
+  /** Anchor-candidate cap for the TRUNCATED phrase tier
+    * (`tx_phrase_capped`): each anchor term's stored posting list is
+    * cut to its first [[PhraseCapP]] postings by (doc_id, pos) — the
+    * positional family's impact-tier convention (a doc-ordered index
+    * read stops after P postings), bounding per-query candidate work at
+    * O(P) regardless of the anchor's document frequency. A query whose
+    * anchor df ≤ P is EXACT (its full posting list survived the cut —
+    * rows equal tx_phrase_search's); the per-query flag says so, and
+    * `tx_phrase_cap_meter` prices the cut per query. At the gate
+    * corpora the 49-word synthetic vocabulary puts every anchor df
+    * over the cap from sf0.01 up (flag 0, results anchored to the
+    * doc_id-first prefix) while sf0.001 stays exact — both branches
+    * gate-exercised.
+    */
+  private[queries] val PhraseCapP = 2000
+
   private val posCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -153,7 +169,20 @@ object Positional {
     * occurrence counter's input, kept separate so the snippet query
     * can anchor its context window on the first match. */
   private def phraseStartsOn(s: SparkSession, index: DataFrame,
-      phrases: DataFrame): DataFrame = {
+      phrases: DataFrame): DataFrame =
+    phraseAnchorParts(s, index, phrases, None)._1
+
+  /** The anchored phrase core, optionally CAPPED: candidate starts plus
+    * the per-query anchor frame (qid, adf, aidx, word). With
+    * `cap = Some(p)` candidate generation reads only each anchor
+    * term's first `p` postings by (doc_id, pos) — the truncated tier;
+    * `None` is the exact anchored plan (unchanged shape). Verification
+    * always probes the FULL probed-word postings: the cap bounds which
+    * candidates are generated, never whether a generated candidate is
+    * checked exactly.
+    */
+  private def phraseAnchorParts(s: SparkSession, index: DataFrame,
+      phrases: DataFrame, cap: Option[Int]): (DataFrame, DataFrame) = {
     import s.implicits._
     val qt = phrases
     val idx = index
@@ -167,14 +196,28 @@ object Positional {
     val anchors = qt.join(broadcast(wdf), Seq("word"))
       .groupBy($"qid")
       .agg(min(struct($"df", $"idx", $"word")).as("a"))
-      .select($"qid", $"a.idx".as("aidx"), $"a.word".as("word"))
-    val cands = idxProbed.join(broadcast(anchors), Seq("word"))
-      .select($"qid", $"doc_id", ($"pos" - $"aidx").as("start"))
+      .select($"qid", $"a.df".as("adf"), $"a.idx".as("aidx"), $"a.word".as("word"))
+    val cands = cap match {
+      case None =>
+        idxProbed.join(broadcast(anchors.select($"qid", $"aidx", $"word")), Seq("word"))
+          .select($"qid", $"doc_id", ($"pos" - $"aidx").as("start"))
+      case Some(p) =>
+        // the truncated anchor lists: a window per ANCHOR word (postings
+        // of the probed anchors only — never the corpus), the stored-
+        // list cut a doc-ordered index read realizes by stopping at p
+        val capped = idxProbed
+          .join(broadcast(anchors.select($"word").distinct()), Seq("word"), "left_semi")
+          .withColumn("arn", row_number().over(
+            Window.partitionBy($"word").orderBy($"doc_id", $"pos")))
+          .filter($"arn" <= p).drop("arn")
+        capped.join(broadcast(anchors.select($"qid", $"aidx", $"word")), Seq("word"))
+          .select($"qid", $"doc_id", ($"pos" - $"aidx").as("start"))
+    }
     // the two non-anchor offsets, verified by exact-position probes
     val rest = qt.join(anchors.select($"qid", $"aidx"), Seq("qid"))
       .filter($"idx" =!= $"aidx")
       .select($"qid", $"idx", $"word")
-    cands.join(broadcast(rest), Seq("qid"))
+    val starts = cands.join(broadcast(rest), Seq("qid"))
       .select($"qid", $"doc_id", $"start", $"word",
         ($"start" + $"idx").as("pos"), $"idx")
       .join(idxProbed, Seq("word", "doc_id", "pos"), "left_semi")
@@ -182,6 +225,7 @@ object Positional {
       .agg(countDistinct($"idx").as("nidx"))
       .filter($"nidx" === 2)
       .select($"qid", $"doc_id", $"start")
+    (starts, anchors)
   }
 
   /** Per-query top-k by (n_occ desc, doc_id) over a (qid, doc_id,
@@ -255,31 +299,81 @@ object Positional {
     // positions are relative to the match start, so the engines' 0- vs
     // 1-based posting offsets never meet the output.
     "tx_snippet" -> { (s, dir) =>
+      snippetOn(s, positionalIndex(s, dir), queryPhrases(s, dir))
+    },
+
+    // The TRUNCATED phrase tier: candidates from each anchor's first
+    // [[PhraseCapP]] postings only, per-query work bounded at O(P)
+    // regardless of anchor df, each query flagged exact = 1 iff its
+    // anchor's full list survived the cut (in which case the rows
+    // equal tx_phrase_search's — PositionalSpec pins it).
+    "tx_phrase_capped" -> { (s, dir) =>
       import s.implicits._
-      // ONE aggregation carries both the occurrence count and the
-      // first-match anchor — the starts probe pass runs exactly once
-      // (a two-branch formulation re-ran it and measured 4.5 s; this
-      // one is in the family's band)
-      val perDoc = phraseStartsOn(s, positionalIndex(s, dir), queryPhrases(s, dir))
-        .groupBy($"qid", $"doc_id")
-        .agg(count(lit(1)).as("n_occ"), min($"start").as("s0"))
-      val w = Window.partitionBy($"qid").orderBy($"n_occ".desc, $"doc_id")
-      val best = perDoc.withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1).select($"qid", $"doc_id", $"n_occ", $"s0")
-      // best is broadcast ONCE with n_occ carried through the snippet
-      // aggregation key — a second reference to `best` here would
-      // re-run the whole starts chain (measured: 3.5 s vs 2.2 s)
-      positionalIndex(s, dir)
-        .join(broadcast(best), Seq("doc_id"))
-        .filter($"pos" >= $"s0" - 2 && $"pos" <= $"s0" + 4)
-        .groupBy($"qid", $"doc_id", $"n_occ")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct($"pos", $"word"))),
-            x => x.getField("word")), " ").as("snippet"))
-        .select($"qid", $"doc_id", $"n_occ", $"snippet")
+      val (starts, anchors) = phraseAnchorParts(
+        s, positionalIndex(s, dir), queryPhrases(s, dir), Some(PhraseCapP))
+      val occ = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
+      val exactf = anchors.select($"qid",
+        when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
+      phraseTopk(s, occ, 10)
+        .join(broadcast(exactf), "qid")
+        .orderBy($"qid", $"rk")
+    },
+
+    // The cap's honesty meter: per query, the anchor's true df, the
+    // exactness flag, and what the capped tier found — the instrument
+    // that prices the truncation instead of hoping about it.
+    "tx_phrase_cap_meter" -> { (s, dir) =>
+      import s.implicits._
+      val (starts, anchors) = phraseAnchorParts(
+        s, positionalIndex(s, dir), queryPhrases(s, dir), Some(PhraseCapP))
+      val st = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_occ").as("n_occs"))
+      anchors.select($"qid", $"adf".as("anchor_df"),
+          when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
+        .join(st, Seq("qid"), "left")
+        .select($"qid", $"anchor_df", $"exact",
+          coalesce($"n_docs", lit(0L)).as("n_docs"),
+          coalesce($"n_occs", lit(0L)).as("n_occs"))
         .orderBy($"qid")
     }
   )
+
+  /** The snippet core for an arbitrary index + phrase probe — shared by
+    * tx_snippet and the serving tier ([[snippetServeGenBatch]]). */
+  private def snippetOn(s: SparkSession, index: DataFrame,
+      phrases: DataFrame): DataFrame = {
+    import s.implicits._
+    // ONE aggregation carries both the occurrence count and the
+    // first-match anchor — the starts probe pass runs exactly once
+    // (a two-branch formulation re-ran it and measured 4.5 s; this
+    // one is in the family's band)
+    val perDoc = phraseStartsOn(s, index, phrases)
+      .groupBy($"qid", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"), min($"start").as("s0"))
+    val w = Window.partitionBy($"qid").orderBy($"n_occ".desc, $"doc_id")
+    val best = perDoc.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).select($"qid", $"doc_id", $"n_occ", $"s0")
+    // best is broadcast ONCE with n_occ carried through the snippet
+    // aggregation key — a second reference to `best` here would
+    // re-run the whole starts chain (measured: 3.5 s vs 2.2 s)
+    index
+      .join(broadcast(best), Seq("doc_id"))
+      .filter($"pos" >= $"s0" - 2 && $"pos" <= $"s0" + 4)
+      .groupBy($"qid", $"doc_id", $"n_occ")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"word"))),
+          x => x.getField("word")), " ").as("snippet"))
+      .select($"qid", $"doc_id", $"n_occ", $"snippet")
+      .orderBy($"qid")
+  }
+
+  /** Serve one micro-batch of (doc_id, text) snippet queries from an
+    * EXPLICIT generation's postings — the snippet contract's serving
+    * half ([[graft.streaming.PositionalStream.serveLatestSnippet]]). */
+  private[graft] def snippetServeGenBatch(s: SparkSession,
+      g: PositionalGeneration, queryDocs: DataFrame): DataFrame =
+    snippetOn(s, g.postings, phrasesOf(s, queryDocs))
 
   /** Proximity for an arbitrary probe restriction (the scale probe's
     * fixed-batch form; the gate query passes `true`).
@@ -366,7 +460,80 @@ object Positional {
        |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ
        |  FROM st GROUP BY 1, 2)""".stripMargin
 
+  /** Capped-tier oracle chain (appended after [[PhraseCte]], whose `qt`
+    * it reuses): probed-word dfs, the per-query (df, idx, word)-min
+    * anchor, the anchor lists cut to the first [[PhraseCapP]] postings
+    * by (doc_id, pos), capped candidates, and full-postings
+    * verification — mirroring [[phraseAnchorParts]] with the cap
+    * operation for operation (the 1- vs 0-based posting offsets never
+    * meet the output: the cut orders by (doc_id, pos), identical in
+    * both bases).
+    */
+  private val CapCte =
+    s"""wdf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS df FROM p
+       |  WHERE word IN (SELECT word FROM qt) GROUP BY word),
+       |anch AS (
+       |  SELECT qid, df AS adf, idx AS aidx, word FROM (
+       |    SELECT qt.qid, w.df, qt.idx, qt.word,
+       |      row_number() OVER (PARTITION BY qt.qid
+       |        ORDER BY w.df, qt.idx, qt.word) AS rn
+       |    FROM qt JOIN wdf w ON w.word = qt.word) WHERE rn = 1),
+       |capp AS (
+       |  SELECT word, doc_id, pos FROM (
+       |    SELECT p.word, p.doc_id, p.pos,
+       |      row_number() OVER (PARTITION BY p.word
+       |        ORDER BY p.doc_id, p.pos) AS arn
+       |    FROM p WHERE p.word IN (SELECT word FROM anch))
+       |  WHERE arn <= $PhraseCapP),
+       |ccand AS (
+       |  SELECT a.qid, c.doc_id, c.pos - a.aidx AS start
+       |  FROM capp c JOIN anch a ON a.word = c.word),
+       |crest AS (
+       |  SELECT qt.qid, qt.idx, qt.word
+       |  FROM qt JOIN anch a ON a.qid = qt.qid WHERE qt.idx <> a.aidx),
+       |cver AS (
+       |  SELECT cd.qid, cd.doc_id, cd.start
+       |  FROM ccand cd JOIN crest r ON r.qid = cd.qid
+       |  JOIN p ON p.word = r.word AND p.doc_id = cd.doc_id
+       |        AND p.pos = cd.start + r.idx
+       |  GROUP BY cd.qid, cd.doc_id, cd.start
+       |  HAVING count(DISTINCT r.idx) = 2),
+       |cocc AS (
+       |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM cver GROUP BY 1, 2)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "tx_phrase_capped" ->
+      s"""$PosCte,
+         |$PhraseCte,
+         |$CapCte
+         |SELECT o.qid, o.doc_id, o.n_occ, o.rk,
+         |  CAST(CASE WHEN a.adf <= $PhraseCapP THEN 1 ELSE 0 END AS BIGINT)
+         |    AS exact
+         |FROM (
+         |  SELECT qid, doc_id, n_occ,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY n_occ DESC, doc_id) AS INT) AS rk
+         |  FROM cocc) o
+         |JOIN anch a ON a.qid = o.qid
+         |WHERE o.rk <= 10 ORDER BY o.qid, o.rk""".stripMargin,
+
+    "tx_phrase_cap_meter" ->
+      s"""$PosCte,
+         |$PhraseCte,
+         |$CapCte
+         |SELECT a.qid, a.adf AS anchor_df,
+         |  CAST(CASE WHEN a.adf <= $PhraseCapP THEN 1 ELSE 0 END AS BIGINT)
+         |    AS exact,
+         |  CAST(COALESCE(st.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(st.n_occs, 0) AS BIGINT) AS n_occs
+         |FROM anch a LEFT JOIN (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_occ) AS BIGINT) AS n_occs
+         |  FROM cocc GROUP BY qid) st ON st.qid = a.qid
+         |ORDER BY a.qid""".stripMargin,
+
     "tx_phrase_search" ->
       s"""$PosCte,
          |$PhraseCte

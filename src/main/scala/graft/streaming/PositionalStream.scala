@@ -67,6 +67,15 @@ object PositionalStream {
     serveLatestWith(queries, root)(
       Positional.proximityServeGenBatch(_, _, _))(sink)
 
+  /** Generation-bound SNIPPET serving — tx_snippet's contract (best
+    * phrase doc + first-match context window) per micro-batch from the
+    * committed postings, same pointer protocol. Completes the
+    * positional tier's serving surface: phrase, proximity, snippet. */
+  def serveLatestSnippet(queries: DataFrame, root: String)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)(
+      Positional.snippetServeGenBatch(_, _, _))(sink)
+
   private def serveLatestWith(queries: DataFrame, root: String)(
       score: (SparkSession, Positional.PositionalGeneration, DataFrame) => DataFrame)(
       sink: DataFrame => Unit): DataStreamWriter[Row] = {

@@ -67,6 +67,47 @@ class PositionalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 2L, "a b a b a")))
   }
 
+  test("capped tier: an over-cap anchor truncates candidates honestly; " +
+      "an under-cap anchor stays exact") {
+    // probe 0's phrase "a b c": all three words flooded past the 2000
+    // cap (anchor df 2503), with one match inside the doc_id-ordered
+    // prefix (doc 1) and one beyond it (doc 3000) — the capped tier
+    // must find the former, miss the latter, and say exact = 0.
+    // probe 50's phrase "p q r": anchor df 3 — exact = 1, rows equal
+    // the uncapped search.
+    val docs = Seq(
+      (0L, "a b c x y", "s0"),
+      (1L, "a b c", "s1"),
+      (5L, Seq.fill(2500)("a").mkString(" "), "sa"),
+      (6L, Seq.fill(2500)("b").mkString(" "), "sb"),
+      (7L, Seq.fill(2500)("c").mkString(" "), "sc"),
+      (3000L, "a b c", "s9"),
+      (50L, "p q r z", "s4"),
+      (2L, "p q r p q r", "s5"))
+    val dir = freshDir(docs)
+    val capped = Positional.queries("tx_phrase_capped")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getAs[Long]("exact")))
+    val search = Positional.queries("tx_phrase_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // uncapped truth for probe 0: docs 0, 1 AND 3000
+    assert(search.filter(_._1 == 0L).map(_._2).toSet == Set(0L, 1L, 3000L))
+    // capped: the beyond-prefix doc 3000 is gone, flag honest
+    assert(capped.filter(_._1 == 0L).map(_._2).toSet == Set(0L, 1L))
+    assert(capped.filter(_._1 == 0L).forall(_._5 == 0L))
+    // under-cap probe 50: identical rows, flagged exact
+    assert(capped.filter(_._1 == 50L).map(t => (t._1, t._2, t._3, t._4)).toSet
+      == search.filter(_._1 == 50L).toSet)
+    assert(capped.filter(_._1 == 50L).forall(_._5 == 1L))
+
+    val meter = Positional.queries("tx_phrase_cap_meter")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Long]("exact"),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(meter(0L)._1 > 2000L && meter(0L)._2 == 0L)
+    assert(meter(0L)._3 == 2L && meter(0L)._4 == 2L)
+    assert(meter(50L) == ((3L, 1L, 2L, 3L)))
+  }
+
   test("results are deterministic across cache-cleared reruns") {
     val dir = freshDir(phraseDocs)
     val first = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
