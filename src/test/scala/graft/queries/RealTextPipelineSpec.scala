@@ -36,10 +36,21 @@ class RealTextPipelineSpec extends SparkSpec {
   }
 
   private lazy val dir: String = {
+    import org.apache.spark.sql.functions._
     val d = java.nio.file.Files.createTempDirectory("real_text").toString
-    books.map { case (id, text, name) =>
-      (id, text, "xx", name, text.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // read the books through the TEXT SOURCE (tasks read from disk)
+    // instead of parallelizing the 3.3 MB driver-local Seq — the latter
+    // ships each book inside a task binary and floods the suite log
+    // with very-large-task warnings, hiding real task-size regressions
+    val files = spark.read.option("wholetext", "true")
+      .text("/root/reference/main/pg-*.txt")
+      .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"),
+        $"value".as("text"))
+    val ids = books.map { case (id, _, name) => (id, name) }
+      .toDF("doc_id", "source")
+    files.join(broadcast(ids), "source")
+      .select($"doc_id", $"text", lit("xx").as("lang"), $"source",
+        length($"text").cast("long").as("n_chars"))
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
   }
@@ -159,14 +170,24 @@ class RealTextPipelineSpec extends SparkSpec {
     // the indexed side); incoming batch: id 5, a lightly-perturbed copy
     // of the book at id 1 — the one true near-dup must be the one
     // decision, pointing at its source
+    // derive the re-IDed corpus + perturbed copy from the parquet the
+    // suite already wrote (tasks read from disk) — a driver-local Seq
+    // of whole books ships megabyte task binaries (the large-task
+    // warning class this suite is the canary for)
+    import org.apache.spark.sql.functions.{broadcast, concat, lit}
     val d = Files.createTempDirectory("real_incr").toString
     val ids = Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L)
-    val base = books.zip(ids).map { case ((_, text, name), id) =>
-      (id, text, "xx", name, text.length.toLong)
-    }
-    val copy = (5L, base.head._2 + "\nincremental ingest copy marker\n",
-      "xx", "copy-of-" + base.head._4, 0L)
-    (base :+ copy).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idMap = books.map(_._3).zip(ids).toDF("source", "new_id")
+    val stored = graft.core.Tables(spark, dir).documents
+    val base = stored.join(broadcast(idMap), "source")
+      .select($"new_id".as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    val copy = stored.filter($"source" === books.head._3)
+      .select(lit(5L).as("doc_id"),
+        concat($"text", lit("\nincremental ingest copy marker\n")).as("text"),
+        lit("xx").as("lang"),
+        concat(lit("copy-of-"), $"source").as("source"),
+        lit(0L).as("n_chars"))
+    base.unionByName(copy)
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     val rows = graft.SparkEntry.queries("dedup_incremental")(spark, d).collect()
     assert(rows.length == 1)
