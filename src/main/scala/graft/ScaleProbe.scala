@@ -664,12 +664,20 @@ object ScaleProbe {
       .filter(batch).count()
     for ((tag, df) <- Seq(
       ("phrase", graft.queries.Positional.phraseOcc(spark, out, batch)),
+      ("phrase_capped", graft.queries.Positional.phraseOccCapped(spark, out, batch)),
       ("proximity", graft.queries.Positional.proximityFor(spark, out, batch)))) {
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe": "positional_$tag", "mult": $m, "sec": $sec%.2f, "rows": $rows, "queries": $nq, "ms_per_query": ${sec * 1000 / nq}%.2f}""")
     }
+    // the capped tier's honesty at this multiple: how many probe
+    // queries stayed exact, and the worst anchor df vs the cap
+    val cm = graft.queries.Positional.phraseCapMeterFor(spark, out, batch)
+      .agg(org.apache.spark.sql.functions.sum("exact"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.max("anchor_df")).collect()(0)
+    println(s"""{"probe": "positional_cap_meter", "mult": $m, "exact": ${cm.getLong(0)}, "queries": ${cm.getLong(1)}, "max_anchor_df": ${cm.getLong(2)}}""")
   }
 
   /** QL frontier: the exact tier's full-postings traversal vs the

@@ -18,6 +18,7 @@ object StageIndexes {
   /** Stage every dedup + ANN + text-accounting + media artifact for `dir`. */
   def stageAll(s: SparkSession, dir: String): Unit = {
     graft.queries.Dedup.stageIndexes(s, dir)
+    graft.queries.Positional.stageIndexes(s, dir)
     graft.queries.Similarity.stageIndexes(s, dir)
     graft.queries.TextAnalysis.stageIndexes(s, dir)
     graft.multimodal.Multimodal.mediaTable(s, dir)

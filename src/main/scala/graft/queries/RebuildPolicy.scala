@@ -79,6 +79,40 @@ object RebuildPolicy {
     }
   )
 
+  /** Act on the verdicts — the loop-closure step a production
+    * scheduler runs after the policy query: for each family whose
+    * verdict reads rebuild AND whose serving-generation root is
+    * supplied, commit that family's next generation from the corpus at
+    * `dir` (the serving tiers then cut over LIVE on their next
+    * micro-batch through their `_latest` pointers — no restart).
+    * Returns family → committed generation for the rebuilds actually
+    * performed; an all-quiet policy returns an empty map and writes
+    * nothing. Families map to their generation writers: `lexical` →
+    * [[Retrieval.writeLexicalGeneration]] (BM25 + QL slices), `vector`
+    * → [[Similarity.writeServingGeneration]]. The dedup family has no
+    * pointer-served generation — its staged band index is keyed by
+    * corpus generation in [[graft.core.Staging]] and rebuilds with the
+    * next index job — so the policy surfaces its verdict but this
+    * executor takes no root for it.
+    */
+  def applyPolicy(s: SparkSession, dir: String,
+      roots: Map[String, String]): Map[String, Long] = {
+    import s.implicits._
+    val known = Set("lexical", "vector")
+    val unknown = roots.keySet -- known
+    require(unknown.isEmpty,
+      s"no generation writer for families: ${unknown.toSeq.sorted.mkString(",")}")
+    val fire = queries("tx_rebuild_policy")(s, dir)
+      .filter($"rebuild" === 1L)
+      .select($"family").collect().map(_.getString(0)).toSet
+    roots.collect {
+      case ("lexical", root) if fire("lexical") =>
+        "lexical" -> Retrieval.writeLexicalGeneration(s, dir, root)
+      case ("vector", root) if fire("vector") =>
+        "vector" -> Similarity.writeServingGeneration(s, dir, root)
+    }
+  }
+
   /** The oracle composes the three meters' PUBLISHED oracle statements
     * as subqueries (DuckDB allows WITH inside a derived table), so the
     * policy's SQL twin tracks the meters' by construction. */

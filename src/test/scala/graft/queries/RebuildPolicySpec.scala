@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -59,6 +61,71 @@ class RebuildPolicySpec extends SparkSpec {
       graft.queries.Similarity.clearCaches()
       graft.queries.Dedup.clearCaches()
       graft.queries.TextAnalysis.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("the full loop: planted lexical drift fires the policy, applyPolicy " +
+      "rebuilds ONLY the lexical generation, and serving cuts over live") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    val (drift, lexRoot, vecRoot) = (s"$tmp/drift", s"$tmp/lex", s"$tmp/vec")
+    try {
+      // the drifted corpus: the arriving split (%5 == 0) flooded with
+      // 200 per-doc-UNIQUE novel tokens — JS divergence jumps past the
+      // 0.01 line from the flood's mass, while every flooded 5-gram is
+      // globally unique (df 1: no dedup stop-line crossing) and the
+      // embeddings are byte-identical (no vector drift)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0,
+            concat($"text", lit(" "), array_join(
+              transform(sequence(lit(0), lit(199)),
+                i => concat(lit("zz"), $"doc_id", lit("x"), i)), " ")))
+            .otherwise($"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .write.parquet(s"$drift/documents.parquet")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .write.parquet(s"$drift/embeddings.parquet")
+
+      // serving starts on gen-1 built from the PRISTINE corpus
+      assert(graft.queries.Retrieval.writeLexicalGeneration(spark, dir, lexRoot) == 1L)
+      val batches = mutable.Buffer.empty[Long]
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Bm25Stream.serveLatest(
+        in.toDS().toDF("doc_id", "text"), lexRoot) { out =>
+        batches += out.count()
+      }.queryName("loop_serve").start()
+      val qdoc = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" === 0).select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      in.addData(qdoc: _*); q.processAllAvailable()
+      assert(batches.nonEmpty && batches.head > 0)
+
+      // the monitor → verdict → rebuild chain on the drifted corpus
+      val fired = graft.queries.RebuildPolicy.applyPolicy(spark, drift,
+        Map("lexical" -> lexRoot, "vector" -> vecRoot))
+      assert(fired == Map("lexical" -> 2L), s"unexpected rebuilds: $fired")
+      assert(graft.core.Generations.latest(lexRoot).contains(2L))
+      assert(graft.core.Generations.latest(vecRoot).isEmpty,
+        "a quiet vector verdict must not commit a vector generation")
+
+      // the SAME running stream serves the next batch from gen-2
+      in.addData(qdoc: _*); q.processAllAvailable()
+      q.stop()
+      assert(batches.size == 2 && batches(1) > 0)
+
+      // all-quiet corpus: the executor is a no-op
+      assert(graft.queries.RebuildPolicy.applyPolicy(spark, dir,
+        Map("lexical" -> lexRoot, "vector" -> vecRoot)).isEmpty)
+      assert(graft.core.Generations.latest(lexRoot).contains(2L))
+    } finally {
+      graft.queries.Similarity.clearCaches()
+      graft.queries.Dedup.clearCaches()
+      graft.queries.TextAnalysis.clearCaches()
+      graft.queries.Retrieval.clearCaches()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
