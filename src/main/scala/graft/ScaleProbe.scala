@@ -652,6 +652,12 @@ object ScaleProbe {
     val nPostings = graft.queries.Positional.positionalIndex(spark, out).count()
     val buildSec = (System.nanoTime() - tb) / 1e9
     println(f"""{"probe": "positional_build", "mult": $m, "sec": $buildSec%.2f, "postings": $nPostings}""")
+    // the capped lists are an OFFLINE artifact: build timed apart so the
+    // phrase_capped probe below reads the tier's steady state
+    val tc = System.nanoTime()
+    val nCapped = graft.queries.Positional.cappedIndex(spark, out).count()
+    val capSec = (System.nanoTime() - tc) / 1e9
+    println(f"""{"probe": "positional_cap_build", "mult": $m, "sec": $capSec%.2f, "rows": $nCapped}""")
     // FIXED query batch at every multiple (the hybrid-probe
     // convention): the %QStep probe set grows with the corpus, and
     // ms/query must not conflate batch size with corpus scale. The

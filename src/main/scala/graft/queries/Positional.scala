@@ -109,7 +109,7 @@ object Positional {
     * (truncation is per-word independent), so the oracle's
     * probed-words-only re-derivation checks the artifact exactly.
     */
-  private def cappedIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cappedIndex(s: SparkSession, dir: String): DataFrame =
     capCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       Staging.readElseBuild(s, dir, s"positional_cap_p$PhraseCapP", Seq("documents")) {
