@@ -309,23 +309,48 @@ object Positional {
     val next = graft.core.Generations.next(root)
     positionalIndex(s, dir).write.mode("overwrite")
       .parquet(s"$root/gen-$next/postings")
+    // the generation carries the capped anchor lists too — the
+    // truncated tier serves from the same commit point as the exact one
+    cappedIndex(s, dir).write.mode("overwrite")
+      .parquet(s"$root/gen-$next/capped")
     graft.core.Generations.setLatest(root, next)
     next
   }
 
-  /** One committed positional generation. */
-  final case class PositionalGeneration(gen: Long, postings: DataFrame)
+  /** One committed positional generation: full postings + the capped
+    * anchor lists ([[cappedIndex]]'s cut, committed together). */
+  final case class PositionalGeneration(
+      gen: Long, postings: DataFrame, capped: DataFrame)
 
   def loadPositionalGeneration(s: SparkSession, root: String): PositionalGeneration = {
     val gen = graft.core.Generations.latest(root).getOrElse(
       sys.error(s"$root: no committed positional serving generation"))
-    PositionalGeneration(gen, s.read.parquet(s"$root/gen-$gen/postings"))
+    PositionalGeneration(gen,
+      s.read.parquet(s"$root/gen-$gen/postings"),
+      s.read.parquet(s"$root/gen-$gen/capped"))
   }
 
   /** Serve one micro-batch from an EXPLICIT generation's postings. */
   private[graft] def phraseServeGenBatch(s: SparkSession,
       g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame =
     phraseTopk(s, phraseOccOn(s, g.postings, phrasesOf(s, queryDocs)), k)
+
+  /** The CAPPED tier's serving core: candidates from the generation's
+    * committed capped lists, anchors/verification from its full
+    * postings, each answer carrying the per-query exact flag — the
+    * tx_phrase_capped contract per micro-batch. */
+  private[graft] def phraseCappedServeGenBatch(s: SparkSession,
+      g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val (starts, anchors) = phraseAnchorParts(
+      s, g.postings, phrasesOf(s, queryDocs), Some(g.capped))
+    val occ = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
+    val exactf = anchors.select($"qid",
+      when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
+    phraseTopk(s, occ, k)
+      .join(broadcast(exactf), "qid")
+      .orderBy($"qid", $"rk")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_phrase_search" -> { (s, dir) => phraseTopk(s, phraseOcc(s, dir), 10) },

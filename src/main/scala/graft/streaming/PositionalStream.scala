@@ -67,6 +67,16 @@ object PositionalStream {
     serveLatestWith(queries, root)(
       Positional.proximityServeGenBatch(_, _, _))(sink)
 
+  /** Generation-bound CAPPED phrase serving — tx_phrase_capped's
+    * contract per micro-batch: candidates from the generation's
+    * committed truncated anchor lists (bounded at P per anchor at any
+    * df), full-postings verification, per-answer exact flag. Same
+    * pointer protocol. */
+  def serveLatestCapped(queries: DataFrame, root: String, k: Int = 10)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)((s, g, batch) =>
+      Positional.phraseCappedServeGenBatch(s, g, batch, k))(sink)
+
   /** Generation-bound SNIPPET serving — tx_snippet's contract (best
     * phrase doc + first-match context window) per micro-batch from the
     * committed postings, same pointer protocol. Completes the
