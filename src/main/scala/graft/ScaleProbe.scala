@@ -67,6 +67,10 @@ object ScaleProbe {
       streamDedupProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("gateserve")) {
+      gateServeProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("lexserve")) {
       lexServeProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
@@ -819,6 +823,62 @@ object ScaleProbe {
         println(f"""{"serve": "$mode", "mult": $tag, "batch_sec": $steady2%.2f, "served": $served2}""")
         q2.stop()
       }
+    }
+  }
+
+  /** Admission-gate serving ladder: per-batch cost of
+    * [[graft.streaming.GateStream.admittedLatest]] at 1× and the m×
+    * graph replica (whose per-copy source renames grow the SOURCE set
+    * m× — the state dimension). Claims under test: per-batch admission
+    * work is batch-shaped (one source-partitioned window over the
+    * batch + a broadcast sources-sized room join), so batch latency
+    * must not scale with the corpus; the gate-generation write is the
+    * offline rank job's cost, paid once; a budget republish costs one
+    * pointer resolution + a sources-sized reload inline.
+    */
+  private def gateServeProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/root/testdata/sf0.1"
+    val rep = s"/tmp/graft_scale${m}g"
+    if (!new java.io.File(s"$rep/documents.parquet").exists())
+      buildGraphReplica(spark, m, rep)
+    for ((tag, dir) <- Seq(("1", base), (m.toString, rep))) {
+      graft.queries.Dedup.clearCaches()
+      graft.queries.TextAnalysis.clearCaches()
+      graft.queries.GraphRank.clearCaches()
+      val root = s"/tmp/graft_gateserve_$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val tw = System.nanoTime()
+      graft.queries.GraphRank.writeGateGeneration(spark, dir, root)
+      val wSec = (System.nanoTime() - tw) / 1e9
+      println(f"""{"serve": "gate_gen_write", "mult": $tag, "sec": $wSec%.2f}""")
+      // fixed 100k-arrival batches drawn from the corpus head: admission
+      // cost must be batch-shaped, never corpus-shaped
+      val arr = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"source").limit(100000)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val in = MemoryStream[(Long, String)]
+      var admitted = 0L
+      val q = graft.streaming.GateStream.admittedLatest(
+        in.toDS().toDF("doc_id", "source"), root) { b => admitted += b.count() }
+        .queryName(s"gate_probe_$tag").start()
+      def runBatch(): Double = {
+        val t0 = System.nanoTime()
+        in.addData(arr: _*); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runBatch(); runBatch() // warmup: plan + codegen + budget load
+      val steady = Seq.fill(3)(runBatch()).sorted.apply(1)
+      println(f"""{"serve": "gate_admit", "mult": $tag, "batch_sec": $steady%.2f, "arrivals": ${arr.size}, "admitted": $admitted}""")
+      // live budget cutover: republish (offline rank job, timed apart),
+      // then the next batch pays only pointer + sources-sized reload
+      graft.queries.GraphRank.clearCaches()
+      graft.queries.GraphRank.writeGateGeneration(spark, dir, root)
+      val flipSec = runBatch()
+      println(f"""{"serve": "gate_flip", "mult": $tag, "batch_sec": $flipSec%.2f}""")
+      q.stop()
     }
   }
 
