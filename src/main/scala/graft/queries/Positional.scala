@@ -55,10 +55,12 @@ object Positional {
     * anchor df ≤ P is EXACT (its full posting list survived the cut —
     * rows equal tx_phrase_search's); the per-query flag says so, and
     * `tx_phrase_cap_meter` prices the cut per query. At the gate
-    * corpora the 49-word synthetic vocabulary puts every anchor df
-    * over the cap from sf0.01 up (flag 0, results anchored to the
-    * doc_id-first prefix) while sf0.001 stays exact — both branches
-    * gate-exercised.
+    * corpora (measured): sf0.001 and sf0.01 read anchor df ~850-950 —
+    * every query exact, rows hash-equal tx_phrase_search's; sf0.1
+    * reads anchor df ~8.8-9.1k — every query capped (flag 0,
+    * candidates from the doc_id-first prefix). Both oracle branches
+    * are gate-exercised across the three SFs, and PositionalSpec
+    * plants an over/under-cap pair in one corpus.
     */
   private[queries] val PhraseCapP = 2000
 
