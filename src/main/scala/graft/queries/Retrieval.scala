@@ -1676,47 +1676,71 @@ object Retrieval {
     // pred = 1 iff the posterior odds favor the gate-pass class.
     "tx_nb_score" -> { (s, dir) =>
       import s.implicits._
-      val (lo, tot) = nbModel(s, dir)
-      val cls = gateLabels(s, dir).filter($"doc_id" % 3 =!= 0)
-        .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
-          coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
-      // prior rounded to 6 decimals like every other cross-engine
-      // transcendental in this file — an unrounded ln() ulp difference
-      // between libms can flip pred for near-zero posteriors
-      val prior = cls.select(
-        round(log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))), 6).as("pri"))
-      val unseen = tot.select(
-        round(log(($"t_neg" + $"vocab").cast("double")
-          / ($"t_pos" + $"vocab").cast("double")), 6).as("lo_u"))
-      val tst = TextAnalysis.termFreqs(s, dir)
-        .select($"doc_id", $"word", $"n")
-        .filter($"doc_id" % 3 === 0)
-      // NO broadcast hint on the model join: the staged model scan
-      // carries size statistics, so the engine broadcasts a gate-sized
-      // vocabulary and falls back to a shuffle equi-join past the
-      // autoBroadcastJoinThreshold — the size-gated degradation the
-      // module contract promises
-      tst
-        .join(lo.select($"word", $"lo"), Seq("word"), "left_outer")
-        .crossJoin(broadcast(unseen))
-        .groupBy($"doc_id")
-        .agg(
-          sum($"n" * coalesce($"lo", $"lo_u").cast("decimal(28,6)"))
-            .cast("double").as("s"),
-          sum($"n").as("n_tok"))
-        .crossJoin(broadcast(prior))
-        // score = prior + Σ contributions as the EXACT 6-decimal DECIMAL
-        // sum cast to double (both addends are 6-dec quantities) — a
-        // final round(·, 4) hit an exact half tie at sf0.1 (Spark
-        // half-up vs DuckDB's double-path rounding), the verify-skill
-        // tie class; the exact sum has no tie to round
-        .select($"doc_id", $"n_tok",
-          ($"pri".cast("decimal(18,6)") + $"s".cast("decimal(28,6)"))
-            .cast("double").as("score"),
-          when($"pri".cast("decimal(18,6)") + $"s".cast("decimal(28,6)") > 0, 1L)
-            .otherwise(0L).as("pred"))
-        .orderBy($"doc_id")
+      nbScored(s, dir).orderBy($"doc_id")
+    },
+
+    // The classifier's CALIBRATION instrument: confusion matrix of the
+    // NB predictions against the rule gate's own verdicts on the
+    // HELD-OUT split — the agreement a production quality-filter run
+    // reviews before trusting the cheap classifier over the expensive
+    // rule (per cell: count + share of the held-out split). Joins the
+    // scorer's output with the label source it was trained against;
+    // one doc-keyed join + a 4-row aggregation.
+    "tx_nb_confusion" -> { (s, dir) =>
+      import s.implicits._
+      val cells = nbScored(s, dir).select($"doc_id", $"pred")
+        .join(gateLabels(s, dir).filter($"doc_id" % 3 === 0), "doc_id")
+        .groupBy($"pred", $"y").agg(count(lit(1)).as("n"))
+      cells.crossJoin(broadcast(cells.agg(sum($"n").as("tot"))))
+        .select($"pred", $"y", $"n",
+          round($"n".cast("double") / $"tot", 6).as("share"))
+        .orderBy($"pred", $"y")
     })
+
+  /** The held-out NB scoring frame (doc_id, n_tok, score, pred) —
+    * shared by tx_nb_score and the confusion instrument. */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (lo, tot) = nbModel(s, dir)
+    val cls = gateLabels(s, dir).filter($"doc_id" % 3 =!= 0)
+      .agg(coalesce(sum(when($"y" === 1, 1L)), lit(0L)).as("n_pos"),
+        coalesce(sum(when($"y" === 0, 1L)), lit(0L)).as("n_neg"))
+    // prior rounded to 6 decimals like every other cross-engine
+    // transcendental in this file — an unrounded ln() ulp difference
+    // between libms can flip pred for near-zero posteriors
+    val prior = cls.select(
+      round(log(($"n_pos" + lit(1.0)) / ($"n_neg" + lit(1.0))), 6).as("pri"))
+    val unseen = tot.select(
+      round(log(($"t_neg" + $"vocab").cast("double")
+        / ($"t_pos" + $"vocab").cast("double")), 6).as("lo_u"))
+    val tst = TextAnalysis.termFreqs(s, dir)
+      .select($"doc_id", $"word", $"n")
+      .filter($"doc_id" % 3 === 0)
+    // NO broadcast hint on the model join: the staged model scan
+    // carries size statistics, so the engine broadcasts a gate-sized
+    // vocabulary and falls back to a shuffle equi-join past the
+    // autoBroadcastJoinThreshold — the size-gated degradation the
+    // module contract promises
+    tst
+      .join(lo.select($"word", $"lo"), Seq("word"), "left_outer")
+      .crossJoin(broadcast(unseen))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"n" * coalesce($"lo", $"lo_u").cast("decimal(28,6)"))
+          .cast("double").as("s"),
+        sum($"n").as("n_tok"))
+      .crossJoin(broadcast(prior))
+      // score = prior + Σ contributions as the EXACT 6-decimal DECIMAL
+      // sum cast to double (both addends are 6-dec quantities) — a
+      // final round(·, 4) hit an exact half tie at sf0.1 (Spark
+      // half-up vs DuckDB's double-path rounding), the verify-skill
+      // tie class; the exact sum has no tie to round
+      .select($"doc_id", $"n_tok",
+        ($"pri".cast("decimal(18,6)") + $"s".cast("decimal(28,6)"))
+          .cast("double").as("score"),
+        when($"pri".cast("decimal(18,6)") + $"s".cast("decimal(28,6)") > 0, 1L)
+          .otherwise(0L).as("pred"))
+  }
 
   /** Shared oracle CTE fragments (interpolated constants match the
     * Scala side one for one). */
@@ -2385,25 +2409,46 @@ object Retrieval {
 
     "tx_nb_score" ->
       s"""WITH $NbCte,
-         |cls AS (
-         |  SELECT CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
-         |         CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1 END), 0) AS BIGINT) AS n_neg
-         |  FROM lab WHERE doc_id % 3 <> 0),
-         |prior AS (SELECT round(ln((n_pos + 1.0::DOUBLE) / (n_neg + 1.0::DOUBLE)), 6) AS pri FROM cls),
-         |unseen AS (SELECT round(ln(CAST(t_neg + vocab AS DOUBLE)
-         |                        / CAST(t_pos + vocab AS DOUBLE)), 6) AS lo_u FROM tot),
-         |tst AS (SELECT tf.doc_id, word, n FROM tf WHERE tf.doc_id % 3 = 0),
-         |contrib AS (
-         |  SELECT t.doc_id,
-         |    CAST(SUM(t.n * CAST(COALESCE(l.lo, u.lo_u) AS DECIMAL(28,6))) AS DOUBLE) AS s,
-         |    CAST(SUM(t.n) AS BIGINT) AS n_tok
-         |  FROM tst t LEFT JOIN lo l USING (word) CROSS JOIN unseen u
-         |  GROUP BY t.doc_id)
-         |SELECT c.doc_id, c.n_tok,
-         |  CAST(CAST(p.pri AS DECIMAL(18,6)) + CAST(c.s AS DECIMAL(28,6)) AS DOUBLE) AS score,
-         |  CASE WHEN CAST(p.pri AS DECIMAL(18,6)) + CAST(c.s AS DECIMAL(28,6)) > 0
-         |       THEN 1 ELSE 0 END AS pred
-         |FROM contrib c CROSS JOIN prior p ORDER BY c.doc_id""".stripMargin)
+         |$NbScoreCte
+         |SELECT doc_id, n_tok, score, pred FROM preds ORDER BY doc_id""".stripMargin,
+
+    // Confusion of the held-out predictions against the gate's own
+    // verdicts — shares the scoring CTE with tx_nb_score verbatim.
+    "tx_nb_confusion" ->
+      s"""WITH $NbCte,
+         |$NbScoreCte,
+         |cells AS (
+         |  SELECT p.pred, CAST(l.y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n
+         |  FROM preds p JOIN lab l USING (doc_id)
+         |  WHERE l.doc_id % 3 = 0
+         |  GROUP BY 1, 2),
+         |ct AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cells)
+         |SELECT pred, y, n, round(CAST(n AS DOUBLE) / tot, 6) AS share
+         |FROM cells CROSS JOIN ct ORDER BY pred, y""".stripMargin)
+
+  /** Held-out scoring chain appended after [[NbCte]] — the SQL twin of
+    * [[nbScored]], shared by tx_nb_score and tx_nb_confusion. */
+  private val NbScoreCte =
+    s"""cls AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
+       |         CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1 END), 0) AS BIGINT) AS n_neg
+       |  FROM lab WHERE doc_id % 3 <> 0),
+       |prior AS (SELECT round(ln((n_pos + 1.0::DOUBLE) / (n_neg + 1.0::DOUBLE)), 6) AS pri FROM cls),
+       |unseen AS (SELECT round(ln(CAST(t_neg + vocab AS DOUBLE)
+       |                        / CAST(t_pos + vocab AS DOUBLE)), 6) AS lo_u FROM tot),
+       |tst AS (SELECT tf.doc_id, word, n FROM tf WHERE tf.doc_id % 3 = 0),
+       |scontrib AS (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(t.n * CAST(COALESCE(l.lo, u.lo_u) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+       |    CAST(SUM(t.n) AS BIGINT) AS n_tok
+       |  FROM tst t LEFT JOIN lo l USING (word) CROSS JOIN unseen u
+       |  GROUP BY t.doc_id),
+       |preds AS (
+       |  SELECT c.doc_id, c.n_tok,
+       |    CAST(CAST(p.pri AS DECIMAL(18,6)) + CAST(c.s AS DECIMAL(28,6)) AS DOUBLE) AS score,
+       |    CAST(CASE WHEN CAST(p.pri AS DECIMAL(18,6)) + CAST(c.s AS DECIMAL(28,6)) > 0
+       |         THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |  FROM scontrib c CROSS JOIN prior p)""".stripMargin
 
   /** Driver-side export of the trained NB model for the streaming
     * scorer: (word → log-odds in exact micros, unseen-word log-odds in
