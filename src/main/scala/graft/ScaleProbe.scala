@@ -665,13 +665,14 @@ object ScaleProbe {
     // FIXED query batch at every multiple (the hybrid-probe
     // convention): the %QStep probe set grows with the corpus, and
     // ms/query must not conflate batch size with corpus scale. The
-    // denominator is the COUNTED probe set, not the nominal 400 — a
-    // base corpus under 20k docs would let replica copies (doc_id =
-    // base + k·n) leak into the doc_id cut and change the real count.
+    // denominator is the COUNTED phrase-QUERY set (≥3-token probe docs
+    // under the cut), not raw probe documents — a base corpus under
+    // 20k docs would let replica copies (doc_id = base + k·n) leak
+    // into the doc_id cut, and short docs pose no phrase query at all;
+    // max(nq, 1) keeps a degenerate base from printing Infinity.
     val batch = org.apache.spark.sql.functions.col("doc_id") < 400L * 50
-    val nq = spark.read.parquet(s"$out/documents.parquet")
-      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
-      .filter(batch).count()
+    val nq = math.max(
+      graft.queries.Positional.probeQueryCount(spark, out, batch), 1L)
     for ((tag, df) <- Seq(
       ("phrase", graft.queries.Positional.phraseOcc(spark, out, batch)),
       ("phrase_capped", graft.queries.Positional.phraseOccCapped(spark, out, batch)),

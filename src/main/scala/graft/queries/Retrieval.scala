@@ -847,7 +847,17 @@ object Retrieval {
     val gen = graft.core.Generations.latest(root).getOrElse(
       sys.error(s"$root: no committed lexical serving generation"))
     val dl = s.read.parquet(s"$root/gen-$gen/dl")
-    val mMin = dl.filter($"m" > 0).agg(min($"m")).collect()(0).getLong(0)
+    // A generation whose dl has no m > 0 rows (degenerate corpus: every
+    // doc empty) makes the aggregate NULL — read it as an Option and
+    // fall back to mMin = 0, the most favorable unseen-doc prior bound
+    // (mp = qlen·log(µ/(0+µ)) = 0 ≥ any real doc's prior), so the wand
+    // verdict degrades to safe = 0 / full-fallback instead of the load
+    // throwing on a null primitive — the batch tier's degenerate-corpus
+    // behavior (qlWandPartsUncached keeps mn as a frame and coalesces).
+    val mMin = dl.filter($"m" > 0).agg(min($"m")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     QlGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/ql_index"),
       s.read.parquet(s"$root/gen-$gen/ql_bounds"),
