@@ -104,23 +104,39 @@ object Positional {
     * [[PhraseCapP]] by (doc_id, pos), staged per corpus generation with
     * the depth in the artifact name (the [[Retrieval]] impactIndex
     * template on the positional index): the cut is built ONCE by the
-    * offline index job (one word-partitioned sort pass — sort-merge,
-    * spillable, vocabulary × P output), and query time probes the
-    * stored artifact instead of re-deriving the window per query. For
-    * any probed word the rows equal the per-probe derivation
-    * (truncation is per-word independent), so the oracle's
-    * probed-words-only re-derivation checks the artifact exactly.
+    * offline index job, and query time probes the stored artifact
+    * instead of re-deriving the cut per query. The build is the
+    * family's bounded-heap partial aggregate
+    * ([[graft.functions.GroupedMinK]] — the [[Retrieval]] impact
+    * builds' GroupedTopK device, prefix-keeping): each map task ships
+    * at most P pairs per word, so a stop word's full posting list is
+    * never sorted in one task (the per-word `row_number` window this
+    * replaces was exactly that single-task sort at 100 TB; rows are
+    * identical — PositionalSpec pins heap-cut == window-cut). For any
+    * probed word the rows equal the per-probe derivation (truncation
+    * is per-word independent), so the oracle's probed-words-only
+    * re-derivation checks the artifact exactly.
     */
   private[graft] def cappedIndex(s: SparkSession, dir: String): DataFrame =
     capCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
       Staging.readElseBuild(s, dir, s"positional_cap_p$PhraseCapP", Seq("documents")) {
-        positionalIndex(s, dir)
-          .withColumn("arn", row_number().over(
-            Window.partitionBy($"word").orderBy($"doc_id", $"pos")))
-          .filter($"arn" <= PhraseCapP).drop("arn")
+        cappedCut(positionalIndex(s, dir))
       }.persist()
     })
+
+  /** The capped-list BUILD: each word's first [[PhraseCapP]] postings
+    * by (doc_id, pos), as a bounded-heap partial aggregate — exposed
+    * apart from the staging wrapper so PositionalSpec can pin both the
+    * rows (== the window derivation's) and the plan (no Window). */
+  private[graft] def cappedCut(index: DataFrame): DataFrame = {
+    import index.sparkSession.implicits._
+    index
+      .groupBy($"word")
+      .agg(graft.functions.GroupedMinK.groupedMinK(
+        $"doc_id", $"pos".cast("long"), PhraseCapP).as("top"))
+      .select($"word", explode($"top").as("e"))
+      .select($"e.a".as("doc_id"), $"e.b".cast("int").as("pos"), $"word")
+  }
 
   /** `dir`'s staged positional index extended by a batch of (doc_id,
     * text) — pure union: positions are a per-doc derivation with no
@@ -271,6 +287,15 @@ object Positional {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** The COUNTED phrase-query set for a probe restriction — the
+    * ladder's ms/query denominator (queries actually posed: ≥3-token
+    * probe docs, not raw probe documents). */
+  private[graft] def probeQueryCount(s: SparkSession, dir: String,
+      extra: org.apache.spark.sql.Column): Long = {
+    import s.implicits._
+    queryPhrases(s, dir, extra).select($"qid").distinct().count()
+  }
+
   /** Per-query (anchor_df, exact) for an arbitrary probe restriction —
     * the ladder's honesty readout for the capped tier. */
   private[graft] def phraseCapMeterFor(s: SparkSession, dir: String,
@@ -320,16 +345,30 @@ object Positional {
   }
 
   /** One committed positional generation: full postings + the capped
-    * anchor lists ([[cappedIndex]]'s cut, committed together). */
+    * anchor lists ([[cappedIndex]]'s cut, committed together). `capped`
+    * is None for generations committed before the capped slice joined
+    * the format (r15) — the exact tiers (phrase/proximity/snippet)
+    * serve those unchanged; only a capped-mode request errors, with an
+    * explicit republish message, instead of every mode failing at load.
+    */
   final case class PositionalGeneration(
-      gen: Long, postings: DataFrame, capped: DataFrame)
+      gen: Long, postings: DataFrame, capped: Option[DataFrame]) {
+    /** The capped slice, or a clear republish demand — never a file
+      * scan error surfacing mid-batch. */
+    def cappedOrFail: DataFrame = capped.getOrElse(sys.error(
+      s"positional gen-$gen has no capped slice (pre-r15 format) — " +
+        "republish via writePositionalGeneration to serve the capped tier"))
+  }
 
   def loadPositionalGeneration(s: SparkSession, root: String): PositionalGeneration = {
     val gen = graft.core.Generations.latest(root).getOrElse(
       sys.error(s"$root: no committed positional serving generation"))
+    val cappedPath = java.nio.file.Paths.get(s"$root/gen-$gen/capped")
     PositionalGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/postings"),
-      s.read.parquet(s"$root/gen-$gen/capped"))
+      if (java.nio.file.Files.isDirectory(cappedPath))
+        Some(s.read.parquet(cappedPath.toString))
+      else None)
   }
 
   /** Serve one micro-batch from an EXPLICIT generation's postings. */
@@ -345,7 +384,7 @@ object Positional {
       g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame = {
     import s.implicits._
     val (starts, anchors) = phraseAnchorParts(
-      s, g.postings, phrasesOf(s, queryDocs), Some(g.capped))
+      s, g.postings, phrasesOf(s, queryDocs), Some(g.cappedOrFail))
     val occ = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
     val exactf = anchors.select($"qid",
       when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))

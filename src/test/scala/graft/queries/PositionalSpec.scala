@@ -108,6 +108,39 @@ class PositionalSpec extends SparkSpec {
     assert(meter(50L) == ((3L, 1L, 2L, 3L)))
   }
 
+  test("capped-list build: the bounded-heap cut equals the window " +
+      "derivation row for row, with no Window in its plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // over-cap word "a" (df 2503 > P=2000) alongside small words — the
+    // heap must keep exactly the first P by (doc_id, pos) and all of an
+    // under-cap word's postings
+    val docs = Seq(
+      (0L, "a b c x y", "s0"),
+      (1L, "a b c", "s1"),
+      (5L, Seq.fill(2500)("a").mkString(" "), "sa"),
+      (3000L, "a b c", "s9"))
+    val dir = freshDir(docs)
+    val idx = Positional.positionalIndex(spark, dir)
+    val heap = Positional.cappedCut(idx)
+    val window = idx
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("arn") <= 2000).drop("arn")
+    // names and types must match (nullability differs: the aggregate's
+    // struct fields are provably non-null; parquet round-trip erases it)
+    assert(heap.schema.map(f => (f.name, f.dataType))
+      == window.schema.map(f => (f.name, f.dataType)))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getString(2))
+    assert(heap.collect().map(key).sorted.toSeq
+      == window.collect().map(key).sorted.toSeq)
+    // word "a": exactly P postings survive, the (doc_id, pos) prefix
+    assert(heap.filter(col("word") === "a").count() == 2000L)
+    assert(!heap.queryExecution.executedPlan.toString.contains("Window"),
+      "the capped build must never single-task-sort a word's postings")
+  }
+
   test("results are deterministic across cache-cleared reruns") {
     val dir = freshDir(phraseDocs)
     val first = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
