@@ -64,5 +64,11 @@ object Tables {
     */
   val requiredConfs: Map[String, String] = Map(
     NanosAsLong                   -> "true",
-    "spark.sql.session.timeZone"  -> "UTC")
+    "spark.sql.session.timeZone"  -> "UTC",
+    // a probed-word list (queries × ≤3 terms) must reach parquet as a
+    // real In predicate for row-group/dictionary pruning on the
+    // word-bucketed positional layout; past this threshold Spark
+    // degrades In to a min/max range, which prunes nothing when probe
+    // words span the alphabet
+    "spark.sql.parquet.pushdown.inFilterThreshold" -> "4096")
 }

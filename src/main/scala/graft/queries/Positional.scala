@@ -210,9 +210,9 @@ object Positional {
     phraseOccOn(s, positionalIndex(s, dir), queryPhrases(s, dir, extra))
 
   private def phraseOccOn(s: SparkSession, index: DataFrame,
-      phrases: DataFrame): DataFrame = {
+      phrases: DataFrame, wbN: Option[Int] = None): DataFrame = {
     import s.implicits._
-    phraseStartsOn(s, index, phrases)
+    phraseStartsOn(s, index, phrases, wbN)
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
@@ -221,8 +221,8 @@ object Positional {
     * occurrence counter's input, kept separate so the snippet query
     * can anchor its context window on the first match. */
   private def phraseStartsOn(s: SparkSession, index: DataFrame,
-      phrases: DataFrame): DataFrame =
-    phraseAnchorParts(s, index, phrases, None)._1
+      phrases: DataFrame, wbN: Option[Int] = None): DataFrame =
+    phraseAnchorParts(s, index, phrases, None, wbN)._1
 
   /** The anchored phrase core, optionally CAPPED: candidate starts plus
     * the per-query anchor frame (qid, adf, aidx, word). With
@@ -233,17 +233,50 @@ object Positional {
     * shape). Verification always probes the FULL probed-word postings:
     * the cap bounds which candidates are generated, never whether a
     * generated candidate is checked exactly.
+    *
+    * With `wbN = Some(nb)` (the generation serving path — postings
+    * committed word-bucketed by [[writePositionalGeneration]]), the
+    * probed-word restriction is a pair of literal In filters instead
+    * of a semi-join: the probe words' bucket ids prune non-probed
+    * `wb=` partition directories at PLANNING, and the words themselves
+    * push to parquet as an In predicate that prunes row groups inside
+    * the surviving buckets (word-sorted layout → tight row-group
+    * stats) — the scan reads ~hit-buckets/NB of the index, a word-keyed
+    * LOOKUP rather than a corpus stream. Computing the bucket ids is
+    * one queries-sized job with the writer's own hash (the `wb_n`
+    * sidecar carries the modulus).
     */
   private def phraseAnchorParts(s: SparkSession, index: DataFrame,
-      phrases: DataFrame, capped: Option[DataFrame]): (DataFrame, DataFrame) = {
+      phrases: DataFrame, capped: Option[DataFrame],
+      wbN: Option[Int] = None): (DataFrame, DataFrame) = {
     import s.implicits._
     val qt = phrases
     val idx = index
-    // postings of probed words only (broadcast-hash filter, scan-local):
-    // everything downstream — df, candidates, the verification semi-join
-    // shuffle — touches only these rows, never the full index
-    val idxProbed = idx
-      .join(broadcast(qt.select($"word").distinct()), Seq("word"), "left_semi")
+    // probed-word restriction: bucket+word In filters on the committed
+    // layout (partition + row-group pruning), else a broadcast-hash
+    // left-semi (scan-local, no shuffle) on the session corpus.
+    // Everything downstream — df, candidates, verification — touches
+    // only these rows, never the full index.
+    val wbPrune: Option[DataFrame => DataFrame] = wbN.map { nb =>
+      val pw = qt.select($"word",
+          pmod(xxhash64($"word"), lit(nb.toLong)).cast("int").as("wb"))
+        .distinct().collect()
+      if (pw.isEmpty) (d: DataFrame) => d.filter(lit(false))
+      else {
+        val words = pw.map(_.getString(0)).toSeq
+        val buckets = pw.map(r => Int.box(r.getInt(1))).toSet
+        (d: DataFrame) =>
+          if (d.columns.contains("wb"))
+            d.filter($"wb".isInCollection(buckets) &&
+              $"word".isInCollection(words))
+          else d.filter($"word".isInCollection(words))
+      }
+    }
+    val idxProbed = wbPrune match {
+      case Some(prune) => prune(idx)
+      case None => idx
+        .join(broadcast(qt.select($"word").distinct()), Seq("word"), "left_semi")
+    }
     val wdf = idxProbed.groupBy($"word").agg(count(lit(1)).as("df"))
     // per query: the (df, idx)-min term anchors candidate generation
     val anchors = qt.join(broadcast(wdf), Seq("word"))
@@ -254,10 +287,13 @@ object Positional {
       case None =>
         idxProbed.join(broadcast(anchors.select($"qid", $"aidx", $"word")), Seq("word"))
           .select($"qid", $"doc_id", ($"pos" - $"aidx").as("start"))
-      case Some(lists) =>
+      case Some(lists0) =>
         // candidates from the STORED truncated lists (the anchor join
-        // restricts the scan to anchor words) — per-query candidate
-        // work ≤ P at any anchor df, no query-time sort anywhere
+        // restricts the scan to anchor words; the bucket prune — a
+        // superset of the anchor words — lets the planner drop
+        // non-probed partitions first) — per-query candidate work ≤ P
+        // at any anchor df, no query-time sort anywhere
+        val lists = wbPrune.map(_(lists0)).getOrElse(lists0)
         lists.join(broadcast(anchors.select($"qid", $"aidx", $"word")), Seq("word"))
           .select($"qid", $"doc_id", ($"pos" - $"aidx").as("start"))
     }
@@ -265,10 +301,27 @@ object Positional {
     val rest = qt.join(anchors.select($"qid", $"aidx"), Seq("qid"))
       .filter($"idx" =!= $"aidx")
       .select($"qid", $"idx", $"word")
-    val starts = cands.join(broadcast(rest), Seq("qid"))
+    val probes = cands.join(broadcast(rest), Seq("qid"))
       .select($"qid", $"doc_id", $"start", $"word",
         ($"start" + $"idx").as("pos"), $"idx")
-      .join(idxProbed, Seq("word", "doc_id", "pos"), "left_semi")
+    val verified = capped match {
+      case Some(_) =>
+        // CAPPED tier: probes are bounded at queries × P × 2, so they
+        // broadcast ONTO the (pruned) postings — a map-side hash probe.
+        // The probed words' full posting lists are corpus-sized and
+        // were the one corpus-proportional SHUFFLE on this path (the
+        // r15 ladder's 13.5 → 68 ms/query residual); (word, doc_id,
+        // pos) is unique in the index, so this inner join keeps
+        // exactly the probe rows the semi-join kept.
+        idxProbed.join(broadcast(probes), Seq("word", "doc_id", "pos"))
+          .select($"qid", $"doc_id", $"start", $"idx")
+      case None =>
+        // exact tier: candidates are anchor-df-sized (unbounded), so
+        // the probe frame cannot be broadcast — keep the semi-join
+        probes.join(idxProbed, Seq("word", "doc_id", "pos"), "left_semi")
+          .select($"qid", $"doc_id", $"start", $"idx")
+    }
+    val starts = verified
       .groupBy($"qid", $"doc_id", $"start")
       .agg(countDistinct($"idx").as("nidx"))
       .filter($"nidx" === 2)
@@ -327,19 +380,54 @@ object Positional {
     phraseTopk(s,
       phraseOccOn(s, positionalIndex(s, dir), phrasesOf(s, queryDocs)), k)
 
+  /** Postings per word-hash bucket in a committed generation's layout:
+    * sized so the bucket count lands in [16, 4096] — small corpora get
+    * few directories (test-friendly), and at 100 TB the cap bounds the
+    * file-count blowup while a serving batch's ~tens-to-hundreds of
+    * probed words still hit a small fraction of 4096 buckets. */
+  private val PosWbChunk = 250000L
+
+  /** Word-hash bucket count for a generation's postings layout —
+    * power of two, clamped to [16, 4096]. The modulus is committed
+    * beside the artifact (`wb_n` sidecar): the serving prune must
+    * bucket probe words with the WRITER's modulus, never a guess. */
+  private[graft] def wbBucketsFor(nPostings: Long): Int = {
+    val target = math.max(1L, nPostings / PosWbChunk)
+    val pow = java.lang.Long.highestOneBit(math.min(target, 1L << 20))
+    math.min(4096, math.max(16, pow.toInt))
+  }
+
   /** Publish the positional postings as a committed serving
     * generation: `gen-N/postings` under `root`, `_latest` flipped
     * atomically ([[graft.core.Generations]] — the same loop the
     * lexical and vector tiers run: rebuild → commit → live cutover →
-    * rollback by pointer → prune). */
+    * rollback by pointer → prune).
+    *
+    * Layout: both slices are WORD-BUCKETED — partitioned by
+    * `wb = xxhash64(word) mod NB` and sorted by (word, doc_id, pos)
+    * within buckets — so a serving batch's probed words prune to their
+    * buckets at planning (directory pruning) and to word row groups
+    * inside them (parquet In pushdown against the sorted stats),
+    * instead of streaming the corpus per batch. NB adapts to corpus
+    * size ([[wbBucketsFor]]) and is committed in the `wb_n` sidecar.
+    */
   def writePositionalGeneration(s: SparkSession, dir: String, root: String): Long = {
+    import s.implicits._
     val next = graft.core.Generations.next(root)
-    positionalIndex(s, dir).write.mode("overwrite")
+    val idx = positionalIndex(s, dir)
+    val nb = wbBucketsFor(idx.count())
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn("wb", pmod(xxhash64($"word"), lit(nb.toLong)).cast("int"))
+      .repartition($"wb")
+      .sortWithinPartitions($"wb", $"word", $"doc_id", $"pos")
+    bucketed(idx).write.mode("overwrite").partitionBy("wb")
       .parquet(s"$root/gen-$next/postings")
     // the generation carries the capped anchor lists too — the
     // truncated tier serves from the same commit point as the exact one
-    cappedIndex(s, dir).write.mode("overwrite")
+    bucketed(cappedIndex(s, dir)).write.mode("overwrite").partitionBy("wb")
       .parquet(s"$root/gen-$next/capped")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/gen-$next/wb_n"), nb.toString)
     graft.core.Generations.setLatest(root, next)
     next
   }
@@ -352,7 +440,8 @@ object Positional {
     * explicit republish message, instead of every mode failing at load.
     */
   final case class PositionalGeneration(
-      gen: Long, postings: DataFrame, capped: Option[DataFrame]) {
+      gen: Long, postings: DataFrame, capped: Option[DataFrame],
+      wbN: Option[Int] = None) {
     /** The capped slice, or a clear republish demand — never a file
       * scan error surfacing mid-batch. */
     def cappedOrFail: DataFrame = capped.getOrElse(sys.error(
@@ -364,17 +453,22 @@ object Positional {
     val gen = graft.core.Generations.latest(root).getOrElse(
       sys.error(s"$root: no committed positional serving generation"))
     val cappedPath = java.nio.file.Paths.get(s"$root/gen-$gen/capped")
+    val wbPath = java.nio.file.Paths.get(s"$root/gen-$gen/wb_n")
     PositionalGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/postings"),
       if (java.nio.file.Files.isDirectory(cappedPath))
         Some(s.read.parquet(cappedPath.toString))
+      else None,
+      // pre-bucketing generations have no sidecar → no prune, same plans
+      if (java.nio.file.Files.exists(wbPath))
+        java.nio.file.Files.readString(wbPath).trim.toIntOption
       else None)
   }
 
   /** Serve one micro-batch from an EXPLICIT generation's postings. */
   private[graft] def phraseServeGenBatch(s: SparkSession,
       g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame =
-    phraseTopk(s, phraseOccOn(s, g.postings, phrasesOf(s, queryDocs)), k)
+    phraseTopk(s, phraseOccOn(s, g.postings, phrasesOf(s, queryDocs), g.wbN), k)
 
   /** The CAPPED tier's serving core: candidates from the generation's
     * committed capped lists, anchors/verification from its full
@@ -384,7 +478,7 @@ object Positional {
       g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame = {
     import s.implicits._
     val (starts, anchors) = phraseAnchorParts(
-      s, g.postings, phrasesOf(s, queryDocs), Some(g.cappedOrFail))
+      s, g.postings, phrasesOf(s, queryDocs), Some(g.cappedOrFail), g.wbN)
     val occ = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
     val exactf = anchors.select($"qid",
       when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
@@ -462,13 +556,13 @@ object Positional {
   /** The snippet core for an arbitrary index + phrase probe — shared by
     * tx_snippet and the serving tier ([[snippetServeGenBatch]]). */
   private def snippetOn(s: SparkSession, index: DataFrame,
-      phrases: DataFrame): DataFrame = {
+      phrases: DataFrame, wbN: Option[Int] = None): DataFrame = {
     import s.implicits._
     // ONE aggregation carries both the occurrence count and the
     // first-match anchor — the starts probe pass runs exactly once
     // (a two-branch formulation re-ran it and measured 4.5 s; this
     // one is in the family's band)
-    val perDoc = phraseStartsOn(s, index, phrases)
+    val perDoc = phraseStartsOn(s, index, phrases, wbN)
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"), min($"start").as("s0"))
     val w = Window.partitionBy($"qid").orderBy($"n_occ".desc, $"doc_id")
@@ -493,7 +587,7 @@ object Positional {
     * half ([[graft.streaming.PositionalStream.serveLatestSnippet]]). */
   private[graft] def snippetServeGenBatch(s: SparkSession,
       g: PositionalGeneration, queryDocs: DataFrame): DataFrame =
-    snippetOn(s, g.postings, phrasesOf(s, queryDocs))
+    snippetOn(s, g.postings, phrasesOf(s, queryDocs), g.wbN)
 
   /** Proximity for an arbitrary probe restriction (the scale probe's
     * fixed-batch form; the gate query passes `true`).
@@ -519,17 +613,32 @@ object Positional {
       g: PositionalGeneration, queryDocs: DataFrame): DataFrame = {
     import s.implicits._
     proximityOn(s, g.postings, queryDocs
-      .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks")))
+      .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks")), g.wbN)
   }
 
   private def proximityOn(s: SparkSession, index: DataFrame,
-      pt: DataFrame): DataFrame = {
+      pt: DataFrame, wbN: Option[Int] = None): DataFrame = {
     import s.implicits._
     val qp = pt
       .select($"qid", get($"toks", lit(0)).as("w1"),
         get(filter($"toks", x => x =!= get($"toks", lit(0))), lit(0)).as("w2"))
       .filter($"w2".isNotNull)
-    val p = index
+    // generation layout: prune the scan to the probed terms' word
+    // buckets (+ word row groups) before the broadcast probe joins —
+    // the phraseAnchorParts device for the two-term probe set
+    val p = wbN match {
+      case Some(nb) if index.columns.contains("wb") =>
+        val pw = qp.select(explode(array($"w1", $"w2")).as("word"))
+          .distinct()
+          .select($"word",
+            pmod(xxhash64($"word"), lit(nb.toLong)).cast("int").as("wb"))
+          .collect()
+        if (pw.isEmpty) index.filter(lit(false))
+        else index.filter(
+          $"wb".isInCollection(pw.map(r => Int.box(r.getInt(1))).toSet) &&
+            $"word".isInCollection(pw.map(_.getString(0)).toSeq))
+      case _ => index
+    }
     val pp = p.join(broadcast(qp.select($"qid", $"w1".as("word"))), Seq("word"))
       .select($"qid", $"doc_id", $"pos", lit(0).as("tag"))
       .unionByName(

@@ -44,6 +44,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.core.Tables.NanosAsLong, "true")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -141,6 +141,39 @@ class PositionalSpec extends SparkSpec {
       "the capped build must never single-task-sort a word's postings")
   }
 
+  test("generation serving: the capped tier's plan prunes word buckets at " +
+      "the scan and verifies by broadcast probe — no shuffle of postings") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir(phraseDocs ++ Seq((50L, "p q r z", "s4"), (2L, "p q r p", "s5")))
+    val root = java.nio.file.Files.createTempDirectory("posplanroot").toString
+    try {
+      Positional.writePositionalGeneration(spark, dir, root)
+      val g = Positional.loadPositionalGeneration(spark, root)
+      assert(g.wbN.nonEmpty && g.capped.nonEmpty)
+      val qd = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+      val served = Positional.phraseCappedServeGenBatch(spark, g, qd)
+      val plan = served.queryExecution.executedPlan.toString
+      // probed words' bucket ids prune gen-N partition directories at
+      // planning, and the words push to parquet as a real In predicate
+      assert(plan.contains("PartitionFilters: [wb"),
+        s"expected wb partition pruning in:\n$plan")
+      assert(plan.contains("PushedFilters: [In(word"),
+        s"expected pushed word In filter in:\n$plan")
+      // the exact-position verification is a broadcast hash probe of the
+      // bounded (queries × P × 2) candidate frame onto the pruned scan —
+      // never a sort-merge shuffle of the probed words' full postings
+      assert(!plan.contains("SortMergeJoin"),
+        s"capped verification must not shuffle postings:\n$plan")
+      // and the result is still the capped contract, value for value
+      val gate = Positional.queries("tx_phrase_capped")(spark, dir)
+      assert(served.collect().map(_.toSeq).toSet
+        == gate.collect().map(_.toSeq).toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("results are deterministic across cache-cleared reruns") {
     val dir = freshDir(phraseDocs)
     val first = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
