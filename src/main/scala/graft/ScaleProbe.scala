@@ -689,6 +689,40 @@ object ScaleProbe {
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
         org.apache.spark.sql.functions.max("anchor_df")).collect()(0)
     println(s"""{"probe": "positional_cap_meter", "mult": $m, "exact": ${cm.getLong(0)}, "queries": ${cm.getLong(1)}, "max_anchor_df": ${cm.getLong(2)}}""")
+    // and the cut's MISS MASS at this multiple: micro-recall of the
+    // capped match sets vs the exact ones over the same probe batch —
+    // the number the per-query exact flag alone cannot give
+    val cr = graft.queries.Positional.phraseCapRecallFor(spark, out, batch)
+      .agg(org.apache.spark.sql.functions.sum("n_common"),
+        org.apache.spark.sql.functions.sum("n_exact"),
+        org.apache.spark.sql.functions.sum("n_capped")).collect()(0)
+    val rec = cr.getLong(0).toDouble / math.max(1L, cr.getLong(1))
+    println(f"""{"probe": "positional_cap_recall", "mult": $m, "recall": $rec%.4f, "n_common": ${cr.getLong(0)}, "n_exact": ${cr.getLong(1)}, "n_capped": ${cr.getLong(2)}}""")
+    // STAGED SERVING path — the 100 TB shape: the committed
+    // word-bucketed generation (partition + row-group pruning, the
+    // verification a broadcast probe), vs the in-memory forms above
+    // whose probed-postings scan is corpus-linear. Generation write
+    // timed apart: it is the offline index job.
+    val root = s"/tmp/graft_posserve_$m"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val tg = System.nanoTime()
+    graft.queries.Positional.writePositionalGeneration(spark, out, root)
+    val genSec = (System.nanoTime() - tg) / 1e9
+    val g = graft.queries.Positional.loadPositionalGeneration(spark, root)
+    println(f"""{"probe": "positional_gen_write", "mult": $m, "sec": $genSec%.2f, "wb_buckets": ${g.wbN.getOrElse(0)}}""")
+    val qd = spark.read.parquet(s"$out/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .filter(batch)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def serveOnce(): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.Positional.phraseCappedServeGenBatch(spark, g, qd).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    serveOnce() // warm: plan + codegen + file index
+    val sSec = Seq.fill(3)(serveOnce()).sorted.apply(1)
+    println(f"""{"probe": "positional_cap_serve", "mult": $m, "sec": $sSec%.2f, "queries": $nq, "ms_per_query": ${sSec * 1000 / nq}%.2f}""")
   }
 
   /** QL frontier: the exact tier's full-postings traversal vs the

@@ -349,6 +349,37 @@ object Positional {
     queryPhrases(s, dir, extra).select($"qid").distinct().count()
   }
 
+  /** Per-query recall of the capped tier against the exact phrase
+    * match sets: n_exact = docs the full-postings search matches,
+    * n_capped = docs the truncated tier matches (always a subset —
+    * candidates come from a prefix of the anchor's postings and
+    * verification is exact), n_common = their intersection. The
+    * tx_bm25_recall convention applied to the doc_id-prefix cut: the
+    * cut keeps the LOWEST doc_ids, not the best candidates, so its
+    * miss mass is a fact to measure, never to assume. */
+  private def capRecallOf(ex: DataFrame, cp: DataFrame): DataFrame = {
+    import ex.sparkSession.implicits._
+    val e = ex.select($"qid", $"doc_id")
+    val c = cp.select($"qid", $"doc_id")
+    val nE = e.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+    val nC = c.groupBy($"qid").agg(count(lit(1)).as("n_capped"))
+    val nCom = e.join(c, Seq("qid", "doc_id"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_common"))
+    nE.join(nC, Seq("qid"), "left")
+      .join(nCom, Seq("qid"), "left")
+      .select($"qid", $"n_exact",
+        coalesce($"n_capped", lit(0L)).as("n_capped"),
+        coalesce($"n_common", lit(0L)).as("n_common"))
+      .orderBy($"qid")
+  }
+
+  /** Capped-tier recall for an arbitrary probe restriction — the
+    * ladder's miss-mass readout at 10×/100× where every query reads
+    * exact = 0. */
+  private[graft] def phraseCapRecallFor(s: SparkSession, dir: String,
+      extra: org.apache.spark.sql.Column): DataFrame =
+    capRecallOf(phraseOcc(s, dir, extra), phraseOccCapped(s, dir, extra))
+
   /** Per-query (anchor_df, exact) for an arbitrary probe restriction —
     * the ladder's honesty readout for the capped tier. */
   private[graft] def phraseCapMeterFor(s: SparkSession, dir: String,
@@ -530,6 +561,18 @@ object Positional {
       phraseTopk(s, occ, 10)
         .join(broadcast(exactf), "qid")
         .orderBy($"qid", $"rk")
+    },
+
+    // The cap's RECALL meter: per query, how many docs the exact
+    // search matches, how many the capped tier keeps, and their
+    // intersection — the miss-mass instrument every approximate tier
+    // in this library carries (tx_bm25_recall, ann_*_recall,
+    // dedup_lsh_recall). The doc_id-prefix cut is NOT an impact
+    // ordering (it keeps the lowest doc_ids, not the best candidates),
+    // so this meter is the only thing standing between the capped
+    // tier's price tag and its answer quality.
+    "tx_phrase_cap_recall" -> { (s, dir) =>
+      capRecallOf(phraseOcc(s, dir), phraseOccCapped(s, dir))
     },
 
     // The cap's honesty meter: per query, the anchor's true df, the
@@ -747,6 +790,25 @@ object Positional {
          |  FROM cocc) o
          |JOIN anch a ON a.qid = o.qid
          |WHERE o.rk <= 10 ORDER BY o.qid, o.rk""".stripMargin,
+
+    "tx_phrase_cap_recall" ->
+      s"""$PosCte,
+         |$PhraseCte,
+         |$CapCte
+         |SELECT e.qid, e.n_exact,
+         |  CAST(COALESCE(c.n_capped, 0) AS BIGINT) AS n_capped,
+         |  CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common
+         |FROM (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM occ GROUP BY qid) e
+         |LEFT JOIN (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_capped
+         |  FROM cocc GROUP BY qid) c ON c.qid = e.qid
+         |LEFT JOIN (
+         |  SELECT o.qid, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM occ o JOIN cocc cc ON cc.qid = o.qid AND cc.doc_id = o.doc_id
+         |  GROUP BY o.qid) m ON m.qid = e.qid
+         |ORDER BY e.qid""".stripMargin,
 
     "tx_phrase_cap_meter" ->
       s"""$PosCte,

@@ -106,6 +106,16 @@ class PositionalSpec extends SparkSpec {
     assert(meter(0L)._1 > 2000L && meter(0L)._2 == 0L)
     assert(meter(0L)._3 == 2L && meter(0L)._4 == 2L)
     assert(meter(50L) == ((3L, 1L, 2L, 3L)))
+
+    // the recall meter prices the miss: probe 0's exact match set is
+    // {0, 1, 3000}, the capped tier keeps the prefix docs {0, 1} —
+    // n_common == n_capped (capped ⊆ exact, always); the under-cap
+    // probe reads full recall
+    val rec = Positional.queries("tx_phrase_cap_recall")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rec(0L) == ((3L, 2L, 2L)))
+    assert(rec(50L) == ((2L, 2L, 2L)))
   }
 
   test("capped-list build: the bounded-heap cut equals the window " +
