@@ -897,7 +897,8 @@ object ScaleProbe {
       val in = MemoryStream[(Long, String)]
       var admitted = 0L
       val q = graft.streaming.GateStream.admittedLatest(
-        in.toDS().toDF("doc_id", "source"), root) { b => admitted += b.count() }
+        in.toDS().toDF("doc_id", "source"), root, s"$root/ledger") {
+        b => admitted += b.count() }
         .queryName(s"gate_probe_$tag").start()
       def runBatch(): Double = {
         val t0 = System.nanoTime()

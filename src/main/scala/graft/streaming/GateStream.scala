@@ -90,14 +90,34 @@ object GateStream {
     * source-partitioned window over the batch + one broadcast join
     * against the sources-sized room frame), and all room arithmetic is
     * Long — no Int clamp anywhere on this path.
+    *
+    * RESTART SAFETY: driver state dies with the query, so the
+    * cumulative counters are additionally committed per epoch to
+    * `ledger` ([[AdmissionLedger]]) AFTER the sink call, and the
+    * pre-batch state is recovered from the newest entry BEFORE the
+    * live epoch — on first batch after a (re)start, and on any
+    * replayed epoch (a foreachBatch retry re-reads exactly the state
+    * the failed attempt saw, so nothing double-counts and nothing
+    * re-opens a spent budget). The sink itself must be idempotent by
+    * epoch, the standard foreachBatch exactly-once contract.
     */
-  def admittedLatest(arrivals: DataFrame, root: String)(
+  def admittedLatest(arrivals: DataFrame, root: String, ledger: String)(
       sink: Dataset[Admitted] => Unit): DataStreamWriter[Row] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     var cached: Option[(Long, Map[String, Long])] = None
+    // cumulative admissions through all epochs <= lastApplied;
+    // Long.MinValue = not yet recovered from the ledger
+    var lastApplied: Long = Long.MinValue
     val soFar = scala.collection.mutable.Map.empty[String, Long]
-    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
+    val fn: (DataFrame, Long) => Unit = { (batch, epoch) =>
+      if (lastApplied == Long.MinValue || epoch <= lastApplied) {
+        // (re)start or replayed epoch: recover the pre-batch state this
+        // epoch must see — one sources-sized file read, never a guess
+        soFar.clear()
+        soFar ++= AdmissionLedger.recover(ledger, epoch)
+        lastApplied = epoch - 1
+      }
       if (!batch.isEmpty) {
         val s = batch.sparkSession
         import s.implicits._
@@ -121,12 +141,23 @@ object GateStream {
           .select($"doc_id", $"source").as[Admitted]
           .persist()
         try {
-          adm.groupBy($"source").agg(count(lit(1)).as("n")).collect()
-            .foreach(r => soFar(r.getString(0)) =
-              soFar.getOrElse(r.getString(0), 0L) + r.getLong(1))
+          val delta = adm.groupBy($"source").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
           sink(adm)
+          // counters move only AFTER sink + ledger commit succeeded —
+          // a failure at any point leaves soFar at the pre-state, so
+          // the epoch's retry recomputes the same admissions from the
+          // same state (and a committed-but-failed-after entry is
+          // simply overwritten with identical content)
+          val pre = soFar.toMap
+          val cum = delta.foldLeft(pre) { case (m, (src, n)) =>
+            m.updated(src, m.getOrElse(src, 0L) + n)
+          }
+          AdmissionLedger.commit(ledger, epoch, pre, cum)
+          soFar.clear(); soFar ++= cum
         } finally adm.unpersist(blocking = false)
       }
+      lastApplied = epoch
     }
     arrivals.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
   }

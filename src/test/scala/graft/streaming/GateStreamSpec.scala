@@ -87,7 +87,8 @@ class GateStreamSpec extends SparkSpec {
 
     val got = mutable.Buffer.empty[(Long, String)]
     val in = MemoryStream[(Long, String)]
-    val q = GateStream.admittedLatest(in.toDS().toDF("doc_id", "source"), root) { b =>
+    val q = GateStream.admittedLatest(in.toDS().toDF("doc_id", "source"),
+      root, s"$root/ledger") { b =>
       got ++= b.collect().map(a => (a.doc_id, a.source)); ()
     }.queryName("gate_admit_latest").start()
     arrivals.grouped(math.max(1, arrivals.size / 3)).foreach { chunk =>
@@ -125,5 +126,99 @@ class GateStreamSpec extends SparkSpec {
     val fresh = got.drop(before)
     assert(fresh.size == 3, s"expected 3 cutover admissions, got ${fresh.size}")
     assert(fresh.forall(_._2 == bumped), s"cutover admitted outside $bumped: $fresh")
+  }
+
+  test("generation-bound admission survives a query restart: the ledger " +
+      "recovers the counters, no budget re-opens, and the split run's " +
+      "admissions equal the uninterrupted run's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_restart").toString
+    graft.queries.GraphRank.writeGateGeneration(spark, dir, root)
+    val ledger = s"$root/ledger"
+
+    val arrivals = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"source",
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")).as("d"))
+      .orderBy($"d", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (head, tail) = arrivals.splitAt(arrivals.size / 2)
+    val (h1, h2) = head.splitAt(head.size / 2)
+
+    def runQuery(feed: Seq[Seq[(Long, String)]],
+        got: mutable.Buffer[(Long, String)]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = GateStream.admittedLatest(in.toDS().toDF("doc_id", "source"),
+        root, ledger) { b =>
+        got ++= b.collect().map(a => (a.doc_id, a.source)); ()
+      }.queryName("gate_restart").start()
+      feed.foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      q.stop()
+    }
+
+    // first run admits the head over two micro-batches, then the query
+    // DIES (stop); the second run is a NEW query (fresh driver state)
+    // fed the tail PLUS a full replay of everything — without the
+    // ledger it would re-admit every budget from zero
+    val got = mutable.Buffer.empty[(Long, String)]
+    runQuery(Seq(h1, h2), got)
+    assert(got.nonEmpty)
+    runQuery(Seq(tail, arrivals), got)
+
+    val budgets = graft.queries.GraphRank.rankGate(spark, dir)
+      .select($"source", $"budget")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    perSrc.foreach { case (src, n) =>
+      assert(n <= budgets.getOrElse(src, 0L),
+        s"$src over budget after restart: $n")
+    }
+    // set-parity with the uninterrupted batch sampler — the split run
+    // admitted exactly the canonical selection, no duplicates
+    val batch = graft.SparkEntry.queries("gr_rank_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet == batch)
+    assert(got.size == got.toSet.size, "restart re-admitted a document")
+  }
+
+  test("cross-form equivalence: admitted and admittedLatest make identical " +
+      "decisions on the same feed under the same budgets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_xform").toString
+    // admittedLatest bound to the corpus's own committed gate generation
+    // == admitted's session budgets (writeGateGeneration commits rankGate)
+    graft.queries.GraphRank.writeGateGeneration(spark, dir, root)
+
+    // adversarial feed: NOT in canonical order, split unevenly — both
+    // forms must still pick the same per-source md5-order prefixes
+    val docs = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val chunks = docs.grouped(math.max(1, docs.size / 4)).toSeq
+
+    val gotFixed = mutable.Buffer.empty[(Long, String)]
+    val inF = MemoryStream[(Long, String)]
+    val qF = GateStream.admitted(inF.toDS().toDF("doc_id", "source"), spark, dir)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[GateStream.Admitted], _: Long) =>
+        gotFixed ++= b.collect().map(a => (a.doc_id, a.source)); ()
+      }
+      .queryName("gate_xform_fixed").start()
+    chunks.foreach { c => inF.addData(c: _*); qF.processAllAvailable() }
+    qF.stop()
+
+    val gotLatest = mutable.Buffer.empty[(Long, String)]
+    val inL = MemoryStream[(Long, String)]
+    val qL = GateStream.admittedLatest(inL.toDS().toDF("doc_id", "source"),
+      root, s"$root/ledger") { b =>
+      gotLatest ++= b.collect().map(a => (a.doc_id, a.source)); ()
+    }.queryName("gate_xform_latest").start()
+    chunks.foreach { c => inL.addData(c: _*); qL.processAllAvailable() }
+    qL.stop()
+
+    assert(gotFixed.toSet == gotLatest.toSet,
+      "the two admission forms diverged on the same feed and budgets")
+    assert(gotFixed.size == gotLatest.size)
   }
 }
