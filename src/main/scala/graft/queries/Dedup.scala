@@ -337,6 +337,30 @@ object Dedup {
       }.persist()
     })
 
+  /** Publish the MinHash band index as a committed serving generation:
+    * `gen-N/bands` under `root`, `_latest` flipped atomically
+    * ([[graft.core.Generations]]) — the dedup family's entry into the
+    * generation/pointer protocol the lexical/vector/positional tiers
+    * run, which is what gives the rebuild policy an actionable root
+    * ([[RebuildPolicy.applyPolicy]]): a stop-line crossing verdict now
+    * commits the next band-index generation instead of waiting for the
+    * staging layer's next corpus fingerprint. */
+  def writeBandGeneration(s: SparkSession, dir: String, root: String): Long = {
+    val next = graft.core.Generations.next(root)
+    minhashBandIndex(s, dir).write.mode("overwrite")
+      .parquet(s"$root/gen-$next/bands")
+    graft.core.Generations.setLatest(root, next)
+    next
+  }
+
+  /** The band index the `_latest` pointer commits to (an unpublished
+    * root is an error, never an empty index). */
+  def loadBandGeneration(s: SparkSession, root: String): (Long, DataFrame) = {
+    val gen = graft.core.Generations.latest(root).getOrElse(
+      sys.error(s"$root: no committed band-index generation"))
+    (gen, s.read.parquet(s"$root/gen-$gen/bands"))
+  }
+
   /** The per-ROW (shuffle-free) formulation of the band index: adds a
     * `_bands` array<struct<band,key>> column computed from a kept-shingle
     * ARRAY column — the formulation a streaming ingest needs (no

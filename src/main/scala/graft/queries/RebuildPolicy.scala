@@ -89,16 +89,16 @@ object RebuildPolicy {
     * performed; an all-quiet policy returns an empty map and writes
     * nothing. Families map to their generation writers: `lexical` →
     * [[Retrieval.writeLexicalGeneration]] (BM25 + QL slices), `vector`
-    * → [[Similarity.writeServingGeneration]]. The dedup family has no
-    * pointer-served generation — its staged band index is keyed by
-    * corpus generation in [[graft.core.Staging]] and rebuilds with the
-    * next index job — so the policy surfaces its verdict but this
-    * executor takes no root for it.
+    * → [[Similarity.writeServingGeneration]], `dedup` →
+    * [[Dedup.writeBandGeneration]] (the MinHash band index on the same
+    * pointer protocol — a stop-line crossing commits the next band
+    * generation instead of waiting for the staging layer's next corpus
+    * fingerprint).
     */
   def applyPolicy(s: SparkSession, dir: String,
       roots: Map[String, String]): Map[String, Long] = {
     import s.implicits._
-    val known = Set("lexical", "vector")
+    val known = Set("lexical", "vector", "dedup")
     val unknown = roots.keySet -- known
     require(unknown.isEmpty,
       s"no generation writer for families: ${unknown.toSeq.sorted.mkString(",")}")
@@ -110,6 +110,8 @@ object RebuildPolicy {
         "lexical" -> Retrieval.writeLexicalGeneration(s, dir, root)
       case ("vector", root) if fire("vector") =>
         "vector" -> Similarity.writeServingGeneration(s, dir, root)
+      case ("dedup", root) if fire("dedup") =>
+        "dedup" -> Dedup.writeBandGeneration(s, dir, root)
     }
   }
 

@@ -65,6 +65,56 @@ class RebuildPolicySpec extends SparkSpec {
     }
   }
 
+  test("planted shingle crossing fires exactly the dedup verdict, and " +
+      "applyPolicy commits an actual band-index generation for it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_policy_dedup").toString
+    val (dedupRoot, lexRoot, vecRoot) = (s"$tmp/ded", s"$tmp/lex", s"$tmp/vec")
+    try {
+      // one planted trigram of the corpus's three MOST COMMON words (in
+      // an unseen order) appended to every arriving-split doc: its
+      // batch df (~1/5 of the corpus) crosses the MaxDf stop line —
+      // while three already-frequent tokens barely move the unigram
+      // distribution (lexical stays quiet) and the embeddings are
+      // byte-identical (vector stays quiet)
+      val top = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(lower($"text"), "\\s+")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").count().orderBy($"count".desc, $"w").limit(3)
+        .collect().map(_.getString(0))
+      val tail = s" ${top(2)} ${top(0)} ${top(1)}"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, concat($"text", lit(tail)))
+            .otherwise($"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .write.parquet(s"$tmp/embeddings.parquet")
+
+      val planted = policyRows(tmp)
+      assert(planted("dedup")._2 == 1L,
+        s"planted shingle crossing must trigger the dedup rebuild: $planted")
+      assert(planted("vector")._2 == 0L && planted("lexical")._2 == 0L,
+        s"the crossing must not bleed into other families: $planted")
+
+      // the executor commits ONLY the dedup band-index generation
+      val fired = graft.queries.RebuildPolicy.applyPolicy(spark, tmp,
+        Map("dedup" -> dedupRoot, "lexical" -> lexRoot, "vector" -> vecRoot))
+      assert(fired == Map("dedup" -> 1L), s"unexpected rebuilds: $fired")
+      val (gen, bands) = graft.queries.Dedup.loadBandGeneration(spark, dedupRoot)
+      assert(gen == 1L && bands.count() > 0,
+        "the committed generation must hold the rebuilt band index")
+      assert(graft.core.Generations.latest(lexRoot).isEmpty)
+      assert(graft.core.Generations.latest(vecRoot).isEmpty)
+    } finally {
+      graft.queries.Similarity.clearCaches()
+      graft.queries.Dedup.clearCaches()
+      graft.queries.TextAnalysis.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("the full loop: planted lexical drift fires the policy, applyPolicy " +
       "rebuilds ONLY the lexical generation, and serving cuts over live") {
     import spark.implicits._
