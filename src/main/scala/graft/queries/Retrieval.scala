@@ -1396,6 +1396,108 @@ object Retrieval {
   private[graft] def hybridFuseRanks(s: SparkSession,
       brank: DataFrame, drank: DataFrame): DataFrame = rrfFused(s, brank, drank)
 
+  /** Three-arm RRF: BM25 × dense × QL, fixed left-to-right addition of
+    * the three reciprocal ranks (one expression — bit-identical on both
+    * engines, the 2-arm form's determinism discipline; a SUM over a
+    * unioned list would re-associate floating adds). Full-outer on
+    * (qid, doc_id): a doc missing from an arm contributes only the arms
+    * it appears in. */
+  private def rrfFused3(s: SparkSession, brank: DataFrame,
+      drank: DataFrame, qrank: DataFrame): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val fused = brank.join(drank, Seq("qid", "doc_id"), "full_outer")
+      .join(qrank, Seq("qid", "doc_id"), "full_outer")
+      .select($"qid", $"doc_id",
+        round(
+          coalesce(lit(1.0) / (lit(RrfC) + $"rb"), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfC) + $"rd"), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfC) + $"rq"), lit(0.0)),
+          6).as("rrf"))
+    topkBy(fused, "rrf", HybK).orderBy($"qid", $"rank")
+  }
+
+  /** QL fusion arm for the embedded-query probe set: top-[[FuseDepth]]
+    * by the exact scorer (`impact = false`, the truth arm) or the
+    * staged cf-ordered truncated index (`impact = true`, the serving
+    * arm). The probe restriction lands BEFORE the posting expansion —
+    * the same no-work-for-unservable-queries discipline as
+    * [[hybridSparseRank]]. (qid, doc_id, rq). */
+  private def qlArmRank(s: SparkSession, dir: String,
+      probeFilter: org.apache.spark.sql.Column, impact: Boolean): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val qids = Similarity.vecs(s, dir)
+      .filter(probeFilter).select($"vec_id".as("qid"))
+    val qtv = queryTerms(s, dir).join(qids, Seq("qid"), "left_semi")
+    val contrib =
+      if (impact) qlImpactIndex(s, dir)
+      else {
+        // exact-tier contributions for the restricted probe's words —
+        // cf is a per-word collection aggregate, so values equal the
+        // full gate derivation's for every probed word
+        val tf = TextAnalysis.termFreqs(s, dir).select($"doc_id", $"word", $"n")
+        val tt = TextAnalysis.tokenCounts(s, dir)
+          .agg(coalesce(sum($"m"), lit(0L)).as("tt"))
+        val cf = tf.join(qtv.select($"word").distinct(), Seq("word"), "left_semi")
+          .groupBy($"word").agg(sum($"n").as("cf"))
+        tf.join(broadcast(cf), "word")
+          .crossJoin(broadcast(tt))
+          .select($"word", $"doc_id",
+            round(log(lit(1.0) +
+              $"n".cast("double") * $"tt" / (lit(QlMu) * $"cf")), 6).as("c"))
+      }
+    topkBy(qlSum(s, dir, qtv, contrib), "ql", FuseDepth)
+      .select($"qid", $"doc_id", $"rank".as("rq"))
+  }
+
+  /** Exact dense fusion arm: pairwise cosine top-[[FuseDepth]] for the
+    * %[[QStep]] embedded probes — the deliberate broadcast scan kept as
+    * the metered truth arm. (qid, doc_id, rd). */
+  private def denseExactRank(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val v = Similarity.vecs(s, dir)
+    val probes = v
+      .filter($"vec_id" % QStep === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("pe"), $"norm2".as("pn"))
+    val dpairs = v.join(broadcast(probes), $"vec_id" =!= $"qid")
+      .withColumn("cos",
+        graft.functions.FloatDot.floatDot($"pe", $"embedding")
+          / sqrt($"pn" * $"norm2"))
+      .select($"qid", $"vec_id".as("doc_id"), $"cos")
+    topkBy(dpairs, "cos", FuseDepth)
+      .select($"qid", $"doc_id", $"rank".as("rd"))
+  }
+
+  /** Three-arm ground truth: BM25 impact × exact dense × exact QL —
+    * shared by ann_hybrid_ql_rrf and the recall meter. */
+  private def hybridQlExactFused(s: SparkSession, dir: String): DataFrame =
+    hybridCache.getOrElseUpdate((s, dir, "ql_exact3"), {
+      import s.implicits._
+      rrfFused3(s,
+        hybridSparseRank(s, dir, $"vec_id" % QStep === 0),
+        denseExactRank(s, dir),
+        qlArmRank(s, dir, $"vec_id" % QStep === 0, impact = false))
+        .persist()
+    })
+
+  /** Three-arm all-staged serving fusion: BM25 impact × IVF-PQ dense ×
+    * QL impact — shared by ann_hybrid_ql_serving and the recall meter. */
+  private def hybridQlServingFused(s: SparkSession, dir: String): DataFrame =
+    hybridCache.getOrElseUpdate((s, dir, "ql_serving3"), {
+      import s.implicits._
+      val (nprobe, shortlist) = Similarity.pqServingDefaults
+      val drank = Similarity.pqTopkFor(s, dir,
+          $"vec_id" % QStep === 0, nprobe, shortlist, FuseDepth)
+        .select($"probe".as("qid"), $"neighbor".as("doc_id"), $"rank".as("rd"))
+      rrfFused3(s,
+        hybridSparseRank(s, dir, $"vec_id" % QStep === 0),
+        drank,
+        qlArmRank(s, dir, $"vec_id" % QStep === 0, impact = true))
+        .persist()
+    })
+
   private val hybridCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
@@ -1404,19 +1506,8 @@ object Retrieval {
   private def hybridExactFused(s: SparkSession, dir: String): DataFrame =
     hybridCache.getOrElseUpdate((s, dir, "exact"), {
       import s.implicits._
-      implicit val sp: SparkSession = s
-      val v = Similarity.vecs(s, dir)
-      val probes = v
-        .filter($"vec_id" % QStep === 0)
-        .select($"vec_id".as("qid"), $"embedding".as("pe"), $"norm2".as("pn"))
-      val dpairs = v.join(broadcast(probes), $"vec_id" =!= $"qid")
-        .withColumn("cos",
-          graft.functions.FloatDot.floatDot($"pe", $"embedding")
-            / sqrt($"pn" * $"norm2"))
-        .select($"qid", $"vec_id".as("doc_id"), $"cos")
-      val drank = topkBy(dpairs, "cos", FuseDepth)
-        .select($"qid", $"doc_id", $"rank".as("rd"))
-      rrfFused(s, hybridSparseRank(s, dir, $"vec_id" % QStep === 0), drank)
+      rrfFused(s, hybridSparseRank(s, dir, $"vec_id" % QStep === 0),
+        denseExactRank(s, dir))
         .persist()
     })
 
@@ -1506,6 +1597,36 @@ object Retrieval {
       import s.implicits._
       val ex = hybridExactFused(s, dir).select($"qid", $"doc_id")
       val sv = hybridServingFused(s, dir).select($"qid", $"doc_id")
+      val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+      val nServing = sv.groupBy($"qid").agg(count(lit(1)).as("n_serving"))
+      val nCommon = ex.join(sv, Seq("qid", "doc_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("n_common"))
+      nExact.join(nServing, "qid")
+        .join(nCommon, Seq("qid"), "left")
+        .select($"qid", $"n_exact", $"n_serving",
+          coalesce($"n_common", lit(0L)).as("n_common"))
+        .orderBy($"qid")
+    },
+
+    // THREE-arm hybrid ground truth: BM25 impact × exact dense cosine ×
+    // exact QL, RRF-fused — the lexical generation carries both scorers
+    // (r15), so fusion carries both too. QL ranks by a different
+    // whole-document model (Dirichlet LM vs BM25's saturation), the
+    // textbook reason multi-scorer RRF beats either alone.
+    "ann_hybrid_ql_rrf" -> { (s, dir) => hybridQlExactFused(s, dir) },
+
+    // The all-staged serving form: BM25 impact × IVF-PQ dense × QL
+    // impact — every arm a committed artifact probe, nothing pairwise.
+    "ann_hybrid_ql_serving" -> { (s, dir) => hybridQlServingFused(s, dir) },
+
+    // Recall of the three-arm serving fusion against the three-arm
+    // exact-arm truth — the family's honesty contract, extended to the
+    // QL arm the r15 verdict called the one fusion gap.
+    "ann_hybrid_ql_recall" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ex = hybridQlExactFused(s, dir).select($"qid", $"doc_id")
+      val sv = hybridQlServingFused(s, dir).select($"qid", $"doc_id")
       val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
       val nServing = sv.groupBy($"qid").agg(count(lit(1)).as("n_serving"))
       val nCommon = ex.join(sv, Seq("qid", "doc_id"), "left_semi")
@@ -1868,6 +1989,83 @@ object Retrieval {
        |      * ln($QlMu / (d.m + $QlMu)), 6) AS ql
        |  FROM iscored_q s JOIN dl d ON d.doc_id = s.doc_id
        |  JOIN qlen l ON l.qid = s.qid)""".stripMargin
+
+  /** QL fusion-arm oracle chain — appended after [[Bm25Cte]] (which
+    * provides tok/tf/dl/qterms) and a `qv` embedded-probe CTE; every
+    * name is ql-prefixed so the two scorers' chains compose in ONE
+    * WITH. Produces `qlxrank` (exact arm) and `qlirank` (impact arm),
+    * both probe-restricted before the posting expansion. */
+  private val QlArmCte =
+    s"""qltt AS (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS tt FROM dl),
+       |qlcf AS (
+       |  SELECT word, CAST(SUM(n) AS BIGINT) AS cf FROM tf
+       |  WHERE word IN (SELECT word FROM qterms) GROUP BY 1),
+       |qlqlen AS (SELECT qid, count(*) AS qlen FROM qterms GROUP BY 1),
+       |qlcontrib AS (
+       |  SELECT t.word, t.doc_id,
+       |    round(ln(1.0::DOUBLE + CAST(t.n AS DOUBLE) * c.tt / ($QlMu * f.cf)), 6) AS c
+       |  FROM tf t JOIN qlcf f ON f.word = t.word CROSS JOIN qltt c),
+       |qlxscored AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS sm
+       |  FROM qterms q JOIN qlcontrib t ON t.word = q.word AND t.doc_id <> q.qid
+       |  WHERE q.qid IN (SELECT qid FROM qv)
+       |  GROUP BY 1, 2),
+       |qlxfull AS (
+       |  SELECT s.qid, s.doc_id,
+       |    s.sm + round(CAST(l.qlen AS DOUBLE) * ln($QlMu / (d.m + $QlMu)), 6) AS ql
+       |  FROM qlxscored s JOIN dl d ON d.doc_id = s.doc_id
+       |  JOIN qlqlen l ON l.qid = s.qid),
+       |qlxrank AS (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ql DESC, doc_id) AS rq
+       |  FROM qlxfull),
+       |qlkey2 AS (
+       |  SELECT t.word, t.doc_id, t.c,
+       |    CAST(CAST(t.c AS DECIMAL(18,6))
+       |      + CAST(round(ln($QlMu / (d.m + $QlMu)), 6) * $QlPriorW AS DECIMAL(18,6)) AS DOUBLE) AS k
+       |  FROM qlcontrib t JOIN dl d ON d.doc_id = t.doc_id),
+       |qltrunc2 AS (
+       |  SELECT word, doc_id, c FROM (
+       |    SELECT word, doc_id, c,
+       |      row_number() OVER (PARTITION BY word ORDER BY k DESC, doc_id) AS pr
+       |    FROM qlkey2) WHERE pr <= $BmImpactP),
+       |qliscored AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(SUM(CAST(t.c AS DECIMAL(18,6))) AS DOUBLE) AS sm
+       |  FROM qterms q JOIN qltrunc2 t ON t.word = q.word AND t.doc_id <> q.qid
+       |  WHERE q.qid IN (SELECT qid FROM qv)
+       |  GROUP BY 1, 2),
+       |qlifull AS (
+       |  SELECT s.qid, s.doc_id,
+       |    s.sm + round(CAST(l.qlen AS DOUBLE) * ln($QlMu / (d.m + $QlMu)), 6) AS ql
+       |  FROM qliscored s JOIN dl d ON d.doc_id = s.doc_id
+       |  JOIN qlqlen l ON l.qid = s.qid),
+       |qlirank AS (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ql DESC, doc_id) AS rq
+       |  FROM qlifull)""".stripMargin
+
+  /** Three-arm fusion oracle fragment: `${p}bd` pairs the BM25 and
+    * dense arms, `${p}fused` adds the QL arm — the SAME fixed
+    * left-to-right reciprocal-rank addition as [[rrfFused3]], so both
+    * engines compute bit-identical doubles. */
+  private def fused3Cte(p: String, dRank: String, qlArm: String): String =
+    s"""${p}bd AS (
+       |  SELECT COALESCE(b.qid, d.qid) AS qid,
+       |    COALESCE(b.doc_id, d.doc_id) AS doc_id, b.rb, d.rd
+       |  FROM (SELECT * FROM brank WHERE rb <= $FuseDepth) b
+       |  FULL OUTER JOIN (SELECT * FROM $dRank WHERE rd <= $FuseDepth) d
+       |    ON b.qid = d.qid AND b.doc_id = d.doc_id),
+       |${p}fused AS (
+       |  SELECT COALESCE(x.qid, q.qid) AS qid,
+       |    COALESCE(x.doc_id, q.doc_id) AS doc_id,
+       |    round(COALESCE(1.0::DOUBLE / ($RrfC + x.rb), 0)
+       |        + COALESCE(1.0::DOUBLE / ($RrfC + x.rd), 0)
+       |        + COALESCE(1.0::DOUBLE / ($RrfC + q.rq), 0), 6) AS rrf
+       |  FROM ${p}bd x
+       |  FULL OUTER JOIN (SELECT * FROM $qlArm WHERE rq <= $FuseDepth) q
+       |    ON x.qid = q.qid AND x.doc_id = q.doc_id)""".stripMargin
 
   /** The exact QL ranking — the oracle of tx_ql_topk AND, by the
     * rank-safety contract, of tx_ql_wand (both must hash-match it). */
@@ -2391,6 +2589,118 @@ object Retrieval {
          |  FROM (SELECT * FROM brank WHERE rb <= $FuseDepth) b
          |  FULL OUTER JOIN srank d
          |    ON b.qid = d.qid AND b.doc_id = d.doc_id),
+         |stop AS (
+         |  SELECT qid, doc_id FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+         |    FROM sfused) WHERE rank <= $HybK),
+         |ne AS (SELECT qid, count(*) AS n_exact FROM etop GROUP BY 1),
+         |ns AS (SELECT qid, count(*) AS n_serving FROM stop GROUP BY 1),
+         |nc AS (SELECT e.qid, count(*) AS n_common
+         |       FROM etop e JOIN stop s ON s.qid = e.qid AND s.doc_id = e.doc_id
+         |       GROUP BY 1)
+         |SELECT ne.qid, CAST(ne.n_exact AS BIGINT) AS n_exact,
+         |  CAST(ns.n_serving AS BIGINT) AS n_serving,
+         |  CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common
+         |FROM ne JOIN ns ON ns.qid = ne.qid
+         |LEFT JOIN nc ON nc.qid = ne.qid
+         |ORDER BY ne.qid""".stripMargin,
+
+    "ann_hybrid_ql_rrf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+         |      (x, y) -> x + y) AS norm2
+         |  FROM embeddings),
+         |$Bm25Cte,
+         |$Bm25ImpactCte,
+         |qv AS (SELECT vec_id AS qid FROM v WHERE vec_id % $QStep = 0),
+         |$QlArmCte,
+         |brank AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rb
+         |  FROM iscored WHERE qid IN (SELECT qid FROM qv)),
+         |dpairs AS (
+         |  SELECT q.qid, x.vec_id AS doc_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.embedding) + 1),
+         |        i -> p.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)),
+         |      (a, b) -> a + b) / sqrt(p.norm2 * x.norm2) AS cos
+         |  FROM qv q JOIN v p ON p.vec_id = q.qid
+         |  JOIN v x ON x.vec_id <> q.qid),
+         |drank AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rd
+         |  FROM dpairs),
+         |${fused3Cte("e", "drank", "qlxrank")},
+         |ranked AS (
+         |  SELECT qid, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM efused)
+         |SELECT qid, rank, doc_id, rrf FROM ranked WHERE rank <= $HybK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "ann_hybrid_ql_serving" ->
+      s"""${Similarity.VecCte},
+         |${Similarity.TrainedAsgCte},
+         |${Similarity.PqCte},
+         |${Similarity.pqSearchCtesWhere(s"vec_id % $QStep = 0")},
+         |$Bm25Cte,
+         |$Bm25ImpactCte,
+         |qv AS (SELECT vec_id AS qid FROM v WHERE vec_id % $QStep = 0),
+         |$QlArmCte,
+         |brank AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rb
+         |  FROM iscored WHERE qid IN (SELECT qid FROM qv)),
+         |srank AS (
+         |  SELECT probe AS qid, neighbor AS doc_id, rank AS rd
+         |  FROM pq5 WHERE rank <= $FuseDepth),
+         |${fused3Cte("s", "srank", "qlirank")},
+         |sranked AS (
+         |  SELECT qid, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM sfused)
+         |SELECT qid, rank, doc_id, rrf FROM sranked WHERE rank <= $HybK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "ann_hybrid_ql_recall" ->
+      s"""${Similarity.VecCte},
+         |${Similarity.TrainedAsgCte},
+         |${Similarity.PqCte},
+         |${Similarity.pqSearchCtesWhere(s"vec_id % $QStep = 0")},
+         |$Bm25Cte,
+         |$Bm25ImpactCte,
+         |qv AS (SELECT vec_id AS qid FROM v WHERE vec_id % $QStep = 0),
+         |$QlArmCte,
+         |brank AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rb
+         |  FROM iscored WHERE qid IN (SELECT qid FROM qv)),
+         |dpairs AS (
+         |  SELECT q.qid, x.vec_id AS doc_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(p.embedding) + 1),
+         |        i -> p.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)),
+         |      (a, b) -> a + b) / sqrt(p.norm2 * x.norm2) AS cos
+         |  FROM qv q JOIN v p ON p.vec_id = q.qid
+         |  JOIN v x ON x.vec_id <> q.qid),
+         |drank AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rd
+         |  FROM dpairs),
+         |srank AS (
+         |  SELECT probe AS qid, neighbor AS doc_id, rank AS rd
+         |  FROM pq5 WHERE rank <= $FuseDepth),
+         |${fused3Cte("e", "drank", "qlxrank")},
+         |${fused3Cte("s", "srank", "qlirank")},
+         |etop AS (
+         |  SELECT qid, doc_id FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+         |    FROM efused) WHERE rank <= $HybK),
          |stop AS (
          |  SELECT qid, doc_id FROM (
          |    SELECT qid, doc_id,
