@@ -58,6 +58,10 @@ object ScaleProbe {
       positionalProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("positionalwide")) {
+      positionalWideProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ceiling")) { pqCeiling(spark); spark.stop(); return }
     if (args.headOption.contains("serve")) {
       serveProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
@@ -723,6 +727,67 @@ object ScaleProbe {
     serveOnce() // warm: plan + codegen + file index
     val sSec = Seq.fill(3)(serveOnce()).sorted.apply(1)
     println(f"""{"probe": "positional_cap_serve", "mult": $m, "sec": $sSec%.2f, "queries": $nq, "ms_per_query": ${sSec * 1000 / nq}%.2f}""")
+  }
+
+  /** WIDE-VOCABULARY positional serving ladder: each replica copy's
+    * words are suffixed `_k`, so the vocabulary grows m× with the
+    * corpus (real text's regime — vocabulary ≫ a batch's probed words)
+    * while the fixed 400-query batch keeps probing copy-0's words.
+    * This is the corpus the word-bucketed layout exists for: the
+    * probed buckets hold a CONSTANT posting mass across the decade, so
+    * the staged serve cost must stay flat while any full-scan form
+    * grows linearly. (The shared-vocabulary replica above cannot show
+    * this — its 49-word vocabulary is fully probed by every batch, so
+    * every layout degenerates to a scan there.)
+    */
+  private def positionalWideProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    val out = s"/tmp/graft_scale${m}w"
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val n = base.count()
+      (0 until m).map { k =>
+        base.select(
+          ($"doc_id" + lit(k * n)).as("doc_id"),
+          array_join(transform(
+            filter(split(lower($"text"), "\\s+"), w => w =!= ""),
+            w => concat(w, lit(s"_$k"))), " ").as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"""{"built": "$out", "docs": ${n * m}, "vocab_mult": $m}""")
+    }
+    graft.queries.Positional.clearCaches()
+    val batch = org.apache.spark.sql.functions.col("doc_id") < 400L * 50
+    val nq = math.max(
+      graft.queries.Positional.probeQueryCount(spark, out, batch), 1L)
+    // the in-memory capped form: corpus-linear per batch (full scan)
+    val t0 = System.nanoTime()
+    val rows = graft.queries.Positional.phraseOccCapped(spark, out, batch).count()
+    val memSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe": "positional_wide_capped_mem", "mult": $m, "sec": $memSec%.2f, "rows": $rows, "queries": $nq, "ms_per_query": ${memSec * 1000 / nq}%.2f}""")
+    // the committed word-bucketed generation: probed buckets only
+    val root = s"/tmp/graft_posserve_w$m"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val tg = System.nanoTime()
+    graft.queries.Positional.writePositionalGeneration(spark, out, root)
+    val genSec = (System.nanoTime() - tg) / 1e9
+    val g = graft.queries.Positional.loadPositionalGeneration(spark, root)
+    println(f"""{"probe": "positional_wide_gen_write", "mult": $m, "sec": $genSec%.2f, "wb_buckets": ${g.wbN.getOrElse(0)}}""")
+    val qd = spark.read.parquet(s"$out/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .filter(batch)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def serveOnce(): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.Positional.phraseCappedServeGenBatch(spark, g, qd).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    serveOnce()
+    val sSec = Seq.fill(3)(serveOnce()).sorted.apply(1)
+    println(f"""{"probe": "positional_wide_cap_serve", "mult": $m, "sec": $sSec%.2f, "queries": $nq, "ms_per_query": ${sSec * 1000 / nq}%.2f}""")
   }
 
   /** QL frontier: the exact tier's full-postings traversal vs the

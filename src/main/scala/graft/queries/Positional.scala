@@ -415,8 +415,11 @@ object Positional {
     * sized so the bucket count lands in [16, 4096] — small corpora get
     * few directories (test-friendly), and at 100 TB the cap bounds the
     * file-count blowup while a serving batch's ~tens-to-hundreds of
-    * probed words still hit a small fraction of 4096 buckets. */
-  private val PosWbChunk = 250000L
+    * probed words still hit a small fraction of 4096 buckets. 50k
+    * postings per bucket (~0.5–1 MB parquet) keeps the hit fraction
+    * 1−e^(−probed/NB) small at realistic batch sizes — the prune IS
+    * the point of the layout, so buckets err small. */
+  private val PosWbChunk = 50000L
 
   /** Word-hash bucket count for a generation's postings layout —
     * power of two, clamped to [16, 4096]. The modulus is committed
