@@ -666,6 +666,10 @@ object ScaleProbe {
     val nCapped = graft.queries.Positional.cappedIndex(spark, out).count()
     val capSec = (System.nanoTime() - tc) / 1e9
     println(f"""{"probe": "positional_cap_build", "mult": $m, "sec": $capSec%.2f, "rows": $nCapped}""")
+    val tbg = System.nanoTime()
+    val nBigrams = graft.queries.Positional.bigramIndex(spark, out).count()
+    val bgSec = (System.nanoTime() - tbg) / 1e9
+    println(f"""{"probe": "positional_bigram_build", "mult": $m, "sec": $bgSec%.2f, "rows": $nBigrams}""")
     // FIXED query batch at every multiple (the hybrid-probe
     // convention): the %QStep probe set grows with the corpus, and
     // ms/query must not conflate batch size with corpus scale. The
@@ -679,6 +683,7 @@ object ScaleProbe {
       graft.queries.Positional.probeQueryCount(spark, out, batch), 1L)
     for ((tag, df) <- Seq(
       ("phrase", graft.queries.Positional.phraseOcc(spark, out, batch)),
+      ("phrase_bigram", graft.queries.Positional.phraseBigramOcc(spark, out, batch)),
       ("phrase_capped", graft.queries.Positional.phraseOccCapped(spark, out, batch)),
       ("proximity", graft.queries.Positional.proximityFor(spark, out, batch)))) {
       val t0 = System.nanoTime()
@@ -727,6 +732,15 @@ object ScaleProbe {
     serveOnce() // warm: plan + codegen + file index
     val sSec = Seq.fill(3)(serveOnce()).sorted.apply(1)
     println(f"""{"probe": "positional_cap_serve", "mult": $m, "sec": $sSec%.2f, "queries": $nq, "ms_per_query": ${sSec * 1000 / nq}%.2f}""")
+    // the EXACT bigram route from the same commit point
+    def bgServeOnce(): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.Positional.phraseBigramServeGenBatch(spark, g, qd).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    bgServeOnce()
+    val bSec = Seq.fill(3)(bgServeOnce()).sorted.apply(1)
+    println(f"""{"probe": "positional_bigram_serve", "mult": $m, "sec": $bSec%.2f, "queries": $nq, "ms_per_query": ${bSec * 1000 / nq}%.2f}""")
   }
 
   /** WIDE-VOCABULARY positional serving ladder: each replica copy's

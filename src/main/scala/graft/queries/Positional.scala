@@ -68,12 +68,16 @@ object Positional {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val capCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bgCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def clearCaches(): Unit = {
     posCache.values.foreach(_.unpersist())
     capCache.values.foreach(_.unpersist())
+    bgCache.values.foreach(_.unpersist())
     posCache.clear()
     capCache.clear()
+    bgCache.clear()
   }
 
   /** Force-build the positional family's durable artifacts for `dir` —
@@ -81,6 +85,7 @@ object Positional {
   def stageIndexes(s: SparkSession, dir: String): Unit = {
     positionalIndex(s, dir)
     cappedIndex(s, dir)
+    bigramIndex(s, dir)
     ()
   }
 
@@ -138,6 +143,37 @@ object Positional {
       .select($"e.a".as("doc_id"), $"e.b".cast("int").as("pos"), $"word")
   }
 
+  /** The staged positional BIGRAM index (bg, doc_id, pos) — the
+    * classic biword device (Manning et al., IR ch. 2): one row per
+    * adjacent token pair, pos = the pair's start. A 3-token phrase is
+    * exactly two overlapping bigrams, and df(bigram) is typically
+    * orders of magnitude below df(word), so candidate generation from
+    * the RARER bigram is bounded far tighter than the word-anchored
+    * plan — exact results (tx_phrase_bigram's oracle IS
+    * tx_phrase_search's SQL: the hash gate proves route equivalence)
+    * at a fraction of the candidate volume
+    * (`tx_phrase_bigram_meter` prices the ratio per query). Same
+    * maintenance story as the word index: a pure per-doc derivation,
+    * merged by union. Costs one positional-index-sized artifact —
+    * the standard space-for-candidates trade the biword index makes.
+    */
+  private[graft] def bigramIndex(s: SparkSession, dir: String): DataFrame =
+    bgCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      Staging.readElseBuild(s, dir, "bigram_index", Seq("documents")) {
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", wsTokens(lower($"text")).as("toks"))
+          .select($"doc_id", posexplode(
+            when(size($"toks") >= 2,
+              transform(sequence(lit(1), size($"toks") - 1),
+                i => concat(element_at($"toks", i), lit(" "),
+                  element_at($"toks", i + 1))))
+              .otherwise(array().cast("array<string>")))
+            .as(Seq("pos", "bg")))
+      }.persist()
+    })
+
   /** `dir`'s staged positional index extended by a batch of (doc_id,
     * text) — pure union: positions are a per-doc derivation with no
     * corpus-dependent state (the window-index argument), so this merge
@@ -190,6 +226,79 @@ object Positional {
     import s.implicits._
     phrasesFromToks(s, queryDocs
       .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks")))
+  }
+
+  /** The gate phrase set as its two overlapping BIGRAMS: (qid, off,
+    * bg) with off ∈ {0, 1} — a start s matches the phrase iff bigram 0
+    * sits at s and bigram 1 at s+1 (exactly the three-word alignment,
+    * re-expressed). */
+  private def queryBigrams(s: SparkSession, dir: String,
+      extra: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    bigramsFromToks(s, probeToks(s, dir, extra))
+
+  private def bigramsFromToks(s: SparkSession, pt: DataFrame): DataFrame = {
+    import s.implicits._
+    pt.filter(size($"toks") >= 3)
+      .select($"qid", posexplode(array(
+        concat(element_at($"toks", 1), lit(" "), element_at($"toks", 2)),
+        concat(element_at($"toks", 2), lit(" "), element_at($"toks", 3))))
+        .as(Seq("off", "bg")))
+  }
+
+  /** The BIGRAM-anchored phrase core: candidate starts from the
+    * per-query rarer bigram's postings, the other bigram verified by
+    * one exact (bg, doc, pos) semi-join — [[phraseAnchorParts]]'s plan
+    * with bigrams as the unit, which shrinks the candidate frame from
+    * df(rarest word) to df(rarest bigram). Returns (starts, anchors
+    * (qid, adf, aoff, bg)). Results are IDENTICAL to the word-anchored
+    * plan (two aligned bigrams ⇔ three aligned words); the gate pins
+    * it by giving tx_phrase_bigram tx_phrase_search's own oracle. */
+  private def phraseBigramParts(s: SparkSession, index: DataFrame,
+      bq: DataFrame, wbN: Option[Int] = None): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val probed = wbN match {
+      case Some(nb) =>
+        val pw = bq.select($"bg",
+            pmod(xxhash64($"bg"), lit(nb.toLong)).cast("int").as("wb"))
+          .distinct().collect()
+        if (pw.isEmpty) index.filter(lit(false))
+        else if (index.columns.contains("wb"))
+          index.filter(
+            $"wb".isInCollection(pw.map(r => Int.box(r.getInt(1))).toSet) &&
+              $"bg".isInCollection(pw.map(_.getString(0)).toSeq))
+        else index.filter($"bg".isInCollection(pw.map(_.getString(0)).toSeq))
+      case None =>
+        index.join(broadcast(bq.select($"bg").distinct()), Seq("bg"), "left_semi")
+    }
+    val bdf = probed.groupBy($"bg").agg(count(lit(1)).as("df"))
+    val anchors = bq.join(broadcast(bdf), Seq("bg"))
+      .groupBy($"qid")
+      .agg(min(struct($"df", $"off", $"bg")).as("a"))
+      .select($"qid", $"a.df".as("adf"), $"a.off".as("aoff"), $"a.bg".as("bg"))
+    val cands = probed
+      .join(broadcast(anchors.select($"qid", $"aoff", $"bg")), Seq("bg"))
+      .select($"qid", $"doc_id", ($"pos" - $"aoff").as("start"))
+    // exactly ONE non-anchor bigram per query — the verification keeps
+    // a start iff its single probe matched, no distinct-count needed
+    val rest = bq.join(anchors.select($"qid", $"aoff"), Seq("qid"))
+      .filter($"off" =!= $"aoff")
+      .select($"qid", $"off", $"bg")
+    val starts = cands.join(broadcast(rest), Seq("qid"))
+      .select($"qid", $"doc_id", $"start", $"bg",
+        ($"start" + $"off").as("pos"))
+      .join(probed, Seq("bg", "doc_id", "pos"), "left_semi")
+      .select($"qid", $"doc_id", $"start")
+    (starts, anchors)
+  }
+
+  /** Bigram-route occurrence counts for an arbitrary probe restriction
+    * — the ladder's fixed-batch form. */
+  private[graft] def phraseBigramOcc(s: SparkSession, dir: String,
+      extra: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    import s.implicits._
+    phraseBigramParts(s, bigramIndex(s, dir), queryBigrams(s, dir, extra))._1
+      .groupBy($"qid", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"))
   }
 
   /** Exact-phrase occurrences: (qid, doc_id, n_occ), ANCHORED on each
@@ -450,16 +559,20 @@ object Positional {
     val next = graft.core.Generations.next(root)
     val idx = positionalIndex(s, dir)
     val nb = wbBucketsFor(idx.count())
-    def bucketed(df: DataFrame): DataFrame = df
-      .withColumn("wb", pmod(xxhash64($"word"), lit(nb.toLong)).cast("int"))
+    def bucketed(df: DataFrame, key: String): DataFrame = df
+      .withColumn("wb", pmod(xxhash64(col(key)), lit(nb.toLong)).cast("int"))
       .repartition($"wb")
-      .sortWithinPartitions($"wb", $"word", $"doc_id", $"pos")
-    bucketed(idx).write.mode("overwrite").partitionBy("wb")
+      .sortWithinPartitions(col("wb"), col(key), $"doc_id", $"pos")
+    bucketed(idx, "word").write.mode("overwrite").partitionBy("wb")
       .parquet(s"$root/gen-$next/postings")
     // the generation carries the capped anchor lists too — the
     // truncated tier serves from the same commit point as the exact one
-    bucketed(cappedIndex(s, dir)).write.mode("overwrite").partitionBy("wb")
+    bucketed(cappedIndex(s, dir), "word").write.mode("overwrite").partitionBy("wb")
       .parquet(s"$root/gen-$next/capped")
+    // ... and the biword postings, bucketed by bigram — the exact
+    // fast route serves from the same commit point too
+    bucketed(bigramIndex(s, dir), "bg").write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$root/gen-$next/bigrams")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/gen-$next/wb_n"), nb.toString)
     graft.core.Generations.setLatest(root, next)
@@ -475,28 +588,50 @@ object Positional {
     */
   final case class PositionalGeneration(
       gen: Long, postings: DataFrame, capped: Option[DataFrame],
-      wbN: Option[Int] = None) {
+      wbN: Option[Int] = None, bigrams: Option[DataFrame] = None) {
     /** The capped slice, or a clear republish demand — never a file
       * scan error surfacing mid-batch. */
     def cappedOrFail: DataFrame = capped.getOrElse(sys.error(
       s"positional gen-$gen has no capped slice (pre-r15 format) — " +
         "republish via writePositionalGeneration to serve the capped tier"))
+
+    /** The biword slice, same contract. */
+    def bigramsOrFail: DataFrame = bigrams.getOrElse(sys.error(
+      s"positional gen-$gen has no bigram slice (pre-r16 format) — " +
+        "republish via writePositionalGeneration to serve the bigram route"))
   }
 
   def loadPositionalGeneration(s: SparkSession, root: String): PositionalGeneration = {
     val gen = graft.core.Generations.latest(root).getOrElse(
       sys.error(s"$root: no committed positional serving generation"))
-    val cappedPath = java.nio.file.Paths.get(s"$root/gen-$gen/capped")
+    def slice(name: String): Option[DataFrame] = {
+      val p = java.nio.file.Paths.get(s"$root/gen-$gen/$name")
+      if (java.nio.file.Files.isDirectory(p)) Some(s.read.parquet(p.toString))
+      else None
+    }
     val wbPath = java.nio.file.Paths.get(s"$root/gen-$gen/wb_n")
     PositionalGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/postings"),
-      if (java.nio.file.Files.isDirectory(cappedPath))
-        Some(s.read.parquet(cappedPath.toString))
-      else None,
+      slice("capped"),
       // pre-bucketing generations have no sidecar → no prune, same plans
       if (java.nio.file.Files.exists(wbPath))
         java.nio.file.Files.readString(wbPath).trim.toIntOption
-      else None)
+      else None,
+      slice("bigrams"))
+  }
+
+  /** Serve one micro-batch of (doc_id, text) phrase queries through
+    * the BIGRAM route against an EXPLICIT generation's biword slice —
+    * exact answers (route equivalence), candidates bounded by the
+    * rarer bigram's df. */
+  private[graft] def phraseBigramServeGenBatch(s: SparkSession,
+      g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val bq = bigramsFromToks(s, queryDocs
+      .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks")))
+    val occ = phraseBigramParts(s, g.bigramsOrFail, bq, g.wbN)._1
+      .groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
+    phraseTopk(s, occ, k)
   }
 
   /** Serve one micro-batch from an EXPLICIT generation's postings. */
@@ -523,6 +658,30 @@ object Positional {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_phrase_search" -> { (s, dir) => phraseTopk(s, phraseOcc(s, dir), 10) },
+
+    // The BIWORD route to the same answer: candidates from the rarer
+    // of the phrase's two overlapping bigrams (df(bigram) ≪ df(word)),
+    // one exact-position semi-join to verify the other. Its oracle IS
+    // tx_phrase_search's SQL — the hash gate proves the two routes
+    // return identical rows; the meter below prices the candidate cut.
+    "tx_phrase_bigram" -> { (s, dir) =>
+      phraseTopk(s, phraseBigramOcc(s, dir), 10)
+    },
+
+    // Candidate-volume instrument: per query, the word-anchor df (what
+    // tx_phrase_search's candidate frame costs) vs the bigram-anchor
+    // df (what tx_phrase_bigram's costs) — the measured reason the
+    // biword index earns its storage.
+    "tx_phrase_bigram_meter" -> { (s, dir) =>
+      import s.implicits._
+      val w = phraseAnchorParts(
+        s, positionalIndex(s, dir), queryPhrases(s, dir), None)._2
+        .select($"qid", $"adf".as("word_adf"))
+      val b = phraseBigramParts(
+        s, bigramIndex(s, dir), queryBigrams(s, dir))._2
+        .select($"qid", $"adf".as("bigram_adf"))
+      w.join(b, "qid").orderBy($"qid")
+    },
 
     "tx_phrase_meter" -> { (s, dir) =>
       import s.implicits._
@@ -778,6 +937,18 @@ object Positional {
        |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ
        |  FROM cver GROUP BY 1, 2)""".stripMargin
 
+  /** The exact-phrase top-10 — oracle of tx_phrase_search AND, by
+    * route equivalence, of tx_phrase_bigram. */
+  private val PhraseSearchSql =
+    s"""$PosCte,
+       |$PhraseCte
+       |SELECT qid, doc_id, n_occ, rk FROM (
+       |  SELECT qid, doc_id, n_occ,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY n_occ DESC, doc_id) AS INT) AS rk
+       |  FROM occ)
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "tx_phrase_capped" ->
       s"""$PosCte,
@@ -828,15 +999,46 @@ object Positional {
          |  FROM cocc GROUP BY qid) st ON st.qid = a.qid
          |ORDER BY a.qid""".stripMargin,
 
-    "tx_phrase_search" ->
+    "tx_phrase_search" -> PhraseSearchSql,
+
+    // the bigram route must return EXACTLY the word route's rows —
+    // same oracle, so the hash gate is the equivalence proof
+    "tx_phrase_bigram" -> PhraseSearchSql,
+
+    "tx_phrase_bigram_meter" ->
       s"""$PosCte,
-         |$PhraseCte
-         |SELECT qid, doc_id, n_occ, rk FROM (
-         |  SELECT qid, doc_id, n_occ,
-         |    CAST(row_number() OVER (PARTITION BY qid
-         |      ORDER BY n_occ DESC, doc_id) AS INT) AS rk
-         |  FROM occ)
-         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+         |$PhraseCte,
+         |wdf2 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS df FROM p
+         |  WHERE word IN (SELECT word FROM qt) GROUP BY word),
+         |wanch AS (
+         |  SELECT qid, df FROM (
+         |    SELECT qt.qid, w.df,
+         |      row_number() OVER (PARTITION BY qt.qid
+         |        ORDER BY w.df, qt.idx, qt.word) AS rn
+         |    FROM qt JOIN wdf2 w ON w.word = qt.word) WHERE rn = 1),
+         |bq AS (
+         |  SELECT qid, unnest(range(0, 2)) AS off,
+         |    unnest([toks[1] || ' ' || toks[2], toks[2] || ' ' || toks[3]]) AS bg
+         |  FROM pq WHERE len(toks) >= 3),
+         |bp AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(toks))) AS pos,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |bdf AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS df FROM bp
+         |  WHERE bg IN (SELECT bg FROM bq) GROUP BY bg),
+         |banch AS (
+         |  SELECT qid, df FROM (
+         |    SELECT bq.qid, b.df,
+         |      row_number() OVER (PARTITION BY bq.qid
+         |        ORDER BY b.df, bq.off, bq.bg) AS rn
+         |    FROM bq JOIN bdf b ON b.bg = bq.bg) WHERE rn = 1)
+         |SELECT w.qid, w.df AS word_adf, b.df AS bigram_adf
+         |FROM wanch w JOIN banch b ON b.qid = w.qid
+         |ORDER BY w.qid""".stripMargin,
 
     "tx_phrase_meter" ->
       s"""$PosCte,

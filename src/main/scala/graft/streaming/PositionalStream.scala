@@ -77,6 +77,16 @@ object PositionalStream {
     serveLatestWith(queries, root)((s, g, batch) =>
       Positional.phraseCappedServeGenBatch(s, g, batch, k))(sink)
 
+  /** Generation-bound BIGRAM-route phrase serving — exact
+    * tx_phrase_search answers (route equivalence, parity-pinned) with
+    * candidates bounded by the rarer bigram's df instead of the rarest
+    * word's: the committed `gen-N/bigrams` slice probed bucket-pruned,
+    * same pointer protocol. */
+  def serveLatestBigram(queries: DataFrame, root: String, k: Int = 10)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)((s, g, batch) =>
+      Positional.phraseBigramServeGenBatch(s, g, batch, k))(sink)
+
   /** Generation-bound SNIPPET serving — tx_snippet's contract (best
     * phrase doc + first-match context window) per micro-batch from the
     * committed postings, same pointer protocol. Completes the

@@ -118,6 +118,27 @@ class PositionalSpec extends SparkSpec {
     assert(rec(50L) == ((2L, 2L, 2L)))
   }
 
+  test("bigram route: repeated-word phrases, identical bigrams, and " +
+      "overlapping matches all equal the word route") {
+    // probe 0: "a b a" (bigrams "a b", "b a") — doc 1 "a b a b a"
+    // matches at overlapping starts 0 and 2; probe 50: "z z z"
+    // (BOTH bigrams are "z z") — doc 2 "z z z z" matches at starts
+    // 0 and 1 through the shared-bigram alignment.
+    val docs = Seq(
+      (0L, "a b a x y", "s0"),
+      (1L, "a b a b a", "s1"),
+      (50L, "z z z", "s2"),
+      (2L, "z z z z", "s3"))
+    val dir = freshDir(docs)
+    val bg = Positional.queries("tx_phrase_bigram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val ws = Positional.queries("tx_phrase_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(bg.toSeq == ws.toSeq, "the two routes must return identical rows")
+    assert(bg.find(t => t._1 == 0L && t._2 == 1L).map(_._3).contains(2L))
+    assert(bg.find(t => t._1 == 50L && t._2 == 2L).map(_._3).contains(2L))
+  }
+
   test("capped-list build: the bounded-heap cut equals the window " +
       "derivation row for row, with no Window in its plan") {
     import org.apache.spark.sql.expressions.Window

@@ -102,6 +102,40 @@ class PositionalStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming bigram-route phrase serving equals tx_phrase_search " +
+      "across micro-batches (route equivalence, served form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("posbg").toString
+    try {
+      Positional.writePositionalGeneration(spark, dir, tmp)
+      val qdocs = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" % 50 === 0)
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+      val served = mutable.Buffer.empty[(Long, Long, Long, Int)]
+      val in = MemoryStream[(Long, String)]
+      val q = PositionalStream.serveLatestBigram(
+        in.toDS().toDF("doc_id", "text"), tmp) { out =>
+        served ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      }.queryName("bigram_serve").start()
+      val cut = qdocs.length / 2
+      Seq(qdocs.take(cut), qdocs.drop(cut))
+        .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      q.stop()
+
+      val batch = graft.SparkEntry.queries("tx_phrase_search")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(served.toSet == batch)
+      assert(served.size == served.toSet.size)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("streaming capped-phrase serving equals the batch query across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
