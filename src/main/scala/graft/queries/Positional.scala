@@ -258,15 +258,8 @@ object Positional {
     import s.implicits._
     val probed = wbN match {
       case Some(nb) =>
-        val pw = bq.select($"bg",
-            pmod(xxhash64($"bg"), lit(nb.toLong)).cast("int").as("wb"))
-          .distinct().collect()
-        if (pw.isEmpty) index.filter(lit(false))
-        else if (index.columns.contains("wb"))
-          index.filter(
-            $"wb".isInCollection(pw.map(r => Int.box(r.getInt(1))).toSet) &&
-              $"bg".isInCollection(pw.map(_.getString(0)).toSeq))
-        else index.filter($"bg".isInCollection(pw.map(_.getString(0)).toSeq))
+        graft.core.WbLayout.prune(index, "bg",
+          graft.core.WbLayout.probeOf(bq.select($"bg"), "bg", nb))
       case None =>
         index.join(broadcast(bq.select($"bg").distinct()), Seq("bg"), "left_semi")
     }
@@ -367,19 +360,8 @@ object Positional {
     // Everything downstream — df, candidates, verification — touches
     // only these rows, never the full index.
     val wbPrune: Option[DataFrame => DataFrame] = wbN.map { nb =>
-      val pw = qt.select($"word",
-          pmod(xxhash64($"word"), lit(nb.toLong)).cast("int").as("wb"))
-        .distinct().collect()
-      if (pw.isEmpty) (d: DataFrame) => d.filter(lit(false))
-      else {
-        val words = pw.map(_.getString(0)).toSeq
-        val buckets = pw.map(r => Int.box(r.getInt(1))).toSet
-        (d: DataFrame) =>
-          if (d.columns.contains("wb"))
-            d.filter($"wb".isInCollection(buckets) &&
-              $"word".isInCollection(words))
-          else d.filter($"word".isInCollection(words))
-      }
+      val p = graft.core.WbLayout.probeOf(qt.select($"word"), "word", nb)
+      (d: DataFrame) => graft.core.WbLayout.prune(d, "word", p)
     }
     val idxProbed = wbPrune match {
       case Some(prune) => prune(idx)
@@ -520,25 +502,11 @@ object Positional {
     phraseTopk(s,
       phraseOccOn(s, positionalIndex(s, dir), phrasesOf(s, queryDocs)), k)
 
-  /** Postings per word-hash bucket in a committed generation's layout:
-    * sized so the bucket count lands in [16, 4096] — small corpora get
-    * few directories (test-friendly), and at 100 TB the cap bounds the
-    * file-count blowup while a serving batch's ~tens-to-hundreds of
-    * probed words still hit a small fraction of 4096 buckets. 50k
-    * postings per bucket (~0.5–1 MB parquet) keeps the hit fraction
-    * 1−e^(−probed/NB) small at realistic batch sizes — the prune IS
-    * the point of the layout, so buckets err small. */
-  private val PosWbChunk = 50000L
-
-  /** Word-hash bucket count for a generation's postings layout —
-    * power of two, clamped to [16, 4096]. The modulus is committed
-    * beside the artifact (`wb_n` sidecar): the serving prune must
-    * bucket probe words with the WRITER's modulus, never a guess. */
-  private[graft] def wbBucketsFor(nPostings: Long): Int = {
-    val target = math.max(1L, nPostings / PosWbChunk)
-    val pow = java.lang.Long.highestOneBit(math.min(target, 1L << 20))
-    math.min(4096, math.max(16, pow.toInt))
-  }
+  /** Word-hash bucket count for a generation's postings layout — the
+    * shared committed-layout sizing ([[graft.core.WbLayout.bucketsFor]],
+    * kept under the family's historical name for the specs). */
+  private[graft] def wbBucketsFor(nPostings: Long): Int =
+    graft.core.WbLayout.bucketsFor(nPostings)
 
   /** Publish the positional postings as a committed serving
     * generation: `gen-N/postings` under `root`, `_latest` flipped
@@ -559,10 +527,8 @@ object Positional {
     val next = graft.core.Generations.next(root)
     val idx = positionalIndex(s, dir)
     val nb = wbBucketsFor(idx.count())
-    def bucketed(df: DataFrame, key: String): DataFrame = df
-      .withColumn("wb", pmod(xxhash64(col(key)), lit(nb.toLong)).cast("int"))
-      .repartition($"wb")
-      .sortWithinPartitions(col("wb"), col(key), $"doc_id", $"pos")
+    def bucketed(df: DataFrame, key: String): DataFrame =
+      graft.core.WbLayout.bucketed(df, key, nb, Seq("doc_id", "pos"))
     bucketed(idx, "word").write.mode("overwrite").partitionBy("wb")
       .parquet(s"$root/gen-$next/postings")
     // the generation carries the capped anchor lists too — the
@@ -573,8 +539,7 @@ object Positional {
     // fast route serves from the same commit point too
     bucketed(bigramIndex(s, dir), "bg").write.mode("overwrite").partitionBy("wb")
       .parquet(s"$root/gen-$next/bigrams")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/gen-$next/wb_n"), nb.toString)
+    graft.core.WbLayout.writeSidecar(s"$root/gen-$next", nb)
     graft.core.Generations.setLatest(root, next)
     next
   }
@@ -609,14 +574,11 @@ object Positional {
       if (java.nio.file.Files.isDirectory(p)) Some(s.read.parquet(p.toString))
       else None
     }
-    val wbPath = java.nio.file.Paths.get(s"$root/gen-$gen/wb_n")
     PositionalGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/postings"),
       slice("capped"),
       // pre-bucketing generations have no sidecar → no prune, same plans
-      if (java.nio.file.Files.exists(wbPath))
-        java.nio.file.Files.readString(wbPath).trim.toIntOption
-      else None,
+      graft.core.WbLayout.readSidecar(s"$root/gen-$gen"),
       slice("bigrams"))
   }
 
@@ -833,15 +795,8 @@ object Positional {
     // the phraseAnchorParts device for the two-term probe set
     val p = wbN match {
       case Some(nb) if index.columns.contains("wb") =>
-        val pw = qp.select(explode(array($"w1", $"w2")).as("word"))
-          .distinct()
-          .select($"word",
-            pmod(xxhash64($"word"), lit(nb.toLong)).cast("int").as("wb"))
-          .collect()
-        if (pw.isEmpty) index.filter(lit(false))
-        else index.filter(
-          $"wb".isInCollection(pw.map(r => Int.box(r.getInt(1))).toSet) &&
-            $"word".isInCollection(pw.map(_.getString(0)).toSeq))
+        graft.core.WbLayout.prune(index, "word", graft.core.WbLayout.probeOf(
+          qp.select(explode(array($"w1", $"w2")).as("word")), "word", nb))
       case _ => index
     }
     val pp = p.join(broadcast(qp.select($"qid", $"w1".as("word"))), Seq("word"))

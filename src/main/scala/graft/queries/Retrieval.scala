@@ -801,27 +801,45 @@ object Retrieval {
     * write; retention via [[graft.core.Generations.prune]].
     */
   def writeLexicalGeneration(s: SparkSession, dir: String, root: String): Long = {
+    import graft.core.WbLayout
     import s.implicits._
     val next = graft.core.Generations.next(root)
     val gdir = s"$root/gen-$next"
-    impactIndex(s, dir).write.mode("overwrite").parquet(s"$gdir/index")
-    stagedBounds(s, dir).write.mode("overwrite").parquet(s"$gdir/bounds")
+    // every word-keyed slice is WORD-BUCKETED (wb = xxhash64(word) mod
+    // NB partition dirs, word-sorted within — the positional tier's
+    // committed layout): a serving batch's probed words prune to their
+    // buckets at planning and to word row groups inside them, so the
+    // per-batch probe is a lookup, not a full-index scan. One NB for
+    // all four slices (they share the probe's word set), sized from the
+    // largest (the BM25 impact index) and committed in the wb_n sidecar.
+    val nb = WbLayout.bucketsFor(impactIndex(s, dir).count())
+    def put(df: DataFrame, name: String): Unit =
+      WbLayout.bucketed(df, "word", nb, Seq("doc_id").filter(df.columns.contains))
+        .write.mode("overwrite").partitionBy("wb").parquet(s"$gdir/$name")
+    put(impactIndex(s, dir), "index")
+    put(stagedBounds(s, dir), "bounds")
     // the generation carries BOTH lexical scorers: the QL pair (index +
     // bounds are the staged ql_* artifacts) plus the stored doc lengths
     // the QL serving tier needs for the exact per-doc Dirichlet prior —
     // unlike BM25 (whose contributions embed every global stat), a QL
     // generation is only self-contained WITH dl
-    qlImpactIndex(s, dir).write.mode("overwrite").parquet(s"$gdir/ql_index")
-    qlStagedBounds(s, dir).write.mode("overwrite").parquet(s"$gdir/ql_bounds")
+    put(qlImpactIndex(s, dir), "ql_index")
+    put(qlStagedBounds(s, dir), "ql_bounds")
+    // dl is doc-keyed, never word-probed — it stays flat
     TextAnalysis.tokenCounts(s, dir).select($"doc_id", $"m")
       .write.mode("overwrite").parquet(s"$gdir/dl")
+    WbLayout.writeSidecar(gdir, nb)
     graft.core.Generations.setLatest(root, next)
     next
   }
 
-  /** One committed lexical generation: number + loaded artifact pair. */
+  /** One committed lexical generation: number + loaded artifact pair.
+    * `wbN` is the word-bucket modulus of the committed layout, None for
+    * a pre-bucketing (flat-parquet) generation — those load and serve
+    * unchanged, just without the bucket prune. */
   final case class LexicalGeneration(
-      gen: Long, index: DataFrame, bounds: DataFrame)
+      gen: Long, index: DataFrame, bounds: DataFrame,
+      wbN: Option[Int] = None)
 
   /** Load the generation `_latest` points at (an unpublished root is an
     * error, not an empty index). */
@@ -830,7 +848,8 @@ object Retrieval {
       sys.error(s"$root: no committed lexical serving generation"))
     LexicalGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/index"),
-      s.read.parquet(s"$root/gen-$gen/bounds"))
+      s.read.parquet(s"$root/gen-$gen/bounds"),
+      graft.core.WbLayout.readSidecar(s"$root/gen-$gen"))
   }
 
   /** One committed QL serving slice of a lexical generation: the
@@ -839,7 +858,8 @@ object Retrieval {
     * minimum doc length `mMin` (the unseen-candidate prior bound's
     * scalar), computed ONCE per generation load — never per batch. */
   final case class QlGeneration(
-      gen: Long, index: DataFrame, bounds: DataFrame, dl: DataFrame, mMin: Long)
+      gen: Long, index: DataFrame, bounds: DataFrame, dl: DataFrame, mMin: Long,
+      wbN: Option[Int] = None)
 
   /** Load the QL slice of the generation `_latest` points at. */
   def loadQlGeneration(s: SparkSession, root: String): QlGeneration = {
@@ -861,7 +881,8 @@ object Retrieval {
     QlGeneration(gen,
       s.read.parquet(s"$root/gen-$gen/ql_index"),
       s.read.parquet(s"$root/gen-$gen/ql_bounds"),
-      dl, mMin)
+      dl, mMin,
+      graft.core.WbLayout.readSidecar(s"$root/gen-$gen"))
   }
 
   /** Serve one query micro-batch from an EXPLICIT generation's
@@ -881,14 +902,22 @@ object Retrieval {
   private[graft] def bm25ServeGenBatch(
       s: SparkSession, g: LexicalGeneration, queryDocs: DataFrame,
       k: Int = BmK, certificate: Boolean = true): DataFrame = {
+    import graft.core.WbLayout
     implicit val sp: SparkSession = s
     import s.implicits._
     val qt = termsOf(queryDocs)
-    val served = topkBy(bm25Sum(qt, g.index), "bm25", k)
+    val qw = qt.select($"word").distinct()
+    // word-bucketed generation: prune the index/bounds scans to the
+    // probed words' partition dirs + row groups at PLANNING (one
+    // queries-sized bucket-id job, reused across both slices); a
+    // pre-bucketing generation keeps the flat-scan plans unchanged
+    val probe = g.wbN.map(nb => WbLayout.probeOf(qw, "word", nb))
+    val idx = WbLayout.pruneOr(g.index, "word", probe)(identity)
+    val served = topkBy(bm25Sum(qt, idx), "bm25", k)
     if (!certificate) served.orderBy($"qid", $"rank")
     else {
-      val qw = qt.select($"word").distinct()
-      val b = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+      val b = WbLayout.pruneOr(g.bounds, "word", probe)(
+        _.join(broadcast(qw), Seq("word"), "left_semi"))
       val cert = qt.join(broadcast(b), Seq("word"), "left")
         .select($"qid", coalesce($"b", lit(0.0)).as("b"))
         .groupBy($"qid")
@@ -915,12 +944,16 @@ object Retrieval {
   private[graft] def qlServeGenBatch(
       s: SparkSession, g: QlGeneration, queryDocs: DataFrame,
       k: Int = BmK): DataFrame = {
+    import graft.core.WbLayout
     implicit val sp: SparkSession = s
     import s.implicits._
     val qt = termsOf(queryDocs)
+    val qw = qt.select($"word").distinct()
+    val probe = g.wbN.map(nb => WbLayout.probeOf(qw, "word", nb))
+    val idx = WbLayout.pruneOr(g.index, "word", probe)(identity)
     val qlen = qt.groupBy($"qid").agg(count(lit(1)).as("qlen"))
-    val scored = g.index.join(broadcast(qt),
-        g.index("word") === qt("word") && $"doc_id" =!= $"qid")
+    val scored = idx.join(broadcast(qt),
+        idx("word") === qt("word") && $"doc_id" =!= $"qid")
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm"))
       .join(g.dl, "doc_id")
@@ -929,8 +962,8 @@ object Retrieval {
         ($"sm" + round($"qlen".cast("double")
           * log(lit(QlMu) / ($"m" + lit(QlMu))), 6)).as("ql"))
     val served = topkBy(scored, "ql", k)
-    val qw = qt.select($"word").distinct()
-    val b = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+    val b = WbLayout.pruneOr(g.bounds, "word", probe)(
+      _.join(broadcast(qw), Seq("word"), "left_semi"))
     val cert = qt.join(broadcast(b), Seq("word"), "left")
       .select($"qid", coalesce($"b", lit(0.0)).as("b"))
       .groupBy($"qid")
@@ -960,18 +993,22 @@ object Retrieval {
   private[graft] def qlServeGenBatchWand(
       s: SparkSession, g: QlGeneration, dir: String,
       queryDocs: DataFrame, k: Int = BmK): DataFrame = {
+    import graft.core.WbLayout
     implicit val sp: SparkSession = s
     import s.implicits._
     val qt = termsOf(queryDocs)
     val qw = qt.select($"word").distinct()
-    val bounds = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+    val probe = g.wbN.map(nb => WbLayout.probeOf(qw, "word", nb))
+    val gidx = WbLayout.pruneOr(g.index, "word", probe)(identity)
+    val bounds = WbLayout.pruneOr(g.bounds, "word", probe)(
+      _.join(broadcast(qw), Seq("word"), "left_semi"))
     val qtb = qt.join(broadcast(bounds), Seq("word"), "left")
       .select($"qid", $"word", coalesce($"b", lit(0.0)).as("b"))
     val uq = qtb.groupBy($"qid")
       .agg(sum($"b".cast("decimal(18,6)")).cast("double").as("u"))
     val qlen = qt.groupBy($"qid").agg(count(lit(1)).as("qlen"))
-    val det = g.index.join(broadcast(qtb),
-        g.index("word") === qtb("word") && $"doc_id" =!= $"qid")
+    val det = gidx.join(broadcast(qtb),
+        gidx("word") === qtb("word") && $"doc_id" =!= $"qid")
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("sm_hat"),
         sum($"b".cast("decimal(18,6)")).cast("double").as("covered"))
@@ -1193,17 +1230,21 @@ object Retrieval {
   private[graft] def bm25ServeGenBatchRescored(
       s: SparkSession, g: LexicalGeneration, dir: String,
       queryDocs: DataFrame, k: Int = BmK): DataFrame = {
+    import graft.core.WbLayout
     implicit val sp: SparkSession = s
     import s.implicits._
     val qt = termsOf(queryDocs)
     val qw = qt.select($"word").distinct()
-    val bounds = g.bounds.join(broadcast(qw), Seq("word"), "left_semi")
+    val probe = g.wbN.map(nb => WbLayout.probeOf(qw, "word", nb))
+    val gidx = WbLayout.pruneOr(g.index, "word", probe)(identity)
+    val bounds = WbLayout.pruneOr(g.bounds, "word", probe)(
+      _.join(broadcast(qw), Seq("word"), "left_semi"))
     val qtb = qt.join(broadcast(bounds), Seq("word"), "left")
       .select($"qid", $"word", coalesce($"b", lit(0.0)).as("b"))
     val uq = qtb.groupBy($"qid")
       .agg(sum($"b".cast("decimal(18,6)")).cast("double").as("u"))
-    val det = g.index.join(broadcast(qtb),
-        g.index("word") === qtb("word") && $"doc_id" =!= $"qid")
+    val det = gidx.join(broadcast(qtb),
+        gidx("word") === qtb("word") && $"doc_id" =!= $"qid")
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c".cast("decimal(18,6)")).cast("double").as("s_hat"),
         sum($"b".cast("decimal(18,6)")).cast("double").as("covered"))
@@ -1247,11 +1288,16 @@ object Retrieval {
   private[graft] def bm25ServeGenBatchRm3(
       s: SparkSession, g: LexicalGeneration, dir: String,
       queryDocs: DataFrame, k: Int = BmK): DataFrame = {
+    import graft.core.WbLayout
     implicit val sp: SparkSession = s
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val qt = termsOf(queryDocs)
-    val fb = bm25Sum(qt, g.index)
+    // pass 1: the probe words' buckets only (word-bucketed generation)
+    val idx1 = g.wbN.map(nb => WbLayout.prune(g.index, "word",
+      WbLayout.probeOf(qt.select($"word").distinct(), "word", nb)))
+      .getOrElse(g.index)
+    val fb = bm25Sum(qt, idx1)
       .groupBy($"qid")
       .agg(graft.functions.GroupedTopK.groupedTopK($"bm25", $"doc_id", BmK).as("top"))
       .select($"qid", explode($"top").as("t"))
@@ -1263,13 +1309,26 @@ object Retrieval {
       .groupBy($"qid", $"word")
       .agg(sum(round($"n".cast("double") / $"m" * $"sc", 6)
         .cast("decimal(18,6)")).cast("double").as("w"))
-    val expf = exp0.join(qt, Seq("qid", "word"), "left_anti")
+    val expf0 = exp0.join(qt, Seq("qid", "word"), "left_anti")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"qid").orderBy($"w".desc, $"word")))
       .filter($"rk" <= RmE)
       .select($"qid", $"word")
+    // pass 2 probes the EXPANDED word set. On a bucketed generation the
+    // expansion terms are collected (queries × RmE rows — probe-sized)
+    // and re-localized, so the prune's bucket-id job never re-runs the
+    // expansion chain and the second pass scans only the expanded
+    // probe's buckets; a flat generation keeps the original plan.
+    val (expf, idx2) = g.wbN match {
+      case Some(nb) =>
+        val rows = expf0.collect().map(r => (r.getLong(0), r.getString(1)))
+        val local = rows.toSeq.toDF("qid", "word")
+        val words = qt.select($"word").unionByName(local.select($"word")).distinct()
+        (local, WbLayout.prune(g.index, "word", WbLayout.probeOf(words, "word", nb)))
+      case None => (expf0, g.index)
+    }
     val qexp = qt.unionByName(expf)
-    topkBy(bm25Sum(qexp, g.index), "bm25", k)
+    topkBy(bm25Sum(qexp, idx2), "bm25", k)
       .orderBy($"qid", $"rank")
   }
 
