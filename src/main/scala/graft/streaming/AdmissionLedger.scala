@@ -15,28 +15,33 @@ import scala.jdk.CollectionConverters._
   * foreachBatch RETRY of an epoch would double-count. This ledger is
   * ONE atomically-replaced state file (temp + rename, the
   * [[graft.core.Generations]] commit discipline) holding the last
-  * committed epoch id, the cumulative counters BEFORE that epoch
+  * committed epoch id, the INCARNATION that committed it (the
+  * streaming query's id — stable across checkpoint resumes, fresh for
+  * a new checkpoint), the cumulative counters BEFORE that epoch
   * (`pre`), and the cumulative counters AFTER it (`post`).
   *
-  * Recovery rule for an arriving epoch E ([[recover]]):
+  * Recovery rule for an arriving epoch E under incarnation I
+  * ([[recover]]):
   *  - no file → empty state (first campaign batch ever);
-  *  - recorded epoch == E → E is a REPLAY (a retry in this run, or a
-  *    checkpoint-resume re-running the last uncommitted batch) → `pre`:
+  *  - recorded (incarnation, epoch) == (I, E) → E is a REPLAY (a
+  *    foreachBatch retry in this run, or a checkpoint RESUME re-running
+  *    the last uncommitted epoch — a resume keeps the query id) → `pre`:
   *    the replay reads exactly the state the original attempt saw, so
   *    nothing double-counts;
-  *  - anything else → `post`: the next epoch of a resumed query, or a
-  *    new incarnation continuing the campaign (admission is cumulative
-  *    across restarts by contract — a restart must never re-open a
-  *    spent budget).
+  *  - recorded incarnation != I → a NEW campaign incarnation (fresh
+  *    checkpoint, fresh query id) continuing the campaign → `post`:
+  *    admission is cumulative across restarts by contract — a restart
+  *    must never re-open a spent budget. This is what disambiguates the
+  *    (dir, epoch)-only format's one blind corner: a fresh-checkpoint
+  *    restart arriving at epoch 0 when the previous incarnation
+  *    committed exactly one epoch numbered 0 is a CONTINUATION (post),
+  *    not a replay — the query ids differ, so the ledger can tell;
+  *  - same incarnation, any other epoch → `post` (the next epoch of a
+  *    running query re-recovering, e.g. after a transient foreachBatch
+  *    failure).
   *
-  * One corner is inherently unobservable from (dir, epoch) alone: a
-  * FRESH-checkpoint restart whose previous incarnation committed
-  * exactly one epoch numbered 0 collides with "replay of epoch 0" and
-  * reads `pre`. Production restarts resume from the checkpoint (the
-  * foreachBatch exactly-once contract), where epoch numbering is
-  * monotone and the rule is exact; a fresh checkpoint with the SAME
-  * ledger dir is a continuation campaign and should have run past
-  * epoch 0.
+  * A pre-incarnation state file (no `run` line) falls back to the old
+  * epoch-equality rule, so an in-flight campaign upgrades in place.
   */
 object AdmissionLedger {
 
@@ -46,7 +51,8 @@ object AdmissionLedger {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   private final case class State(
-      epoch: Long, pre: Map[String, Long], post: Map[String, Long])
+      run: Option[String], epoch: Long,
+      pre: Map[String, Long], post: Map[String, Long])
 
   private def read(dir: String): Option[State] = {
     val f = Paths.get(dir, "state.tsv")
@@ -54,32 +60,40 @@ object AdmissionLedger {
     else {
       val lines = Files.readAllLines(f).asScala.filter(_.nonEmpty)
       val epoch = lines.head.stripPrefix("epoch\t").toLong
+      val run = lines.tail.collectFirst {
+        case l if l.startsWith("run\t") => dec(l.stripPrefix("run\t"))
+      }
       def side(tag: String): Map[String, Long] = lines.tail
         .map(_.split('\t'))
         .collect { case Array(`tag`, src, n) => dec(src) -> n.toLong }
         .toMap
-      Some(State(epoch, side("P"), side("C")))
+      Some(State(run, epoch, side("P"), side("C")))
     }
   }
 
-  /** The cumulative pre-state epoch `epoch` must start from — see the
-    * recovery rule above. */
-  def recover(dir: String, epoch: Long): Map[String, Long] =
+  /** The cumulative pre-state epoch `epoch` under incarnation
+    * `incarnation` must start from — see the recovery rule above. */
+  def recover(dir: String, incarnation: String, epoch: Long): Map[String, Long] =
     read(dir) match {
       case None => Map.empty
-      case Some(st) if st.epoch == epoch => st.pre
-      case Some(st) => st.post
+      case Some(st) => st.run match {
+        case Some(r) =>
+          if (r == incarnation && st.epoch == epoch) st.pre else st.post
+        case None => // legacy format: epoch equality is all we have
+          if (st.epoch == epoch) st.pre else st.post
+      }
     }
 
-  /** Atomically commit epoch `epoch`'s state transition: `pre` is the
-    * cumulative counters the epoch started from, `post` what they are
-    * after its admissions. */
-  def commit(dir: String, epoch: Long,
+  /** Atomically commit epoch `epoch`'s state transition under
+    * incarnation `incarnation`: `pre` is the cumulative counters the
+    * epoch started from, `post` what they are after its admissions. */
+  def commit(dir: String, incarnation: String, epoch: Long,
       pre: Map[String, Long], post: Map[String, Long]): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val tmp = d.resolve(".state.tmp")
     val body = new StringBuilder(s"epoch\t$epoch")
+    body.append('\n').append("run\t").append(enc(incarnation))
     pre.toSeq.sortBy(_._1).foreach { case (src, n) =>
       body.append('\n').append("P\t").append(enc(src)).append('\t').append(n)
     }

@@ -110,12 +110,21 @@ object GateStream {
     // Long.MinValue = not yet recovered from the ledger
     var lastApplied: Long = Long.MinValue
     val soFar = scala.collection.mutable.Map.empty[String, Long]
+    // the ledger's incarnation id: the streaming query's id (stable
+    // across checkpoint RESUMES — a resumed replay of an uncommitted
+    // epoch reads pre — and fresh for a NEW checkpoint, so a restarted
+    // campaign arriving at epoch 0 reads post even when the previous
+    // incarnation committed exactly epoch 0). The UUID fallback covers
+    // callers driving the batch fn outside a streaming query.
+    val fallbackNonce = java.util.UUID.randomUUID().toString
     val fn: (DataFrame, Long) => Unit = { (batch, epoch) =>
+      val incarnation = Option(batch.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.queryId")).getOrElse(fallbackNonce)
       if (lastApplied == Long.MinValue || epoch <= lastApplied) {
         // (re)start or replayed epoch: recover the pre-batch state this
         // epoch must see — one sources-sized file read, never a guess
         soFar.clear()
-        soFar ++= AdmissionLedger.recover(ledger, epoch)
+        soFar ++= AdmissionLedger.recover(ledger, incarnation, epoch)
         lastApplied = epoch - 1
       }
       if (!batch.isEmpty) {
@@ -153,7 +162,7 @@ object GateStream {
           val cum = delta.foldLeft(pre) { case (m, (src, n)) =>
             m.updated(src, m.getOrElse(src, 0L) + n)
           }
-          AdmissionLedger.commit(ledger, epoch, pre, cum)
+          AdmissionLedger.commit(ledger, incarnation, epoch, pre, cum)
           soFar.clear(); soFar ++= cum
         } finally adm.unpersist(blocking = false)
       }

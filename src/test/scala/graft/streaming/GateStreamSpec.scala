@@ -221,4 +221,51 @@ class GateStreamSpec extends SparkSpec {
       "the two admission forms diverged on the same feed and budgets")
     assert(gotFixed.size == gotLatest.size)
   }
+
+  test("the epoch-0 collision: a fresh-checkpoint restart whose previous " +
+      "incarnation committed exactly one epoch (numbered 0) continues the " +
+      "campaign instead of re-opening the spent budgets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_e0").toString
+    graft.queries.GraphRank.writeGateGeneration(spark, dir, root)
+    val ledger = s"$root/ledger"
+
+    val arrivals = graft.core.Tables(spark, dir).documents
+      .select($"doc_id", $"source",
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")).as("d"))
+      .orderBy($"d", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    def runOnce(feed: Seq[(Long, String)],
+        got: mutable.Buffer[(Long, String)], name: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = GateStream.admittedLatest(in.toDS().toDF("doc_id", "source"),
+        root, ledger) { b =>
+        got ++= b.collect().map(a => (a.doc_id, a.source)); ()
+      }.queryName(name).start()
+      in.addData(feed: _*); q.processAllAvailable() // exactly ONE epoch: 0
+      q.stop()
+    }
+
+    // incarnation 1 admits the whole canonical feed in a single
+    // micro-batch, so the ledger records epoch 0 and nothing else —
+    // exactly the corner the (dir, epoch)-only format could not see
+    val got1 = mutable.Buffer.empty[(Long, String)]
+    runOnce(arrivals, got1, "gate_e0_first")
+    assert(got1.nonEmpty)
+
+    // incarnation 2 (fresh query, fresh checkpoint, epochs restart at 0)
+    // replays the same arrivals: every budget is already spent, so it
+    // must admit NOTHING — the old rule read pre and re-admitted got1
+    val got2 = mutable.Buffer.empty[(Long, String)]
+    runOnce(arrivals, got2, "gate_e0_second")
+    assert(got2.isEmpty,
+      s"fresh-checkpoint restart re-admitted ${got2.size} docs at epoch 0")
+
+    // and the first incarnation's selection is the batch sampler's
+    val batch = graft.SparkEntry.queries("gr_rank_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got1.toSet == batch)
+  }
 }
