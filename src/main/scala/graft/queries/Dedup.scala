@@ -346,9 +346,19 @@ object Dedup {
     * commits the next band-index generation instead of waiting for the
     * staging layer's next corpus fingerprint. */
   def writeBandGeneration(s: SparkSession, dir: String, root: String): Long = {
+    import s.implicits._
     val next = graft.core.Generations.next(root)
     minhashBandIndex(s, dir).write.mode("overwrite")
       .parquet(s"$root/gen-$next/bands")
+    // the serving slices (r17): the stop-shingle list the banding
+    // excluded at build time — an ingest batch MUST drop the same
+    // shingles or its minima diverge from the stored index — and the
+    // per-doc kept-shingle sets the exact-Jaccard verification reads.
+    // Committed together so a generation is self-contained for
+    // [[graft.streaming.DedupStream.matchesLatest]].
+    hotShingleList(s, dir).toSeq.toDF("sh")
+      .write.mode("overwrite").parquet(s"$root/gen-$next/hot")
+    keptSets(s, dir).write.mode("overwrite").parquet(s"$root/gen-$next/sets")
     graft.core.Generations.setLatest(root, next)
     next
   }
@@ -359,6 +369,37 @@ object Dedup {
     val gen = graft.core.Generations.latest(root).getOrElse(
       sys.error(s"$root: no committed band-index generation"))
     (gen, s.read.parquet(s"$root/gen-$gen/bands"))
+  }
+
+  /** One committed dedup serving generation: the band index plus the
+    * serving slices ([[writeBandGeneration]]). `hot`/`sets` are None
+    * for generations committed before the slices joined the format
+    * (pre-r17, bands-only) — the rebuild policy's staleness meters read
+    * those unchanged; only a serving request errors, with an explicit
+    * republish message. */
+  final case class DedupGeneration(
+      gen: Long, bands: DataFrame,
+      hot: Option[Array[String]], sets: Option[DataFrame]) {
+    def hotOrFail: Array[String] = hot.getOrElse(sys.error(
+      s"dedup gen-$gen has no hot-shingle slice (pre-r17 format) — " +
+        "republish via writeBandGeneration to serve the ingest dedup"))
+    def setsOrFail: DataFrame = sets.getOrElse(sys.error(
+      s"dedup gen-$gen has no kept-sets slice (pre-r17 format) — " +
+        "republish via writeBandGeneration to serve the ingest dedup"))
+  }
+
+  def loadDedupGeneration(s: SparkSession, root: String): DedupGeneration = {
+    val gen = graft.core.Generations.latest(root).getOrElse(
+      sys.error(s"$root: no committed band-index generation"))
+    def slice(name: String): Option[DataFrame] = {
+      val p = java.nio.file.Paths.get(s"$root/gen-$gen/$name")
+      if (java.nio.file.Files.isDirectory(p)) Some(s.read.parquet(p.toString))
+      else None
+    }
+    DedupGeneration(gen,
+      s.read.parquet(s"$root/gen-$gen/bands"),
+      slice("hot").map(_.collect().map(_.getString(0))),
+      slice("sets"))
   }
 
   /** The per-ROW (shuffle-free) formulation of the band index: adds a

@@ -79,17 +79,7 @@ object DedupStream {
         col("n_sh").as("n_old"))
 
     val tsCols = ingestTsCol.map(col).toSeq
-    val prepared = newDocs
-      .select(col("doc_id").as("ni") +: wsTokens(col("text")).as("toks") +: tsCols: _*)
-      .select(col("ni") +:
-        array_except(Dedup.shingles(col("toks")), typedlit(hotArr.toSeq)).as("shs") +:
-        tsCols: _*)
-      .filter(size(col("shs")) > 0)
-      .withColumn("n_new", size(col("shs")))
-    val banded = Dedup.withBandStructs(prepared, "shs")
-      .select(Seq(col("ni"), col("shs"), col("n_new"), explode(col("_bands")).as("bk")) ++ tsCols: _*)
-      .select(Seq(col("ni"), col("shs"), col("n_new"), col("bk.band"), col("bk.key")) ++ tsCols: _*)
-    val collided = banded.join(oldBands, Seq("band", "key"))
+    val collided = bandCollisions(newDocs, hotArr, oldBands, tsCols)
     val deduped = ingestTsCol match {
       case Some(ts) =>
         collided.withWatermark(ts, dedupRetention)
@@ -100,6 +90,33 @@ object DedupStream {
         // right for bounded backfills, not the always-on deployment
         collided.dropDuplicates("ni", "oi")
     }
+    verifiedMatches(deduped, oldSets)
+  }
+
+  /** Tokenize → shingle → drop the index-build stop list → per-row
+    * MinHash bands → explode → (band, key) equi-join against the stored
+    * band index: the candidate half of the ingest dedup, shared by the
+    * session-corpus and generation-bound forms. */
+  private def bandCollisions(newDocs: DataFrame, hotArr: Array[String],
+      oldBands: DataFrame, tsCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import graft.queries.QueryFns.wsTokens
+    val prepared = newDocs
+      .select(col("doc_id").as("ni") +: wsTokens(col("text")).as("toks") +: tsCols: _*)
+      .select(col("ni") +:
+        array_except(Dedup.shingles(col("toks")), typedlit(hotArr.toSeq)).as("shs") +:
+        tsCols: _*)
+      .filter(size(col("shs")) > 0)
+      .withColumn("n_new", size(col("shs")))
+    Dedup.withBandStructs(prepared, "shs")
+      .select(Seq(col("ni"), col("shs"), col("n_new"), explode(col("_bands")).as("bk")) ++ tsCols: _*)
+      .select(Seq(col("ni"), col("shs"), col("n_new"), col("bk.band"), col("bk.key")) ++ tsCols: _*)
+      .join(oldBands, Seq("band", "key"))
+  }
+
+  /** The exact-Jaccard verification half: per collapsed (ni, oi) pair,
+    * one `array_intersect` against the stored kept-shingle sets, kept
+    * at jac ≥ 0.5. */
+  private def verifiedMatches(deduped: DataFrame, oldSets: DataFrame): DataFrame =
     deduped
       .join(oldSets, "oi")
       .withColumn("inter", size(array_intersect(col("shs"), col("shs_old"))))
@@ -108,6 +125,60 @@ object DedupStream {
       .filter(col("jac") >= 0.5)
       .select(col("ni").as("new_id"), col("oi").as("dup_of"),
         round(col("jac"), 6).as("jac"))
+
+  /** GENERATION-BOUND ingest dedup: each micro-batch of (doc_id, text)
+    * new documents is deduped against the COMMITTED dedup generation
+    * under `root` ([[graft.queries.Dedup.writeBandGeneration]]'s
+    * `gen-N/{bands, hot, sets}`), with the `_latest` pointer re-resolved
+    * per batch and the slices reloaded only when the generation number
+    * changed — the [[Bm25Stream.serveLatest]] device on the dedup tier.
+    * This closes the rebuild loop's third family: when
+    * [[graft.queries.RebuildPolicy.applyPolicy]] commits a new band
+    * generation on a stop-line crossing, the ingest dedup cuts over
+    * LIVE on the very next batch, no query restart; rollback is the
+    * pointer pointed backwards.
+    *
+    * Semantics per batch are [[matches]]'s exactly (same shingle prep
+    * against the generation's OWN stop list — an ingest batch must drop
+    * the shingles the stored index's build dropped, or its minima
+    * diverge; band-collision candidates; exact-Jaccard ≥ 0.5 verify),
+    * restricted to the generation rows passing `existingFilter` (the
+    * gate parity's incremental-split convention; a production root
+    * committed from the existing corpus keeps the default `true`). Self
+    * pairs (a new id already present in the generation) are excluded.
+    *
+    * foreachBatch form: the multi-band collision collapse is per batch
+    * — a pair colliding again in a LATER batch re-emits its match,
+    * which downstream drop-list application absorbs (idempotent on
+    * identical match rows, the [[matches]] post-eviction contract).
+    */
+  def matchesLatest(newDocs: DataFrame, root: String,
+      existingFilter: org.apache.spark.sql.Column = lit(true))(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var cached: Option[(Long, Array[String], DataFrame, DataFrame)] = None
+    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val latest = graft.core.Generations.latest(root).getOrElse(
+          sys.error(s"$root: no committed band-index generation"))
+        if (!cached.map(_._1).contains(latest)) {
+          val g = Dedup.loadDedupGeneration(s, root)
+          cached = Some((g.gen, g.hotOrFail,
+            g.bands.filter(existingFilter)
+              .select(col("doc_id").as("oi"), col("band"), col("key")),
+            g.setsOrFail.filter(existingFilter)
+              .select(col("doc_id").as("oi"), col("shs").as("shs_old"),
+                col("n_sh").as("n_old"))))
+        }
+        val (_, hotArr, oldBands, oldSets) = cached.get
+        val collided = bandCollisions(batch, hotArr, oldBands, Seq.empty)
+          .filter(col("ni") =!= col("oi"))
+          .dropDuplicates("ni", "oi")
+        sink(verifiedMatches(collided, oldSets))
+      }
+    }
+    newDocs.writeStream.foreachBatch(fn)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   /** Streaming twin of `dedup_emb_incremental`: a continuous ingest of

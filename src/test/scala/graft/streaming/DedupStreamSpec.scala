@@ -158,4 +158,79 @@ class DedupStreamSpec extends SparkSpec {
     assert(decisions.map(_._1) == streaming.map(_._1))
     decisions.foreach { case (ni, oi, cos) => assert(streaming.contains((ni, oi, cos))) }
   }
+
+  test("generation-bound ingest dedup equals the staging-keyed route, and a " +
+      "mid-stream band republish cuts over on the very next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("dedupgen").toString
+    val (dirB, root) = (s"$tmp/b", s"$tmp/serve")
+    try {
+      // gen 1: the gate corpus's committed band generation
+      assert(Dedup.writeBandGeneration(spark, dir, root) == 1L)
+      val newDocs = graft.core.Tables(spark, dir).documents
+        .filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+      val served = scala.collection.mutable.Buffer.empty[(Long, Long, Double)]
+      val in = MemoryStream[(Long, String)]
+      val q = DedupStream.matchesLatest(in.toDS().toDF("doc_id", "text"), root,
+        existingFilter = org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0) { out =>
+        served ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }.queryName("dedup_gen_serve").start()
+      val cut = newDocs.length / 2
+      Seq(newDocs.take(cut), newDocs.drop(cut))
+        .foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+
+      // parity with the staging-keyed route's batch reference
+      val batch = Dedup.incrementalMatches(spark, dir)
+        .select($"ni", $"oi",
+          org.apache.spark.sql.functions.round($"jac", 6).as("jac"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(served.toSet == batch)
+      assert(served.nonEmpty && served.size == served.toSet.size)
+
+      // mid-stream republish: gen 2 committed from a DIFFERENT corpus —
+      // the next batch must dedup against the NEW index with the NEW
+      // stop list, no query restart
+      writeDocTable(dirB, Seq(
+        1000001L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+        1000002L -> "x1 x2 x3 x4 x5 x6 x7 x8",
+        1000003L -> "y1 y2 y3 y4 y5 y6 y7 y8"))
+      Dedup.clearCaches()
+      assert(Dedup.writeBandGeneration(spark, dirB, root) == 2L)
+      val before = served.size
+      // a near-dup of corpus B's doc 1000001 (7 of its 8 tokens): no
+      // corpus-A doc looks anything like it, so a match PROVES the flip
+      in.addData((7777770L, "w1 w2 w3 w4 w5 w6 w7")); q.processAllAvailable()
+      q.stop()
+      val fresh = served.drop(before)
+      assert(fresh.map(m => (m._1, m._2)) == Seq((7777770L, 1000001L)),
+        s"expected the post-flip batch to match corpus B, got $fresh")
+      assert(fresh.head._3 >= 0.5)
+    } finally {
+      Dedup.clearCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("a pre-r17 (bands-only) dedup generation loads for the rebuild policy " +
+      "but a serving request demands a republish") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedupgenold").toString
+    try {
+      // simulate the old format: bands slice only
+      Dedup.minhashBandIndex(spark, dir).write.mode("overwrite")
+        .parquet(s"$tmp/gen-1/bands")
+      graft.core.Generations.setLatest(tmp, 1L)
+      val g = Dedup.loadDedupGeneration(spark, tmp)
+      assert(g.gen == 1L && g.hot.isEmpty && g.sets.isEmpty)
+      assert(g.bands.count() > 0)
+      val e = intercept[RuntimeException](g.hotOrFail)
+      assert(e.getMessage.contains("republish"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
