@@ -245,14 +245,66 @@ object Positional {
         .as(Seq("off", "bg")))
   }
 
-  /** The BIGRAM-anchored phrase core: candidate starts from the
-    * per-query rarer bigram's postings, the other bigram verified by
-    * one exact (bg, doc, pos) semi-join — [[phraseAnchorParts]]'s plan
+  /** A (qid, toks) frame from an arbitrary (doc_id, text) query batch. */
+  private def toksOf(s: SparkSession, queryDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    queryDocs.select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks"))
+  }
+
+  /** FULL-LENGTH phrase probes (qid, idx, word) — the query text IS the
+    * phrase, any length ≥ 1 (the gate's opening-3-token convention is
+    * the fixed-length special case). */
+  private def phrasesOfFull(s: SparkSession, queryDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    toksOf(s, queryDocs).filter(size($"toks") >= 1)
+      .select($"qid", posexplode($"toks").as(Seq("idx", "word")))
+  }
+
+  /** FULL-LENGTH phrase probes as their overlapping-bigram chain
+    * (qid, off, bg), off ∈ [0, L−2]: a start s matches the phrase iff
+    * bigram `off` sits at s + off for every off — the n-token biword
+    * decomposition ([[phraseBigramParts]] verifies the chain). */
+  private def bigramsOfFull(s: SparkSession, queryDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    toksOf(s, queryDocs).filter(size($"toks") >= 2)
+      .select($"qid", posexplode(
+        transform(sequence(lit(1), size($"toks") - 1),
+          i => concat(element_at($"toks", i), lit(" "),
+            element_at($"toks", i + 1))))
+        .as(Seq("off", "bg")))
+  }
+
+  /** Full-length word-route occurrence counts against the session
+    * corpus — the n-token reference the bigram route is pinned against
+    * (PositionalSpec). */
+  private[graft] def phraseOccFull(s: SparkSession, dir: String,
+      queryDocs: DataFrame): DataFrame =
+    phraseOccOn(s, positionalIndex(s, dir), phrasesOfFull(s, queryDocs))
+
+  /** Full-length bigram-route occurrence counts against the session
+    * corpus — must equal [[phraseOccFull]] row for row at every phrase
+    * length ≥ 2 (route equivalence, n-token general). */
+  private[graft] def phraseBigramOccFull(s: SparkSession, dir: String,
+      queryDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    phraseBigramParts(s, bigramIndex(s, dir), bigramsOfFull(s, queryDocs))._1
+      .groupBy($"qid", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** The BIGRAM-anchored phrase core, n-token general: candidate
+    * starts from the per-query RAREST bigram of the overlapping-bigram
+    * chain, every remaining offset verified by exact (bg, doc, pos)
+    * probes with a distinct-offset count — [[phraseAnchorParts]]'s plan
     * with bigrams as the unit, which shrinks the candidate frame from
-    * df(rarest word) to df(rarest bigram). Returns (starts, anchors
-    * (qid, adf, aoff, bg)). Results are IDENTICAL to the word-anchored
-    * plan (two aligned bigrams ⇔ three aligned words); the gate pins
-    * it by giving tx_phrase_bigram tx_phrase_search's own oracle. */
+    * df(rarest word) to df(rarest bigram). Takes any (qid, off, bg)
+    * chain with off ∈ [0, L−2] (the gate's 3-token queries are the
+    * two-bigram case; [[bigramsOfFull]] builds the full-length chain).
+    * Returns (starts, anchors (qid, adf, aoff, bg)). Results are
+    * IDENTICAL to the word-anchored plan (L aligned words ⇔ L−1
+    * aligned bigrams); the gate pins the 3-token case by giving
+    * tx_phrase_bigram tx_phrase_search's own oracle, PositionalSpec
+    * pins arbitrary lengths including repeated words. */
   private def phraseBigramParts(s: SparkSession, index: DataFrame,
       bq: DataFrame, wbN: Option[Int] = None): (DataFrame, DataFrame) = {
     import s.implicits._
@@ -271,16 +323,30 @@ object Positional {
     val cands = probed
       .join(broadcast(anchors.select($"qid", $"aoff", $"bg")), Seq("bg"))
       .select($"qid", $"doc_id", ($"pos" - $"aoff").as("start"))
-    // exactly ONE non-anchor bigram per query — the verification keeps
-    // a start iff its single probe matched, no distinct-count needed
+    // the OVERLAPPING-BIGRAM CHAIN, n-token general: an L-token phrase
+    // is L−1 bigrams at offsets 0..L−2, and a start s matches iff every
+    // non-anchor offset's bigram sits at s+off — verified by exact
+    // (bg, doc, pos) probes and a distinct-OFFSET count per start (a
+    // plain semi-join would under-count repeated bigrams: "a b a b"
+    // needs "a b" verified at TWO offsets). A 2-token phrase has no
+    // rest — its anchor candidates ARE the matches (the r16 3-token
+    // form, with its single-rest semi-join, is the n_rest = 1 case).
     val rest = bq.join(anchors.select($"qid", $"aoff"), Seq("qid"))
       .filter($"off" =!= $"aoff")
       .select($"qid", $"off", $"bg")
-    val starts = cands.join(broadcast(rest), Seq("qid"))
+    val nRest = rest.groupBy($"qid").agg(countDistinct($"off").as("n_rest"))
+    val verified = cands.join(broadcast(rest), Seq("qid"))
       .select($"qid", $"doc_id", $"start", $"bg",
-        ($"start" + $"off").as("pos"))
+        ($"start" + $"off").as("pos"), $"off")
       .join(probed, Seq("bg", "doc_id", "pos"), "left_semi")
+      .groupBy($"qid", $"doc_id", $"start")
+      .agg(countDistinct($"off").as("n_ok"))
+      .join(broadcast(nRest), Seq("qid"))
+      .filter($"n_ok" === $"n_rest")
       .select($"qid", $"doc_id", $"start")
+    val starts = verified.unionByName(
+      cands.join(broadcast(anchors.join(nRest, Seq("qid"), "left_anti")
+        .select($"qid")), Seq("qid"), "left_semi"))
     (starts, anchors)
   }
 
@@ -412,11 +478,21 @@ object Positional {
         probes.join(idxProbed, Seq("word", "doc_id", "pos"), "left_semi")
           .select($"qid", $"doc_id", $"start", $"idx")
     }
+    // n-token general: a start matches iff every distinct non-anchor
+    // offset verified (= 2 for the gate's 3-token phrases; repeated
+    // query words are distinct offsets of the same word, which is why
+    // the count is over idx, not word). A 1-token phrase has no rest —
+    // its anchor postings ARE the matches.
+    val nRest = rest.groupBy($"qid").agg(countDistinct($"idx").as("n_rest"))
     val starts = verified
       .groupBy($"qid", $"doc_id", $"start")
       .agg(countDistinct($"idx").as("nidx"))
-      .filter($"nidx" === 2)
+      .join(broadcast(nRest), Seq("qid"))
+      .filter($"nidx" === $"n_rest")
       .select($"qid", $"doc_id", $"start")
+      .unionByName(
+        cands.join(broadcast(anchors.join(nRest, Seq("qid"), "left_anti")
+          .select($"qid")), Seq("qid"), "left_semi"))
     (starts, anchors)
   }
 
@@ -615,6 +691,67 @@ object Positional {
       when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
     phraseTopk(s, occ, k)
       .join(broadcast(exactf), "qid")
+      .orderBy($"qid", $"rk")
+  }
+
+  /** The EXPRESSED production route choice for phrase serving — ONE
+    * entry point, full-length phrases (the query text IS the phrase),
+    * each answer row naming the route that produced it:
+    *
+    *  - generation carries the `bigrams` slice → the EXACT biword
+    *    route (candidates from the rarest bigram of the chain,
+    *    remaining offsets chain-verified): route = "bigram",
+    *    exact = 1. This is the measured default — at 100× it serves
+    *    exact answers at 14.0 ms/query, below even the lossy capped
+    *    tier's 21.9 (SCALING.md r16) — so exactness costs LESS than
+    *    the P-cut bound wherever the slice exists.
+    *  - no bigram slice (pre-r16 generation) → the P-cut bound:
+    *    candidates from the committed capped anchor lists, full-
+    *    postings verification, the per-query exact flag (1 iff the
+    *    anchor's full list survived the cut): route = "capped".
+    *  - 1-token phrases (no bigram exists at any generation) → the
+    *    word route's anchor postings, trivially exact:
+    *    route = "word", exact = 1.
+    *
+    * Before r17 this ordering lived only in prose; a consumer had to
+    * pick serveLatestBigram vs serveLatestCapped by hand.
+    */
+  private[graft] def phraseServeGenBatchAuto(s: SparkSession,
+      g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val pt = toksOf(s, queryDocs)
+    val single = pt.filter(size($"toks") === 1)
+      .select($"qid", posexplode($"toks").as(Seq("idx", "word")))
+    val multi = pt.filter(size($"toks") >= 2)
+    def occOf(starts: DataFrame) = starts
+      .groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
+    val singleOcc = occOf(
+      phraseAnchorParts(s, g.postings, single, None, g.wbN)._1)
+    val singleFlags = single.select($"qid").distinct()
+      .select($"qid", lit(1L).as("exact"), lit("word").as("route"))
+    val (multiOcc, multiFlags) = g.bigrams match {
+      case Some(bgIdx) =>
+        val bq = multi.select($"qid", posexplode(
+          transform(sequence(lit(1), size($"toks") - 1),
+            i => concat(element_at($"toks", i), lit(" "),
+              element_at($"toks", i + 1)))).as(Seq("off", "bg")))
+        (occOf(phraseBigramParts(s, bgIdx, bq, g.wbN)._1),
+          multi.select($"qid")
+            .select($"qid", lit(1L).as("exact"), lit("bigram").as("route")))
+      case None =>
+        val ph = multi.select($"qid", posexplode($"toks").as(Seq("idx", "word")))
+        val (starts, anchors) =
+          phraseAnchorParts(s, g.postings, ph, Some(g.cappedOrFail), g.wbN)
+        (occOf(starts),
+          anchors.select($"qid",
+            when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"),
+            lit("capped").as("route")))
+    }
+    // branches are qid-disjoint (token count splits the batch), so one
+    // top-k over the union is the per-branch top-k; the flag frames are
+    // queries-sized
+    phraseTopk(s, singleOcc.unionByName(multiOcc), k)
+      .join(broadcast(singleFlags.unionByName(multiFlags)), "qid")
       .orderBy($"qid", $"rk")
   }
 

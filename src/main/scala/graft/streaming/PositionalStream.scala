@@ -87,6 +87,21 @@ object PositionalStream {
     serveLatestWith(queries, root)((s, g, batch) =>
       Positional.phraseBigramServeGenBatch(s, g, batch, k))(sink)
 
+  /** The PRODUCTION phrase-serving entry point — the expressed route
+    * choice ([[Positional.phraseServeGenBatchAuto]]): full-length
+    * phrases (the query text IS the phrase), served EXACT through the
+    * biword chain whenever the generation carries the `bigrams` slice
+    * (the measured default: exact at less than the lossy tier's cost),
+    * falling back to the P-cut bound (capped candidates + exact flag)
+    * on pre-bigram generations, with 1-token phrases on the word
+    * route. Every answer row names its route — the choice is in the
+    * API, not in prose. Same pointer protocol as every serving tier.
+    */
+  def serveLatestAuto(queries: DataFrame, root: String, k: Int = 10)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    serveLatestWith(queries, root)((s, g, batch) =>
+      Positional.phraseServeGenBatchAuto(s, g, batch, k))(sink)
+
   /** Generation-bound SNIPPET serving — tx_snippet's contract (best
     * phrase doc + first-match context window) per micro-batch from the
     * committed postings, same pointer protocol. Completes the

@@ -205,6 +205,86 @@ class PositionalSpec extends SparkSpec {
     }
   }
 
+  // shared corpus for the n-token route tests: overlapping repeated-word
+  // matches (doc 1), a 4-token prefix decoy (doc 2), a 2-token double
+  // match (doc 3), a non-adjacent decoy (doc 4), a 4-token phrase host
+  // (doc 5), and a 1-token tf case (doc 6)
+  private def nTokenDocs = Seq(
+    (1L, "a b a b a b a", "s1"),
+    (2L, "a b a b x", "s2"),
+    (3L, "p q p q", "s3"),
+    (4L, "p x q", "s4"),
+    (5L, "w x y z t", "s5"),
+    (6L, "a a a", "s6"))
+
+  test("n-token phrases: the bigram chain equals the word route at lengths " +
+      "2, 4 and 5 — including repeated words and overlapping matches") {
+    import spark.implicits._
+    val dir = freshDir(nTokenDocs)
+    val queries = Seq(
+      (100L, "a b a b a"), // 5 tokens, repeated words, overlap in doc 1
+      (101L, "p q"),       // 2 tokens — no non-anchor bigram to verify
+      (102L, "w x y z"),   // 4 tokens — a 3-bigram chain
+      (103L, "a")          // 1 token — word route only
+    ).toDF("doc_id", "text")
+    val word = Positional.phraseOccFull(spark, dir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(word == Set(
+      (100L, 1L, 2L),                            // starts 0 and 2 overlap
+      (101L, 3L, 2L),
+      (102L, 5L, 1L),
+      (103L, 1L, 4L), (103L, 2L, 2L), (103L, 6L, 3L)))
+    val bigram = Positional.phraseBigramOccFull(spark, dir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // route equivalence at every length ≥ 2 (1-token has no bigram)
+    assert(bigram == word.filterNot(_._1 == 103L))
+  }
+
+  test("the auto serving entry expresses the route choice: bigram-first on a " +
+      "full generation, the P-cut bound on a pre-bigram one, word route " +
+      "for 1-token phrases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir(nTokenDocs)
+    val rootA = java.nio.file.Files.createTempDirectory("posautoA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("posautoB").toString
+    try {
+      Positional.writePositionalGeneration(spark, dir, rootA)
+      val gA = Positional.loadPositionalGeneration(spark, rootA)
+      val queries = Seq((200L, "a b a b a"), (201L, "a")).toDF("doc_id", "text")
+      val servedA = Positional.phraseServeGenBatchAuto(spark, gA, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getAs[Long]("exact"), r.getString(5)))
+      // multi-token phrase answered EXACT through the biword chain
+      assert(servedA.filter(_._1 == 200L).toSeq
+        == Seq((200L, 1L, 2L, 1, 1L, "bigram")))
+      // 1-token phrase: the word route, tf-ranked (4, 3, 2 ties by id)
+      assert(servedA.filter(_._1 == 201L).map(t => (t._2, t._3, t._4)).toSeq
+        == Seq((1L, 4L, 1), (6L, 3L, 2), (2L, 2L, 3)))
+      assert(servedA.filter(_._1 == 201L).forall(t => t._5 == 1L && t._6 == "word"))
+
+      // pre-bigram generation: same commit minus the bigrams slice —
+      // the auto entry falls back to the P-cut bound, flags honest
+      Positional.writePositionalGeneration(spark, dir, rootB)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$rootB/gen-1/bigrams"))
+      val gB = Positional.loadPositionalGeneration(spark, rootB)
+      assert(gB.bigrams.isEmpty)
+      val servedB = Positional.phraseServeGenBatchAuto(spark, gB, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getAs[Long]("exact"), r.getString(5)))
+      // same rows (anchor df far under the cap → still exact), capped route
+      assert(servedB.filter(_._1 == 200L).toSeq
+        == Seq((200L, 1L, 2L, 1, 1L, "capped")))
+      assert(servedB.filter(_._1 == 201L).map(t => (t._2, t._3, t._4)).toSeq
+        == servedA.filter(_._1 == 201L).map(t => (t._2, t._3, t._4)).toSeq)
+      assert(servedB.filter(_._1 == 201L).forall(_._6 == "word"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rootA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rootB))
+    }
+  }
+
   test("results are deterministic across cache-cleared reruns") {
     val dir = freshDir(phraseDocs)
     val first = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
