@@ -757,9 +757,19 @@ object ScaleProbe {
   private def positionalWideProbe(spark: SparkSession, m: Int): Unit = {
     import spark.implicits._
     val out = s"/tmp/graft_scale${m}w"
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
-      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      val n = base.count()
+    // build-fingerprint sidecar: a stale /tmp replica from an earlier
+    // round (different suffixing scheme or base corpus) would silently
+    // skew the ladder — rebuild on any mismatch, not just absence
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    val fpPath = java.nio.file.Paths.get(s"$out/_fingerprint")
+    val wantFp = s"suffixed-vocab-v1 base=$n mult=$m"
+    val haveFp =
+      if (java.nio.file.Files.exists(fpPath))
+        Some(java.nio.file.Files.readString(fpPath).trim)
+      else None
+    if (!new java.io.File(s"$out/documents.parquet").exists()
+        || !haveFp.contains(wantFp)) {
       (0 until m).map { k =>
         base.select(
           ($"doc_id" + lit(k * n)).as("doc_id"),
@@ -770,6 +780,8 @@ object ScaleProbe {
       }.reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      java.nio.file.Files.createDirectories(fpPath.getParent)
+      java.nio.file.Files.writeString(fpPath, wantFp)
       println(s"""{"built": "$out", "docs": ${n * m}, "vocab_mult": $m}""")
     }
     graft.queries.Positional.clearCaches()

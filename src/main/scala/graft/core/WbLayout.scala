@@ -76,6 +76,18 @@ object WbLayout {
     def isEmpty: Boolean = terms.isEmpty
   }
 
+  /** Max distinct terms shipped as a literal In predicate. Two cliffs
+    * live above this: spark.sql.parquet.pushdown.inFilterThreshold
+    * (4096 — past it the In silently degrades to a min/max range that
+    * prunes nothing) and, well below that, the parquet-mr filter tree
+    * itself (an In pushes as an OR chain whose evaluation recurses once
+    * per value — thousands of values overflow the scan task's stack).
+    * Past this cap [[prune]] keeps the bucket-In (a partition-column
+    * filter, evaluated planner-side as a set — no depth issue) and
+    * restricts terms by a broadcast semi-join instead, logging that
+    * row-group pruning went inactive so the perf cliff is observable. */
+  private val TermInMax = 1024
+
   def probeOf(probeTerms: DataFrame, key: String, nb: Int): Probe = {
     val rows = probeTerms
       .select(col(key),
@@ -83,32 +95,35 @@ object WbLayout {
       .distinct().collect()
     val p = Probe(rows.map(_.getString(0)).toSeq,
       rows.map(r => Int.box(r.getInt(1)): Int).toSet)
-    // Past spark.sql.parquet.pushdown.inFilterThreshold distinct terms
-    // the In predicate silently degrades to a min/max range that prunes
-    // no row groups — the bucket directory prune still holds, but the
-    // term-keyed lookup inside surviving buckets becomes a bucket scan.
-    // Make the cliff observable instead of silent.
-    val threshold = probeTerms.sparkSession.conf
-      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
-      .flatMap(_.toIntOption).getOrElse(10)
-    if (p.terms.size > threshold)
+    if (p.terms.size > TermInMax)
       log.warn(s"wb-layout probe has ${p.terms.size} distinct terms, past " +
-        s"parquet inFilterThreshold=$threshold: In pushdown degrades to a " +
-        "min/max range and row-group pruning inside probed buckets stops " +
-        "working — split the batch or raise the threshold")
+        s"the $TermInMax-term In budget: keeping the bucket prune but " +
+        "restricting terms by semi-join — row-group pruning inside probed " +
+        "buckets is inactive for this batch; split the batch to restore it")
     p
   }
 
   /** Restrict an artifact slice to the probe's terms: literal In
     * filters on (wb, term) when the slice carries the bucket column
     * (directory prune at planning + row-group prune at scan), term-In
-    * only otherwise. An empty probe is an empty result, not a scan. */
-  def prune(slice: DataFrame, key: String, probe: Probe): DataFrame =
+    * only otherwise. A probe past [[TermInMax]] keeps the bucket prune
+    * and takes the term restriction as a broadcast semi-join (scan-
+    * local, stack-safe) instead of an unpushable or stack-overflowing
+    * In. An empty probe is an empty result, not a scan. */
+  def prune(slice: DataFrame, key: String, probe: Probe): DataFrame = {
+    def termFilter(df: DataFrame): DataFrame =
+      if (probe.terms.size <= TermInMax)
+        df.filter(col(key).isInCollection(probe.terms))
+      else {
+        val s = df.sparkSession
+        import s.implicits._
+        df.join(broadcast(probe.terms.toDF(key)), Seq(key), "left_semi")
+      }
     if (probe.isEmpty) slice.filter(lit(false))
     else if (slice.columns.contains("wb"))
-      slice.filter(col("wb").isInCollection(probe.buckets) &&
-        col(key).isInCollection(probe.terms))
-    else slice.filter(col(key).isInCollection(probe.terms))
+      termFilter(slice.filter(col("wb").isInCollection(probe.buckets)))
+    else termFilter(slice)
+  }
 
   /** [[prune]] when the modulus may be absent: the pre-bucketing
     * fallback applies `legacy` (the flat-layout probe restriction the

@@ -416,7 +416,8 @@ object Positional {
     */
   private def phraseAnchorParts(s: SparkSession, index: DataFrame,
       phrases: DataFrame, capped: Option[DataFrame],
-      wbN: Option[Int] = None): (DataFrame, DataFrame) = {
+      wbN: Option[Int] = None,
+      broadcastVerify: Boolean = true): (DataFrame, DataFrame) = {
     import s.implicits._
     val qt = phrases
     val idx = index
@@ -462,19 +463,24 @@ object Positional {
       .select($"qid", $"doc_id", $"start", $"word",
         ($"start" + $"idx").as("pos"), $"idx")
     val verified = capped match {
-      case Some(_) =>
-        // CAPPED tier: probes are bounded at queries × P × 2, so they
-        // broadcast ONTO the (pruned) postings — a map-side hash probe.
-        // The probed words' full posting lists are corpus-sized and
-        // were the one corpus-proportional SHUFFLE on this path (the
-        // r15 ladder's 13.5 → 68 ms/query residual); (word, doc_id,
-        // pos) is unique in the index, so this inner join keeps
-        // exactly the probe rows the semi-join kept.
+      case Some(_) if broadcastVerify =>
+        // CAPPED tier: probes are bounded at queries × P × rest-size,
+        // so they broadcast ONTO the (pruned) postings — a map-side
+        // hash probe. The probed words' full posting lists are
+        // corpus-sized and were the one corpus-proportional SHUFFLE on
+        // this path (the r15 ladder's 13.5 → 68 ms/query residual);
+        // (word, doc_id, pos) is unique in the index, so this inner
+        // join keeps exactly the probe rows the semi-join kept.
+        // `broadcastVerify = false` (a serving batch whose bounded
+        // frame would still exceed the broadcast budget — thousands of
+        // phrase queries) degrades to the semi-join below instead of
+        // failing the batch on the driver's broadcast limit.
         idxProbed.join(broadcast(probes), Seq("word", "doc_id", "pos"))
           .select($"qid", $"doc_id", $"start", $"idx")
-      case None =>
-        // exact tier: candidates are anchor-df-sized (unbounded), so
-        // the probe frame cannot be broadcast — keep the semi-join
+      case _ =>
+        // exact tier (candidates anchor-df-sized, unbroadcastable) and
+        // the capped tier's over-budget fallback: the semi-join keeps
+        // identical rows at a shuffle's cost
         probes.join(idxProbed, Seq("word", "doc_id", "pos"), "left_semi")
           .select($"qid", $"doc_id", $"start", $"idx")
     }
@@ -677,6 +683,26 @@ object Positional {
       g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame =
     phraseTopk(s, phraseOccOn(s, g.postings, phrasesOf(s, queryDocs), g.wbN), k)
 
+  /** Broadcast budget (rows) for the capped tier's verification probe
+    * frame: a bounded ≤ P × Σ_q rest_q frame under this broadcasts onto
+    * the pruned postings (the measured fast path — the sf0.1 gate ships
+    * ~4M rows); past it the verification degrades to the semi-join
+    * instead of failing the batch on the driver's broadcast limit (the
+    * thousands-of-phrase-queries serving batch). */
+  private[queries] val CapVerifyBroadcastMax = 8000000L
+
+  /** Σ_q max(L_q − 1, 0) × P — the capped verification probe frame's
+    * row bound for a (qid, toks) batch (≤ P candidates per query, each
+    * probed once per non-anchor offset), one queries-sized agg job. */
+  private def capProbeBound(pt: DataFrame): Long = {
+    import pt.sparkSession.implicits._
+    val rests = pt
+      .agg(coalesce(sum(greatest(size($"toks") - 1, lit(0)).cast("long")),
+        lit(0L)))
+      .collect()(0).getLong(0)
+    rests * PhraseCapP
+  }
+
   /** The CAPPED tier's serving core: candidates from the generation's
     * committed capped lists, anchors/verification from its full
     * postings, each answer carrying the per-query exact flag — the
@@ -685,7 +711,10 @@ object Positional {
       g: PositionalGeneration, queryDocs: DataFrame, k: Int = 10): DataFrame = {
     import s.implicits._
     val (starts, anchors) = phraseAnchorParts(
-      s, g.postings, phrasesOf(s, queryDocs), Some(g.cappedOrFail), g.wbN)
+      s, g.postings, phrasesOf(s, queryDocs), Some(g.cappedOrFail), g.wbN,
+      broadcastVerify =
+        capProbeBound(toksOf(s, queryDocs).select($"qid",
+          slice($"toks", 1, 3).as("toks"))) <= CapVerifyBroadcastMax)
     val occ = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
     val exactf = anchors.select($"qid",
       when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
@@ -741,7 +770,8 @@ object Positional {
       case None =>
         val ph = multi.select($"qid", posexplode($"toks").as(Seq("idx", "word")))
         val (starts, anchors) =
-          phraseAnchorParts(s, g.postings, ph, Some(g.cappedOrFail), g.wbN)
+          phraseAnchorParts(s, g.postings, ph, Some(g.cappedOrFail), g.wbN,
+            broadcastVerify = capProbeBound(multi) <= CapVerifyBroadcastMax)
         (occOf(starts),
           anchors.select($"qid",
             when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"),

@@ -285,6 +285,31 @@ class PositionalSpec extends SparkSpec {
     }
   }
 
+  test("a serving batch whose bounded probe frame exceeds the broadcast " +
+      "budget degrades to the semi-join and still answers exactly") {
+    import spark.implicits._
+    // one 4005-token phrase → probe bound (L−1) × P = 4004 × 2000 >
+    // CapVerifyBroadcastMax — the capped verification must take the
+    // semi-join path instead of failing the batch on a broadcast limit
+    val toks = (0 until 4005).map(i => s"t$i")
+    val dir = freshDir(Seq(
+      (1L, toks.mkString(" "), "s1"), (2L, "t7 t8 x", "s2")))
+    val root = java.nio.file.Files.createTempDirectory("poscapfall").toString
+    try {
+      Positional.writePositionalGeneration(spark, dir, root)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/gen-1/bigrams")) // force the capped route
+      val g = Positional.loadPositionalGeneration(spark, root)
+      val q = Seq((300L, toks.mkString(" "))).toDF("doc_id", "text")
+      val served = Positional.phraseServeGenBatchAuto(spark, g, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getAs[Long]("exact"), r.getString(5)))
+      assert(served.toSeq == Seq((300L, 1L, 1L, 1, 1L, "capped")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("results are deterministic across cache-cleared reruns") {
     val dir = freshDir(phraseDocs)
     val first = Positional.queries("tx_phrase_search")(spark, dir).collect().toSeq
