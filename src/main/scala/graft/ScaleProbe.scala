@@ -50,6 +50,9 @@ object ScaleProbe {
       hybridProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("hybridql")) {
+      hybridQlRecallProbe(spark); spark.stop(); return
+    }
     if (args.headOption.contains("graph")) {
       graphProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
@@ -77,6 +80,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("lexserve")) {
       lexServeProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("lexwide")) {
+      lexWideProbe(spark, args.lift(1).flatMap(_.toIntOption).getOrElse(10))
       spark.stop(); return
     }
     val m = args.headOption.map(_.toInt).getOrElse(10)
@@ -754,12 +761,16 @@ object ScaleProbe {
     * this — its 49-word vocabulary is fully probed by every batch, so
     * every layout degenerates to a scan there.)
     */
-  private def positionalWideProbe(spark: SparkSession, m: Int): Unit = {
+  /** Build (or reuse) the suffixed-vocabulary replica: each copy's
+    * words carry a `_k` suffix, so vocabulary grows m× with the corpus
+    * while a fixed copy-0 query batch probes a constant word set —
+    * real text's Heaps'-law regime, the corpus the word-bucketed
+    * layouts exist for. A build-fingerprint sidecar forces a rebuild
+    * when the scheme or base corpus changed (a stale /tmp replica from
+    * an earlier round would silently skew the ladder). */
+  private def ensureWideReplica(spark: SparkSession, m: Int): String = {
     import spark.implicits._
     val out = s"/tmp/graft_scale${m}w"
-    // build-fingerprint sidecar: a stale /tmp replica from an earlier
-    // round (different suffixing scheme or base corpus) would silently
-    // skew the ladder — rebuild on any mismatch, not just absence
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val fpPath = java.nio.file.Paths.get(s"$out/_fingerprint")
@@ -784,6 +795,12 @@ object ScaleProbe {
       java.nio.file.Files.writeString(fpPath, wantFp)
       println(s"""{"built": "$out", "docs": ${n * m}, "vocab_mult": $m}""")
     }
+    out
+  }
+
+  private def positionalWideProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    val out = ensureWideReplica(spark, m)
     graft.queries.Positional.clearCaches()
     val batch = org.apache.spark.sql.functions.col("doc_id") < 400L * 50
     val nq = math.max(
@@ -814,6 +831,43 @@ object ScaleProbe {
     serveOnce()
     val sSec = Seq.fill(3)(serveOnce()).sorted.apply(1)
     println(f"""{"probe": "positional_wide_cap_serve", "mult": $m, "sec": $sSec%.2f, "queries": $nq, "ms_per_query": ${sSec * 1000 / nq}%.2f}""")
+  }
+
+  /** Fused-recall-vs-P ladder: the 3-arm serving fusion's answer
+    * quality as the QL arm's truncation depth sweeps 250 → 16000 —
+    * the tuning curve behind the single r16 fused reading (0.67), the
+    * same honesty instrument every other approximate knob carries.
+    * Per depth: fused micro-recall vs the exact 3-arm truth AND the QL
+    * arm's own micro-recall vs its exact arm, so the table shows how
+    * much of the arm's truncation loss the fusion absorbs. Runs on the
+    * sf0.1 gate corpus — the truth side's pairwise dense arm is the
+    * deliberate metered baseline and bounds the corpus this can price.
+    */
+  private def hybridQlRecallProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    graft.queries.Retrieval.clearCaches()
+    graft.queries.TextAnalysis.clearCaches()
+    val ex = graft.queries.Retrieval.hybridQlExactFusedFrame(spark, dir)
+      .select($"qid", $"doc_id").persist()
+    val nEx = ex.count().toDouble
+    val armEx = graft.queries.Retrieval.qlArmExactRank(spark, dir)
+      .select($"qid", $"doc_id").persist()
+    val nArmEx = armEx.count().toDouble
+    for (p <- Seq(250, 1000, 4000, 16000)) {
+      val t0 = System.nanoTime()
+      val sv = graft.queries.Retrieval.hybridQlServingFusedAt(spark, dir, p)
+        .select($"qid", $"doc_id").persist()
+      sv.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val fusedRec = ex.join(sv, Seq("qid", "doc_id"), "left_semi").count() / nEx
+      val arm = graft.queries.Retrieval.qlArmRankAt(spark, dir, p)
+        .select($"qid", $"doc_id")
+      val armRec = armEx.join(arm, Seq("qid", "doc_id"), "left_semi").count() / nArmEx
+      println(f"""{"probe": "hybrid_ql_p", "p": $p, "fused_recall": $fusedRec%.4f, "ql_arm_recall": $armRec%.4f, "sec": $sec%.2f}""")
+      sv.unpersist()
+    }
+    ex.unpersist(); armEx.unpersist()
   }
 
   /** QL frontier: the exact tier's full-postings traversal vs the
@@ -950,6 +1004,64 @@ object ScaleProbe {
         q2.stop()
       }
     }
+  }
+
+  /** WIDE-VOCABULARY lexical serving ladder — the round-17 receipt for
+    * the r16 weak mark: on the suffixed-vocab replica (vocabulary and
+    * index size grow m×, the fixed copy-0 query batch probes a constant
+    * word set) the certificate tier is served from (a) the committed
+    * WORD-BUCKETED generation and (b) the SAME artifacts read with the
+    * prune disabled (the pre-r17 flat-scan plan). The bucketed serve
+    * must stay FLAT across decades while the flat form grows with
+    * vocabulary — the lexical twin of the positionalwide measurement
+    * that motivated the layout.
+    */
+  private def lexWideProbe(spark: SparkSession, m: Int): Unit = {
+    import spark.implicits._
+    val out = ensureWideReplica(spark, m)
+    graft.queries.Retrieval.clearCaches()
+    graft.queries.TextAnalysis.clearCaches()
+    val root = s"/tmp/graft_lexserve_w$m"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val tw = System.nanoTime()
+    graft.queries.Retrieval.writeLexicalGeneration(spark, out, root)
+    val wSec = (System.nanoTime() - tw) / 1e9
+    val g = graft.queries.Retrieval.loadLexicalGeneration(spark, root)
+    println(f"""{"probe": "lex_wide_gen_write", "mult": $m, "sec": $wSec%.2f, "wb_buckets": ${g.wbN.getOrElse(0)}}""")
+    // fixed 400-query batch from copy 0 (suffix _0 words): the probe
+    // set is CONSTANT across m — only the corpus/vocabulary grows
+    val qd = spark.read.parquet(s"$out/documents.parquet")
+      .filter($"doc_id" % 50 === 0 && $"doc_id" < 400L * 50)
+      .select($"doc_id", $"text")
+    val nq = math.max(qd.count(), 1L)
+    def serveOnce(gen: graft.queries.Retrieval.LexicalGeneration): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.Retrieval.bm25ServeGenBatch(spark, gen, qd).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    serveOnce(g)
+    val bSec = Seq.fill(3)(serveOnce(g)).sorted.apply(1)
+    println(f"""{"probe": "lex_wide_serve_bucketed", "mult": $m, "sec": $bSec%.2f, "queries": $nq, "ms_per_query": ${bSec * 1000 / nq}%.2f}""")
+    // the same artifacts with the prune disabled — the flat-scan form
+    val gFlat = g.copy(wbN = None)
+    serveOnce(gFlat)
+    val fSec = Seq.fill(3)(serveOnce(gFlat)).sorted.apply(1)
+    println(f"""{"probe": "lex_wide_serve_flat", "mult": $m, "sec": $fSec%.2f, "queries": $nq, "ms_per_query": ${fSec * 1000 / nq}%.2f}""")
+    // the 100 TB receipt in rows, not milliseconds: how many index rows
+    // ENTER the probe join per batch. The flat form streams the WHOLE
+    // impact index (vocab × P — grows with vocabulary every decade);
+    // the bucketed form delivers only the probed words' rows (constant
+    // across decades — the batch's word set doesn't grow with the
+    // corpus). At this ladder's absolute index sizes (≤ 10⁷ rows) the
+    // wall-clock is overhead-dominated either way; the row curve is
+    // what scales.
+    import graft.queries.QueryFns.wsTokens
+    val qw = qd.select(explode(slice(wsTokens(lower($"text")), 1,
+      graft.queries.Retrieval.QLen)).as("word")).distinct()
+    val probe = graft.core.WbLayout.probeOf(qw, "word", g.wbN.get)
+    val bRows = graft.core.WbLayout.prune(g.index, "word", probe).count()
+    val fRows = g.index.count()
+    println(s"""{"probe": "lex_wide_scan_rows", "mult": $m, "bucketed_rows": $bRows, "flat_rows": $fRows, "probed_words": ${probe.terms.size}, "probed_buckets": ${probe.buckets.size}}""")
   }
 
   /** Admission-gate serving ladder: per-batch cost of

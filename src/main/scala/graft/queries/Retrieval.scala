@@ -51,7 +51,7 @@ object Retrieval {
   private[queries] val QStep = 50
 
   /** Query length: first QLen tokens of the query doc. */
-  private[queries] val QLen = 6
+  private[graft] val QLen = 6
 
   /** BM25 shape parameters (the standard Robertson defaults). */
   private[queries] val K1 = 1.2
@@ -1528,6 +1528,49 @@ object Retrieval {
     topkBy(dpairs, "cos", FuseDepth)
       .select($"qid", $"doc_id", $"rank".as("rd"))
   }
+
+  /** The QL fusion arm at an ARBITRARY truncation depth `p` — the
+    * fused-recall-vs-P ladder's knob (p == [[BmImpactP]] is
+    * ann_hybrid_ql_serving's arm, up to the staged-artifact identity).
+    * (qid, doc_id, rq). */
+  private[graft] def qlArmRankAt(s: SparkSession, dir: String, p: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val qids = Similarity.vecs(s, dir)
+      .filter($"vec_id" % QStep === 0).select($"vec_id".as("qid"))
+    val qtv = queryTerms(s, dir).join(qids, Seq("qid"), "left_semi")
+    topkBy(qlSum(s, dir, qtv, qlTruncAt(s, dir, p)), "ql", FuseDepth)
+      .select($"qid", $"doc_id", $"rank".as("rq"))
+  }
+
+  /** The exact QL arm (the truth the ladder's arm-recall is measured
+    * against). */
+  private[graft] def qlArmExactRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qlArmRank(s, dir, $"vec_id" % QStep === 0, impact = false)
+  }
+
+  /** The 3-arm all-staged serving fusion with the QL arm truncated at
+    * depth `p` — prices the QL arm's truncation against FUSED answer
+    * quality (the r16 verdict's open question: the 0.67 fused reading
+    * had no tuning curve). */
+  private[graft] def hybridQlServingFusedAt(s: SparkSession, dir: String,
+      p: Int): DataFrame = {
+    import s.implicits._
+    val (nprobe, shortlist) = Similarity.pqServingDefaults
+    val drank = Similarity.pqTopkFor(s, dir,
+        $"vec_id" % QStep === 0, nprobe, shortlist, FuseDepth)
+      .select($"probe".as("qid"), $"neighbor".as("doc_id"), $"rank".as("rd"))
+    rrfFused3(s,
+      hybridSparseRank(s, dir, $"vec_id" % QStep === 0),
+      drank,
+      qlArmRankAt(s, dir, p))
+  }
+
+  /** The 3-arm exact truth, exposed for the ladder's recall
+    * denominators. */
+  private[graft] def hybridQlExactFusedFrame(s: SparkSession, dir: String): DataFrame =
+    hybridQlExactFused(s, dir)
 
   /** Three-arm ground truth: BM25 impact × exact dense × exact QL —
     * shared by ann_hybrid_ql_rrf and the recall meter. */
