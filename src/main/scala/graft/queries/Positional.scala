@@ -279,7 +279,8 @@ object Positional {
     * (PositionalSpec). */
   private[graft] def phraseOccFull(s: SparkSession, dir: String,
       queryDocs: DataFrame): DataFrame =
-    phraseOccOn(s, positionalIndex(s, dir), phrasesOfFull(s, queryDocs))
+    phraseOccOn(s, positionalIndex(s, dir), phrasesOfFull(s, queryDocs),
+      fixedRest = None)
 
   /** Full-length bigram-route occurrence counts against the session
     * corpus — must equal [[phraseOccFull]] row for row at every phrase
@@ -287,7 +288,8 @@ object Positional {
   private[graft] def phraseBigramOccFull(s: SparkSession, dir: String,
       queryDocs: DataFrame): DataFrame = {
     import s.implicits._
-    phraseBigramParts(s, bigramIndex(s, dir), bigramsOfFull(s, queryDocs))._1
+    phraseBigramParts(s, bigramIndex(s, dir), bigramsOfFull(s, queryDocs),
+      fixedRest = None)._1
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
@@ -306,7 +308,8 @@ object Positional {
     * tx_phrase_bigram tx_phrase_search's own oracle, PositionalSpec
     * pins arbitrary lengths including repeated words. */
   private def phraseBigramParts(s: SparkSession, index: DataFrame,
-      bq: DataFrame, wbN: Option[Int] = None): (DataFrame, DataFrame) = {
+      bq: DataFrame, wbN: Option[Int] = None,
+      fixedRest: Option[Int] = Some(1)): (DataFrame, DataFrame) = {
     import s.implicits._
     val probed = wbN match {
       case Some(nb) =>
@@ -323,30 +326,43 @@ object Positional {
     val cands = probed
       .join(broadcast(anchors.select($"qid", $"aoff", $"bg")), Seq("bg"))
       .select($"qid", $"doc_id", ($"pos" - $"aoff").as("start"))
-    // the OVERLAPPING-BIGRAM CHAIN, n-token general: an L-token phrase
-    // is L−1 bigrams at offsets 0..L−2, and a start s matches iff every
-    // non-anchor offset's bigram sits at s+off — verified by exact
-    // (bg, doc, pos) probes and a distinct-OFFSET count per start (a
-    // plain semi-join would under-count repeated bigrams: "a b a b"
-    // needs "a b" verified at TWO offsets). A 2-token phrase has no
-    // rest — its anchor candidates ARE the matches (the r16 3-token
-    // form, with its single-rest semi-join, is the n_rest = 1 case).
-    val rest = bq.join(anchors.select($"qid", $"aoff"), Seq("qid"))
-      .filter($"off" =!= $"aoff")
-      .select($"qid", $"off", $"bg")
-    val nRest = rest.groupBy($"qid").agg(countDistinct($"off").as("n_rest"))
-    val verified = cands.join(broadcast(rest), Seq("qid"))
-      .select($"qid", $"doc_id", $"start", $"bg",
-        ($"start" + $"off").as("pos"), $"off")
-      .join(probed, Seq("bg", "doc_id", "pos"), "left_semi")
-      .groupBy($"qid", $"doc_id", $"start")
-      .agg(countDistinct($"off").as("n_ok"))
-      .join(broadcast(nRest), Seq("qid"))
-      .filter($"n_ok" === $"n_rest")
-      .select($"qid", $"doc_id", $"start")
-    val starts = verified.unionByName(
-      cands.join(broadcast(anchors.join(nRest, Seq("qid"), "left_anti")
-        .select($"qid")), Seq("qid"), "left_semi"))
+    // the OVERLAPPING-BIGRAM CHAIN verification. Two plan shapes, same
+    // rows, chosen by whether the chain length is statically known:
+    //  - fixedRest = Some(1) (the gate's 3-token / two-bigram queries):
+    //    exactly one non-anchor bigram — one semi-join keeps a start
+    //    iff its single probe matched, no counting (the r16 plan,
+    //    byte-identical).
+    //  - fixedRest = None (n-token general): probe EVERY offset of the
+    //    chain — the anchor's probe is trivially true (candidates come
+    //    from its postings), so a start matches iff its distinct
+    //    verified-offset count equals the query's distinct offset
+    //    count. One pass, one reference to `cands` (a per-length
+    //    union branch would re-run the whole candidate chain), and the
+    //    distinct-OFFSET count handles repeated bigrams ("a b a b"
+    //    needs "a b" verified at two offsets) and the no-rest 2-token
+    //    case (count 1 == 1) without special cases.
+    val starts = fixedRest match {
+      case Some(1) =>
+        val rest = bq.join(anchors.select($"qid", $"aoff"), Seq("qid"))
+          .filter($"off" =!= $"aoff")
+          .select($"qid", $"off", $"bg")
+        cands.join(broadcast(rest), Seq("qid"))
+          .select($"qid", $"doc_id", $"start", $"bg",
+            ($"start" + $"off").as("pos"))
+          .join(probed, Seq("bg", "doc_id", "pos"), "left_semi")
+          .select($"qid", $"doc_id", $"start")
+      case _ =>
+        val nOff = bq.groupBy($"qid").agg(countDistinct($"off").as("n_off"))
+        cands.join(broadcast(bq), Seq("qid"))
+          .select($"qid", $"doc_id", $"start", $"bg",
+            ($"start" + $"off").as("pos"), $"off")
+          .join(probed, Seq("bg", "doc_id", "pos"), "left_semi")
+          .groupBy($"qid", $"doc_id", $"start")
+          .agg(countDistinct($"off").as("n_ok"))
+          .join(broadcast(nOff), Seq("qid"))
+          .filter($"n_ok" === $"n_off")
+          .select($"qid", $"doc_id", $"start")
+    }
     (starts, anchors)
   }
 
@@ -378,9 +394,10 @@ object Positional {
     phraseOccOn(s, positionalIndex(s, dir), queryPhrases(s, dir, extra))
 
   private def phraseOccOn(s: SparkSession, index: DataFrame,
-      phrases: DataFrame, wbN: Option[Int] = None): DataFrame = {
+      phrases: DataFrame, wbN: Option[Int] = None,
+      fixedRest: Option[Int] = Some(2)): DataFrame = {
     import s.implicits._
-    phraseStartsOn(s, index, phrases, wbN)
+    phraseStartsOn(s, index, phrases, wbN, fixedRest)
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
@@ -389,8 +406,9 @@ object Positional {
     * occurrence counter's input, kept separate so the snippet query
     * can anchor its context window on the first match. */
   private def phraseStartsOn(s: SparkSession, index: DataFrame,
-      phrases: DataFrame, wbN: Option[Int] = None): DataFrame =
-    phraseAnchorParts(s, index, phrases, None, wbN)._1
+      phrases: DataFrame, wbN: Option[Int] = None,
+      fixedRest: Option[Int] = Some(2)): DataFrame =
+    phraseAnchorParts(s, index, phrases, None, wbN, fixedRest = fixedRest)._1
 
   /** The anchored phrase core, optionally CAPPED: candidate starts plus
     * the per-query anchor frame (qid, adf, aidx, word). With
@@ -417,7 +435,8 @@ object Positional {
   private def phraseAnchorParts(s: SparkSession, index: DataFrame,
       phrases: DataFrame, capped: Option[DataFrame],
       wbN: Option[Int] = None,
-      broadcastVerify: Boolean = true): (DataFrame, DataFrame) = {
+      broadcastVerify: Boolean = true,
+      fixedRest: Option[Int] = Some(2)): (DataFrame, DataFrame) = {
     import s.implicits._
     val qt = phrases
     val idx = index
@@ -455,11 +474,24 @@ object Positional {
         lists.join(broadcast(anchors.select($"qid", $"aidx", $"word")), Seq("word"))
           .select($"qid", $"doc_id", ($"pos" - $"aidx").as("start"))
     }
-    // the two non-anchor offsets, verified by exact-position probes
-    val rest = qt.join(anchors.select($"qid", $"aidx"), Seq("qid"))
-      .filter($"idx" =!= $"aidx")
-      .select($"qid", $"idx", $"word")
-    val probes = cands.join(broadcast(rest), Seq("qid"))
+    // the probe offsets. fixedRest = Some(n) (the gate's 3-token
+    // convention, n = 2): the non-anchor offsets only, verified by an
+    // exact count against the literal — the r16 plan, byte-identical.
+    // fixedRest = None (n-token general): probe EVERY offset — the
+    // anchor's probe is trivially true (candidates are its postings),
+    // so a start matches iff its distinct verified-offset count equals
+    // the query's distinct offset count. One pass, one reference to
+    // `cands` (a separate no-rest union branch would re-run the whole
+    // candidate chain per query — measured 2.2× on the gate), and the
+    // count handles repeated words AND 1-token phrases uniformly.
+    val probeSet = fixedRest match {
+      case Some(_) =>
+        qt.join(anchors.select($"qid", $"aidx"), Seq("qid"))
+          .filter($"idx" =!= $"aidx")
+          .select($"qid", $"idx", $"word")
+      case None => qt
+    }
+    val probes = cands.join(broadcast(probeSet), Seq("qid"))
       .select($"qid", $"doc_id", $"start", $"word",
         ($"start" + $"idx").as("pos"), $"idx")
     val verified = capped match {
@@ -484,21 +516,18 @@ object Positional {
         probes.join(idxProbed, Seq("word", "doc_id", "pos"), "left_semi")
           .select($"qid", $"doc_id", $"start", $"idx")
     }
-    // n-token general: a start matches iff every distinct non-anchor
-    // offset verified (= 2 for the gate's 3-token phrases; repeated
-    // query words are distinct offsets of the same word, which is why
-    // the count is over idx, not word). A 1-token phrase has no rest —
-    // its anchor postings ARE the matches.
-    val nRest = rest.groupBy($"qid").agg(countDistinct($"idx").as("n_rest"))
-    val starts = verified
+    val vcnt = verified
       .groupBy($"qid", $"doc_id", $"start")
       .agg(countDistinct($"idx").as("nidx"))
-      .join(broadcast(nRest), Seq("qid"))
-      .filter($"nidx" === $"n_rest")
-      .select($"qid", $"doc_id", $"start")
-      .unionByName(
-        cands.join(broadcast(anchors.join(nRest, Seq("qid"), "left_anti")
-          .select($"qid")), Seq("qid"), "left_semi"))
+    val starts = fixedRest match {
+      case Some(n) => vcnt.filter($"nidx" === n)
+          .select($"qid", $"doc_id", $"start")
+      case None =>
+        val nOff = qt.groupBy($"qid").agg(countDistinct($"idx").as("n_off"))
+        vcnt.join(broadcast(nOff), Seq("qid"))
+          .filter($"nidx" === $"n_off")
+          .select($"qid", $"doc_id", $"start")
+    }
     (starts, anchors)
   }
 
@@ -755,7 +784,8 @@ object Positional {
     def occOf(starts: DataFrame) = starts
       .groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
     val singleOcc = occOf(
-      phraseAnchorParts(s, g.postings, single, None, g.wbN)._1)
+      phraseAnchorParts(s, g.postings, single, None, g.wbN,
+        fixedRest = None)._1)
     val singleFlags = single.select($"qid").distinct()
       .select($"qid", lit(1L).as("exact"), lit("word").as("route"))
     val (multiOcc, multiFlags) = g.bigrams match {
@@ -764,14 +794,15 @@ object Positional {
           transform(sequence(lit(1), size($"toks") - 1),
             i => concat(element_at($"toks", i), lit(" "),
               element_at($"toks", i + 1)))).as(Seq("off", "bg")))
-        (occOf(phraseBigramParts(s, bgIdx, bq, g.wbN)._1),
+        (occOf(phraseBigramParts(s, bgIdx, bq, g.wbN, fixedRest = None)._1),
           multi.select($"qid")
             .select($"qid", lit(1L).as("exact"), lit("bigram").as("route")))
       case None =>
         val ph = multi.select($"qid", posexplode($"toks").as(Seq("idx", "word")))
         val (starts, anchors) =
           phraseAnchorParts(s, g.postings, ph, Some(g.cappedOrFail), g.wbN,
-            broadcastVerify = capProbeBound(multi) <= CapVerifyBroadcastMax)
+            broadcastVerify = capProbeBound(multi) <= CapVerifyBroadcastMax,
+            fixedRest = None)
         (occOf(starts),
           anchors.select($"qid",
             when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"),
