@@ -205,4 +205,38 @@ class PositionalStreamSpec extends SparkSpec {
       assert(served.map(_._2).toSet == Set(2L), s"post-cutover answers: $served")
     } finally Positional.clearCaches()
   }
+
+  test("the auto serving stream answers multi-token phrases through the " +
+      "bigram route and 1-token phrases through the word route") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("posauto").toString
+    val (dirA, root) = (s"$tmp/a", s"$tmp/serve")
+    try {
+      writeDocTable(dirA, Seq(
+        0L -> "alpha beta gamma x", 1L -> "y alpha beta gamma", 2L -> "x y alpha"))
+      Positional.clearCaches()
+      Positional.writePositionalGeneration(spark, dirA, root)
+
+      val served = mutable.Buffer.empty[(Long, Long, Long, Int, Long, String)]
+      val in = MemoryStream[(Long, String)]
+      val q = PositionalStream.serveLatestAuto(
+        in.toDS().toDF("doc_id", "text"), root) { out =>
+        served ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+            r.getAs[Long]("exact"), r.getString(5)))
+      }.queryName("phrase_serve_auto").start()
+      in.addData((100L, "alpha beta gamma"), (101L, "alpha"))
+      q.processAllAvailable()
+      q.stop()
+
+      // 4-token-free phrase query served EXACT through the biword chain
+      assert(served.filter(_._1 == 100L).map(_._2).toSet == Set(0L, 1L))
+      assert(served.filter(_._1 == 100L).forall(t => t._5 == 1L && t._6 == "bigram"),
+        s"multi-token must route bigram: $served")
+      // 1-token phrase: tf ranking through the word route
+      assert(served.filter(_._1 == 101L).map(_._2).toSet == Set(0L, 1L, 2L))
+      assert(served.filter(_._1 == 101L).forall(t => t._5 == 1L && t._6 == "word"))
+    } finally Positional.clearCaches()
+  }
 }
