@@ -76,17 +76,23 @@ object WbLayout {
     def isEmpty: Boolean = terms.isEmpty
   }
 
-  /** Max distinct terms shipped as a literal In predicate. Two cliffs
-    * live above this: spark.sql.parquet.pushdown.inFilterThreshold
-    * (4096 — past it the In silently degrades to a min/max range that
-    * prunes nothing) and, well below that, the parquet-mr filter tree
-    * itself (an In pushes as an OR chain whose evaluation recurses once
-    * per value — thousands of values overflow the scan task's stack).
-    * Past this cap [[prune]] keeps the bucket-In (a partition-column
-    * filter, evaluated planner-side as a set — no depth issue) and
-    * restricts terms by a broadcast semi-join instead, logging that
-    * row-group pruning went inactive so the perf cliff is observable. */
+  /** Max distinct terms shipped in ONE literal In predicate. Two
+    * cliffs live above this: spark.sql.parquet.pushdown
+    * .inFilterThreshold (4096 — past it the In silently degrades to a
+    * min/max range that prunes nothing) and, well below that, the
+    * parquet-mr filter tree itself (an In pushes as an OR chain whose
+    * evaluation recurses once per value — thousands of values overflow
+    * the scan task's stack). A probe past this cap is CHUNKED: the
+    * term set splits into ≤[[TermInMax]]-value groups, each filtered
+    * in its own scan and unioned — every chunk keeps real row-group
+    * pruning (the chunks are disjoint, so each scan prunes to its own
+    * terms' row groups and the union is exact). Past
+    * [[TermInMax]] × [[MaxInChunks]] terms the plan-size cost of more
+    * scans stops paying and the term restriction degrades to a
+    * broadcast semi-join over the bucket-pruned scan, logged so the
+    * row-group-pruning loss is observable. */
   private val TermInMax = 1024
+  private val MaxInChunks = 32
 
   def probeOf(probeTerms: DataFrame, key: String, nb: Int): Probe = {
     val rows = probeTerms
@@ -95,25 +101,29 @@ object WbLayout {
       .distinct().collect()
     val p = Probe(rows.map(_.getString(0)).toSeq,
       rows.map(r => Int.box(r.getInt(1)): Int).toSet)
-    if (p.terms.size > TermInMax)
+    if (p.terms.size > TermInMax.toLong * MaxInChunks)
       log.warn(s"wb-layout probe has ${p.terms.size} distinct terms, past " +
-        s"the $TermInMax-term In budget: keeping the bucket prune but " +
-        "restricting terms by semi-join — row-group pruning inside probed " +
-        "buckets is inactive for this batch; split the batch to restore it")
+        s"the ${TermInMax * MaxInChunks}-term chunked-In budget: keeping " +
+        "the bucket prune but restricting terms by semi-join — row-group " +
+        "pruning inside probed buckets is inactive for this batch; split " +
+        "the batch to restore it")
     p
   }
 
   /** Restrict an artifact slice to the probe's terms: literal In
     * filters on (wb, term) when the slice carries the bucket column
     * (directory prune at planning + row-group prune at scan), term-In
-    * only otherwise. A probe past [[TermInMax]] keeps the bucket prune
-    * and takes the term restriction as a broadcast semi-join (scan-
-    * local, stack-safe) instead of an unpushable or stack-overflowing
-    * In. An empty probe is an empty result, not a scan. */
+    * only otherwise. Oversized probes chunk the In (see [[TermInMax]]);
+    * genuinely huge ones degrade to a broadcast semi-join (scan-local,
+    * stack-safe). An empty probe is an empty result, not a scan. */
   def prune(slice: DataFrame, key: String, probe: Probe): DataFrame = {
     def termFilter(df: DataFrame): DataFrame =
       if (probe.terms.size <= TermInMax)
         df.filter(col(key).isInCollection(probe.terms))
+      else if (probe.terms.size <= TermInMax.toLong * MaxInChunks)
+        probe.terms.grouped(TermInMax)
+          .map(chunk => df.filter(col(key).isInCollection(chunk)))
+          .reduce(_ unionByName _)
       else {
         val s = df.sparkSession
         import s.implicits._
