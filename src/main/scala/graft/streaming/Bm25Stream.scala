@@ -111,47 +111,19 @@ object Bm25Stream {
     qlServeLatestWith(queries, root)((s, g, batch) =>
       Retrieval.qlServeGenBatchWand(s, g, dir, batch, k))(sink)
 
-  /** Shared generation-resolving micro-batch loop: resolve `_latest`
-    * per batch, reload `{index, bounds}` only on a generation change
-    * (live cutover / rollback via the pointer), serve through `score`.
-    */
+  /** The shared generation-resolving micro-batch loop ([[GenServe]])
+    * bound to the `{index, bounds}` pair. */
   private def serveLatestWith(queries: DataFrame, root: String)(
       score: (SparkSession, Retrieval.LexicalGeneration, DataFrame) => DataFrame)(
-      sink: DataFrame => Unit): DataStreamWriter[Row] = {
-    var cached: Option[Retrieval.LexicalGeneration] = None
-    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
-      if (!batch.isEmpty) {
-        val s = batch.sparkSession
-        // a vanished pointer is an ERROR, not license to keep serving a
-        // stale cached generation with exactness certificates — same
-        // contract as the never-loaded case
-        val latest = graft.core.Generations.latest(root).getOrElse(
-          sys.error(s"$root: no committed lexical serving generation"))
-        if (!cached.map(_.gen).contains(latest))
-          cached = Some(Retrieval.loadLexicalGeneration(s, root))
-        sink(score(s, cached.get, batch))
-      }
-    }
-    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
-  }
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    GenServe.latestLoop[Retrieval.LexicalGeneration](
+      queries, root, "lexical", _.gen)(Retrieval.loadLexicalGeneration)(score)(sink)
 
-  /** The [[serveLatestWith]] loop for the generation's QL slice — same
-    * pointer contract, QL artifacts (+ the once-per-load m_min scalar).
-    */
+  /** The same loop for the generation's QL slice — same pointer
+    * contract, QL artifacts (+ the once-per-load m_min scalar). */
   private def qlServeLatestWith(queries: DataFrame, root: String)(
       score: (SparkSession, Retrieval.QlGeneration, DataFrame) => DataFrame)(
-      sink: DataFrame => Unit): DataStreamWriter[Row] = {
-    var cached: Option[Retrieval.QlGeneration] = None
-    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
-      if (!batch.isEmpty) {
-        val s = batch.sparkSession
-        val latest = graft.core.Generations.latest(root).getOrElse(
-          sys.error(s"$root: no committed lexical serving generation"))
-        if (!cached.map(_.gen).contains(latest))
-          cached = Some(Retrieval.loadQlGeneration(s, root))
-        sink(score(s, cached.get, batch))
-      }
-    }
-    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
-  }
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    GenServe.latestLoop[Retrieval.QlGeneration](
+      queries, root, "lexical", _.gen)(Retrieval.loadQlGeneration)(score)(sink)
 }

@@ -154,32 +154,24 @@ object DedupStream {
     */
   def matchesLatest(newDocs: DataFrame, root: String,
       existingFilter: org.apache.spark.sql.Column = lit(true))(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var cached: Option[(Long, Array[String], DataFrame, DataFrame)] = None
-    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
-      if (!batch.isEmpty) {
-        val s = batch.sparkSession
-        val latest = graft.core.Generations.latest(root).getOrElse(
-          sys.error(s"$root: no committed band-index generation"))
-        if (!cached.map(_._1).contains(latest)) {
-          val g = Dedup.loadDedupGeneration(s, root)
-          cached = Some((g.gen, g.hotOrFail,
-            g.bands.filter(existingFilter)
-              .select(col("doc_id").as("oi"), col("band"), col("key")),
-            g.setsOrFail.filter(existingFilter)
-              .select(col("doc_id").as("oi"), col("shs").as("shs_old"),
-                col("n_sh").as("n_old"))))
-        }
-        val (_, hotArr, oldBands, oldSets) = cached.get
-        val collided = bandCollisions(batch, hotArr, oldBands, Seq.empty)
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    GenServe.latestLoop[(Long, Array[String], DataFrame, DataFrame)](
+      newDocs, root, "dedup", _._1) { (s, r) =>
+      val g = Dedup.loadDedupGeneration(s, r)
+      (g.gen, g.hotOrFail,
+        g.bands.filter(existingFilter)
+          .select(col("doc_id").as("oi"), col("band"), col("key")),
+        g.setsOrFail.filter(existingFilter)
+          .select(col("doc_id").as("oi"), col("shs").as("shs_old"),
+            col("n_sh").as("n_old")))
+    } { (_, g, batch) =>
+      val (_, hotArr, oldBands, oldSets) = g
+      verifiedMatches(
+        bandCollisions(batch, hotArr, oldBands, Seq.empty)
           .filter(col("ni") =!= col("oi"))
-          .dropDuplicates("ni", "oi")
-        sink(verifiedMatches(collided, oldSets))
-      }
-    }
-    newDocs.writeStream.foreachBatch(fn)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-  }
+          .dropDuplicates("ni", "oi"),
+        oldSets)
+    }(sink)
 
   /** Streaming twin of `dedup_emb_incremental`: a continuous ingest of
     * new vectors deduped against the static corpus. Cell assignment runs

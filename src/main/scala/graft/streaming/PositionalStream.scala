@@ -113,18 +113,8 @@ object PositionalStream {
 
   private def serveLatestWith(queries: DataFrame, root: String)(
       score: (SparkSession, Positional.PositionalGeneration, DataFrame) => DataFrame)(
-      sink: DataFrame => Unit): DataStreamWriter[Row] = {
-    var cached: Option[Positional.PositionalGeneration] = None
-    val fn: (DataFrame, Long) => Unit = { (batch, _) =>
-      if (!batch.isEmpty) {
-        val s = batch.sparkSession
-        val latest = graft.core.Generations.latest(root).getOrElse(
-          sys.error(s"$root: no committed positional serving generation"))
-        if (!cached.map(_.gen).contains(latest))
-          cached = Some(Positional.loadPositionalGeneration(s, root))
-        sink(score(s, cached.get, batch))
-      }
-    }
-    queries.writeStream.foreachBatch(fn).outputMode(OutputMode.Update())
-  }
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    GenServe.latestLoop[Positional.PositionalGeneration](
+      queries, root, "positional", _.gen)(
+      Positional.loadPositionalGeneration)(score)(sink)
 }
