@@ -96,12 +96,9 @@ object Positional {
     */
   private[graft] def positionalIndex(s: SparkSession, dir: String): DataFrame =
     posCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
       Staging.readElseBuild(s, dir, "positional_index", Seq("documents")) {
-        Tables(s, dir).documents
-          .repartition(s.sparkContext.defaultParallelism)
-          .select($"doc_id", wsTokens(lower($"text")).as("toks"))
-          .select($"doc_id", posexplode($"toks").as(Seq("pos", "word")))
+        positionalRowsOf(s, Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism))
       }.persist()
     })
 
@@ -159,18 +156,9 @@ object Positional {
     */
   private[graft] def bigramIndex(s: SparkSession, dir: String): DataFrame =
     bgCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
       Staging.readElseBuild(s, dir, "bigram_index", Seq("documents")) {
-        Tables(s, dir).documents
-          .repartition(s.sparkContext.defaultParallelism)
-          .select($"doc_id", wsTokens(lower($"text")).as("toks"))
-          .select($"doc_id", posexplode(
-            when(size($"toks") >= 2,
-              transform(sequence(lit(1), size($"toks") - 1),
-                i => concat(element_at($"toks", i), lit(" "),
-                  element_at($"toks", i + 1))))
-              .otherwise(array().cast("array<string>")))
-            .as(Seq("pos", "bg")))
+        bigramRowsOf(s, Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism))
       }.persist()
     })
 
@@ -183,12 +171,50 @@ object Positional {
     * [[writePositionalGeneration]] at the cadence the serving tier
     * wants.
     */
-  def mergedPositionalIndex(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+  def mergedPositionalIndex(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    positionalIndex(s, dir).unionByName(positionalRowsOf(s, batch))
+
+  /** The per-doc positional derivation of a (doc_id, text) batch — the
+    * delta side every positional merge unions in. */
+  private def positionalRowsOf(s: SparkSession, batch: DataFrame): DataFrame = {
     import s.implicits._
-    positionalIndex(s, dir).unionByName(
-      batch.select($"doc_id", wsTokens(lower($"text")).as("toks"))
-        .select($"doc_id", posexplode($"toks").as(Seq("pos", "word"))))
+    batch.select($"doc_id", wsTokens(lower($"text")).as("toks"))
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "word")))
   }
+
+  /** The per-doc biword derivation of a (doc_id, text) batch. */
+  private def bigramRowsOf(s: SparkSession, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    batch.select($"doc_id", wsTokens(lower($"text")).as("toks"))
+      .select($"doc_id", posexplode(
+        when(size($"toks") >= 2,
+          transform(sequence(lit(1), size($"toks") - 1),
+            i => concat(element_at($"toks", i), lit(" "),
+              element_at($"toks", i + 1))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "bg")))
+  }
+
+  /** `dir`'s staged biword index extended by a batch — the same pure
+    * per-doc-derivation union as [[mergedPositionalIndex]], for the
+    * generation's `bigrams` slice: the exact fast route's maintenance
+    * half (DeltaMergeSpec pins merged == rebuilt-from-union). */
+  def mergedBigramIndex(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    bigramIndex(s, dir).unionByName(bigramRowsOf(s, batch))
+
+  /** The capped anchor lists of `dir` ∪ batch, computed from the STORED
+    * cut plus the batch's raw postings — EXACT, because the per-word
+    * (doc_id, pos)-prefix min-k is mergeable: every row of the union's
+    * true cut is among the k smallest of its own side, so
+    * minK(A ∪ B) = minK(minK(A) ∪ B). This is what lets an ingest loop
+    * maintain the truncated tier without re-reading corpus A's full
+    * postings — including the DISPLACEMENT case where batch doc_ids
+    * sort below an existing word's stored prefix (spec-pinned). */
+  def mergedCappedIndex(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    cappedCut(cappedIndex(s, dir).select(
+        col("word"), col("doc_id"), col("pos"))
+      .unionByName(positionalRowsOf(s, batch)
+        .select(col("word"), col("doc_id"), col("pos"))))
 
   /** Probe docs with their materialized token arrays. The gate query
     * set is the family's %QStep stride; the scale probe narrows it to

@@ -77,6 +77,46 @@ class DeltaMergeSpec extends SparkSpec {
       // staged(A) ∪ tokenized(B) == the index built on A ∪ B
       assert(rows(Positional.mergedPositionalIndex(spark, dirA, b)) ==
         rows(Positional.mergedPositionalIndex(spark, dirAB, batchDf(Seq.empty))))
+
+      // biword postings (the exact fast route's generation slice):
+      // identical per-doc-derivation argument
+      assert(rows(Positional.mergedBigramIndex(spark, dirA, b)) ==
+        rows(Positional.mergedBigramIndex(spark, dirAB, batchDf(Seq.empty))))
+      Positional.clearCaches()
+    } finally cleanup(dirA, dirAB)
+  }
+
+  test("the capped anchor-list merge equals the union rebuild, including a " +
+      "batch that displaces an existing word's stored prefix") {
+    val dirA  = java.nio.file.Files.createTempDirectory("dm_capa").toString
+    val dirAB = java.nio.file.Files.createTempDirectory("dm_capab").toString
+    try {
+      // word "a" floods past the 2000-per-word cap on the A side (doc
+      // ids 5/6), and the BATCH's doc ids (1, 2) sort BELOW the stored
+      // prefix — the union's true cut must admit the batch's postings
+      // and evict the stored tail, which only works because the
+      // (doc_id, pos)-prefix min-k is mergeable from the stored cut
+      val existing = Seq(
+        (5L, Seq.fill(1500)("a").mkString(" ")),
+        (6L, Seq.fill(1500)("a").mkString(" ")),
+        (7L, "a b c d"))
+      val batch = Seq(
+        (1L, "a a a b"),
+        (2L, Seq.fill(50)("a").mkString(" ")))
+      writeDocs(dirA, existing)
+      writeDocs(dirAB, existing ++ batch)
+      import org.apache.spark.sql.functions.col
+      val mergedDf = Positional.mergedCappedIndex(spark, dirA, batchDf(batch))
+      val merged = rows(mergedDf)
+      // the displacement actually happened: the cut is full at the cap
+      // and the batch's low-id postings sit inside it
+      assert(mergedDf.filter(col("word") === "a").count() == 2000L)
+      assert(mergedDf.filter(col("word") === "a" && col("doc_id") === 1L)
+        .count() == 3L, "batch postings missing from the merged cut")
+      Positional.clearCaches()
+      val rebuilt = rows(Positional.mergedCappedIndex(spark, dirAB, batchDf(Seq.empty)))
+      assert(merged == rebuilt,
+        "merged capped lists diverged from the union rebuild")
       Positional.clearCaches()
     } finally cleanup(dirA, dirAB)
   }
