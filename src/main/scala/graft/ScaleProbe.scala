@@ -831,6 +831,29 @@ object ScaleProbe {
     serveOnce()
     val sSec = Seq.fill(3)(serveOnce()).sorted.apply(1)
     println(f"""{"probe": "positional_wide_cap_serve", "mult": $m, "sec": $sSec%.2f, "queries": $nq, "ms_per_query": ${sSec * 1000 / nq}%.2f}""")
+    // the EXPRESSED default at n-token: the same batch posed as 5-token
+    // phrases through phraseServeGenBatchAuto — the generalized bigram
+    // chain (fixedRest = None: candidates from the rarest of 4 bigrams,
+    // 3 chain probes each) against the generation's bucket-pruned
+    // biword slice. Route labels prove which tier answered; the cost
+    // must stay in the bigram route's flat band across decades.
+    import org.apache.spark.sql.functions.{array_join, slice, split, lower}
+    val qd5 = spark.read.parquet(s"$out/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .filter(batch)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        array_join(slice(split(lower(org.apache.spark.sql.functions.col("text")),
+          "\\s+"), 1, 5), " ").as("text"))
+    def autoOnce(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val res = graft.queries.Positional.phraseServeGenBatchAuto(spark, g, qd5)
+      val nBigram = res.filter(org.apache.spark.sql.functions.col("route") === "bigram").count()
+      ((System.nanoTime() - t0) / 1e9, nBigram)
+    }
+    autoOnce()
+    val runs = Seq.fill(3)(autoOnce())
+    val aSec = runs.map(_._1).sorted.apply(1)
+    println(f"""{"probe": "positional_wide_auto5", "mult": $m, "sec": $aSec%.2f, "queries": $nq, "ms_per_query": ${aSec * 1000 / nq}%.2f, "bigram_rows": ${runs.head._2}}""")
   }
 
   /** Fused-recall-vs-P ladder: the 3-arm serving fusion's answer
