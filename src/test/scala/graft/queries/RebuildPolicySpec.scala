@@ -105,6 +105,13 @@ class RebuildPolicySpec extends SparkSpec {
       val (gen, bands) = graft.queries.Dedup.loadBandGeneration(spark, dedupRoot)
       assert(gen == 1L && bands.count() > 0,
         "the committed generation must hold the rebuilt band index")
+      // and the serving slices (r17): the generation applyPolicy commits
+      // is the SAME self-contained artifact DedupStream.matchesLatest
+      // cuts over to — the planted trigram it flagged is IN the new
+      // stop list, so the rebuilt index's banding excludes it
+      val g = graft.queries.Dedup.loadDedupGeneration(spark, dedupRoot)
+      assert(g.sets.nonEmpty && g.sets.get.count() > 0)
+      assert(g.hot.nonEmpty, "serving slices must commit with the bands")
       assert(graft.core.Generations.latest(lexRoot).isEmpty)
       assert(graft.core.Generations.latest(vecRoot).isEmpty)
     } finally {
