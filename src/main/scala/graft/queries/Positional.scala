@@ -75,9 +75,11 @@ object Positional {
     posCache.values.foreach(_.unpersist())
     capCache.values.foreach(_.unpersist())
     bgCache.values.foreach(_.unpersist())
+    gateToksCache.values.foreach(_.unpersist())
     posCache.clear()
     capCache.clear()
     bgCache.clear()
+    gateToksCache.clear()
   }
 
   /** Force-build the positional family's durable artifacts for `dir` —
@@ -86,8 +88,44 @@ object Positional {
     positionalIndex(s, dir)
     cappedIndex(s, dir)
     bigramIndex(s, dir)
+    positionalCf(s, dir)
+    bigramCf(s, dir)
     ()
   }
+
+  private val cfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bgCfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The STAGED per-word posting-count table (word, df) of the
+    * positional index — the per-list length metadata a production
+    * positional index stores beside its postings (the [[Retrieval]]
+    * incBaseAggs device applied here; r17 optimization). Anchor
+    * selection needs exactly these counts for the probed words, and
+    * deriving them per query re-scanned + re-aggregated the full
+    * postings table (~0.5–0.8 s per phrase query at sf0.1) where a
+    * vocabulary-sized artifact lookup answers the same question. For
+    * any probed word the staged count equals the per-probe derivation
+    * (the count is per-word independent), so every anchor choice — and
+    * the meters that EXPOSE adf — is bit-identical.
+    */
+  private[queries] def positionalCf(s: SparkSession, dir: String): DataFrame =
+    cfCache.getOrElseUpdate((s, dir), {
+      Staging.readElseBuild(s, dir, "positional_cf", Seq("documents")) {
+        positionalIndex(s, dir).groupBy(col("word"))
+          .agg(count(lit(1)).as("df"))
+      }.persist()
+    })
+
+  /** The staged (bg, df) twin of [[positionalCf]] for the biword index. */
+  private[queries] def bigramCf(s: SparkSession, dir: String): DataFrame =
+    bgCfCache.getOrElseUpdate((s, dir), {
+      Staging.readElseBuild(s, dir, "bigram_cf", Seq("documents")) {
+        bigramIndex(s, dir).groupBy(col("bg"))
+          .agg(count(lit(1)).as("df"))
+      }.persist()
+    })
 
   /** The staged positional index: (word, doc_id, pos), lowercased
     * whitespace tokens (the lexical family's tokenizer). pos is
@@ -216,6 +254,21 @@ object Positional {
       .unionByName(positionalRowsOf(s, batch)
         .select(col("word"), col("doc_id"), col("pos"))))
 
+  /** Sentinel for "the unrestricted gate probe set" — a stable
+    * reference, so the default-probe path below can recognise itself
+    * and hit the session memo (an explicit restriction column never
+    * does). */
+  private[queries] val GateAll: org.apache.spark.sql.Column = lit(true)
+
+  /** Session memo of the GATE probe-token frame (r17 optimization):
+    * queries × 1 rows, but its derivation — a documents scan + filter +
+    * tokenize — was re-planned by every phrase/proximity/snippet query
+    * (≈10 consumers per bench run). The probe set is an INPUT, shared
+    * the way a serving tier holds its query batch in memory. Restricted
+    * probes (the scale ladders' fixed batches) bypass the memo. */
+  private val gateToksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Probe docs with their materialized token arrays. The gate query
     * set is the family's %QStep stride; the scale probe narrows it to
     * a fixed batch via `extra` (a serving deployment has a per-batch
@@ -224,18 +277,23 @@ object Positional {
     */
   private def probeToks(s: SparkSession, dir: String,
       extra: org.apache.spark.sql.Column): DataFrame = {
-    import s.implicits._
-    Tables(s, dir).documents
-      .filter($"doc_id" % Retrieval.QStep === 0 && extra)
-      .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks"))
+    def derive = {
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % Retrieval.QStep === 0 && extra)
+        .select($"doc_id".as("qid"), wsTokens(lower($"text")).as("toks"))
+    }
+    if (extra eq GateAll)
+      gateToksCache.getOrElseUpdate((s, dir), derive.persist())
+    else derive
   }
 
   /** The gate phrase set: (qid, idx, word) for the first 3 tokens of
     * each probe doc (docs shorter than 3 tokens drop out — none do on
     * the test corpora, and the filter is identical on both engines).
     */
-  private def queryPhrases(s: SparkSession, dir: String,
-      extra: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+  private[queries] def queryPhrases(s: SparkSession, dir: String,
+      extra: org.apache.spark.sql.Column = GateAll): DataFrame = {
     import s.implicits._
     phrasesFromToks(s, probeToks(s, dir, extra))
   }
@@ -259,7 +317,7 @@ object Positional {
     * sits at s and bigram 1 at s+1 (exactly the three-word alignment,
     * re-expressed). */
   private def queryBigrams(s: SparkSession, dir: String,
-      extra: org.apache.spark.sql.Column = lit(true)): DataFrame =
+      extra: org.apache.spark.sql.Column = GateAll): DataFrame =
     bigramsFromToks(s, probeToks(s, dir, extra))
 
   private def bigramsFromToks(s: SparkSession, pt: DataFrame): DataFrame = {
@@ -306,7 +364,7 @@ object Positional {
   private[graft] def phraseOccFull(s: SparkSession, dir: String,
       queryDocs: DataFrame): DataFrame =
     phraseOccOn(s, positionalIndex(s, dir), phrasesOfFull(s, queryDocs),
-      fixedRest = None)
+      fixedRest = None, cf = Some(positionalCf(s, dir)))
 
   /** Full-length bigram-route occurrence counts against the session
     * corpus — must equal [[phraseOccFull]] row for row at every phrase
@@ -315,7 +373,7 @@ object Positional {
       queryDocs: DataFrame): DataFrame = {
     import s.implicits._
     phraseBigramParts(s, bigramIndex(s, dir), bigramsOfFull(s, queryDocs),
-      fixedRest = None)._1
+      fixedRest = None, cf = Some(bigramCf(s, dir)))._1
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
@@ -335,7 +393,8 @@ object Positional {
     * pins arbitrary lengths including repeated words. */
   private def phraseBigramParts(s: SparkSession, index: DataFrame,
       bq: DataFrame, wbN: Option[Int] = None,
-      fixedRest: Option[Int] = Some(1)): (DataFrame, DataFrame) = {
+      fixedRest: Option[Int] = Some(1),
+      cf: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import s.implicits._
     val probed = wbN match {
       case Some(nb) =>
@@ -344,8 +403,18 @@ object Positional {
       case None =>
         index.join(broadcast(bq.select($"bg").distinct()), Seq("bg"), "left_semi")
     }
-    val bdf = probed.groupBy($"bg").agg(count(lit(1)).as("df"))
-    val anchors = bq.join(broadcast(bdf), Seq("bg"))
+    // probed-bigram dfs from the staged per-list counts when serving
+    // the session corpus (see [[positionalCf]] — value-identical), else
+    // derived from the pruned index.
+    val qdf = cf match {
+      case Some(cfDf) =>
+        cfDf.join(broadcast(bq), Seq("bg"))
+          .select($"qid", $"off", $"bg", $"df")
+      case None =>
+        val bdf = probed.groupBy($"bg").agg(count(lit(1)).as("df"))
+        bq.join(broadcast(bdf), Seq("bg"))
+    }
+    val anchors = qdf
       .groupBy($"qid")
       .agg(min(struct($"df", $"off", $"bg")).as("a"))
       .select($"qid", $"a.df".as("adf"), $"a.off".as("aoff"), $"a.bg".as("bg"))
@@ -395,9 +464,10 @@ object Positional {
   /** Bigram-route occurrence counts for an arbitrary probe restriction
     * — the ladder's fixed-batch form. */
   private[graft] def phraseBigramOcc(s: SparkSession, dir: String,
-      extra: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      extra: org.apache.spark.sql.Column = GateAll): DataFrame = {
     import s.implicits._
-    phraseBigramParts(s, bigramIndex(s, dir), queryBigrams(s, dir, extra))._1
+    phraseBigramParts(s, bigramIndex(s, dir), queryBigrams(s, dir, extra),
+      cf = Some(bigramCf(s, dir)))._1
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
@@ -416,14 +486,16 @@ object Positional {
     * naive semantics (the oracle keeps the straightforward form).
     */
   private[graft] def phraseOcc(s: SparkSession, dir: String,
-      extra: org.apache.spark.sql.Column = lit(true)): DataFrame =
-    phraseOccOn(s, positionalIndex(s, dir), queryPhrases(s, dir, extra))
+      extra: org.apache.spark.sql.Column = GateAll): DataFrame =
+    phraseOccOn(s, positionalIndex(s, dir), queryPhrases(s, dir, extra),
+      cf = Some(positionalCf(s, dir)))
 
   private def phraseOccOn(s: SparkSession, index: DataFrame,
       phrases: DataFrame, wbN: Option[Int] = None,
-      fixedRest: Option[Int] = Some(2)): DataFrame = {
+      fixedRest: Option[Int] = Some(2),
+      cf: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    phraseStartsOn(s, index, phrases, wbN, fixedRest)
+    phraseStartsOn(s, index, phrases, wbN, fixedRest, cf)
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
@@ -431,10 +503,12 @@ object Positional {
   /** Verified phrase match STARTS (qid, doc_id, start) — the
     * occurrence counter's input, kept separate so the snippet query
     * can anchor its context window on the first match. */
-  private def phraseStartsOn(s: SparkSession, index: DataFrame,
+  private[queries] def phraseStartsOn(s: SparkSession, index: DataFrame,
       phrases: DataFrame, wbN: Option[Int] = None,
-      fixedRest: Option[Int] = Some(2)): DataFrame =
-    phraseAnchorParts(s, index, phrases, None, wbN, fixedRest = fixedRest)._1
+      fixedRest: Option[Int] = Some(2),
+      cf: Option[DataFrame] = None): DataFrame =
+    phraseAnchorParts(s, index, phrases, None, wbN, fixedRest = fixedRest,
+      cf = cf)._1
 
   /** The anchored phrase core, optionally CAPPED: candidate starts plus
     * the per-query anchor frame (qid, adf, aidx, word). With
@@ -458,11 +532,12 @@ object Positional {
     * one queries-sized job with the writer's own hash (the `wb_n`
     * sidecar carries the modulus).
     */
-  private def phraseAnchorParts(s: SparkSession, index: DataFrame,
+  private[queries] def phraseAnchorParts(s: SparkSession, index: DataFrame,
       phrases: DataFrame, capped: Option[DataFrame],
       wbN: Option[Int] = None,
       broadcastVerify: Boolean = true,
-      fixedRest: Option[Int] = Some(2)): (DataFrame, DataFrame) = {
+      fixedRest: Option[Int] = Some(2),
+      cf: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import s.implicits._
     val qt = phrases
     val idx = index
@@ -480,9 +555,23 @@ object Positional {
       case None => idx
         .join(broadcast(qt.select($"word").distinct()), Seq("word"), "left_semi")
     }
-    val wdf = idxProbed.groupBy($"word").agg(count(lit(1)).as("df"))
+    // per-(qid, word) df of the probed words: from the STAGED per-word
+    // posting-count artifact when the caller serves the session corpus
+    // (one vocabulary-sized scan with the tiny probe broadcast onto it —
+    // r17 optimization: the per-query derivation re-scanned and
+    // re-aggregated the full probed postings), else derived from the
+    // (pruned) index as before. Counts are per-word independent, so the
+    // two forms are value-identical for every probed word.
+    val qdf = cf match {
+      case Some(cfDf) =>
+        cfDf.join(broadcast(qt), Seq("word"))
+          .select($"qid", $"idx", $"word", $"df")
+      case None =>
+        val wdf = idxProbed.groupBy($"word").agg(count(lit(1)).as("df"))
+        qt.join(broadcast(wdf), Seq("word"))
+    }
     // per query: the (df, idx)-min term anchors candidate generation
-    val anchors = qt.join(broadcast(wdf), Seq("word"))
+    val anchors = qdf
       .groupBy($"qid")
       .agg(min(struct($"df", $"idx", $"word")).as("a"))
       .select($"qid", $"a.df".as("adf"), $"a.idx".as("aidx"), $"a.word".as("word"))
@@ -560,10 +649,10 @@ object Positional {
   /** Capped-tier occurrence counts for an arbitrary probe restriction —
     * the scale probe's fixed-batch form of tx_phrase_capped's core. */
   private[graft] def phraseOccCapped(s: SparkSession, dir: String,
-      extra: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      extra: org.apache.spark.sql.Column = GateAll): DataFrame = {
     import s.implicits._
     phraseAnchorParts(s, positionalIndex(s, dir), queryPhrases(s, dir, extra),
-      Some(cappedIndex(s, dir)))._1
+      Some(cappedIndex(s, dir)), cf = Some(positionalCf(s, dir)))._1
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
@@ -614,7 +703,7 @@ object Positional {
       extra: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     phraseAnchorParts(s, positionalIndex(s, dir), queryPhrases(s, dir, extra),
-      Some(cappedIndex(s, dir)))._2
+      Some(cappedIndex(s, dir)), cf = Some(positionalCf(s, dir)))._2
       .select($"qid", $"adf".as("anchor_df"),
         when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
   }
@@ -637,7 +726,8 @@ object Positional {
   private[graft] def phraseServeBatch(s: SparkSession, dir: String,
       queryDocs: DataFrame, k: Int = 10): DataFrame =
     phraseTopk(s,
-      phraseOccOn(s, positionalIndex(s, dir), phrasesOf(s, queryDocs)), k)
+      phraseOccOn(s, positionalIndex(s, dir), phrasesOf(s, queryDocs),
+        cf = Some(positionalCf(s, dir))), k)
 
   /** Word-hash bucket count for a generation's postings layout — the
     * shared committed-layout sizing ([[graft.core.WbLayout.bucketsFor]],
@@ -861,10 +951,12 @@ object Positional {
     "tx_phrase_bigram_meter" -> { (s, dir) =>
       import s.implicits._
       val w = phraseAnchorParts(
-        s, positionalIndex(s, dir), queryPhrases(s, dir), None)._2
+        s, positionalIndex(s, dir), queryPhrases(s, dir), None,
+        cf = Some(positionalCf(s, dir)))._2
         .select($"qid", $"adf".as("word_adf"))
       val b = phraseBigramParts(
-        s, bigramIndex(s, dir), queryBigrams(s, dir))._2
+        s, bigramIndex(s, dir), queryBigrams(s, dir),
+        cf = Some(bigramCf(s, dir)))._2
         .select($"qid", $"adf".as("bigram_adf"))
       w.join(b, "qid").orderBy($"qid")
     },
@@ -880,7 +972,7 @@ object Positional {
     // Plane-sweep proximity: merge both terms' postings per (qid,
     // doc), one lag window in merged position order, min over
     // adjacent opposite-term gaps.
-    "tx_proximity" -> { (s, dir) => proximityFor(s, dir, lit(true)) },
+    "tx_proximity" -> { (s, dir) => proximityFor(s, dir, GateAll) },
 
     // Snippet extraction — the evidence a retrieval UI shows: for each
     // query's BEST phrase doc (n_occ desc, doc_id), the tokens in a
@@ -890,7 +982,8 @@ object Positional {
     // positions are relative to the match start, so the engines' 0- vs
     // 1-based posting offsets never meet the output.
     "tx_snippet" -> { (s, dir) =>
-      snippetOn(s, positionalIndex(s, dir), queryPhrases(s, dir))
+      snippetOn(s, positionalIndex(s, dir), queryPhrases(s, dir),
+        cf = Some(positionalCf(s, dir)))
     },
 
     // The TRUNCATED phrase tier: candidates from each anchor's first
@@ -902,7 +995,7 @@ object Positional {
       import s.implicits._
       val (starts, anchors) = phraseAnchorParts(
         s, positionalIndex(s, dir), queryPhrases(s, dir),
-        Some(cappedIndex(s, dir)))
+        Some(cappedIndex(s, dir)), cf = Some(positionalCf(s, dir)))
       val occ = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
       val exactf = anchors.select($"qid",
         when($"adf" <= PhraseCapP, 1L).otherwise(0L).as("exact"))
@@ -930,7 +1023,7 @@ object Positional {
       import s.implicits._
       val (starts, anchors) = phraseAnchorParts(
         s, positionalIndex(s, dir), queryPhrases(s, dir),
-        Some(cappedIndex(s, dir)))
+        Some(cappedIndex(s, dir)), cf = Some(positionalCf(s, dir)))
       val st = starts.groupBy($"qid", $"doc_id").agg(count(lit(1)).as("n_occ"))
         .groupBy($"qid")
         .agg(count(lit(1)).as("n_docs"), sum($"n_occ").as("n_occs"))
@@ -947,13 +1040,14 @@ object Positional {
   /** The snippet core for an arbitrary index + phrase probe — shared by
     * tx_snippet and the serving tier ([[snippetServeGenBatch]]). */
   private def snippetOn(s: SparkSession, index: DataFrame,
-      phrases: DataFrame, wbN: Option[Int] = None): DataFrame = {
+      phrases: DataFrame, wbN: Option[Int] = None,
+      cf: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     // ONE aggregation carries both the occurrence count and the
     // first-match anchor — the starts probe pass runs exactly once
     // (a two-branch formulation re-ran it and measured 4.5 s; this
     // one is in the family's band)
-    val perDoc = phraseStartsOn(s, index, phrases, wbN)
+    val perDoc = phraseStartsOn(s, index, phrases, wbN, cf = cf)
       .groupBy($"qid", $"doc_id")
       .agg(count(lit(1)).as("n_occ"), min($"start").as("s0"))
     val w = Window.partitionBy($"qid").orderBy($"n_occ".desc, $"doc_id")
@@ -1023,11 +1117,16 @@ object Positional {
           qp.select(explode(array($"w1", $"w2")).as("word")), "word", nb))
       case _ => index
     }
-    val pp = p.join(broadcast(qp.select($"qid", $"w1".as("word"))), Seq("word"))
-      .select($"qid", $"doc_id", $"pos", lit(0).as("tag"))
-      .unionByName(
-        p.join(broadcast(qp.select($"qid", $"w2".as("word"))), Seq("word"))
-          .select($"qid", $"doc_id", $"pos", lit(1).as("tag")))
+    // ONE scan of the (pruned) index instead of two (r17 optimization:
+    // the old two-join union re-scanned the whole postings frame per
+    // term): both probe terms are exploded to (qid, tag, word) rows —
+    // tag 0 for w1, 1 for w2, exactly the union's branch tags — and
+    // broadcast together. Rows are identical: w1 =!= w2 by
+    // construction, so no posting row matches both probes of a query.
+    val qw2 = qp.select($"qid",
+      posexplode(array($"w1", $"w2")).as(Seq("tag", "word")))
+    val pp = p.join(broadcast(qw2), Seq("word"))
+      .select($"qid", $"doc_id", $"pos", $"tag")
     val sw = Window.partitionBy($"qid", $"doc_id").orderBy($"pos")
     val md = pp
       .withColumn("ppos", lag($"pos", 1).over(sw))
