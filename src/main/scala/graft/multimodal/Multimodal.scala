@@ -342,9 +342,19 @@ object Multimodal {
       // durable: the encoded payload bytes ARE the stored input corpus
       // of a production media pipeline — synthesize once per corpus
       // generation, read parquet after (graft.core.Staging)
+      // r17 optimization: the staged artifact reads back as ONE scan
+      // partition (a single small parquet file under maxPartitionBytes),
+      // which serialized every downstream codec stage onto one core of
+      // the 32. Spread the cached table across the session's cores so
+      // the decode mapPartitions stages — the entire cost of the mm_*
+      // family — actually parallelize; per-row decode is pure, so the
+      // values are unchanged. Scale-adaptive (defaultParallelism), not a
+      // local constant; at 100 TB the payload table is many files and
+      // splits naturally, making this a no-op-sized shuffle.
       graft.core.Staging.readElseBuild(s, dir, "media_table", Seq("documents")) {
         buildMediaTable(s, dir).toDF()
-      }.as[MediaRecord].persist(
+      }.repartition(s.sparkContext.defaultParallelism)
+        .as[MediaRecord].persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -367,6 +377,9 @@ object Multimodal {
     import s.implicits._
     graft.core.Tables(s, dir).documents
       .select($"doc_id", $"text", $"source")
+      // the documents table is one small parquet file → one partition;
+      // spread the encode (once per corpus generation) across the cores
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val enc = new PngEncoder // one codec handle per task

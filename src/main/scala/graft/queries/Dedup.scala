@@ -772,11 +772,14 @@ object Dedup {
     "dedup_lsh_recall" -> { (s, dir) =>
       import s.implicits._
       val (_, sizes) = shingleIndex(s, dir)
+      // r17 optimization: the exact pair set feeds two consumers (its
+      // count + the found semi-join) — materialize it once
       val exact = interIndex(s, dir)
         .join(sizes.toDF("ia", "na"), "ia")
         .join(sizes.toDF("ib", "nb"), "ib")
         .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.5)
         .select($"ia", $"ib")
+        .localCheckpoint()
       val lsh = Dedup.queries("dedup_minhash_lsh")(s, dir).select($"ia", $"ib")
       val found = exact.join(lsh, Seq("ia", "ib"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
@@ -820,11 +823,14 @@ object Dedup {
         .join(kept.toDF("ib", "sh"), "sh")
         .filter($"ia" =!= $"ib")
         .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
+      // r17 optimization: materialized once — feeds the found semi-join
+      // and its own count (the recall-meter device)
       val exact = inter
         .join(broadcast(sizes.toDF("ia", "na")), "ia")
         .join(broadcast(sizes.toDF("ib", "nb")), "ib")
         .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.5)
         .select($"ia", $"ib")
+        .localCheckpoint()
       val bands = minhashBandIndex(s, dir)
       val found = broadcast(exact)
         .join(bands.toDF("ia", "band", "key"), "ia")

@@ -182,6 +182,13 @@ object GraphRank {
       val nn = verts.agg(count(lit(1)).as("n"))
       val r0 = verts.crossJoin(broadcast(nn))
         .select($"v", round(lit(1.0) / $"n", 6).as("r"))
+      // r17 optimization: each iteration is MATERIALIZED (localCheckpoint,
+      // source-count-sized rows) before the next builds on it. scanLeft
+      // used to chain lazy plans, so iteration i's frame re-computed
+      // iterations 1..i−1 from scratch — gr_rank_delta's adjacent-pair
+      // joins then cost O(Iters²) rank passes; checkpointing makes the
+      // trajectory linear and every consumer (delta meter, sourceRanks,
+      // gate/sample) reads tiny materialized frames.
       (1 to Iters).scanLeft(r0) { (r, _) =>
         val m = ed.join(outw, "u")
           .join(r.toDF("u", "r"), "u")
@@ -192,6 +199,7 @@ object GraphRank {
         verts.join(m, Seq("v"), "left").crossJoin(broadcast(nn))
           .select($"v", round(lit(Teleport) / $"n" +
             lit(Damping) * coalesce($"sm", lit(0.0)), 6).as("r"))
+          .localCheckpoint()
       }
     })
 

@@ -128,9 +128,13 @@ object KvQueries {
     // epoch threshold, two 40-row broadcast config joins.
     "kv_reroute" -> { (s, dir) =>
       import s.implicits._
+      // r17 optimization: materialized once (localCheckpoint) — served,
+      // wrong-first and the anchor union all fold over these rows, and
+      // each used to re-run the op-log dedup window + epoch derivation
       val routed = routedOps(s, dir)
         .join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
         .join(broadcast(staleConfigEpochs(s)), Seq("epoch", "shard"))
+        .localCheckpoint()
       val served = routed.groupBy($"config_num", $"gid")
         .agg(count(lit(1)).as("n_ops"),
           sum(when($"gid" =!= $"stale_gid", 1L).otherwise(0L)).as("n_rerouted"))
@@ -194,9 +198,13 @@ object KvQueries {
         .flatMap { case (e, lag, sh, si, c0) =>
           (c0 until si).map(i => (e, lag, sh, gidOf(i, sh))) }
         .toDF("epoch", "lag", "shard", "reject_gid")
+      // r17 optimization: materialized once — the served and rejected
+      // aggregations both fold over these rows (same device as
+      // kv_reroute's routed frame)
       val ops = routedOps(s, dir)
         .withColumn("lag", ($"clientId" % nE).cast("int"))
         .join(broadcast(configEpochs(s)), Seq("epoch", "shard"))
+        .localCheckpoint()
       val served = ops.join(broadcast(serveDf), Seq("epoch", "lag", "shard"))
         .groupBy($"config_num", $"gid")
         .agg(count(lit(1)).as("n_ops"),

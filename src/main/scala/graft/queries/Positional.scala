@@ -676,6 +676,11 @@ object Positional {
     * miss mass is a fact to measure, never to assume. */
   private def capRecallOf(ex: DataFrame, cp: DataFrame): DataFrame = {
     import ex.sparkSession.implicits._
+    // (r17 note: measured AGAINST a one-pass union rewrite and a
+    // localCheckpoint of both sides — this original three-aggregate form
+    // is ~2× faster here because the two searches share their probe /
+    // postings exchanges within the one action and ReuseExchange already
+    // dedups them; both "fixes" broke that sharing. Left alone.)
     val e = ex.select($"qid", $"doc_id")
     val c = cp.select($"qid", $"doc_id")
     val nE = e.groupBy($"qid").agg(count(lit(1)).as("n_exact"))

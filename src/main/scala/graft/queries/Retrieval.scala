@@ -643,11 +643,10 @@ object Retrieval {
     val ex = topkBy(qlScored(s, dir), "ql", BmK).select($"qid", $"doc_id")
     val im = topkBy(qlImpactScoredAt(s, dir, p, w), "ql", BmK)
       .select($"qid", $"doc_id")
-    val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
-    val nCommon = ex.join(im, Seq("qid", "doc_id"), "left_semi")
-      .groupBy($"qid").agg(count(lit(1)).as("n_common"))
-    nExact.join(nCommon, Seq("qid"), "left")
-      .select($"qid", $"n_exact", coalesce($"n_common", lit(0L)).as("n_common"))
+    // r17 optimization: one-pass overlap counter (see tx_bm25_recall)
+    graft.core.Overlap.counts(ex, im, "qid", "doc_id",
+      "n_exact", "n_impact", requireRight = false)
+      .select($"qid", $"n_exact", $"n_common")
   }
 
   /** PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion), both passes
@@ -1675,18 +1674,15 @@ object Retrieval {
     "tx_bm25_recall" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
+      // r17 optimization: the shared one-pass overlap counter — each
+      // arm's scoring pass evaluates once (they used to run twice each,
+      // for the count and the semi-join), both arms in one job
       val ex = topkBy(bm25Scored(s, dir), "bm25", BmK)
         .select($"qid", $"doc_id")
       val im = topkBy(bm25ImpactScored(s, dir), "bm25", BmK)
         .select($"qid", $"doc_id")
-      val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
-      val nImpact = im.groupBy($"qid").agg(count(lit(1)).as("n_impact"))
-      val nCommon = ex.join(im, Seq("qid", "doc_id"), "left_semi")
-        .groupBy($"qid").agg(count(lit(1)).as("n_common"))
-      nExact.join(nImpact, "qid")
-        .join(nCommon, Seq("qid"), "left")
-        .select($"qid", $"n_exact", $"n_impact",
-          coalesce($"n_common", lit(0L)).as("n_common"))
+      graft.core.Overlap.counts(ex, im, "qid", "doc_id",
+        "n_exact", "n_impact", requireRight = true)
         .orderBy($"qid")
     },
 
@@ -1713,16 +1709,11 @@ object Retrieval {
     "ann_hybrid_recall" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
+      // r17 optimization: one-pass overlap counter (see tx_bm25_recall)
       val ex = hybridExactFused(s, dir).select($"qid", $"doc_id")
       val sv = hybridServingFused(s, dir).select($"qid", $"doc_id")
-      val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
-      val nServing = sv.groupBy($"qid").agg(count(lit(1)).as("n_serving"))
-      val nCommon = ex.join(sv, Seq("qid", "doc_id"), "left_semi")
-        .groupBy($"qid").agg(count(lit(1)).as("n_common"))
-      nExact.join(nServing, "qid")
-        .join(nCommon, Seq("qid"), "left")
-        .select($"qid", $"n_exact", $"n_serving",
-          coalesce($"n_common", lit(0L)).as("n_common"))
+      graft.core.Overlap.counts(ex, sv, "qid", "doc_id",
+        "n_exact", "n_serving", requireRight = true)
         .orderBy($"qid")
     },
 
@@ -1743,16 +1734,11 @@ object Retrieval {
     "ann_hybrid_ql_recall" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
+      // r17 optimization: one-pass overlap counter (see tx_bm25_recall)
       val ex = hybridQlExactFused(s, dir).select($"qid", $"doc_id")
       val sv = hybridQlServingFused(s, dir).select($"qid", $"doc_id")
-      val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
-      val nServing = sv.groupBy($"qid").agg(count(lit(1)).as("n_serving"))
-      val nCommon = ex.join(sv, Seq("qid", "doc_id"), "left_semi")
-        .groupBy($"qid").agg(count(lit(1)).as("n_common"))
-      nExact.join(nServing, "qid")
-        .join(nCommon, Seq("qid"), "left")
-        .select($"qid", $"n_exact", $"n_serving",
-          coalesce($"n_common", lit(0L)).as("n_common"))
+      graft.core.Overlap.counts(ex, sv, "qid", "doc_id",
+        "n_exact", "n_serving", requireRight = true)
         .orderBy($"qid")
     },
 
@@ -1798,17 +1784,12 @@ object Retrieval {
     "tx_ql_recall" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
+      // r17 optimization: one-pass overlap counter (see tx_bm25_recall)
       val ex = topkBy(qlScored(s, dir), "ql", BmK).select($"qid", $"doc_id")
       val im = topkBy(qlImpactScored(s, dir), "ql", BmK)
         .select($"qid", $"doc_id")
-      val nExact = ex.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
-      val nImpact = im.groupBy($"qid").agg(count(lit(1)).as("n_impact"))
-      val nCommon = ex.join(im, Seq("qid", "doc_id"), "left_semi")
-        .groupBy($"qid").agg(count(lit(1)).as("n_common"))
-      nExact.join(nImpact, "qid")
-        .join(nCommon, Seq("qid"), "left")
-        .select($"qid", $"n_exact", $"n_impact",
-          coalesce($"n_common", lit(0L)).as("n_common"))
+      graft.core.Overlap.counts(ex, im, "qid", "doc_id",
+        "n_exact", "n_impact", requireRight = true)
         .orderBy($"qid")
     },
 

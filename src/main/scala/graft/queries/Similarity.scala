@@ -193,6 +193,10 @@ object Similarity {
       val exactPairs = v.join(broadcast(probes.drop("pbucket")), $"vec_id" =!= $"probe")
         .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
         .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      // (r17 note: a one-pass union rewrite and a localCheckpoint form
+      // both MEASURED SLOWER here — the arms' expensive exchanges are
+      // already shared by ReuseExchange within the one action. Original
+      // shape kept.)
       val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
       val lshPairs = v.join(broadcast(probes),
         $"bucket" === $"pbucket" && $"vec_id" =!= $"probe")
@@ -426,16 +430,11 @@ object Similarity {
       val exactPairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
         .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
         .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      // r17 optimization: one-pass overlap counter (see ann_lsh_recall)
       val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
       val imi5 = imiTopk(s, dir, 25).select($"probe", $"neighbor")
-      val nExact = ex5.groupBy($"probe").agg(count(lit(1)).as("n_exact"))
-      val nImi = imi5.groupBy($"probe").agg(count(lit(1)).as("n_imi"))
-      val nCommon = ex5.join(imi5, Seq("probe", "neighbor"), "left_semi")
-        .groupBy($"probe").agg(count(lit(1)).as("n_common"))
-      nExact.join(nImi, "probe")
-        .join(nCommon, Seq("probe"), "left")
-        .select($"probe", $"n_exact", $"n_imi",
-          coalesce($"n_common", lit(0L)).as("n_common"))
+      graft.core.Overlap.counts(ex5, imi5, "probe", "neighbor",
+        "n_exact", "n_imi", requireRight = true)
         .orderBy($"probe")
     },
 
@@ -460,16 +459,11 @@ object Similarity {
       val exactPairs = v.join(broadcast(probes), $"vec_id" =!= $"probe")
         .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
         .select($"probe", $"vec_id".as("neighbor"), $"cos")
+      // r17 optimization: one-pass overlap counter (see ann_lsh_recall)
       val ex5 = topk(exactPairs, 5).select($"probe", $"neighbor")
       val pq5 = pqTopk(s, dir, 25).select($"probe", $"neighbor")
-      val nExact = ex5.groupBy($"probe").agg(count(lit(1)).as("n_exact"))
-      val nPq = pq5.groupBy($"probe").agg(count(lit(1)).as("n_pq"))
-      val nCommon = ex5.join(pq5, Seq("probe", "neighbor"), "left_semi")
-        .groupBy($"probe").agg(count(lit(1)).as("n_common"))
-      nExact.join(nPq, "probe")
-        .join(nCommon, Seq("probe"), "left")
-        .select($"probe", $"n_exact", $"n_pq",
-          coalesce($"n_common", lit(0L)).as("n_common"))
+      graft.core.Overlap.counts(ex5, pq5, "probe", "neighbor",
+        "n_exact", "n_pq", requireRight = true)
         .orderBy($"probe")
     },
 
@@ -1392,6 +1386,7 @@ object Similarity {
     trainedCentroids(s, dir)
     pqCodebook(s, dir)
     pqCodes(s, dir)
+    pqServingIndex(s, dir)
     pcaAxis(s, dir)
   }
 
@@ -1861,8 +1856,8 @@ object Similarity {
     * recall meter (probes < 25): nprobe=2 trained cells; approximate
     * inner product from the PQ decomposition
     * `dot(q,v) ≈ dot(q, cv(cell)) + Σ_m dot(q_sub[m], codevec[m, code])`
-    * — the candidate scan touches M code ids per vector (a broadcast
-    * lookup join against the probes × M × K ADC table), never the raw
+    * — the candidate scan touches M code ids per vector (array-indexed
+    * lookups into the broadcast probes × M × K ADC table), never the raw
     * floats; the bounded heap keeps the shortlist (default 50, measured
     * by the ScaleProbe sweep) per probe and full-precision vectors are
     * read for those alone (the ann_quantized_topk two-stage
@@ -1916,18 +1911,29 @@ object Similarity {
       .select($"probe", $"m", $"code", aggregate(
         zip_with($"psub", $"cvq", (a, b) => a.cast("double") * b),
         lit(0.0), (acc, x) => acc + x).as("sd"))
-    val va = v.select($"vec_id", $"norm2").join(assignments(s, dir), "vec_id")
+    // r17 optimization — classic array-indexed ADC: flatten each probe's
+    // (m, code) → sd table into ONE broadcast map keyed m·K + code and
+    // fold the candidate's M-entry code ARRAY over it, in subspace order
+    // (sequence 0..M−1, sequential double fold — the identical addition
+    // order, hence bit-identical sums, as the former sorted-collect_list
+    // fold). This replaces the explode-to-M-rows join + re-aggregation
+    // per candidate (candidates × M joined rows, then a hash aggregate
+    // with a per-group sort) with one codegen'd expression per candidate
+    // row over the staged serving index — no shuffle, no per-candidate
+    // aggregation, M map lookups per scanned vector.
+    val K = 1 << (PqBits + PqMagBits)
+    val tdm = td.groupBy($"probe")
+      .agg(map_from_entries(collect_list(
+        struct(($"m" * K + $"code").as("k"), $"sd".as("v")))).as("adc"))
+    val psi = pqServingIndex(s, dir)
     val probesC = pcells.join(probes0.select($"probe", $"pn"), "probe")
-    val approx = va
-      .join(broadcast(probesC), $"alabel" === $"pcell" && $"vec_id" =!= $"probe")
-      .select($"probe", $"pcell", $"pn", $"vec_id", $"norm2")
-      .join(pqCodes(s, dir), "vec_id")
-      .join(broadcast(td), Seq("probe", "m", "code"))
-      .groupBy($"probe", $"pcell", $"pn", $"vec_id", $"norm2")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct($"m", $"sd"))),
-          x => x.getField("sd")),
-        lit(0.0), (acc, x) => acc + x).as("sdsum"))
+    val approx = psi
+      .join(broadcast(probesC), $"cell" === $"pcell" && $"vec_id" =!= $"probe")
+      .join(broadcast(tdm), "probe")
+      .select($"probe", $"pcell", $"pn", $"vec_id", $"norm2",
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at($"adc",
+            m * K + element_at($"codes", m + 1))).as("sdsum"))
       .join(broadcast(bq), Seq("probe", "pcell"))
       .withColumn("approx", ($"bq" + $"sdsum") / sqrt($"pn" * $"norm2"))
     val cand = approx
@@ -1935,7 +1941,7 @@ object Similarity {
       .agg(graft.functions.GroupedTopK.groupedTopK($"approx", $"vec_id", shortlist).as("top"))
       .select($"probe", explode($"top.id").as("neighbor"))
     val pairs = cand
-      .join(v.select($"vec_id".as("neighbor"), $"embedding", $"norm2"), "neighbor")
+      .join(psi.select($"vec_id".as("neighbor"), $"embedding", $"norm2"), "neighbor")
       .join(broadcast(probes0.select($"probe", $"pe", $"pn")), "probe")
       .withColumn("cos", dot($"pe", $"embedding") / sqrt($"pn" * $"norm2"))
       .select($"probe", $"neighbor", $"cos")
@@ -2007,18 +2013,26 @@ object Similarity {
     * partitioned by cell so the per-batch stream-static join prunes to
     * the probed cells.
     */
-  def pqServingIndex(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    vecs(s, dir).select($"vec_id", $"embedding", $"norm2")
-      .join(assignments(s, dir), "vec_id")
-      .join(
-        pqCodes(s, dir).groupBy($"vec_id")
-          .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
-            x => x.getField("code").cast("int")).as("codes")),
-        "vec_id")
-      .select($"vec_id", $"alabel".cast("long").as("cell"), $"norm2",
-        $"codes", $"embedding")
-  }
+  def pqServingIndex(s: SparkSession, dir: String): DataFrame =
+    pqCache.getOrElseUpdate((s, dir, "srv"), {
+      import s.implicits._
+      // staged (r17 optimization): the serving pass consumed its three
+      // pieces (vectors+norms, cell assignments, per-vector codes) as
+      // three vec_id joins PER QUERY; the assembled index is the
+      // artifact the index-build job writes once, and both the batch
+      // serving pass and the streaming twin read it as ONE table.
+      Staging.readElseBuild(s, dir, "pq_serving_index", Seq("embeddings")) {
+        vecs(s, dir).select($"vec_id", $"embedding", $"norm2")
+          .join(assignments(s, dir), "vec_id")
+          .join(
+            pqCodes(s, dir).groupBy($"vec_id")
+              .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
+                x => x.getField("code").cast("int")).as("codes")),
+            "vec_id")
+          .select($"vec_id", $"alabel".cast("long").as("cell"), $"norm2",
+            $"codes", $"embedding")
+      }.persist()
+    })
 
   /** The (nprobe, shortlist) the batch `ann_pq_topk` serves with —
     * exposed so the streaming twin and its parity spec score under the

@@ -334,12 +334,18 @@ object TextAnalysis {
     */
   private def dsirHashedRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bf = hashedBigramCounts(s, dir)
-    val tcnt = bf.filter($"lang" === DsirTargetLang)
-      .groupBy($"bucket").agg(sum($"n").as("tcnt"))
-    val ratio = bf.groupBy($"bucket").agg(sum($"n").as("cnt"))
-      .join(tcnt, Seq("bucket"), "left")
-      .select($"bucket", $"cnt", coalesce($"tcnt", lit(0L)).as("tcnt"))
+    // r17 optimization: the (doc, bucket) counts fed THREE consumers
+    // (target-side totals, all-side totals, the per-doc fold), each
+    // re-running the full tokenize + md5-bigram pass over documents —
+    // materialize them once (bucket-bounded rows, the kv_gc
+    // localCheckpoint device) and fold the two totals into ONE
+    // aggregation: tcnt is the conditional sum over the same rows the
+    // left join used to supply (absent target mass = 0 either way).
+    val bf = hashedBigramCounts(s, dir).localCheckpoint()
+    val ratio = bf.groupBy($"bucket")
+      .agg(sum($"n").as("cnt"),
+        coalesce(sum(when($"lang" === DsirTargetLang, $"n")), lit(0L))
+          .as("tcnt"))
     val geo = ratio.agg(sum($"cnt").as("n_raw"), sum($"tcnt").as("n_tgt"))
     bf.join(broadcast(ratio), "bucket")
       .groupBy($"doc_id", $"lang")
@@ -1494,9 +1500,14 @@ object TextAnalysis {
     // the boundary bin is admitted whole or not at all.
     "tx_budget_select" -> { (s, dir) =>
       import s.implicits._
+      // r17 optimization: the scored-doc frame feeds THREE consumers
+      // (budget scalar, bin histogram, final selection) and each used to
+      // re-run the full DSIR scoring pass (tf join + per-doc fold) —
+      // materialize it once; doc-count-sized narrow rows.
       val wb = dsirWeightsRaw(s, dir)
         .select($"doc_id", $"lang", $"n_tok",
           floor($"avg_raw" * BudgetBinScale).cast("long").as("bin"))
+        .localCheckpoint()
       val tot = wb.agg(
         floor(sum($"n_tok") / BudgetDivisor).cast("long").as("budget"))
       // Cumulative mass from the top bin down, folded over ONE array row
