@@ -306,9 +306,15 @@ object KvQueries {
       // reconfiguration persists each epoch's owner view as a staged
       // table and runs one job per transition, not one lineage from
       // genesis.
+      // r17 optimization: collapse each epoch view to ONE partition
+      // before materializing — the views are ≤ key-count (26) rows, and
+      // at shuffle.partitions=32 every downstream stage of every epoch
+      // paid 32 near-empty tasks per job (kv_gc is all scheduler
+      // overhead at this size; the data never outgrows one task)
       var view = fe.filter($"fe" <= 0)
         .join(broadcast(cfgs.filter($"epoch" === 0).select($"shard", $"gid")), "shard")
         .select($"key", $"shard", $"gid")
+        .coalesce(1)
         .localCheckpoint()
       var out = snap(view, Seq.empty[(Int, Long)].toDF("gid", "n_gc"), hist.head.num)
       for (e <- 1 until hist.size) {
@@ -322,7 +328,7 @@ object KvQueries {
         val carried = joined.select($"key", $"shard", $"new_gid".as("gid"))
         val arrived = fe.filter($"fe" === e).join(broadcast(cur), "shard")
           .select($"key", $"shard", $"new_gid".as("gid"))
-        view = carried.union(arrived).localCheckpoint()
+        view = carried.union(arrived).coalesce(1).localCheckpoint()
         out = out.union(snap(view, gcPer, hist(e).num))
       }
       out.orderBy($"config_num", $"gid")

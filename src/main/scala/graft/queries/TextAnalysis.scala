@@ -506,17 +506,28 @@ object TextAnalysis {
     * else passes through at 1. Shared by tx_bpe_token_count and
     * tx_bpe_pack.
     */
-  private def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val segs = bpeArtifacts(s, dir)._2
-      .select($"word", size($"syms").cast("long").as("n_sym"))
-    Tables(s, dir).documents
-      .select($"doc_id", explode(wsTokens(lower($"text"))).as("word"))
-      .join(broadcast(segs), Seq("word"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_ws"),
-        sum(coalesce($"n_sym", lit(1L))).as("n_bpe"))
-  }
+  private val bpeDocCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bpeDocCounts(s: SparkSession, dir: String): DataFrame =
+    bpeDocCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      // staged (r17 optimization): the pack machinery references its
+      // input ~4× (block-width scalar, block totals, the packing join),
+      // and each reference re-ran the tokenize + segmentation-join pass
+      // — the same measured trap mm_pack's media_token_counts closed.
+      // At 100 TB this table is an index-build product like token_counts.
+      Staging.readElseBuild(s, dir, "bpe_doc_counts", Seq("documents")) {
+        val segs = bpeArtifacts(s, dir)._2
+          .select($"word", size($"syms").cast("long").as("n_sym"))
+        Tables(s, dir).documents
+          .select($"doc_id", explode(wsTokens(lower($"text"))).as("word"))
+          .join(broadcast(segs), Seq("word"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_ws"),
+            sum(coalesce($"n_sym", lit(1L))).as("n_bpe"))
+      }.persist()
+    })
 
   /** Driver-side copy of the trained BPE segmentation vocabulary
     * (word → symbol count) — the task-shipped artifact
@@ -662,6 +673,7 @@ object TextAnalysis {
     dsirRatio(s, dir)
     bigramLm(s, dir)
     bpeArtifacts(s, dir)
+    bpeDocCounts(s, dir)
   }
 
   /** Drop and unpersist the memoized token counts (inputs rewritten). */
@@ -684,6 +696,8 @@ object TextAnalysis {
     blpCache.clear()
     bpeCache.values.foreach { case (m, y) => m.unpersist(); y.unpersist() }
     bpeCache.clear()
+    bpeDocCache.values.foreach(_.unpersist())
+    bpeDocCache.clear()
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword-voting
